@@ -1,0 +1,83 @@
+"""Text-analysis column expressions for the LLM-data-pipeline surface.
+
+North-star operators (BASELINE.json): token counting, quality scoring,
+language identification — all as built-in-function expressions (split /
+regexp / higher-order array functions) that stay inside whole-stage codegen.
+At 100 TB these run embarrassingly parallel over parquet partitions with no
+shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Small deterministic English stopword list used for ratio features.
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+#: Marker words for the rule-based language-ID heuristic. Deterministic and
+#: SQL-expressible — a stand-in for an n-gram model; the per-language marker
+#: lists are the tunable surface.
+LANG_MARKERS = {
+    "de": (" der ", " und ", " die ", " nicht "),
+    "es": (" el ", " los ", " una ", " que "),
+    "fr": (" le ", " les ", " une ", " est "),
+    "nl": (" het ", " een ", " niet ", " van "),
+}
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization → array<string>."""
+    return F.split(F.trim(_col(col)), "\\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Number of whitespace-delimited tokens."""
+    return F.size(tokens(col))
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    """Fraction of tokens that are stopwords (higher-order ``filter``, no UDF)."""
+    toks = tokens(col)
+    stops = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*stopwords))
+    )
+    return stops.cast("double") / F.size(toks).cast("double")
+
+
+def quality_score(col: Column | str, min_tokens: int = 20, max_tokens: int = 1000) -> Column:
+    """Composite heuristic quality score in [0, 1].
+
+    0.5 * stopword-ratio signal + 0.5 * length-window signal. The exact
+    weights are a placeholder for a trained scorer; the shape (pure column
+    expression over per-row features) is the scale-relevant part.
+    """
+    length_ok = (
+        F.when(token_count(col).between(min_tokens, max_tokens), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+    )
+    return 0.5 * stopword_ratio(col) + 0.5 * length_ok
+
+
+def lang_id(col: Column | str, default: str = "en") -> Column:
+    """Rule-based language ID via marker-word hits.
+
+    First language whose marker list hits wins; ties broken by the fixed
+    iteration order of ``LANG_MARKERS``. SQL-expressible (chained CASE), so
+    oracle-checkable; swap for a real n-gram scorer behind the same column
+    signature.
+    """
+    c = F.concat(F.lit(" "), F.lower(_col(col)), F.lit(" "))
+    expr: Column | None = None
+    for lang, markers in LANG_MARKERS.items():
+        hit = None
+        for m in markers:
+            cond = c.contains(m)
+            hit = cond if hit is None else (hit | cond)
+        expr = F.when(hit, F.lit(lang)) if expr is None else expr.when(hit, F.lit(lang))
+    assert expr is not None
+    return expr.otherwise(F.lit(default))

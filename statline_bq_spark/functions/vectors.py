@@ -1,0 +1,35 @@
+"""Vector math over ``array<float|double>`` embedding columns.
+
+Built-in higher-order functions (``zip_with`` + ``aggregate``) keep the
+arithmetic JVM-side — no Python round trip — and evaluate as a sequential
+fold over the array, which makes results deterministic and reproducible
+across engines (the DuckDB oracle computes the same left-to-right sum).
+
+At 100 TB scale these expressions vectorize per-row with zero shuffle; the
+shuffling strategy lives in ``operators/similarity.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _as_double_array(c: Column | str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("array<double>")
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential-fold dot product of two equal-length arrays."""
+    products = F.zip_with(_as_double_array(a), _as_double_array(b), lambda x, y: x * y)
+    return F.aggregate(products, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """dot(a,b) / (|a| * |b|) — matches DuckDB's list_cosine_similarity."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

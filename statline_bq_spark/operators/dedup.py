@@ -1,0 +1,283 @@
+"""Deduplication operators for the LLM-data-pipeline surface (north star,
+BASELINE.json): exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+All hot-path math uses built-in JVM expressions (xxhash64, higher-order
+array functions) — no Python UDFs — so the per-row work stays inside
+whole-stage codegen and the only shuffles are the ones the algorithms
+require (one groupBy for exact dedup; one band-bucket join for LSH).
+
+Scale design (100 TB):
+- Exact dedup shuffles on a 128-bit content hash, never on the text itself.
+- MinHash-LSH is the classic shingle → K minhashes → B bands → bucket join.
+  Bucket skew (boilerplate/spam clusters) is capped via ``max_bucket_size``
+  so one degenerate bucket can't quadratic-blow a partition; AQE skew-join
+  handles the rest.
+- SimHash emits one 64-bit fingerprint per doc; near-dup candidates are
+  fingerprints equal on rotated prefix blocks (not implemented here —
+  fingerprint generation is the per-row primitive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# shingling helpers (shared by minhash / jaccard)
+# --------------------------------------------------------------------------
+
+def token_shingles(text_col: Column | str, n: int = 3) -> Column:
+    """Distinct token n-grams of a text column as array<string>.
+
+    Pure higher-order expression: tokenize, slide a window of ``n`` via
+    ``sequence`` + ``slice``, join with spaces, distinct.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(F.trim(c), "\\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(grams)
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup by content hash: keep min(id) per identical text.
+
+    Groups on ``md5(text)`` so the shuffle key is a fixed-width hash, not
+    arbitrary-length text. Output: (<id_col>, n_copies) — one row per
+    distinct content, with the surviving (minimum) id.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(id_col, "n_copies")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signature(
+    shingles: Column, num_perm: int = 32
+) -> Column:
+    """array<bigint> of ``num_perm`` min-hashes.
+
+    Permutation i is simulated by seeding xxhash64 with i (hash of
+    (seed, shingle)); the signature element is the min over shingles.
+    """
+    def seeded_min(seed: int) -> Column:
+        # one-arg lambda on purpose: a two-arg lambda would be interpreted
+        # by Spark as (element, index)
+        return F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(F.lit(seed), s))
+        )
+
+    return F.array(*[seeded_min(i) for i in range(num_perm)])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash banding, verified with the
+    exact shingle-set Jaccard.
+
+    Pipeline: shingle → signature → split into ``bands`` bands → hash each
+    band → explode to (band_id, band_hash) → self-join on the bucket →
+    distinct candidate pairs → exact-Jaccard verify ≥ threshold.
+
+    Output: (a, b, jaccard) with a < b. One shuffle for the bucket join,
+    one broadcast-back of shingle sets for verification (at 100 TB, the
+    verify side joins on id against the original table instead).
+    """
+    r = num_perm // bands
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        token_shingles(text_col, shingle_n).alias("_shingles"),
+    ).filter(F.size("_shingles") > 0)
+    sig = base.select(
+        "_id", "_shingles", minhash_signature(F.col("_shingles"), num_perm).alias("_sig")
+    )
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(*[F.col("_sig")[b * r + j] for j in range(r)]).alias(
+                    "band_hash"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        "_id", F.explode(band_structs).alias("band")
+    ).select("_id", "band.band_id", "band.band_hash")
+
+    # Cap degenerate buckets (boilerplate clusters) to keep the self-join
+    # from going quadratic on one key; AQE skew-join splits the rest.
+    bucket_sizes = buckets.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    buckets = (
+        buckets.join(
+            bucket_sizes.filter(F.col("_n") <= max_bucket_size),
+            ["band_id", "band_hash"],
+        )
+        .drop("_n")
+    )
+
+    left = buckets.select(
+        F.col("band_id"), F.col("band_hash"), F.col("_id").alias("a")
+    )
+    right = buckets.select(
+        F.col("band_id"), F.col("band_hash"), F.col("_id").alias("b")
+    )
+    candidates = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+    sh = base.select(F.col("_id"), F.col("_shingles"))
+    verified = (
+        candidates.join(sh.select(F.col("_id").alias("a"), F.col("_shingles").alias("_sa")), "a")
+        .join(sh.select(F.col("_id").alias("b"), F.col("_shingles").alias("_sb")), "b")
+        .withColumn(
+            "common", F.size(F.array_intersect("_sa", "_sb")).cast("double")
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.size("_sa") + F.size("_sb") - F.col("common")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("a", "b", "jaccard")
+    )
+    return verified
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard (inverted-index join baseline)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact Jaccard over token n-gram sets for every pair sharing ≥1 shingle.
+
+    The inverted-index join (explode shingles → self-join on shingle →
+    count common per pair) is the exact baseline MinHash approximates; its
+    cost is Σ bucket² over shingle buckets, so it's the *verification*
+    strategy, not the discovery strategy, at 100 TB.
+
+    Output: (a, b, jaccard) with a < b, jaccard ≥ threshold, rounded to 4.
+    """
+    sets = df.select(
+        F.col(id_col).alias("_id"),
+        token_shingles(text_col, shingle_n).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    sizes = sets.select("_id", F.size("_sh").alias("_sz"))
+    inv = sets.select("_id", F.explode("_sh").alias("_g"))
+
+    pairs = (
+        inv.select(F.col("_g"), F.col("_id").alias("a"))
+        .join(inv.select(F.col("_g"), F.col("_id").alias("b")), "_g")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        pairs.join(sizes.select(F.col("_id").alias("a"), F.col("_sz").alias("sa")), "a")
+        .join(sizes.select(F.col("_id").alias("b"), F.col("_sz").alias("sb")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("sa") + F.col("sb") - F.col("common")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash64(text_col: Column | str) -> Column:
+    """64-bit SimHash fingerprint of whitespace tokens, as bigint.
+
+    Classic construction: per token take xxhash64, add +1/-1 per bit into 64
+    counters, emit bit i = 1 iff counter_i > 0. Entirely built-in
+    higher-order expressions (aggregate over the token array into an
+    array<int> of counters, then fold the counters into one bigint).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(F.trim(c), "\\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # Literal bit masks (bit 63 is the sign bit in a signed long).
+    masks = F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("bigint")
+            for i in range(64)
+        ]
+    )
+    zeros = F.array_repeat(F.lit(0), 64)
+    counters = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda cnt, m: cnt
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    bit_values = F.zip_with(
+        counters,
+        masks,
+        lambda cnt, m: F.when(cnt > 0, m).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(
+        bit_values, F.lit(0).cast("bigint"), lambda acc, x: acc.bitwiseOR(x)
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(<id_col>, simhash) — the per-row primitive for hamming-distance
+    near-dup clustering."""
+    return df.select(F.col(id_col), simhash64(text_col).alias("simhash"))

@@ -1,0 +1,143 @@
+"""Multimodal (image/audio/video) column plumbing (north star, BASELINE.json).
+
+Media payloads are opaque ``binary`` columns with typed metadata riding
+alongside — the pattern that scales: Spark shuffles/stores bytes without
+interpreting them, and interpretation happens in Arrow-batched Python only
+where genuinely needed.
+
+What's real here: schemas, binary metadata extraction (pure JVM
+expressions), partition-friendly bucketing, and the ``mapInPandas``
+plumbing (signatures, batch shapes, output schemas) for decode /
+feature-extract / frame-sample. The actual codec work is STUBBED — the
+image/audio libraries are not available in this environment — behind
+``decoder=`` hooks; ``deterministic_fake_decoder`` stands in so the
+distributed plumbing is testable end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Canonical schema for a media table: payload + typed metadata.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("mime_type", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("feature", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def binary_metadata(
+    df: DataFrame, *, id_col: str, payload_col: str, n_buckets: int = 16
+) -> DataFrame:
+    """Pure-JVM metadata over a binary column: byte length, SHA-256 digest,
+    and a stable storage bucket. No Python in the loop; at 100 TB this is a
+    single narrow pass suitable as a pre-partitioning step
+    (``write.partitionBy("bucket")``)."""
+    return df.select(
+        F.col(id_col),
+        F.octet_length(F.col(payload_col)).alias("n_bytes"),
+        F.sha2(F.col(payload_col), 256).alias("digest"),
+        F.pmod(F.col(id_col), F.lit(n_buckets)).alias("bucket"),
+    )
+
+
+def deterministic_fake_decoder(payload: bytes, dim: int = 8) -> list[float]:
+    """Stand-in for a real image/audio decoder: derives ``dim`` floats in
+    [0, 1) from the SHA-256 of the payload. Deterministic → testable."""
+    h = hashlib.sha256(payload or b"").digest()
+    return [h[i] / 255.0 for i in range(dim)]
+
+
+def extract_features(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    dim: int = 8,
+    decoder: Callable[[bytes, int], list[float]] | None = None,
+) -> DataFrame:
+    """Decode + feature-extract via ``mapInPandas`` (Arrow-batched).
+
+    ``decoder`` is the pluggable codec hook. Passing ``None`` raises
+    ``NotImplementedError`` from inside the stub — a real deployment plugs
+    e.g. a PIL/torchvision decode; tests plug
+    ``deterministic_fake_decoder``. The Spark-side contract (schema,
+    batching, partition behavior) is identical either way.
+    """
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("feature", ArrayType(FloatType()), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder is None:
+                raise NotImplementedError(
+                    "no media codec available in this environment; "
+                    "pass decoder= (e.g. deterministic_fake_decoder)"
+                )
+            feats = [
+                decoder(bytes(p) if p is not None else b"", dim)
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col].astype("int64"), "feature": feats}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    duration_col: str = "duration_ms",
+    every_ms: int = 1000,
+) -> DataFrame:
+    """Frame-sampling *plan*: one row per (media, frame_ts) to decode.
+
+    The expansion is pure JVM (``sequence`` + ``explode``); the decode of
+    each planned frame is the stubbed Python step. Separating plan from
+    decode lets Spark repartition the frame workload independently of the
+    source media layout — the key to balanced video processing.
+    """
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col(duration_col) - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )

@@ -1,0 +1,98 @@
+"""Relational core operators: filters, aggregations, top-k, set ops,
+incremental anti-joins (SURVEY.md §2.A S17/S19, §2.B Q5/Q6/Q10).
+
+Everything here compiles to built-in Catalyst plans — partial+final hash
+aggregation, broadcast/sort-merge joins, pushed-down parquet filters. The
+functions exist to name the semantics and fix scale-correct defaults, not to
+reimplement what Catalyst already does.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def filtered_slice(df: DataFrame, *predicates: Column) -> DataFrame:
+    """Conjunctive predicate slice (reference Q5 — the `$filter` /
+    DefaultSelection semantics). Expressed declaratively so Catalyst pushes
+    the conjunction into the parquet scan (verify via PushedFilters in
+    .explain)."""
+    out = df
+    for p in predicates:
+        out = out.filter(p)
+    return out
+
+
+def grouped_agg(
+    df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]
+) -> DataFrame:
+    """Hash aggregation over dimension keys (reference Q6). Spark performs
+    map-side partial aggregation automatically; one shuffle on the group
+    keys is the scale floor for exact results."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def top_k(
+    df: DataFrame, order: Sequence[Column], k: int
+) -> DataFrame:
+    """Global top-k (reference "sorts/limits/top-k" gap, SURVEY.md §2.C).
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — each partition
+    keeps only k rows, then the driver merges k·p rows — no global sort at
+    any scale. Pass a deterministic total order (include a unique key as the
+    last sort column) so results are stable.
+    """
+    return df.orderBy(*order).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_keys: Sequence[str],
+    order: Sequence[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Per-group top-k via row_number window — one shuffle on the partition
+    keys; with AQE skewed groups split automatically."""
+    w = Window.partitionBy(*partition_keys).orderBy(*order)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
+
+
+def incremental_anti_join(
+    source: DataFrame, loaded: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Rows of ``source`` not yet present in ``loaded``, matched on ``keys``.
+
+    Spark rendition of the reference's incremental-load skip (reference
+    ``main.py:38-95``: compare the CBS `Modified` stamp against the
+    already-loaded `Modified`; process only changed datasets). A left-anti
+    join generalizes the per-dataset dict compare to set-at-a-time, and
+    broadcast-ing the (small) catalog side keeps it shuffle-free.
+    """
+    cond = None
+    for k in keys:
+        c = source[k].eqNullSafe(loaded[k])
+        cond = c if cond is None else (cond & c)
+    return source.join(loaded, cond, "left_anti")
+
+
+def latest_by_group(
+    df: DataFrame,
+    partition_keys: Sequence[str],
+    order: Sequence[Column],
+    rank_col: str = "_rn",
+) -> DataFrame:
+    """Latest-snapshot selection (reference S17 ``gcpl.py:53-97``: list date
+    folders, take max). Window row_number over a descending order — pass
+    descending columns plus a tiebreaker."""
+    w = Window.partitionBy(*partition_keys).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) == 1)
+        .drop(rank_col)
+    )

@@ -1,0 +1,187 @@
+"""Similarity search over embedding columns (north star, BASELINE.json).
+
+Two tiers, mirroring how ANN systems are deployed on data pipelines:
+
+- ``ann_cosine_topk``: brute-force exact top-k — the correctness baseline.
+  The (small) query set is broadcast, so the big corpus is scanned once with
+  zero shuffle of the embedding column; per-row math is a JVM-side
+  sequential fold (functions/vectors.py). A per-query top-k window trims
+  results. At 100 TB the same plan holds: broadcast Q queries, mapper-side
+  score, TakeOrdered per query.
+
+- ``lsh_bucket_topk``: random-hyperplane (sign) LSH — the scale path. Each
+  vector gets a B-bit signature from fixed pseudo-random hyperplanes
+  (deterministic, seeded); candidates are corpus rows whose signature
+  matches a query's bucket; exact cosine re-ranks inside the bucket. This
+  turns the O(N·Q) scan into a bucket-join whose cost is the collision
+  count. Hyperplanes are generated driver-side (tiny: B×dim floats) and
+  shipped as literals — no extra table, no shuffle.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from statline_bq_spark.functions.vectors import cosine_similarity
+
+
+def ann_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    k: int = 5,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    ``queries`` must carry (query_id_col, vec_col). Output:
+    (q_id, neighbor_id, rn, sim) — rn 1..k by descending similarity with the
+    neighbor id as deterministic tiebreaker; self-matches excluded.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("q_id"), F.col(vec_col).alias("_q_vec")
+        )
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_c_vec")
+        )
+        .join(q, F.col("neighbor_id") != F.col("q_id"), "inner")
+        .withColumn("_sim", cosine_similarity(F.col("_c_vec"), F.col("_q_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("_sim").desc(), F.col("neighbor_id")
+    )
+    out = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "q_id",
+            "neighbor_id",
+            "rn",
+            (F.round("_sim", round_to) if round_to is not None else F.col("_sim")).alias(
+                "sim"
+            ),
+        )
+    )
+    return out
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes (sign LSH only needs
+    directions)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def signature_expr(vec_col: str, planes: list[list[float]]):
+    """Bit-signature expression: bit b = sign(vec · plane_b) ≥ 0.
+
+    Pure built-in fold per plane; planes ship as array literals.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    sig = F.lit(0).cast("bigint")
+    for b, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        d = F.aggregate(
+            F.zip_with(v, p, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        mask = F.lit((1 << b)).cast("bigint")
+        sig = sig.bitwiseOR(F.when(d >= 0, mask).otherwise(F.lit(0).cast("bigint")))
+    return sig
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    dim: int = 64,
+    bits: int = 8,
+    seed: int = 42,
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket, exact
+    cosine re-ranks within the bucket. Recall grows with fewer bits /
+    multiple tables; this single-table variant is the building block."""
+    planes = _hyperplanes(dim, bits, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_c_vec"),
+        signature_expr(vec_col, planes).alias("_bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("q_id"),
+            F.col(vec_col).alias("_q_vec"),
+            signature_expr(vec_col, planes).alias("_bucket"),
+        )
+    )
+    scored = (
+        c.join(q, "_bucket")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .withColumn("_sim", cosine_similarity(F.col("_c_vec"), F.col("_q_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "neighbor_id", "rn", F.round("_sim", 4).alias("sim"))
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, sim ≥ threshold).
+
+    Brute-force all-pairs — the exact baseline; at scale run
+    ``lsh_bucket_topk``-style bucketing first and this as the in-bucket
+    verifier.
+    """
+    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("sim", F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 4))
+        .filter(F.col("sim") >= threshold)
+        .select("a", "b", "sim")
+    )
+
+
+def centroids_by_label(
+    df: DataFrame,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-label centroid, long form: (label, pos, centroid_val).
+
+    posexplode → groupBy(label, pos) → avg. One shuffle on (label, pos);
+    at 100 TB pre-aggregate per partition happens automatically (partial
+    avg), so the shuffle carries only group partials.
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.round(F.avg("val"), round_to).alias("centroid_val")
+    )

@@ -1,0 +1,64 @@
+"""SparkSession factory tuned for the engine's workload.
+
+Design notes (100 TB north star):
+
+- AQE on: runtime coalescing of shuffle partitions, dynamic broadcast-join
+  selection, and skew-join splitting replace the reference's static paging
+  plan (reference ``statline.py:197-237`` plans partitions from catalog row
+  counts; Spark's AQE re-plans from *observed* sizes, which is strictly
+  better at scale).
+- Shuffle partitions default low for local testing; at cluster scale set
+  ``spark.sql.shuffle.partitions`` ~ 2-3× total cores (AQE coalesces down).
+- Session timezone pinned to UTC so timestamp rendering is deterministic and
+  oracle-comparable regardless of host zone.
+- Arrow enabled so any Pandas-UDF fallback path is batch-vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "statline-bq-spark",
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` resolves from the argument, then ``$SPARK_GRAFT_CPUS``
+    (``local[N]``), then ``local[*]``. On a real cluster pass ``master=None``
+    and launch via spark-submit; the builder only sets a master when the
+    environment doesn't already provide one.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+    )
+    if not SparkSession.getActiveSession():
+        builder = builder.master(master)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,947 @@
+"""The engine's query workload: one entry per operator from SURVEY.md §2,
+bound to the driver's test tables, each paired with a DuckDB oracle SQL.
+
+Contract (driver, ``__spark_entry__.py``): every Spark result column is
+aliased identically in the oracle SQL; aggregates over doubles are rounded
+(2 decimals for money sums, 4 for ratios) so floating-point summation-order
+differences between engines can't flip the value hash; timestamps are
+exposed as DATE or formatted strings, never raw timestamps, to avoid
+precision/zone skew.
+
+Queries with no oracle entry (MinHash-LSH, SimHash, LSH-ANN) are
+rows-only-checked: their outputs depend on hash functions (xxhash64) that
+have no DuckDB equivalent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from statline_bq_spark.functions.cleaning import clean_description, clean_python_name
+from statline_bq_spark.functions.text import lang_id, quality_score, stopword_ratio, token_count
+from statline_bq_spark.io import read_table
+from statline_bq_spark.operators import dedup, multimodal, similarity, timeseries
+from statline_bq_spark.operators.hierarchy import hierarchy_closure
+from statline_bq_spark.operators.pivot import long_to_wide, wide_to_long
+from statline_bq_spark.operators.relational import (
+    filtered_slice,
+    incremental_anti_join,
+    latest_by_group,
+    top_k,
+    top_k_per_group,
+)
+from statline_bq_spark.operators.star import star_join
+
+#: Explicit pivot-value list (the reference's measure dictionary analogue —
+#: never let pivot() run a discovery pass, SURVEY.md §7 risk register).
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+LINEITEM_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+#: Measure-format metadata (reference Q12: `Decimals` column of
+#: DataProperties/MeasureCodes drives per-measure rounding).
+MEASURE_DECIMALS = (
+    ("l_quantity", 0),
+    ("l_extendedprice", 2),
+    ("l_discount", 2),
+    ("l_tax", 2),
+)
+
+
+# ---------------------------------------------------------------------------
+# relational core (SURVEY.md §2.B Q1-Q6, §2.A S17/S19)
+# ---------------------------------------------------------------------------
+
+def q_star_schema_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship: star join lineitem→orders→customer→nation→region, then
+    hash-agg per region/nation (reference Q1+Q2+Q6). All dims broadcast."""
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer")
+    n = read_table(spark, sf, "nation")
+    r = read_table(spark, sf, "region")
+    joined = star_join(
+        li,
+        [
+            (o, li["l_orderkey"] == o["o_orderkey"]),
+            (c, o["o_custkey"] == c["c_custkey"]),
+            (n, c["c_nationkey"] == n["n_nationkey"]),
+            (r, n["n_regionkey"] == r["r_regionkey"]),
+        ],
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+    )
+
+
+ORACLE_STAR_SCHEMA_AGG = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(l_quantity), 2) AS total_qty,
+       count(*) AS n_items,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_dimension_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Code→label decode (reference Q3): resolve customer's nation/region
+    names through the dimension chain."""
+    c = read_table(spark, sf, "customer")
+    n = read_table(spark, sf, "nation")
+    r = read_table(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+    )
+
+
+ORACLE_DIMENSION_DECODE = """
+SELECT c_custkey, c_name, n_name AS nation, r_name AS region
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_filtered_slice(spark: SparkSession, sf: str) -> DataFrame:
+    """Predicate slice (reference Q5 / the OData `$filter` semantics).
+    Predicates compare the raw timestamp column so they push into the
+    parquet scan."""
+    li = read_table(spark, sf, "lineitem")
+    sliced = filtered_slice(
+        li,
+        F.col("l_shipdate") >= F.to_timestamp_ntz(F.lit("1996-01-01 00:00:00")),
+        F.col("l_shipdate") < F.to_timestamp_ntz(F.lit("1997-01-01 00:00:00")),
+        F.col("l_returnflag") == "R",
+    )
+    return sliced.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        F.to_date("l_shipdate").alias("ship_date"),
+    )
+
+
+ORACLE_FILTERED_SLICE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+       CAST(l_shipdate AS DATE) AS ship_date
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag = 'R'
+"""
+
+
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q1-shaped aggregation (reference Q6: aggregate topic columns
+    grouped by dimensions)."""
+    li = read_table(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_semi_join_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi join: customers having at least one big order."""
+    c = read_table(spark, sf, "customer")
+    o = read_table(spark, sf, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+ORACLE_SEMI_JOIN_CUSTOMERS = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+"""
+
+
+def q_incremental_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-load skip as a left-anti join (reference S19,
+    ``main.py:38-95``): rows whose (key, Modified) already exist in the
+    target catalog are skipped; the rest get processed."""
+    o = read_table(spark, sf, "orders")
+    loaded = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_orderdate"
+    )
+    fresh = incremental_anti_join(o, loaded, ["o_orderkey", "o_orderdate"])
+    return fresh.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+
+
+ORACLE_INCREMENTAL_ANTI_JOIN = """
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       o_totalprice AS total_price
+FROM orders
+WHERE o_orderkey % 3 <> 0
+"""
+
+
+def q_top_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Global top-k (TakeOrderedAndProject — no full sort at any scale)."""
+    o = read_table(spark, sf, "orders")
+    return top_k(
+        o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 10
+    ).select("o_orderkey", "o_custkey", F.col("o_totalprice").alias("total_price"))
+
+
+ORACLE_TOP_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice AS total_price
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group top-k via row_number window."""
+    o = read_table(spark, sf, "orders")
+    ranked = top_k_per_group(
+        o,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+    )
+    return ranked.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("rn").cast("bigint").alias("rn"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+
+
+ORACLE_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+       o_totalprice AS total_price
+FROM orders
+QUALIFY rn <= 3
+"""
+
+
+def q_latest_event_per_user(spark: SparkSession, sf: str) -> DataFrame:
+    """Latest-snapshot selection (reference S17/Q9: the `_get_latest_folder`
+    max-date semantics, generalized to a per-key window)."""
+    e = read_table(spark, sf, "events")
+    latest = latest_by_group(
+        e, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return latest.select("user_id", "event_id", "event_type", "value")
+
+
+ORACLE_LATEST_EVENT_PER_USER = """
+SELECT user_id, event_id, event_type, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def q_set_ops_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION / EXCEPT / INTERSECT chain over customer key sets."""
+    c = read_table(spark, sf, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    x = c.filter(F.col("c_nationkey") < 5).select("c_custkey")
+    d = c.filter(F.col("c_acctbal") > -500).select("c_custkey")
+    return a.union(b).distinct().subtract(x).intersect(d)
+
+
+ORACLE_SET_OPS_CUSTOMERS = """
+SELECT * FROM (
+  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+   UNION
+   SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+  EXCEPT
+  SELECT c_custkey FROM customer WHERE c_nationkey < 5
+)
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_acctbal > -500
+"""
+
+
+def q_distinct_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase agg under the hood)."""
+    li = read_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ORACLE_DISTINCT_COUNTS = """
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS n_supp,
+       count(DISTINCT l_partkey) AS n_part,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_rollup_region_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP grouping-sets aggregation with GROUPING flags."""
+    c = read_table(spark, sf, "customer")
+    n = read_table(spark, sf, "nation")
+    r = read_table(spark, sf, "region")
+    joined = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        F.grouping("r_name").cast("int").alias("g_r"),
+        F.grouping("n_name").cast("int").alias("g_n"),
+    )
+
+
+ORACLE_ROLLUP_REGION_NATION = """
+SELECT r_name, n_name, count(*) AS n_cust,
+       round(sum(c_acctbal), 2) AS total_bal,
+       CAST(GROUPING(r_name) AS INT) AS g_r,
+       CAST(GROUPING(n_name) AS INT) AS g_n
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_ordered_orders_limit(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic multi-column sort + limit."""
+    o = read_table(spark, sf, "orders")
+    return (
+        o.orderBy("o_orderdate", "o_orderkey")
+        .limit(50)
+        .select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_orderpriority",
+        )
+    )
+
+
+ORACLE_ORDERED_ORDERS_LIMIT = """
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+FROM orders
+ORDER BY o_orderdate, o_orderkey
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# statline semantics (SURVEY.md §2.B Q4/Q7/Q8/Q12, §2.A S11-S13/S17)
+# ---------------------------------------------------------------------------
+
+def q_pivot_event_values(spark: SparkSession, sf: str) -> DataFrame:
+    """Long→wide pivot (reference Q7: v4 Observations → v3 TypedDataSet
+    shape) with an explicit measure list — no discovery pass."""
+    e = read_table(spark, sf, "events")
+    return long_to_wide(
+        e,
+        ["user_id"],
+        "event_type",
+        F.round(F.sum("value"), 2),
+        EVENT_TYPES,
+    )
+
+
+ORACLE_PIVOT_EVENT_VALUES = """
+SELECT user_id,
+       round(sum(CASE WHEN event_type = 'click'    THEN value END), 2) AS click,
+       round(sum(CASE WHEN event_type = 'error'    THEN value END), 2) AS error,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+       round(sum(CASE WHEN event_type = 'signup'   THEN value END), 2) AS signup,
+       round(sum(CASE WHEN event_type = 'view'     THEN value END), 2) AS view
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_unpivot_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide→long unpivot (reference Q8: v3 wide → v4 Observations shape)."""
+    li = read_table(spark, sf, "lineitem")
+    return wide_to_long(
+        li, ["l_orderkey", "l_linenumber"], LINEITEM_MEASURES
+    )
+
+
+ORACLE_UNPIVOT_LINEITEM = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+"""
+
+
+def q_hierarchy_closure(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchy flattening (reference Q4: CategoryGroups/MeasureGroups
+    ParentID chains). Edge table: customer→nation→region."""
+    c = read_table(spark, sf, "customer")
+    n = read_table(spark, sf, "nation")
+    r = read_table(spark, sf, "region")
+    cn = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).select(
+        F.col("c_name").alias("child"), F.col("n_name").alias("parent")
+    )
+    nr = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+        F.col("n_name").alias("child"), F.col("r_name").alias("parent")
+    )
+    return hierarchy_closure(cn.unionByName(nr))
+
+
+ORACLE_HIERARCHY_CLOSURE = """
+SELECT c_name AS child, n_name AS ancestor, 1 AS depth
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+UNION ALL
+SELECT n_name, r_name, 1
+FROM nation JOIN region ON n_regionkey = r_regionkey
+UNION ALL
+SELECT c_name, r_name, 2
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_clean_identifiers(spark: SparkSession, sf: str) -> DataFrame:
+    """Identifier normalization (reference S12 ``utils.py:267-295``) as a
+    pure regexp expression."""
+    p = read_table(spark, sf, "part")
+    return p.select("p_partkey", clean_python_name("p_name").alias("ident"))
+
+
+ORACLE_CLEAN_IDENTIFIERS = """
+SELECT p_partkey,
+       regexp_replace(regexp_replace(trim(p_name), '^[^a-zA-Z_]+', ''),
+                      '[^0-9a-zA-Z_]', '_', 'g') AS ident
+FROM part
+"""
+
+
+def q_clean_descriptions(spark: SparkSession, sf: str) -> DataFrame:
+    """Description cleanse + truncate (reference S13 ``statline.py:349-377``;
+    the BigQuery 1024-char cap scaled down to 120 so the fixture actually
+    exercises truncation)."""
+    d = read_table(spark, sf, "documents")
+    return d.select(
+        "doc_id", clean_description("text", 120).alias("description")
+    )
+
+
+ORACLE_CLEAN_DESCRIPTIONS = """
+SELECT doc_id,
+       CASE WHEN length(regexp_replace(text, '[\n\r]', '', 'g')) > 120
+            THEN substr(regexp_replace(text, '[\n\r]', '', 'g'), 1, 116) || '...'
+            ELSE regexp_replace(text, '[\n\r]', '', 'g') END AS description
+FROM documents
+"""
+
+
+def q_measure_round_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata-driven formatting (reference Q12: the `Decimals` column of
+    DataProperties drives per-measure rounding): unpivot measures, join the
+    (broadcast) measure-metadata table, round per its Decimals."""
+    li = read_table(spark, sf, "lineitem")
+    long = wide_to_long(li, ["l_orderkey", "l_linenumber"], LINEITEM_MEASURES)
+    meta = spark.createDataFrame(
+        list(MEASURE_DECIMALS), "measure string, decimals int"
+    )
+    joined = long.join(F.broadcast(meta), "measure")
+    value_rounded = (
+        F.when(F.col("decimals") == 0, F.round("value", 0))
+        .when(F.col("decimals") == 2, F.round("value", 2))
+        .otherwise(F.round("value", 4))
+    )
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        "measure",
+        value_rounded.alias("value_rounded"),
+        "decimals",
+    )
+
+
+ORACLE_MEASURE_ROUND_METADATA = """
+WITH long AS (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+), meta(measure, decimals) AS (
+  VALUES ('l_quantity', 0), ('l_extendedprice', 2), ('l_discount', 2), ('l_tax', 2)
+)
+SELECT l_orderkey, l_linenumber, long.measure,
+       CASE WHEN decimals = 0 THEN round(value, 0)
+            WHEN decimals = 2 THEN round(value, 2)
+            ELSE round(value, 4) END AS value_rounded,
+       decimals
+FROM long JOIN meta ON long.measure = meta.measure
+"""
+
+
+def q_latest_load_folder(spark: SparkSession, sf: str) -> DataFrame:
+    """Max-aggregation over formatted date folders (reference S17
+    ``gcpl.py:53-97``: set of YYYYMMDD folder names → max)."""
+    e = read_table(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.max(F.date_format("ts", "yyyyMMdd")).alias("latest_folder")
+    )
+
+
+ORACLE_LATEST_LOAD_FOLDER = """
+SELECT event_type, max(strftime(ts, '%Y%m%d')) AS latest_folder
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_daily_event_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Date-function coverage: per-day/type counts and sums."""
+    e = read_table(spark, sf, "events")
+    return e.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+ORACLE_DAILY_EVENT_STATS = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_json_props_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON extraction (reference S14's JSON side-files, queried instead of
+    written): parse `props` and aggregate the extracted field."""
+    e = read_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"), F.count(F.lit(1)).alias("n")
+    )
+
+
+ORACLE_JSON_PROPS_SUM = """
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# time windows (streaming semantics, batch-checked; SURVEY.md §2.C streaming)
+# ---------------------------------------------------------------------------
+
+def q_tumbling_hourly_stats(spark: SparkSession, sf: str) -> DataFrame:
+    e = read_table(spark, sf, "events")
+    return timeseries.tumbling_agg(
+        e,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    )
+
+
+ORACLE_TUMBLING_HOURLY_STATS = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    e = read_table(spark, sf, "events")
+    return timeseries.session_agg(
+        e,
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    )
+
+
+ORACLE_SESSION_WINDOWS = """
+WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM s
+GROUP BY user_id, sid
+"""
+
+
+# ---------------------------------------------------------------------------
+# north-star: dedup / similarity / text / multimodal (SURVEY.md §2.D)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup by content hash over a doubled corpus (simulated
+    re-crawl), keeping min(doc_id) per distinct text."""
+    d = read_table(spark, sf, "documents")
+    return dedup.exact_dedup(d.unionByName(d))
+
+
+ORACLE_DEDUP_EXACT_DOCS = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+GROUP BY md5(text)
+"""
+
+
+def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = read_table(spark, sf, "documents")
+    n_tokens = token_count("text").cast("bigint")
+    n_chars_ns = F.length(F.regexp_replace("text", "\\s", "")).cast("bigint")
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars_ns.alias("n_chars_nospace"),
+        F.round(
+            n_chars_ns.cast("double") / n_tokens.cast("double"), 4
+        ).alias("avg_token_len"),
+    )
+
+
+ORACLE_TOKEN_STATS = """
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       length(regexp_replace(text, '\\s', '', 'g')) AS n_chars_nospace,
+       round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+             / len(string_split_regex(trim(text), '\\s+')), 4) AS avg_token_len
+FROM documents
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    d = read_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").cast("bigint").alias("n_tokens"),
+        F.round(stopword_ratio("text"), 4).alias("stop_ratio"),
+        F.round(quality_score("text"), 4).alias("score"),
+    )
+
+
+ORACLE_QUALITY_SCORES = """
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CAST(len(list_filter(toks, x -> lower(x) IN
+              ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+           / len(toks) AS ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, round(ratio, 4) AS stop_ratio,
+       round(0.5 * ratio +
+             0.5 * (CASE WHEN n_tokens BETWEEN 20 AND 1000
+                         THEN 1.0 ELSE 0.0 END), 4) AS score
+FROM f
+"""
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = read_table(spark, sf, "documents")
+    return d.select("doc_id", lang_id("text").alias("lang_pred"))
+
+
+ORACLE_LANG_ID = """
+SELECT doc_id,
+       CASE
+         WHEN strpos(t, ' der ') > 0 OR strpos(t, ' und ') > 0
+           OR strpos(t, ' die ') > 0 OR strpos(t, ' nicht ') > 0 THEN 'de'
+         WHEN strpos(t, ' el ') > 0 OR strpos(t, ' los ') > 0
+           OR strpos(t, ' una ') > 0 OR strpos(t, ' que ') > 0 THEN 'es'
+         WHEN strpos(t, ' le ') > 0 OR strpos(t, ' les ') > 0
+           OR strpos(t, ' une ') > 0 OR strpos(t, ' est ') > 0 THEN 'fr'
+         WHEN strpos(t, ' het ') > 0 OR strpos(t, ' een ') > 0
+           OR strpos(t, ' niet ') > 0 OR strpos(t, ' van ') > 0 THEN 'nl'
+         ELSE 'en'
+       END AS lang_pred
+FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents)
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (inverted-index join baseline)."""
+    d = read_table(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(d, shingle_n=3, threshold=0.2)
+
+
+ORACLE_NGRAM_JACCARD_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), idx AS (
+  SELECT doc_id, t, unnest(range(0, greatest(len(t) - 2, 0))) AS i FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS g
+  FROM idx
+), sz AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b,
+       round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 4) AS jaccard
+FROM pairs
+JOIN sz sa ON sa.doc_id = a
+JOIN sz sb ON sb.doc_id = b
+WHERE round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 4) >= 0.2
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force exact top-k cosine neighbors for 10 query vectors."""
+    emb = read_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = similarity.ann_cosine_topk(emb, queries, k=5)
+    return out.withColumn("rn", F.col("rn").cast("bigint"))
+
+
+ORACLE_ANN_COSINE_TOPK = """
+WITH q AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10
+), s AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim_raw
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.q_id
+)
+SELECT q_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY q_id
+                               ORDER BY sim_raw DESC, neighbor_id) AS BIGINT) AS rn,
+       round(sim_raw, 4) AS sim
+FROM s
+QUALIFY rn <= 5
+"""
+
+
+def q_cosine_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a similarity threshold."""
+    emb = read_table(spark, sf, "embeddings")
+    return similarity.cosine_pairs(emb, threshold=0.4)
+
+
+ORACLE_COSINE_NEAR_DUP_PAIRS = """
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                    CAST(y.embedding AS DOUBLE[])), 4) AS sim
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                   CAST(y.embedding AS DOUBLE[])), 4) >= 0.4
+"""
+
+
+def q_embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    emb = read_table(spark, sf, "embeddings")
+    out = similarity.centroids_by_label(emb)
+    return out.withColumn("pos", F.col("pos").cast("bigint"))
+
+
+ORACLE_EMBEDDING_CENTROIDS = """
+SELECT label, i AS pos, round(avg(CAST(embedding[i + 1] AS DOUBLE)), 4) AS centroid_val
+FROM embeddings, range(0, 64) t(i)
+GROUP BY label, i
+"""
+
+
+def q_multimodal_binary_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-payload metadata (multimodal plumbing): byte length, content
+    digest, storage bucket — all JVM-side over an opaque binary column."""
+    d = read_table(spark, sf, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return multimodal.binary_metadata(d, id_col="doc_id", payload_col="payload")
+
+
+ORACLE_MULTIMODAL_BINARY_META = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS digest,
+       doc_id % 16 AS bucket
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# hash-based ops with no SQL equivalent → rows-only checks
+# ---------------------------------------------------------------------------
+
+def q_minhash_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    d = read_table(spark, sf, "documents")
+    return dedup.minhash_lsh_pairs(d, jaccard_threshold=0.3)
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    d = read_table(spark, sf, "documents")
+    return dedup.simhash_fingerprints(d)
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = read_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.lsh_bucket_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "star_schema_agg": q_star_schema_agg,
+    "dimension_decode": q_dimension_decode,
+    "filtered_slice": q_filtered_slice,
+    "pricing_summary": q_pricing_summary,
+    "semi_join_customers": q_semi_join_customers,
+    "incremental_anti_join": q_incremental_anti_join,
+    "top_orders": q_top_orders,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "latest_event_per_user": q_latest_event_per_user,
+    "set_ops_customers": q_set_ops_customers,
+    "distinct_counts": q_distinct_counts,
+    "rollup_region_nation": q_rollup_region_nation,
+    "ordered_orders_limit": q_ordered_orders_limit,
+    "pivot_event_values": q_pivot_event_values,
+    "unpivot_lineitem": q_unpivot_lineitem,
+    "hierarchy_closure": q_hierarchy_closure,
+    "clean_identifiers": q_clean_identifiers,
+    "clean_descriptions": q_clean_descriptions,
+    "measure_round_metadata": q_measure_round_metadata,
+    "latest_load_folder": q_latest_load_folder,
+    "daily_event_stats": q_daily_event_stats,
+    "json_props_sum": q_json_props_sum,
+    "tumbling_hourly_stats": q_tumbling_hourly_stats,
+    "session_windows": q_session_windows,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "token_stats": q_token_stats,
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
+    "embedding_centroids": q_embedding_centroids,
+    "multimodal_binary_meta": q_multimodal_binary_meta,
+    "minhash_neardup_pairs": q_minhash_neardup_pairs,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "lsh_ann_topk": q_lsh_ann_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "star_schema_agg": ORACLE_STAR_SCHEMA_AGG,
+    "dimension_decode": ORACLE_DIMENSION_DECODE,
+    "filtered_slice": ORACLE_FILTERED_SLICE,
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "semi_join_customers": ORACLE_SEMI_JOIN_CUSTOMERS,
+    "incremental_anti_join": ORACLE_INCREMENTAL_ANTI_JOIN,
+    "top_orders": ORACLE_TOP_ORDERS,
+    "top_orders_per_customer": ORACLE_TOP_ORDERS_PER_CUSTOMER,
+    "latest_event_per_user": ORACLE_LATEST_EVENT_PER_USER,
+    "set_ops_customers": ORACLE_SET_OPS_CUSTOMERS,
+    "distinct_counts": ORACLE_DISTINCT_COUNTS,
+    "rollup_region_nation": ORACLE_ROLLUP_REGION_NATION,
+    "ordered_orders_limit": ORACLE_ORDERED_ORDERS_LIMIT,
+    "pivot_event_values": ORACLE_PIVOT_EVENT_VALUES,
+    "unpivot_lineitem": ORACLE_UNPIVOT_LINEITEM,
+    "hierarchy_closure": ORACLE_HIERARCHY_CLOSURE,
+    "clean_identifiers": ORACLE_CLEAN_IDENTIFIERS,
+    "clean_descriptions": ORACLE_CLEAN_DESCRIPTIONS,
+    "measure_round_metadata": ORACLE_MEASURE_ROUND_METADATA,
+    "latest_load_folder": ORACLE_LATEST_LOAD_FOLDER,
+    "daily_event_stats": ORACLE_DAILY_EVENT_STATS,
+    "json_props_sum": ORACLE_JSON_PROPS_SUM,
+    "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
+    "session_windows": ORACLE_SESSION_WINDOWS,
+    "dedup_exact_docs": ORACLE_DEDUP_EXACT_DOCS,
+    "token_stats": ORACLE_TOKEN_STATS,
+    "quality_scores": ORACLE_QUALITY_SCORES,
+    "lang_id": ORACLE_LANG_ID,
+    "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD_PAIRS,
+    "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
+    "cosine_near_dup_pairs": ORACLE_COSINE_NEAR_DUP_PAIRS,
+    "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
+    "multimodal_binary_meta": ORACLE_MULTIMODAL_BINARY_META,
+}
