@@ -9,13 +9,17 @@ Two tiers, mirroring how ANN systems are deployed on data pipelines:
   results. At 100 TB the same plan holds: broadcast Q queries, mapper-side
   score, TakeOrdered per query.
 
-- ``lsh_bucket_topk``: random-hyperplane (sign) LSH — the scale path. Each
-  vector gets a B-bit signature from fixed pseudo-random hyperplanes
-  (deterministic, seeded); candidates are corpus rows whose signature
-  matches a query's bucket; exact cosine re-ranks inside the bucket. This
-  turns the O(N·Q) scan into a bucket-join whose cost is the collision
-  count. Hyperplanes are generated driver-side (tiny: B×dim floats) and
-  shipped as literals — no extra table, no shuffle.
+- ``lsh_bucket_topk``: multi-table random-hyperplane (sign) LSH — the scale
+  path. Each vector gets a B-bit signature per hash table from fixed
+  pseudo-random hyperplanes (deterministic, seeded); candidates are corpus
+  rows sharing a query's bucket in ANY table; exact cosine re-ranks the
+  candidate set. Multiple tables are what buy recall (single-table sign-LSH
+  recall is (1-θ/π)^B — e.g. ~0.16 for 4 bits at the ~66° angles typical of
+  nearest neighbors among random 64-d vectors; L tables lift it to
+  1-(1-p)^L). This turns the O(N·Q) scan into a bucket-join whose cost is
+  the collision count. Hyperplanes are generated driver-side (tiny:
+  L×B×dim floats) and shipped as literals — no extra table, no shuffle
+  beyond the bucket join.
 """
 
 from __future__ import annotations
@@ -101,6 +105,19 @@ def signature_expr(vec_col: str, planes: list[list[float]]):
     return sig
 
 
+def _bucket_array(vec_col: str, all_planes: list[list[list[float]]]):
+    """array<struct<table_id,bucket>> — one LSH bucket per hash table."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                signature_expr(vec_col, planes).alias("bucket"),
+            )
+            for t, planes in enumerate(all_planes)
+        ]
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -110,29 +127,35 @@ def lsh_bucket_topk(
     query_id_col: str = "q_id",
     dim: int = 64,
     bits: int = 8,
+    tables: int = 8,
     seed: int = 42,
     k: int = 5,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket, exact
-    cosine re-ranks within the bucket. Recall grows with fewer bits /
-    multiple tables; this single-table variant is the building block."""
-    planes = _hyperplanes(dim, bits, seed)
+    """Approximate top-k: candidates share a query's bucket in any of
+    ``tables`` hash tables; exact cosine re-ranks the deduped candidates."""
+    all_planes = [
+        _hyperplanes(dim, bits, seed + 7919 * t) for t in range(tables)
+    ]
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_c_vec"),
-        signature_expr(vec_col, planes).alias("_bucket"),
-    )
+        F.explode(_bucket_array(vec_col, all_planes)).alias("_b"),
+    ).select("neighbor_id", "_c_vec", "_b.table_id", "_b.bucket")
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("q_id"),
             F.col(vec_col).alias("_q_vec"),
-            signature_expr(vec_col, planes).alias("_bucket"),
-        )
+            F.explode(_bucket_array(vec_col, all_planes)).alias("_b"),
+        ).select("q_id", "_q_vec", "_b.table_id", "_b.bucket")
     )
-    scored = (
-        c.join(q, "_bucket")
+    candidates = (
+        c.join(q, ["table_id", "bucket"])
         .filter(F.col("neighbor_id") != F.col("q_id"))
-        .withColumn("_sim", cosine_similarity(F.col("_c_vec"), F.col("_q_vec")))
+        .select("q_id", "_q_vec", "neighbor_id", "_c_vec")
+        .dropDuplicates(["q_id", "neighbor_id"])
+    )
+    scored = candidates.withColumn(
+        "_sim", cosine_similarity(F.col("_c_vec"), F.col("_q_vec"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col("neighbor_id"))
     return (

@@ -1,0 +1,52 @@
+"""ndjson → Parquet conversion with schema enforcement.
+
+Spark-first rendition of reference S9 (``utils.py:118-132``): the reference
+opens one ParquetWriter and appends page-by-page with the schema either
+declared or inferred from the *first* file only, then enforced on every
+later page (``ParseOptions(explicit_schema=...)`` at ``utils.py:123-129``).
+
+In Spark the whole loop collapses to one declarative read→write: JSON Lines
+is ``spark.read.json``'s native input, schema enforcement is
+``.schema(...)``, and parallel conversion + bounded memory come from the
+engine. The "infer from first file only" policy is preserved as an explicit
+helper because silent per-file inference drift is the failure mode the
+reference guards against (SURVEY.md §7 risk register).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def infer_schema_from_first_file(
+    spark: SparkSession, files: list[str]
+) -> StructType:
+    """Schema-once policy: infer from the first ndjson file only (reference
+    ``utils.py:123-126``), then callers enforce it everywhere."""
+    if not files:
+        raise ValueError("no ndjson files to infer from")
+    return spark.read.json(files[0]).schema
+
+
+def ndjson_to_parquet(
+    spark: SparkSession,
+    files: list[str],
+    out_path: str,
+    schema: StructType | None = None,
+    *,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Convert ndjson files to one Parquet dataset under ``out_path``.
+
+    ``schema=None`` applies the first-file inference policy; a declared
+    schema (e.g. from ``odata.edm_schema_to_struct``) is enforced on every
+    file — rows missing a declared column become null, matching the
+    reference's explicit_schema behavior.
+    Returns the DataFrame re-read from the written Parquet.
+    """
+    if schema is None:
+        schema = infer_schema_from_first_file(spark, files)
+    df = spark.read.schema(schema).json(files)
+    df.write.mode(mode).parquet(out_path)
+    return spark.read.parquet(out_path)

@@ -1,0 +1,132 @@
+"""Streaming windowed aggregation over event streams.
+
+The reference is pure batch; its nearest streaming analogue is the
+re-runnable incremental skip (S19) + dated snapshots (S15/S17) —
+SURVEY.md §2.C. This module supplies the genuine streaming rendition:
+``readStream`` → watermark → tumbling/sliding/session window → sink.
+
+Semantics match ``operators/timeseries.py`` exactly (same window
+functions), so the batch oracle checks validate the streaming
+aggregation logic; streaming adds watermark-driven late-data handling
+and incremental state.
+
+Scale notes: state store size is bounded by (watermark horizon ×
+#keys); append-mode emission happens only once the watermark passes a
+window's end, which is what allows exactly-once parquet sinks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a directory of parquet drops — the streaming
+    version of the reference's per-run snapshot ingestion."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def tumbling_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    size: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: Sequence[str] = ("event_type",),
+    aggs: Sequence[Column] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (append-mode capable)."""
+    aggs = list(aggs) if aggs else [F.count(F.lit(1)).alias("n_events")]
+    out = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), size).alias("window"), *keys)
+        .agg(*aggs)
+    )
+    agg_cols = out.columns[1 + len(keys):]
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *keys,
+        *agg_cols,
+    )
+
+
+def sliding_stats(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    size: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    keys: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Watermarked sliding-window aggregation."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), size, slide).alias("window"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *keys,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    keys: Sequence[str] = ("user_id",),
+) -> DataFrame:
+    """Watermarked session-window aggregation (dynamic-gap sessions are the
+    same call with a Column gap)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("window"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("session_start"),
+            F.col("window.end").alias("session_end"),
+            *keys,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    keys: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Stateful streaming dedup within the watermark horizon — the streaming
+    rendition of the reference's "don't reprocess what you've seen" (S19)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates(
+        [*keys, ts_col]
+    )

@@ -1,0 +1,84 @@
+"""End-to-end pipeline tests: the reference's golden-output strategy
+(SURVEY.md §5 tier 4) against the driver's parquet fixtures."""
+
+from __future__ import annotations
+
+import pytest
+
+from statline_bq_spark.io import read_table
+from statline_bq_spark.pipeline import process_dataset
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def dataset(spark):
+    """A CBS-shaped dataset faked from driver fixtures: nation as the wide
+    fact, region as a dimension code table, plus a DataProperties table with
+    dotted column names."""
+    props = spark.createDataFrame(
+        [("Topic", "Banen.Van.Werknemers", "jobs")],
+        "`odata.type` string, `Key.Name` string, Description string",
+    )
+    tables = {
+        "TypedDataSet": lambda: read_table(spark, SF_SMOKE, "nation"),
+        "Regio": lambda: read_table(spark, SF_SMOKE, "region"),
+        "DataProperties": lambda: props,
+        "UntypedDataSet": lambda: (_ for _ in ()).throw(
+            AssertionError("excluded table must never be materialized")
+        ),
+    }
+    metadata = {"Identifier": "T1", "Modified": "2024-01-01T00:00:00",
+                "ShortDescription": "test dataset"}
+    return tables, metadata
+
+
+def test_local_endpoint_lands_snapshot(spark, tmp_path, dataset):
+    tables, metadata = dataset
+    res = process_dataset(
+        spark, "T1", tables, metadata,
+        storage_root=str(tmp_path), endpoint="local", load_date="20240101",
+    )
+    assert not res.skipped
+    assert set(res.files) == {
+        "cbs.v3.T1_TypedDataSet", "cbs.v3.T1_Regio", "cbs.v3.T1_DataProperties",
+    }
+    # dotted DataProperties columns renamed (S11, main.py:170-180)
+    dp = spark.read.parquet(res.files["cbs.v3.T1_DataProperties"])
+    assert dp.columns == ["odata_type", "Key_Name", "Description"]
+    # data round-trips
+    assert spark.read.parquet(res.files["cbs.v3.T1_TypedDataSet"]).count() == 25
+
+
+def test_incremental_skip_and_force(spark, tmp_path, dataset):
+    tables, metadata = dataset
+    kwargs = dict(storage_root=str(tmp_path), endpoint="local", load_date="20240101")
+    first = process_dataset(spark, "T1", tables, metadata, **kwargs)
+    assert not first.skipped
+    # unchanged Modified → skipped without touching any table thunk
+    second = process_dataset(spark, "T1", tables, metadata, **kwargs)
+    assert second.skipped
+    # changed Modified → processed
+    changed = dict(metadata, Modified="2024-06-01T00:00:00")
+    third = process_dataset(spark, "T1", tables, changed, **kwargs)
+    assert not third.skipped
+    # force reprocesses even when unchanged
+    fourth = process_dataset(spark, "T1", tables, changed, force=True, **kwargs)
+    assert not fourth.skipped
+
+
+def test_catalog_endpoint_registers_tables(spark, tmp_path, dataset):
+    tables, metadata = dataset
+    res = process_dataset(
+        spark, "T1", tables, metadata,
+        storage_root=str(tmp_path), endpoint="catalog", load_date="20240101",
+        column_descriptions={"n_name": "nation name"},
+    )
+    assert res.namespace == "cbs_v3_T1"
+    assert sorted(res.tables) == [
+        "T1_DataProperties", "T1_Regio", "T1_TypedDataSet",
+    ]
+    tbl = spark.table("cbs_v3_T1.T1_TypedDataSet")
+    assert tbl.count() == 25
+    comments = {f.name: f.metadata.get("comment") for f in tbl.schema.fields}
+    assert comments["n_name"] == "nation name"
+    spark.sql("DROP DATABASE IF EXISTS cbs_v3_T1 CASCADE")

@@ -1,0 +1,218 @@
+"""Unit tests for the ingest layer: OData planning, EDM schema mapping,
+ndjson conversion, catalog registration, layout, metadata, config —
+mirroring the reference's test strategy (SURVEY.md §5: unit tests with
+fixtures + golden assertions)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from statline_bq_spark.config import EngineConfig, EnvTarget, check_env, load_config, resolve_target
+from statline_bq_spark.plans import layout
+from statline_bq_spark.sources import catalog as cat
+from statline_bq_spark.sources import metadata as md
+from statline_bq_spark.sources import ndjson, odata
+
+
+# --- odata planning (S1-S8) -------------------------------------------------
+
+def test_page_sizes_match_reference():
+    # reference statline.py:221-223
+    assert odata.page_size("v3") == 10_000
+    assert odata.page_size("v4") == 100_000
+
+
+def test_plan_page_urls_v3():
+    urls = odata.plan_page_urls("http://x/Data", 304_128, "v3")
+    assert len(urls) == 31  # ceil(304128 / 10000) — metadata_v3 golden shape
+    assert urls[0].endswith("$skip=0")
+    assert urls[-1].endswith("$skip=300000")
+
+
+def test_plan_page_urls_v4_and_empty():
+    assert len(odata.plan_page_urls("http://x/Observations", 1_537_850, "v4")) == 16
+    assert len(odata.plan_page_urls("http://x/T", 0, "v3")) == 1
+    # existing query string → '&' separator
+    assert "?a=1&$skip=0" in odata.plan_page_urls("http://x/T?a=1", 5, "v3")[0]
+
+
+def test_page_plan_df(spark):
+    df = odata.page_plan_df(spark, "http://x/Data", 25_000, "v3")
+    rows = df.collect()
+    assert [r.page for r in rows] == [0, 1, 2]
+    assert rows[2].url == "http://x/Data?$skip=20000"
+    assert df.rdd.getNumPartitions() == 3  # one partition per page
+
+
+def test_shape_from_metadata():
+    v3 = odata.shape_from_metadata({"RecordCount": 304128, "ColumnCount": 10})
+    assert v3.row_count == 304128 and v3.n_columns == 10
+    v4 = odata.shape_from_metadata({"ObservationCount": 2432})
+    assert v4.row_count == 2432
+
+
+def test_excluded_tables():
+    tables = {"TypedDataSet": "u1", "UntypedDataSet": "u2", "Properties": "u3",
+              "TableInfos": "u4", "Perioden": "u5"}
+    kept = odata.ingest_tables(tables)
+    assert set(kept) == {"TypedDataSet", "Perioden"}
+
+
+def test_table_file_name():
+    # reference naming {source}.{vN}.{id}_{table}, parsed by gcpl.py:589
+    name = odata.table_file_name("cbs", "v3", "83583NED", "TypedDataSet")
+    assert name == "cbs.v3.83583NED_TypedDataSet"
+    assert cat.table_id_from_file_name(name) == "83583NED_TypedDataSet"
+
+
+CSDL = """<?xml version="1.0" encoding="utf-8"?>
+<edmx:Edmx xmlns:edmx="http://docs.oasis-open.org/odata/ns/edmx" Version="4.0">
+ <edmx:DataServices>
+  <Schema xmlns="http://docs.oasis-open.org/odata/ns/edm" Namespace="Cbs">
+   <EntityType Name="TData">
+    <Property Name="ID" Type="Edm.Int32" Nullable="false"/>
+    <Property Name="Perioden" Type="Edm.String"/>
+    <Property Name="Banen" Type="Edm.Double"/>
+    <Property Name="Flag" Type="Edm.Boolean"/>
+    <Property Name="When" Type="Edm.DateTimeOffset"/>
+   </EntityType>
+  </Schema>
+ </edmx:DataServices>
+</edmx:Edmx>"""
+
+
+def test_edm_schema_to_struct():
+    st = odata.edm_schema_to_struct(CSDL)
+    by_name = {f.name: f for f in st.fields}
+    assert by_name["ID"].dataType.typeName() == "integer"
+    assert not by_name["ID"].nullable
+    assert by_name["Perioden"].dataType.typeName() == "string"
+    assert by_name["Banen"].dataType.typeName() == "double"
+    assert by_name["Flag"].dataType.typeName() == "boolean"
+    # unmapped EDM type defaults to string (reference statline.py:304-306)
+    assert by_name["When"].dataType.typeName() == "string"
+
+
+# --- ndjson → parquet (S9) --------------------------------------------------
+
+def test_ndjson_to_parquet_schema_enforced(spark, tmp_path):
+    p1 = tmp_path / "page0.ndjson"
+    p2 = tmp_path / "page1.ndjson"
+    p1.write_text('{"ID": 1, "Val": 1.5}\n{"ID": 2, "Val": 2.5}\n')
+    # page 2 is missing Val on one row → declared schema forces null
+    p2.write_text('{"ID": 3}\n')
+    out = ndjson.ndjson_to_parquet(
+        spark, [str(p1), str(p2)], str(tmp_path / "out.parquet")
+    )
+    rows = {r.ID: r.Val for r in out.collect()}
+    assert rows == {1: 1.5, 2: 2.5, 3: None}
+
+
+def test_ndjson_first_file_inference_policy(spark, tmp_path):
+    p1 = tmp_path / "a.ndjson"
+    p1.write_text('{"ID": 1}\n')
+    schema = ndjson.infer_schema_from_first_file(spark, [str(p1)])
+    assert [f.name for f in schema.fields] == ["ID"]
+
+
+# --- catalog (S20/S21/S22) --------------------------------------------------
+
+def test_catalog_register_and_comment(spark, tmp_path):
+    df = spark.range(3).selectExpr("id AS k", "id * 2 AS v")
+    path = str(tmp_path / "t.parquet")
+    df.write.parquet(path)
+    ns = "cbs_v3_TEST1"
+    files = {"cbs.v3.TEST1_TypedDataSet": path}
+    tables = cat.register_dataset_tables(spark, ns, files, description="demo")
+    assert tables == ["TEST1_TypedDataSet"]
+    assert spark.table(f"{ns}.TEST1_TypedDataSet").count() == 3
+    # idempotent: registering again recreates cleanly (S20 drop-cascade)
+    tables = cat.register_dataset_tables(spark, ns, files)
+    assert tables == ["TEST1_TypedDataSet"]
+    n = cat.patch_column_descriptions(
+        spark, ns, "TEST1_TypedDataSet", {"k": "key col", "v": "x" * 2000, "zz": "absent"}
+    )
+    assert n == 2
+    comments = {
+        f.name: f.metadata.get("comment")
+        for f in spark.table(f"{ns}.TEST1_TypedDataSet").schema.fields
+    }
+    assert comments["k"] == "key col"
+    assert comments["v"].endswith("...") and len(comments["v"]) == 1023
+    spark.sql(f"DROP DATABASE IF EXISTS {ns} CASCADE")
+
+
+# --- layout (S15/S17) -------------------------------------------------------
+
+def test_snapshot_layout_and_latest(spark, tmp_path):
+    root = str(tmp_path)
+    df = spark.range(5)
+    layout.write_snapshot(df, root, "cbs", "v3", "D1", "t", load_date="20240101")
+    layout.write_snapshot(df, root, "cbs", "v3", "D1", "t", load_date="20240301")
+    layout.write_snapshot(df, root, "cbs", "v3", "D1", "t", load_date="20240215")
+    assert layout.list_snapshot_dates(root, "cbs", "v3", "D1") == [
+        "20240101", "20240215", "20240301",
+    ]
+    assert layout.latest_snapshot_date(root, "cbs", "v3", "D1") == "20240301"
+    latest = layout.read_latest_snapshot(spark, root, "cbs", "v3", "D1", "t")
+    assert latest.count() == 5
+    assert latest.select("load_date").distinct().collect()[0][0] == "20240301"
+
+
+def test_latest_snapshot_missing(spark, tmp_path):
+    assert layout.latest_snapshot_date(str(tmp_path), "cbs", "v3", "NOPE") is None
+    with pytest.raises(FileNotFoundError):
+        layout.read_latest_snapshot(spark, str(tmp_path), "cbs", "v3", "NOPE", "t")
+
+
+# --- metadata (S13/S14/S19) -------------------------------------------------
+
+def test_metadata_roundtrip_and_naming(tmp_path):
+    meta = {"Identifier": "83583NED", "Modified": "2020-11-19T02:00:00"}
+    path = md.write_metadata(meta, str(tmp_path), "cbs", "v3", "83583NED")
+    assert os.path.basename(path) == "cbs.v3.83583NED_Metadata.json"
+    assert md.read_metadata(path) == meta
+    assert md.read_metadata(str(tmp_path / "missing.json")) is None
+
+
+def test_modified_changed():
+    a = {"Modified": "2020-01-01"}
+    b = {"Modified": "2020-06-01"}
+    assert md.modified_changed(a, None)          # nothing stored → process
+    assert md.modified_changed(a, b)             # stamps differ → process
+    assert not md.modified_changed(a, dict(a))   # unchanged → skip
+
+
+def test_column_descriptions_df(spark):
+    props = spark.createDataFrame(
+        [("Col1", "desc\nwith newline"), ("Col2", "y" * 2000), (None, "zz")],
+        "Key string, Description string",
+    )
+    out = {r.Key: r.Description for r in md.column_descriptions_df(props).collect()}
+    assert out["Col1"] == "descwith newline"
+    assert len(out["Col2"]) == 1023 and out["Col2"].endswith("...")
+    assert None not in out
+
+
+# --- config (S24) -----------------------------------------------------------
+
+def test_config_load_and_routing(tmp_path):
+    cfg_file = tmp_path / "config.toml"
+    cfg_file.write_text(
+        'datasets = ["83583NED", "83765NED"]\n'
+        "[envs.dev]\nstorage_root = '/tmp/s'\n"
+        "[envs.prod]\nstorage_root = '/data/cbs'\n"
+        "[envs.prod_external]\nstorage_root = '/data/external'\n"
+    )
+    cfg = load_config(str(cfg_file))
+    assert cfg.datasets == ("83583NED", "83765NED")
+    assert resolve_target(cfg, "prod", "cbs").storage_root == "/data/cbs"
+    # non-cbs source routes to the external target (reference gcpl.py:20-50)
+    assert resolve_target(cfg, "prod", "iv3").storage_root == "/data/external"
+    # env without a dedicated external target falls back
+    assert resolve_target(cfg, "dev", "iv3").storage_root == "/tmp/s"
+    with pytest.raises(ValueError):
+        check_env("staging")

@@ -1,0 +1,151 @@
+"""Structured Streaming tests: file-source streams driven with
+trigger(availableNow) into memory sinks, checked against the equivalent
+batch computation (the streaming/batch parity that makes the batch oracles
+meaningful for the streaming surface)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from statline_bq_spark.io import read_table
+from statline_bq_spark.streaming import ingest, windows
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """events table rewritten (ns→µs NTZ) into a streamable directory."""
+    d = tmp_path_factory.mktemp("events_stream")
+    # watermarks need TIMESTAMP (LTZ) event time; session tz is UTC so the
+    # NTZ→LTZ cast is deterministic
+    read_table(spark, SF_SMOKE, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).write.mode("overwrite").parquet(str(d / "events"))
+    return str(d / "events")
+
+
+def _run_stream(spark, stream_df, name, out_mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(out_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_tumbling_counts_stream_matches_batch(spark, events_dir):
+    schema = spark.read.parquet(events_dir).schema
+    stream = windows.read_event_stream(spark, events_dir, schema)
+    out = _run_stream(
+        spark,
+        windows.tumbling_counts(stream, watermark="0 seconds"),
+        "t_tumbling",
+    )
+    got = {
+        (r.window_start, r.event_type): r.n_events for r in out.collect()
+    }
+    # append mode only emits windows the final watermark (max event time)
+    # has passed — windows still open at end-of-input stay in state
+    max_ts = spark.read.parquet(events_dir).agg(F.max("ts")).collect()[0][0]
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("w.end") <= F.lit(max_ts))
+        .select(F.col("w.start").alias("s"), "event_type", "n")
+    )
+    want = {(r.s, r.event_type): r.n for r in batch.collect()}
+    assert got == want
+
+
+def test_sliding_and_session_streams_run(spark, events_dir):
+    schema = spark.read.parquet(events_dir).schema
+    sliding = _run_stream(
+        spark,
+        windows.sliding_stats(
+            windows.read_event_stream(spark, events_dir, schema),
+            watermark="0 seconds",
+        ),
+        "t_sliding",
+    )
+    # every event lands in exactly 2 sliding windows (1h window, 30m slide);
+    # append mode withholds windows the final watermark hasn't passed
+    src = spark.read.parquet(events_dir)
+    n_events = src.count()
+    max_ts = src.agg(F.max("ts")).collect()[0][0]
+    expected = (
+        src.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("w.end") <= F.lit(max_ts))
+        .agg(F.sum("n")).collect()[0][0]
+    )
+    got = sliding.agg(F.sum("n_events")).collect()[0][0]
+    assert got == expected
+    assert n_events <= expected <= 2 * n_events
+
+    session = _run_stream(
+        spark,
+        windows.session_stats(
+            windows.read_event_stream(spark, events_dir, schema),
+            watermark="0 seconds",
+        ),
+        "t_session",
+        out_mode="complete",
+    )
+    assert session.agg(F.sum("n_events")).collect()[0][0] == n_events
+    # session windows never overlap per user: starts strictly ordered
+    per_user = session.groupBy("user_id").count()
+    assert per_user.count() > 0
+
+
+def test_dedup_stream(spark, events_dir, tmp_path):
+    # duplicate the input: same directory content twice
+    dup_dir = str(tmp_path / "dup")
+    shutil.copytree(events_dir, dup_dir)
+    for f in (tmp_path / "dup").glob("part-*.parquet"):
+        shutil.copy(f, tmp_path / "dup" / ("copy-" + f.name))
+    schema = spark.read.parquet(dup_dir).schema
+    assert spark.read.parquet(dup_dir).count() == 2 * spark.read.parquet(events_dir).count()
+    out = _run_stream(
+        spark,
+        windows.dedup_stream(
+            windows.read_event_stream(spark, dup_dir, schema), watermark="0 seconds"
+        ),
+        "t_dedup",
+    )
+    assert out.count() == spark.read.parquet(events_dir).count()
+
+
+def test_incremental_parquet_pipeline(spark, events_dir, tmp_path):
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(events_dir).schema
+    q = ingest.incremental_parquet_pipeline(
+        spark,
+        events_dir,
+        schema,
+        out_dir,
+        ckpt,
+        transform=lambda df: ingest.snapshot_with_load_date(df, "20240101"),
+        partition_by=("load_date",),
+    )
+    q.awaitTermination(120)
+    first = spark.read.parquet(out_dir)
+    assert first.count() == spark.read.parquet(events_dir).count()
+    # partition columns come back type-inferred (int here)
+    assert str(first.select("load_date").distinct().collect()[0][0]) == "20240101"
+    # re-running with the same checkpoint ingests nothing new (S19 semantics)
+    q2 = ingest.incremental_parquet_pipeline(
+        spark, events_dir, schema, out_dir, ckpt,
+        transform=lambda df: ingest.snapshot_with_load_date(df, "20240102"),
+        partition_by=("load_date",),
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == first.count()
