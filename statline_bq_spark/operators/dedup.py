@@ -40,6 +40,19 @@ def token_shingles(text_col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def hashed_shingles(text_col: Column | str, n: int = 3) -> Column:
+    """Distinct token n-grams hashed to 64-bit longs.
+
+    All downstream set math (minhash permutations, Jaccard intersections,
+    inverted-index joins) runs over these longs instead of the shingle
+    strings — one string hash per shingle total, then cheap long ops, and
+    shuffles carry 8-byte keys instead of ~20-byte strings. Collision
+    probability is ~|shingles|²/2⁶⁴ — negligible at any realistic corpus
+    size per partition-of-work.
+    """
+    return F.transform(token_shingles(text_col, n), lambda s: F.xxhash64(s))
+
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
@@ -72,10 +85,12 @@ def exact_dedup(
 def minhash_signature(
     shingles: Column, num_perm: int = 32
 ) -> Column:
-    """array<bigint> of ``num_perm`` min-hashes.
+    """array<bigint> of ``num_perm`` min-hashes over *hashed* shingles.
 
-    Permutation i is simulated by seeding xxhash64 with i (hash of
-    (seed, shingle)); the signature element is the min over shingles.
+    Permutation i is simulated by rehashing each shingle's 64-bit hash with
+    seed i (``xxhash64(i, h)`` — 12 bytes of input, far cheaper than
+    rehashing the shingle string num_perm times); the signature element is
+    the min over shingles. ANSI-safe: no overflowing multiply-shift tricks.
     """
     def seeded_min(seed: int) -> Column:
         # one-arg lambda on purpose: a two-arg lambda would be interpreted
@@ -112,10 +127,10 @@ def minhash_lsh_pairs(
     r = num_perm // bands
     base = df.select(
         F.col(id_col).alias("_id"),
-        token_shingles(text_col, shingle_n).alias("_shingles"),
+        hashed_shingles(text_col, shingle_n).alias("_shingles"),
     ).filter(F.size("_shingles") > 0)
     sig = base.select(
-        "_id", "_shingles", minhash_signature(F.col("_shingles"), num_perm).alias("_sig")
+        "_id", minhash_signature(F.col("_shingles"), num_perm).alias("_sig")
     )
 
     band_structs = F.array(
@@ -200,10 +215,15 @@ def ngram_jaccard_pairs(
     strategy, not the discovery strategy, at 100 TB.
 
     Output: (a, b, jaccard) with a < b, jaccard ≥ threshold, rounded to 4.
+
+    Shingles are 64-bit hashes (``hashed_shingles``) so the exploded
+    inverted index shuffles 8-byte keys and the per-pair common counts come
+    from long equality — identical Jaccard values modulo a ~2⁻⁶⁴ collision
+    probability.
     """
     sets = df.select(
         F.col(id_col).alias("_id"),
-        token_shingles(text_col, shingle_n).alias("_sh"),
+        hashed_shingles(text_col, shingle_n).alias("_sh"),
     ).filter(F.size("_sh") > 0)
     sizes = sets.select("_id", F.size("_sh").alias("_sz"))
     inv = sets.select("_id", F.explode("_sh").alias("_g"))

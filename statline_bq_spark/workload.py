@@ -57,7 +57,14 @@ MEASURE_DECIMALS = (
 
 def q_star_schema_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Flagship: star join lineitem→orders→customer→nation→region, then
-    hash-agg per region/nation (reference Q1+Q2+Q6). All dims broadcast."""
+    hash-agg per region/nation (reference Q1+Q2+Q6).
+
+    Broadcast policy is scale-aware: nation/region are bounded code tables
+    (reference-style dims) → forced broadcast; orders/customer grow with the
+    data → declared as plain joins so Catalyst/AQE picks broadcast at small
+    scale and sort-merge at 100 TB. Never force-broadcast an SF-scaled
+    table.
+    """
     li = read_table(spark, sf, "lineitem")
     o = read_table(spark, sf, "orders")
     c = read_table(spark, sf, "customer")
@@ -68,6 +75,12 @@ def q_star_schema_agg(spark: SparkSession, sf: str) -> DataFrame:
         [
             (o, li["l_orderkey"] == o["o_orderkey"]),
             (c, o["o_custkey"] == c["c_custkey"]),
+        ],
+        broadcast_dims=False,
+    )
+    joined = star_join(
+        joined,
+        [
             (n, c["c_nationkey"] == n["n_nationkey"]),
             (r, n["n_regionkey"] == r["r_regionkey"]),
         ],
