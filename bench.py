@@ -34,10 +34,17 @@ BENCH_QUERIES = (
     "unpivot_lineitem",
     "session_windows",
     "tumbling_hourly_stats",
+    "sliding_6h_stats",
+    "running_order_totals",
+    "asof_click_before_purchase",
+    "cube_order_stats",
+    "price_percentiles",
     "dedup_exact_docs",
     "minhash_neardup_pairs",
     "ngram_jaccard_pairs",
+    "simhash_neardup_pairs",
     "ann_cosine_topk",
+    "ivf_ann_topk",
     "embedding_centroids",
     "token_stats",
     "quality_scores",

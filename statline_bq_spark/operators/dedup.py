@@ -355,9 +355,108 @@ def simhash64(text_col: Column | str) -> Column:
     )
 
 
+#: bit 63 is the sign bit in a signed long.
+_BIT_MASKS = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(<id_col>, simhash) — the per-row primitive for hamming-distance
-    near-dup clustering."""
-    return df.select(F.col(id_col), simhash64(text_col).alias("simhash"))
+    near-dup clustering.
+
+    Computed on the exploded token stream as 64 ``sum(±1)`` hash-aggregates
+    (one per bit), then folded into one bigint — same rationale as
+    ``shingle_index``: codegen'd hash-agg with map-side partials instead of
+    interpreted per-element array folds (``simhash64`` remains as the
+    column-level form).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("_tok"),
+    ).select(F.col(id_col), F.xxhash64("_tok").alias("_h"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("_h").bitwiseAND(F.lit(m).cast("bigint")) != 0,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"_v{i}")
+            for i, m in enumerate(_BIT_MASKS)
+        ]
+    )
+    fp: Column = F.lit(0).cast("bigint")
+    for i, m in enumerate(_BIT_MASKS):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"_v{i}") > 0, F.lit(m).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: Hamming(fp_a, fp_b) <= max_hamming.
+
+    Candidate generation is the standard block-permutation scheme: split
+    the 64-bit fingerprint into ``blocks`` equal bit-blocks and bucket-join
+    on (block_id, block_value) — by pigeonhole, any pair within
+    ``max_hamming`` < ``blocks`` bit flips agrees on at least one block, so
+    recall is exact. Verification is ``bit_count(a XOR b)``, a single JVM
+    intrinsic per candidate.
+
+    Output: (a, b, hamming) with a < b. One shuffle for the bucket join;
+    degenerate buckets (all-identical boilerplate) are capped like in
+    ``minhash_lsh_pairs``.
+    """
+    assert max_hamming < blocks, "pigeonhole guarantee needs max_hamming < blocks"
+    width = 64 // blocks
+    fps = simhash_fingerprints(df, id_col=id_col, text_col=text_col)
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("block_id"),
+                F.shiftrightunsigned(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1).cast("bigint"))
+                .alias("block_val"),
+            )
+            for b in range(blocks)
+        ]
+    )
+    buckets = fps.select(
+        F.col(id_col).alias("_id"), "simhash", F.explode(block_structs).alias("blk")
+    ).select("_id", "simhash", "blk.block_id", "blk.block_val")
+
+    sizes = buckets.groupBy("block_id", "block_val").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    buckets = buckets.join(
+        sizes.filter(F.col("_n") <= max_bucket_size), ["block_id", "block_val"]
+    ).drop("_n")
+
+    left = buckets.select(
+        "block_id", "block_val", F.col("_id").alias("a"), F.col("simhash").alias("_fa")
+    )
+    right = buckets.select(
+        "block_id", "block_val", F.col("_id").alias("b"), F.col("simhash").alias("_fb")
+    )
+    return (
+        left.join(right, ["block_id", "block_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

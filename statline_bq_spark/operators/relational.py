@@ -96,3 +96,86 @@ def latest_by_group(
         .filter(F.col(rank_col) == 1)
         .drop(rank_col)
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    *,
+    right_values: Sequence[str],
+    strict: bool = True,
+) -> DataFrame:
+    """As-of join: attach to each left row the most recent right row with
+    the same keys and ``right_ts`` < ``left_ts`` (``<=`` when not strict).
+
+    Spark has no ASOF JOIN operator; the naive non-equi join is a per-key
+    cartesian. This implements the scalable union-merge formulation: tag
+    both sides, union, sort each key group once by (ts, side), and carry the
+    right side's values forward with ``last(..., ignorenulls=True)`` over a
+    running frame — one shuffle on ``on``, one within-key sort, zero
+    row-pair blowup, identical to what a merge-join-based ASOF (DuckDB,
+    pandas.merge_asof) computes.
+
+    Ordering subtlety: right rows sort BEFORE left rows at the same
+    timestamp when ``strict`` is False (ties attach), AFTER when True (ties
+    don't attach).
+
+    Output: all left columns plus ``right_values`` (null when no earlier
+    right row exists).
+    """
+    tie = 0 if not strict else 2
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("_side"),
+        F.col(left_ts).alias("_ts"),
+    )
+    r_tag = right.select(
+        *on,
+        *[F.col(c) for c in right_values],
+        F.lit(tie).alias("_side"),
+        F.col(right_ts).alias("_ts"),
+    )
+    merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ts"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        *[c for c in merged.columns if c not in right_values],
+        *[
+            F.last(
+                F.when(F.col("_side") != 1, F.col(v)), ignorenulls=True
+            ).over(w).alias(v)
+            for v in right_values
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).drop("_side", "_ts")
+
+
+def band_join(
+    facts: DataFrame,
+    bands: DataFrame,
+    value: str,
+    lo: str,
+    hi: str,
+    *,
+    closed_lo: bool = True,
+) -> DataFrame:
+    """Range/band join: attach the band whose [lo, hi) interval contains
+    ``facts[value]`` (reference "filters/joins" gap — non-equi predicates).
+
+    ``bands`` is a bounded dimension (a code list, like the reference's
+    dimension tables) → explicit broadcast makes this a BroadcastNestedLoop
+    over a handful of rows per fact, i.e. a map-side operation with no
+    shuffle at any fact-table scale. Never band-join two SF-scaled tables
+    this way — bucketize the value into a band key and equi-join instead.
+    """
+    lo_pred = (
+        facts[value] >= bands[lo] if closed_lo else facts[value] > bands[lo]
+    )
+    hi_pred = facts[value] < bands[hi]
+    return facts.join(F.broadcast(bands), lo_pred & hi_pred, "left")

@@ -73,3 +73,32 @@ def session_agg(
         F.date_format(F.col("_first_ts"), TS_FMT).alias(start_alias),
         *agg_cols,
     )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    slide: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    *,
+    start_alias: str = "window_start",
+) -> DataFrame:
+    """Sliding-window groupBy: windows of ``size`` every ``slide``.
+
+    ``F.window(ts, size, slide)`` replicates each event into
+    size/slide overlapping windows before the aggregation — shuffle volume
+    is (#groups × size/slide), the unavoidable cost of overlap; keep the
+    ratio small (2-4×) at scale or pre-aggregate to ``slide``-sized tumbles
+    and roll them up.
+    """
+    out = df.groupBy(
+        F.window(F.col(ts_col), size, slide).alias("_w"), *keys
+    ).agg(*aggs)
+    agg_cols = out.columns[1 + len(keys):]
+    return out.select(
+        F.date_format(F.col("_w.start"), TS_FMT).alias(start_alias),
+        *keys,
+        *agg_cols,
+    )

@@ -22,11 +22,13 @@ from pyspark.sql import functions as F
 
 from statline_bq_spark.functions.cleaning import clean_description, clean_python_name
 from statline_bq_spark.functions.text import lang_id, quality_score, stopword_ratio, token_count
-from statline_bq_spark.io import read_table
-from statline_bq_spark.operators import dedup, multimodal, similarity, timeseries
+from statline_bq_spark.io import read_table, register_views
+from statline_bq_spark.operators import analytic, dedup, multimodal, similarity, timeseries
 from statline_bq_spark.operators.hierarchy import hierarchy_closure
 from statline_bq_spark.operators.pivot import long_to_wide, wide_to_long
 from statline_bq_spark.operators.relational import (
+    asof_join,
+    band_join,
     filtered_slice,
     incremental_anti_join,
     latest_by_group,
@@ -859,6 +861,336 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# analytic window functions (SURVEY.md §2.C "window functions" gap)
+# ---------------------------------------------------------------------------
+
+def q_running_order_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-customer running spend: cumulative sum over order history
+    (ROWS frame — streams in one pass per key)."""
+    o = read_table(spark, sf, "orders")
+    out = analytic.running_total(
+        o,
+        ["o_custkey"],
+        [F.col("o_orderdate"), F.col("o_orderkey")],
+        "o_totalprice",
+        alias="running_spend",
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.round("running_spend", 2).alias("running_spend"),
+    )
+
+
+ORACLE_RUNNING_ORDER_TOTALS = """
+SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+FROM orders
+"""
+
+
+def q_order_gap_days(spark: SparkSession, sf: str) -> DataFrame:
+    """Days between a customer's consecutive orders (lag delta; null for the
+    first order). Dates are compared as epoch-day integers so the delta is
+    an exact integer in both engines."""
+    o = read_table(spark, sf, "orders").withColumn(
+        "_day", F.unix_date(F.to_date("o_orderdate"))
+    )
+    out = analytic.lag_delta(
+        o,
+        ["o_custkey"],
+        [F.col("_day"), F.col("o_orderkey")],
+        "_day",
+        alias="gap_days",
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", F.col("gap_days").cast("bigint").alias("gap_days")
+    )
+
+
+ORACLE_ORDER_GAP_DAYS = """
+SELECT o_custkey, o_orderkey,
+       CAST(date_diff('day',
+                      lag(CAST(o_orderdate AS DATE)) OVER (
+                          PARTITION BY o_custkey
+                          ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+                      CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+FROM orders
+"""
+
+
+def q_moving_avg_order_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 4-order moving average of order value per customer.
+
+    The price is summed as DECIMAL(18,2) inside the frame (exact), cast to
+    double, then divided by the frame row count — double `avg` differs
+    between engines in the last ulp (incremental vs segment-tree
+    accumulation). The result is rounded to 4 decimals, not 2: a 2-decimal
+    exact sum divided by a frame of ≤4 rows can land exactly on a .xx5
+    rounding tie (e.g. sum/2 = x.135), and engines disagree on ties
+    (HALF_UP on shortest-repr vs scale-and-nearbyint); at 4 decimals a tie
+    is arithmetically impossible for counts 1..4.
+    """
+    o = read_table(spark, sf, "orders").withColumn(
+        "_price_dec", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    out = analytic.running_frame_avg(
+        o,
+        ["o_custkey"],
+        [F.col("o_orderdate"), F.col("o_orderkey")],
+        "_price_dec",
+        preceding=3,
+        alias="avg4",
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", F.round("avg4", 4).alias("avg4")
+    )
+
+
+ORACLE_MOVING_AVG_ORDER_PRICE = """
+SELECT o_custkey, o_orderkey,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / count(*) OVER w, 4) AS avg4
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_part_price_ranks(spark: SparkSession, sf: str) -> DataFrame:
+    """rank() and dense_rank() of parts by retail price within brand —
+    deterministic under price ties (equal prices share a rank)."""
+    p = read_table(spark, sf, "part")
+    out = analytic.ranked(
+        p, ["p_brand"], [F.col("p_retailprice").desc()], alias="rnk"
+    )
+    out = analytic.ranked(
+        out, ["p_brand"], [F.col("p_retailprice").desc()], dense=True, alias="drnk"
+    )
+    return out.select(
+        "p_brand",
+        "p_partkey",
+        F.col("p_retailprice").alias("retail_price"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+        F.col("drnk").cast("bigint").alias("drnk"),
+    )
+
+
+ORACLE_PART_PRICE_RANKS = """
+SELECT p_brand, p_partkey, p_retailprice AS retail_price,
+       CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS BIGINT) AS drnk
+FROM part
+"""
+
+
+def q_customer_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+    """ntile(4) account-balance quartiles within each market segment (a
+    bounded partition key; never run unpartitioned ntile on a fact table)."""
+    c = read_table(spark, sf, "customer")
+    out = analytic.ntile_buckets(
+        c,
+        [F.col("c_acctbal"), F.col("c_custkey")],
+        n=4,
+        partition_by=["c_mktsegment"],
+        alias="quartile",
+    )
+    return out.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("quartile").cast("bigint").alias("quartile"),
+    )
+
+
+ORACLE_CUSTOMER_QUARTILES = """
+SELECT c_custkey, c_mktsegment,
+       CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouping sets / cube, percentiles, non-equi joins
+# ---------------------------------------------------------------------------
+
+def q_cube_order_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (status, priority) with GROUPING flags — the full
+    grouping-sets lattice in one pass (Spark expands to a single Expand +
+    hash-agg, no multiple scans)."""
+    o = read_table(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+    )
+
+
+ORACLE_CUBE_ORDER_STATS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_grouping_sets_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS through the engine's SQL surface (temp views —
+    the Spark analogue of the reference's BigQuery external tables,
+    reference ``gcpl.py:472-603``)."""
+    register_views(spark, sf, ("customer", "nation"))
+    return spark.sql(
+        """
+        SELECT c_mktsegment, n_name,
+               count(*) AS n_cust,
+               round(sum(c_acctbal), 2) AS total_bal,
+               CAST(grouping(c_mktsegment) AS INT) AS g_seg,
+               CAST(grouping(n_name) AS INT) AS g_nat
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+        """
+    )
+
+
+ORACLE_GROUPING_SETS_SQL = """
+SELECT c_mktsegment, n_name, count(*) AS n_cust,
+       round(sum(c_acctbal), 2) AS total_bal,
+       CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+       CAST(GROUPING(n_name) AS INT) AS g_nat
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+"""
+
+
+def q_price_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90) per return flag —
+    ``percentile`` (continuous) matches ANSI percentile_cont semantics."""
+    li = read_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90_price"),
+        F.round(F.percentile("l_discount", F.lit(0.5)), 4).alias("median_disc"),
+    )
+
+
+ORACLE_PRICE_PERCENTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+       round(quantile_cont(l_discount, 0.5), 4) AS median_disc
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_asof_click_before_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: for every purchase event, the user's most recent strictly
+    earlier click (null when none). Union-merge formulation — one shuffle on
+    user_id, no row-pair blowup (operators/relational.asof_join)."""
+    e = read_table(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        ["user_id"],
+        "ts",
+        "click_ts",
+        right_values=["click_ts"],
+        strict=True,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+
+
+ORACLE_ASOF_CLICK_BEFORE_PURCHASE = """
+WITH p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.event_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(c.cts, '%Y-%m-%d %H:%M:%S') AS click_ts
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts > c.cts
+"""
+
+
+#: Order-value bands — a bounded "code list" dimension like the reference's
+#: CategoryGroups, used for the non-equi band join.
+PRICE_BANDS = (
+    ("low", 0.0, 50_000.0),
+    ("mid", 50_000.0, 150_000.0),
+    ("high", 150_000.0, 1e18),
+)
+
+
+def q_price_band_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """Range/band join: classify orders into [lo, hi) value bands via a
+    broadcast non-equi join, then aggregate per band."""
+    o = read_table(spark, sf, "orders")
+    bands = spark.createDataFrame(
+        list(PRICE_BANDS), "band string, lo double, hi double"
+    )
+    joined = band_join(o, bands, "o_totalprice", "lo", "hi")
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+ORACLE_PRICE_BAND_TOTALS = """
+SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+FROM orders
+LEFT JOIN (VALUES ('low', 0.0, 50000.0),
+                  ('mid', 50000.0, 150000.0),
+                  ('high', 150000.0, 1e18)) bands(band, lo, hi)
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+"""
+
+
+def q_sliding_6h_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding window (6h size, 3h slide): each event lands in 2 overlapping
+    windows; windows are epoch-aligned in both engines."""
+    e = read_table(spark, sf, "events")
+    return timeseries.sliding_agg(
+        e,
+        "ts",
+        "6 hours",
+        "3 hours",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    )
+
+
+ORACLE_SLIDING_6H_STATS = """
+SELECT strftime(time_bucket(INTERVAL '3 hours', ts) - k * INTERVAL '3 hours',
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events, (VALUES (0), (1)) t(k)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # hash-based ops with no SQL equivalent → rows-only checks
 # ---------------------------------------------------------------------------
 
@@ -878,6 +1210,36 @@ def q_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), "embedding"
     )
     return similarity.lsh_bucket_topk(emb, queries, k=5)
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN (approximate — probes nprobe inverted lists, so recall
+    < 1 ⇒ rows-only check)."""
+    emb = read_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, queries, k=5, nprobe=2)
+
+
+def q_simhash_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash banded Hamming near-dup pairs (xxhash64-based fingerprints
+    have no DuckDB equivalent ⇒ rows-only check)."""
+    d = read_table(spark, sf, "documents")
+    redo = d.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return dedup.simhash_neardup_pairs(d.unionByName(redo), max_hamming=3)
+
+
+def q_approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate per event type (approximate by
+    construction ⇒ rows-only check; the exact twin is q_distinct_counts)."""
+    e = read_table(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -918,9 +1280,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
     "embedding_centroids": q_embedding_centroids,
     "multimodal_binary_meta": q_multimodal_binary_meta,
+    "running_order_totals": q_running_order_totals,
+    "order_gap_days": q_order_gap_days,
+    "moving_avg_order_price": q_moving_avg_order_price,
+    "part_price_ranks": q_part_price_ranks,
+    "customer_quartiles": q_customer_quartiles,
+    "cube_order_stats": q_cube_order_stats,
+    "grouping_sets_sql": q_grouping_sets_sql,
+    "price_percentiles": q_price_percentiles,
+    "asof_click_before_purchase": q_asof_click_before_purchase,
+    "price_band_totals": q_price_band_totals,
+    "sliding_6h_stats": q_sliding_6h_stats,
     "minhash_neardup_pairs": q_minhash_neardup_pairs,
     "simhash_fingerprints": q_simhash_fingerprints,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
+    "simhash_neardup_pairs": q_simhash_neardup_pairs,
+    "approx_distinct_users": q_approx_distinct_users,
 }
 
 ORACLES: dict[str, str] = {
@@ -957,4 +1333,15 @@ ORACLES: dict[str, str] = {
     "cosine_near_dup_pairs": ORACLE_COSINE_NEAR_DUP_PAIRS,
     "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
     "multimodal_binary_meta": ORACLE_MULTIMODAL_BINARY_META,
+    "running_order_totals": ORACLE_RUNNING_ORDER_TOTALS,
+    "order_gap_days": ORACLE_ORDER_GAP_DAYS,
+    "moving_avg_order_price": ORACLE_MOVING_AVG_ORDER_PRICE,
+    "part_price_ranks": ORACLE_PART_PRICE_RANKS,
+    "customer_quartiles": ORACLE_CUSTOMER_QUARTILES,
+    "cube_order_stats": ORACLE_CUBE_ORDER_STATS,
+    "grouping_sets_sql": ORACLE_GROUPING_SETS_SQL,
+    "price_percentiles": ORACLE_PRICE_PERCENTILES,
+    "asof_click_before_purchase": ORACLE_ASOF_CLICK_BEFORE_PURCHASE,
+    "price_band_totals": ORACLE_PRICE_BAND_TOTALS,
+    "sliding_6h_stats": ORACLE_SLIDING_6H_STATS,
 }

@@ -136,3 +136,100 @@ def test_lsh_ann_self_bucket_recall(spark):
     ap = {r.q_id: r.neighbor_id for r in approx.filter("rn = 1").collect()}
     recall = sum(ap.get(q) == n for q, n in ex.items()) / len(ex)
     assert recall >= 0.4  # single-table LSH, deterministic seed → stable
+
+
+# --- asof / band join -------------------------------------------------------
+
+def test_asof_join_strict_and_nulls(spark):
+    from statline_bq_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (1, 101, 20), (2, 200, 10)],
+        "user_id int, event_id int, t int",
+    )
+    right = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 15), (3, 1)], "user_id int, rt int"
+    )
+    out = {
+        r.event_id: r.rt
+        for r in asof_join(
+            left, right, ["user_id"], "t", "rt", right_values=["rt"], strict=True
+        ).collect()
+    }
+    # strict: rt == t (10) must NOT match event 100; latest earlier is 5
+    assert out == {100: 5, 101: 15, 200: None}
+
+    out_le = {
+        r.event_id: r.rt
+        for r in asof_join(
+            left, right, ["user_id"], "t", "rt", right_values=["rt"], strict=False
+        ).collect()
+    }
+    assert out_le == {100: 10, 101: 15, 200: None}
+
+
+def test_band_join_boundaries(spark):
+    from statline_bq_spark.operators.relational import band_join
+
+    facts = spark.createDataFrame(
+        [(1, 0.0), (2, 49.99), (3, 50.0), (4, 100.0)], "id int, v double"
+    )
+    bands = spark.createDataFrame(
+        [("a", 0.0, 50.0), ("b", 50.0, 100.0)], "band string, lo double, hi double"
+    )
+    got = {r.id: r.band for r in band_join(facts, bands, "v", "lo", "hi").collect()}
+    # lo inclusive, hi exclusive; 100.0 falls off the last band -> null
+    assert got == {1: "a", 2: "a", 3: "b", 4: None}
+
+
+# --- analytic windows -------------------------------------------------------
+
+def test_running_total_and_lag_delta(spark):
+    from statline_bq_spark.operators import analytic
+
+    df = spark.createDataFrame(
+        [("k", 1, 10.0), ("k", 2, 5.0), ("k", 3, 2.5), ("j", 1, 1.0)],
+        "key string, seq int, v double",
+    )
+    rt = {
+        (r.key, r.seq): r.running_total
+        for r in analytic.running_total(df, ["key"], ["seq"], "v").collect()
+    }
+    assert rt == {("k", 1): 10.0, ("k", 2): 15.0, ("k", 3): 17.5, ("j", 1): 1.0}
+
+    ld = {
+        (r.key, r.seq): r.delta
+        for r in analytic.lag_delta(df, ["key"], ["seq"], "v").collect()
+    }
+    assert ld == {("k", 1): None, ("k", 2): -5.0, ("k", 3): -2.5, ("j", 1): None}
+
+
+# --- simhash near-dup pairs -------------------------------------------------
+
+def test_simhash_neardup_exact_dupes(spark):
+    base = read_table(spark, SF_SMOKE, "documents").limit(40)
+    clone = base.withColumn("doc_id", F.col("doc_id") + 10_000)
+    pairs = dedup.simhash_neardup_pairs(
+        base.unionByName(clone), max_hamming=3
+    ).collect()
+    # every doc pairs with its clone at hamming 0
+    zero = {(r.a, r.b) for r in pairs if r.hamming == 0}
+    ids = [r.doc_id for r in base.select("doc_id").collect()]
+    assert all((i, i + 10_000) in zero for i in ids)
+
+
+# --- IVF ANN ----------------------------------------------------------------
+
+def test_ivf_topk_prefers_own_cluster(spark):
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = similarity.ivf_topk(emb, queries, k=3, nprobe=2).collect()
+    assert len(out) > 0
+    # output contract: rn is 1..k per query, sim in [-1, 1]
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.q_id, []).append(r.rn)
+        assert -1.0001 <= r.sim <= 1.0001
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())

@@ -42,12 +42,18 @@ def _canon(v):
     return v
 
 
+def _row_key(row):
+    """Null-safe total order: NULLs last, values compared as strings (values
+    were already canonicalized, so str() is deterministic across engines)."""
+    return tuple((v is None, str(v)) for v in row)
+
+
 def _normalize(columns, rows):
     """Sort columns by name (driver semantics), then rows."""
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     cols = [columns[i] for i in order]
     data = sorted(
-        tuple(_canon(r[i]) for i in order) for r in rows
+        (tuple(_canon(r[i]) for i in order) for r in rows), key=_row_key
     )
     return cols, data
 
