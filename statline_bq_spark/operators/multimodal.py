@@ -69,11 +69,20 @@ def binary_metadata(
     )
 
 
-def deterministic_fake_decoder(payload: bytes, dim: int = 8) -> list[float]:
-    """Stand-in for a real image/audio decoder: derives ``dim`` floats in
-    [0, 1) from the SHA-256 of the payload. Deterministic → testable."""
-    h = hashlib.sha256(payload or b"").digest()
-    return [h[i] / 255.0 for i in range(dim)]
+def _make_fake_decoder() -> Callable[[bytes, int], list[float]]:
+    def fake(payload: bytes, dim: int = 8) -> list[float]:
+        h = hashlib.sha256(payload or b"").digest()
+        return [h[i] / 255.0 for i in range(dim)]
+
+    return fake
+
+
+#: Stand-in for a real image/audio decoder: derives ``dim`` floats in
+#: [0, 1) from the SHA-256 of the payload. Deterministic → testable.
+#: Built as a closure instance so cloudpickle ships it BY VALUE to executor
+#: Python workers — a plain module-level function would be pickled by
+#: reference and require this package on every worker's PYTHONPATH.
+deterministic_fake_decoder = _make_fake_decoder()
 
 
 def extract_features(

@@ -1,0 +1,95 @@
+"""Physical-plan quality gates.
+
+Correctness tests prove the right ROWS come out; these prove the right PLAN
+produces them — the properties that keep queries viable at 100 TB:
+predicate pushdown into the parquet scan, column pruning, broadcast joins
+for bounded dimensions, TakeOrderedAndProject for top-k (no global sort),
+and no accidental cartesian products. A regression here wouldn't flip an
+oracle check at sf0.01, but it would melt a 1000-executor run.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from statline_bq_spark import workload
+from tests.conftest import SF_SMOKE
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filtered_slice_pushes_predicates_and_prunes_columns(spark):
+    plan = explain_str(workload.q_filtered_slice(spark, SF_SMOKE))
+    assert "PushedFilters: [" in plan
+    # the equality and both range bounds reach the scan
+    assert "EqualTo(l_returnflag,R)" in plan.replace(" ", "")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    # column pruning: lineitem has 10 cols; the scan must not read l_comment
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "l_comment" not in read_schema[0]
+
+
+def test_star_schema_agg_broadcasts_bounded_dims_only(spark):
+    plan = explain_str(workload.q_star_schema_agg(spark, SF_SMOKE))
+    # nation/region are bounded code tables -> broadcast hash join
+    assert "BroadcastHashJoin" in plan
+    # never a cartesian in the star join
+    assert "CartesianProduct" not in plan
+    # aggregation is partial+final hash agg (no sort-based fallback)
+    assert "HashAggregate" in plan
+
+
+def test_top_orders_uses_take_ordered_not_global_sort(spark):
+    plan = explain_str(workload.q_top_orders(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_band_join_is_broadcast_nested_loop(spark):
+    plan = explain_str(workload.q_price_band_totals(spark, SF_SMOKE))
+    # non-equi join against the 3-row band dim must broadcast, not shuffle
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ann_cosine_broadcasts_queries(spark):
+    plan = explain_str(workload.q_ann_cosine_topk(spark, SF_SMOKE))
+    # the query set is broadcast so the corpus scans once without shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_asof_join_single_shuffle_no_pair_blowup(spark):
+    plan = explain_str(workload.q_asof_click_before_purchase(spark, SF_SMOKE))
+    # union-merge formulation: window over user_id, never a join of the
+    # two event subsets (which would be a per-key cartesian)
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_running_totals_uses_rows_frame(spark):
+    plan = explain_str(
+        workload.q_running_order_totals(spark, SF_SMOKE), "extended"
+    )
+    # ROWS frame (streaming single pass), not the default RANGE frame
+    assert "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())" in plan
+
+
+def test_pivot_has_no_discovery_pass(spark):
+    # explicit value list -> the plan is a single aggregate, no first job
+    df = workload.q_pivot_event_values(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "HashAggregate" in plan
+    for v in workload.EVENT_TYPES:
+        assert v in plan  # pivot values baked into the plan as literals
+
+
+def test_exact_dedup_shuffles_on_hash_not_text(spark):
+    plan = explain_str(workload.q_dedup_exact_docs(spark, SF_SMOKE), "extended")
+    assert "md5" in plan  # group key is the fixed-width content hash

@@ -149,3 +149,36 @@ def test_incremental_parquet_pipeline(spark, events_dir, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == first.count()
+
+
+def test_stateful_running_user_totals(spark, events_dir):
+    from statline_bq_spark.streaming import stateful
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = windows.read_event_stream(spark, events_dir, schema)
+    out = _run_stream(
+        spark,
+        stateful.running_user_totals(stream),
+        "stateful_totals",
+        out_mode="update",
+    )
+    # With availableNow the whole table arrives across one-or-more triggers;
+    # the memory sink in update mode appends every emission, so the row with
+    # the highest n_events per user is that user's final state — it must
+    # equal the batch totals.
+    latest = {}
+    for r in out.collect():
+        cur = latest.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            latest[r.user_id] = (r.n_events, round(r.total_value, 6))
+    batch = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in read_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .collect()
+    }
+    assert latest == batch
