@@ -1191,6 +1191,217 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# supplier-side queries, subqueries, skew path, date/string coverage
+# ---------------------------------------------------------------------------
+
+def q_supplier_revenue_ranking(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 suppliers by lineitem revenue within each nation: fact-side
+    aggregation FIRST (shrinks lineitem to one row per supplier), then the
+    dimension joins and the ranking window — never window over raw facts."""
+    li = read_table(spark, sf, "lineitem")
+    s = read_table(spark, sf, "supplier")
+    n = read_table(spark, sf, "nation")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    joined = rev.join(s, rev["l_suppkey"] == s["s_suppkey"]).join(
+        F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]
+    )
+    ranked = top_k_per_group(
+        joined,
+        ["n_name"],
+        [F.col("revenue").desc(), F.col("s_suppkey")],
+        5,
+    )
+    return ranked.select(
+        "n_name",
+        "s_suppkey",
+        "s_name",
+        "revenue",
+        F.col("rn").cast("bigint").alias("rn"),
+    )
+
+
+ORACLE_SUPPLIER_REVENUE_RANKING = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT n_name, s_suppkey, s_name, revenue,
+       CAST(row_number() OVER (PARTITION BY n_name
+                               ORDER BY revenue DESC, s_suppkey) AS BIGINT) AS rn
+FROM rev
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+QUALIFY rn <= 5
+"""
+
+
+def q_customers_above_nation_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL surface: customers whose
+    balance exceeds their nation's average (Catalyst de-correlates this to
+    an aggregate + join — no per-row re-execution)."""
+    register_views(spark, sf, ("customer", "nation"))
+    return spark.sql(
+        """
+        SELECT c_custkey, n_name, round(c_acctbal, 2) AS acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = customer.c_nationkey)
+        """
+    )
+
+
+ORACLE_CUSTOMERS_ABOVE_NATION_AVG = """
+SELECT c_custkey, n_name, round(c_acctbal, 2) AS acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = customer.c_nationkey)
+"""
+
+
+def q_salted_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-path join: lineitem salted on l_orderkey (salt from the line
+    number), orders replicated ×8 — result must equal the plain join
+    (semantics check is exactly this oracle)."""
+    from statline_bq_spark.operators.skew import salted_join
+
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders")
+    # salted_join equi-joins on identical column names → align the key name
+    joined = salted_join(
+        li,
+        o.select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"),
+        ["l_orderkey"],
+        salt_parts=8,
+        salt_source=F.col("l_linenumber"),
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+ORACLE_SALTED_JOIN_REVENUE = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_ship_date_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Date-part extraction coverage: shipments per (year, quarter, month,
+    day-of-week). Spark's dayofweek is 1=Sunday; DuckDB's is 0=Sunday."""
+    li = read_table(spark, sf, "lineitem")
+    return li.groupBy(
+        F.year("l_shipdate").alias("y"),
+        F.quarter("l_shipdate").alias("q"),
+        F.month("l_shipdate").alias("m"),
+        F.dayofweek("l_shipdate").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n_ship"))
+
+
+ORACLE_SHIP_DATE_PARTS = """
+SELECT CAST(year(l_shipdate) AS INT) AS y,
+       CAST(quarter(l_shipdate) AS INT) AS q,
+       CAST(month(l_shipdate) AS INT) AS m,
+       CAST(dayofweek(l_shipdate) + 1 AS INT) AS dow,
+       count(*) AS n_ship
+FROM lineitem
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_supplier_codes(spark: SparkSession, sf: str) -> DataFrame:
+    """String-function coverage: zero-padded supplier code, upper-cased
+    name, name length, reversed-name prefix."""
+    s = read_table(spark, sf, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.concat(F.lit("SUP-"), F.lpad(F.col("s_suppkey").cast("string"), 8, "0")).alias(
+            "code"
+        ),
+        F.upper("s_name").alias("name_upper"),
+        F.length("s_name").cast("bigint").alias("name_len"),
+        F.substring(F.reverse("s_name"), 1, 3).alias("rev3"),
+    )
+
+
+ORACLE_SUPPLIER_CODES = """
+SELECT s_suppkey,
+       'SUP-' || lpad(CAST(s_suppkey AS VARCHAR), 8, '0') AS code,
+       upper(s_name) AS name_upper,
+       length(s_name) AS name_len,
+       substr(reverse(s_name), 1, 3) AS rev3
+FROM supplier
+"""
+
+
+def q_first_last_order_value(spark: SparkSession, sf: str) -> DataFrame:
+    """first_value/last_value over the full per-customer frame; every row of
+    a customer carries the same values, so DISTINCT collapses to one row per
+    customer deterministically."""
+    o = read_table(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            F.first_value("o_totalprice").over(w).alias("first_price"),
+            F.last_value("o_totalprice").over(w).alias("last_price"),
+            F.count(F.lit(1)).over(w).alias("n_orders"),
+        )
+        .distinct()
+    )
+
+
+ORACLE_FIRST_LAST_ORDER_VALUE = """
+SELECT DISTINCT o_custkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER w AS last_price,
+       count(*) OVER w AS n_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_balance_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """percent_rank / cume_dist of customer balance within market segment
+    (both tie-stable; rounded to 6)."""
+    c = read_table(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+ORACLE_BALANCE_DISTRIBUTION = """
+SELECT c_custkey, c_mktsegment,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+"""
+
+
+# ---------------------------------------------------------------------------
 # hash-based ops with no SQL equivalent → rows-only checks
 # ---------------------------------------------------------------------------
 
@@ -1297,6 +1508,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_ann_topk": q_ivf_ann_topk,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "approx_distinct_users": q_approx_distinct_users,
+    "supplier_revenue_ranking": q_supplier_revenue_ranking,
+    "customers_above_nation_avg": q_customers_above_nation_avg,
+    "salted_join_revenue": q_salted_join_revenue,
+    "ship_date_parts": q_ship_date_parts,
+    "supplier_codes": q_supplier_codes,
+    "first_last_order_value": q_first_last_order_value,
+    "balance_distribution": q_balance_distribution,
 }
 
 ORACLES: dict[str, str] = {
@@ -1344,4 +1562,11 @@ ORACLES: dict[str, str] = {
     "asof_click_before_purchase": ORACLE_ASOF_CLICK_BEFORE_PURCHASE,
     "price_band_totals": ORACLE_PRICE_BAND_TOTALS,
     "sliding_6h_stats": ORACLE_SLIDING_6H_STATS,
+    "supplier_revenue_ranking": ORACLE_SUPPLIER_REVENUE_RANKING,
+    "customers_above_nation_avg": ORACLE_CUSTOMERS_ABOVE_NATION_AVG,
+    "salted_join_revenue": ORACLE_SALTED_JOIN_REVENUE,
+    "ship_date_parts": ORACLE_SHIP_DATE_PARTS,
+    "supplier_codes": ORACLE_SUPPLIER_CODES,
+    "first_last_order_value": ORACLE_FIRST_LAST_ORDER_VALUE,
+    "balance_distribution": ORACLE_BALANCE_DISTRIBUTION,
 }

@@ -93,3 +93,63 @@ def test_pivot_has_no_discovery_pass(spark):
 def test_exact_dedup_shuffles_on_hash_not_text(spark):
     plan = explain_str(workload.q_dedup_exact_docs(spark, SF_SMOKE), "extended")
     assert "md5" in plan  # group key is the fixed-width content hash
+
+
+def test_salted_join_equals_plain_join(spark):
+    from statline_bq_spark.io import read_table
+    from statline_bq_spark.operators.skew import salted_join
+    from pyspark.sql import functions as F
+
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    o = read_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = li.join(o, "l_orderkey").count()
+    salted = salted_join(
+        li, o, ["l_orderkey"], salt_parts=4, salt_source=F.col("l_linenumber")
+    ).count()
+    assert plain == salted
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Co-located join: both sides bucketed by the join key with the same
+    bucket count -> SortMergeJoin with ZERO Exchange operators. This is the
+    pre-partitioning strategy for repeatedly-joined 100 TB fact tables."""
+    from statline_bq_spark.io import read_table
+    from pyspark.sql import functions as F
+
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    # DROP TABLE can't clean a location left by a *previous* metastore
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bkt_lineitem", "bkt_orders"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    read_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("bkt_lineitem")
+    read_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("bkt_orders")
+    # at test scale the dim side fits the broadcast threshold, which would
+    # bypass the bucketed scan entirely — disable broadcast to exercise the
+    # co-located path the bucketing exists for
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.table("bkt_lineitem")
+        b = spark.table("bkt_orders")
+        joined = a.join(b, a["l_orderkey"] == b["o_orderkey"])
+        plan = explain_str(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
