@@ -1,0 +1,193 @@
+"""Custom Spark Data Source for CBS OData paged scans (Python DataSource
+API, Spark 4).
+
+This is the "real DSv2" rendition of the reference's scan pipeline
+(SURVEY.md §4 named it the one custom-source candidate): the pieces the
+reference implements as driver-side Python —
+
+- page planning from catalog row counts (reference ``statline.py:197-237``)
+  becomes ``DataSourceReader.partitions()``: one Spark input partition per
+  `$skip` page, so the fetch fan-out is scheduled by Spark, not a local
+  pool (reference's dask.bag, ``statline.py:468-473``);
+- the server-side `$filter` equality (reference ``statline.py:144-146``)
+  becomes ``pushFilters()``: supported predicates are folded into the page
+  URLs as `$filter=...` and never evaluated in Spark;
+- schema-once-enforce-everywhere (reference ``utils.py:123-129``) is the
+  DataSource ``schema()`` contract — the declared DDL applies to every
+  page.
+
+Two transports share one reader:
+- ``path`` = http(s) service URL → live OData fetch (requests, gated
+  behind an import-try; one GET per partition).
+- ``path`` = local directory → offline mode: each ``page-*.ndjson`` file
+  is one partition. This keeps the source fully testable in this
+  environment and mirrors the reference's ndjson spill files.
+
+Usage::
+
+    spark.dataSource.register(ODataDataSource)
+    df = (spark.read.format("cbs_odata")
+          .schema("Id INT, Region STRING, Value DOUBLE")
+          .option("path", "/data/pages")           # or https://... URL
+          .option("n_records", 25000)
+          .option("odata_version", "v3")
+          .load())
+
+This module registers itself (and the paging helpers it references) for
+cloudpickle BY-VALUE serialization, so the reader works on executors that
+do NOT have the package on their PYTHONPATH — no ``--py-files`` needed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+import statline_bq_spark.sources.odata as _odata
+from statline_bq_spark.sources.odata import page_size, plan_page_urls
+
+try:  # ship this source by value to executor Python workers
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_odata)
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover - vendored API moved; fall back to
+    pass  # by-reference pickling (requires --py-files)
+
+
+@dataclass
+class ODataPartition(InputPartition):
+    """One unit of fetch work: a page URL (live) or a page file (offline)."""
+
+    url: str | None = None
+    file: str | None = None
+
+
+def _fmt_filter_value(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+class ODataReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("cbs_odata requires option 'path'")
+        self._n_records = int(options.get("n_records", 0))
+        self._version = options.get("odata_version", "v3")
+        self._is_http = self._path.startswith(("http://", "https://"))
+        self.pushed: list[Filter] = []
+
+    # -- predicate pushdown (reference S3: `$filter=Identifier eq '...'`) --
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Consume top-level equality filters into the OData `$filter`
+        clause; yield the rest back for Spark to evaluate.
+
+        Only ``EqualTo`` on a top-level column is expressible in the OData
+        dialect the reference targets — everything else stays Spark-side,
+        which is always sound (pushdown is an optimization, not a
+        correctness contract).
+        """
+        names = set(self._schema.fieldNames())
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and len(f.attribute) == 1
+                and f.attribute[0] in names
+            ):
+                self.pushed.append(f)
+            else:
+                yield f
+
+    def _filter_clause(self) -> str | None:
+        if not self.pushed:
+            return None
+        parts = [
+            f"({f.attribute[0]} eq {_fmt_filter_value(f.value)})"
+            for f in self.pushed
+        ]
+        return " and ".join(parts)
+
+    # -- partition planning (reference S5: one task per $skip page) --------
+
+    def partitions(self) -> Sequence[ODataPartition]:
+        if self._is_http:
+            base = self._path
+            clause = self._filter_clause()
+            if clause:
+                sep = "&" if "?" in base else "?"
+                base = f"{base}{sep}$filter={clause}"
+            return [
+                ODataPartition(url=u)
+                for u in plan_page_urls(base, self._n_records, self._version)
+            ]
+        files = sorted(
+            os.path.join(self._path, f)
+            for f in os.listdir(self._path)
+            if f.endswith(".ndjson")
+        )
+        if not files:
+            raise FileNotFoundError(f"no .ndjson pages under {self._path}")
+        return [ODataPartition(file=f) for f in files]
+
+    # -- per-partition scan (reference S6: fetch page → rows) --------------
+
+    def read(self, partition: ODataPartition) -> Iterator[tuple]:
+        fields = self._schema.fieldNames()
+        if partition.url is not None:
+            import requests  # live mode only; offline tests never import it
+
+            payload = requests.get(partition.url, timeout=60).json()
+            records = payload.get("value", [])
+        else:
+            with open(partition.file, encoding="utf-8") as fh:
+                records = [json.loads(line) for line in fh if line.strip()]
+        # offline mode still honors pushed filters (a live server would
+        # have applied them; parity keeps both paths semantically equal)
+        for f in self.pushed:
+            records = [r for r in records if r.get(f.attribute[0]) == f.value]
+        for r in records:
+            yield tuple(r.get(name) for name in fields)
+
+
+class ODataDataSource(DataSource):
+    """`format("cbs_odata")` — paged OData scan with partition planning and
+    `$filter` pushdown."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "cbs_odata"
+
+    def schema(self) -> StructType | str:
+        # Schema is declared by the caller (reference S8: EDM $metadata →
+        # schema, then enforced on every page). A live implementation could
+        # fetch $metadata here; offline mode has no server to ask.
+        raise NotImplementedError(
+            "cbs_odata requires an explicit .schema(...) — derive it with "
+            "sources.odata.edm_schema_to_struct($metadata XML)"
+        )
+
+    def reader(self, schema: StructType) -> ODataReader:
+        return ODataReader(schema, dict(self.options))
+
+
+def page_size_for(version: str) -> int:
+    """Re-export for callers sizing ingest batches (10k v3 / 100k v4)."""
+    return page_size(version)

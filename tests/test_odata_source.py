@@ -1,0 +1,89 @@
+"""Tests for the custom Python Data Source (cbs_odata): partition planning,
+schema enforcement, and `$filter` pushdown — offline (ndjson page files),
+plus unit-level checks of the URL planning for live mode."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThan
+from pyspark.sql.types import StructType
+
+from statline_bq_spark.sources.odata_source import ODataDataSource, ODataReader
+
+SCHEMA_DDL = "Id INT, Region STRING, Value DOUBLE"
+
+
+@pytest.fixture()
+def pages(tmp_path):
+    """Three ndjson pages, 4+4+2 rows (the reference's page spill shape)."""
+    rows = [
+        {"Id": i, "Region": "NL" if i % 2 == 0 else "BE", "Value": i * 1.5}
+        for i in range(10)
+    ]
+    for p in range(3):
+        chunk = rows[p * 4 : p * 4 + 4]
+        with open(tmp_path / f"page-{p}.ndjson", "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps(r) + "\n")
+    return str(tmp_path)
+
+
+def test_offline_scan_partitions_and_rows(spark, pages):
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(ODataDataSource)
+    df = (
+        spark.read.format("cbs_odata")
+        .schema(SCHEMA_DDL)
+        .option("path", pages)
+        .load()
+    )
+    assert df.count() == 10
+    # one input partition per page file
+    assert df.rdd.getNumPartitions() == 3
+    assert df.schema.simpleString() == "struct<Id:int,Region:string,Value:double>"
+    total = df.agg(F.sum("Value")).collect()[0][0]
+    assert total == sum(i * 1.5 for i in range(10))
+
+
+def test_offline_filter_pushdown_semantics(spark, pages):
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(ODataDataSource)
+    df = (
+        spark.read.format("cbs_odata")
+        .schema(SCHEMA_DDL)
+        .option("path", pages)
+        .load()
+        .filter(F.col("Region") == "NL")
+    )
+    assert df.count() == 5
+    assert {r.Id % 2 for r in df.collect()} == {0}
+
+
+def test_push_filters_unit():
+    schema = StructType.fromDDL(SCHEMA_DDL)
+    reader = ODataReader(schema, {"path": "https://example.test/T1/TypedDataSet",
+                                  "n_records": 25000, "odata_version": "v3"})
+    eq = EqualTo(("Region",), "NL")
+    gt = GreaterThan(("Value",), 3.0)
+    remaining = list(reader.pushFilters([eq, gt]))
+    # equality consumed, range predicate handed back to Spark
+    assert remaining == [gt]
+    assert reader.pushed == [eq]
+    parts = reader.partitions()
+    # 25k rows / 10k v3 page size -> 3 pages, each carrying the $filter
+    assert len(parts) == 3
+    assert all("$filter=(Region eq 'NL')" in p.url for p in parts)
+    assert parts[1].url.endswith("$skip=10000")
+
+
+def test_quote_escaping_in_filter():
+    schema = StructType.fromDDL(SCHEMA_DDL)
+    reader = ODataReader(schema, {"path": "https://example.test/T1",
+                                  "n_records": 1, "odata_version": "v3"})
+    list(reader.pushFilters([EqualTo(("Region",), "'s-Hertogenbosch")]))
+    [part] = reader.partitions()
+    assert "(Region eq '''s-Hertogenbosch')" in part.url
