@@ -52,6 +52,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -167,9 +168,61 @@ class ODataReader(DataSourceReader):
             yield tuple(r.get(name) for name in fields)
 
 
+class ODataStreamReader(SimpleDataSourceStreamReader):
+    """Incremental page stream: offset = number of pages already ingested.
+
+    The streaming rendition of the reference's incremental skip (reference
+    ``main.py:38-95``): each microbatch picks up only pages that appeared
+    since the last committed offset, so re-runs never re-fetch ingested
+    data. Offline transport only (a directory where ``page-*.ndjson`` files
+    keep landing); a live variant would page `$skip` forward the same way.
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._path = options.get("path")
+        if not self._path or self._path.startswith(("http://", "https://")):
+            raise ValueError(
+                "cbs_odata streaming needs a local spool directory path"
+            )
+
+    def _pages(self) -> list[str]:
+        return sorted(
+            os.path.join(self._path, f)
+            for f in os.listdir(self._path)
+            if f.endswith(".ndjson")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"pages": 0}
+
+    def read(self, start: dict) -> tuple[list[tuple], dict]:
+        # rows are returned materialized: the simple-stream runner pickles
+        # them into the microbatch plan (a generator can't cross that hop).
+        # One page is ≤ the OData page cap, so a batch is bounded anyway.
+        pages = self._pages()
+        new = pages[start["pages"]:]
+        return self._rows(new), {"pages": len(pages)}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+        # deterministic replay for recovery: file order is the offset order
+        return self._rows(self._pages()[start["pages"]:end["pages"]])
+
+    def _rows(self, files: list[str]) -> list[tuple]:
+        fields = self._schema.fieldNames()
+        out: list[tuple] = []
+        for path in files:
+            with open(path, encoding="utf-8") as fh:
+                for line in fh:
+                    if line.strip():
+                        r = json.loads(line)
+                        out.append(tuple(r.get(name) for name in fields))
+        return out
+
+
 class ODataDataSource(DataSource):
     """`format("cbs_odata")` — paged OData scan with partition planning and
-    `$filter` pushdown."""
+    `$filter` pushdown (batch), plus incremental page tailing (streaming)."""
 
     @classmethod
     def name(cls) -> str:
@@ -186,6 +239,9 @@ class ODataDataSource(DataSource):
 
     def reader(self, schema: StructType) -> ODataReader:
         return ODataReader(schema, dict(self.options))
+
+    def simpleStreamReader(self, schema: StructType) -> ODataStreamReader:
+        return ODataStreamReader(schema, dict(self.options))
 
 
 def page_size_for(version: str) -> int:

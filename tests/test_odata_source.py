@@ -87,3 +87,43 @@ def test_quote_escaping_in_filter():
     list(reader.pushFilters([EqualTo(("Region",), "'s-Hertogenbosch")]))
     [part] = reader.partitions()
     assert "(Region eq '''s-Hertogenbosch')" in part.url
+
+
+def test_streaming_incremental_pages(spark, pages, tmp_path_factory):
+    """New page files are picked up incrementally: run a stream over the
+    spool dir, add a page, run again — only the new rows arrive."""
+    import json as _json
+
+    spark.dataSource.register(ODataDataSource)
+    ckpt = str(tmp_path_factory.mktemp("odata_ckpt"))
+    out = str(tmp_path_factory.mktemp("odata_out"))
+
+    def run_batch():
+        stream = (
+            spark.readStream.format("cbs_odata")
+            .schema(SCHEMA_DDL)
+            .option("path", pages)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out).collect()
+        return [r.Id for r in rows]
+
+    first = run_batch()
+    assert sorted(first) == list(range(10))
+
+    with open(f"{pages}/page-3.ndjson", "w") as fh:
+        for i in range(10, 13):
+            fh.write(_json.dumps({"Id": i, "Region": "NL", "Value": 0.0}) + "\n")
+    # same checkpoint -> the second run appends ONLY the new page's rows:
+    # exactly 13 rows total, no re-ingested duplicates
+    second = run_batch()
+    assert sorted(second) == list(range(13))
