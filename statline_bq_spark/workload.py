@@ -1401,6 +1401,61 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
 """
 
 
+def q_json_struct_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Typed JSON parsing (vs the per-path ``get_json_object`` of
+    q_json_props_sum): ``from_json`` with a declared schema parses `props`
+    once into a struct; at 100 TB one parse beats N path extractions."""
+    e = read_table(spark, sf, "events")
+    parsed = e.withColumn(
+        "p", F.from_json("props", "k bigint")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum("p.k").alias("k_sum"),
+        F.max("p.k").alias("k_max"),
+        F.count(F.when(F.col("p.k").isNull(), 1)).alias("n_null"),
+    )
+
+
+ORACLE_JSON_STRUCT_EVENTS = """
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+       count(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS n_null
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_array_stats_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Array-function coverage directly over the array<float> column:
+    length, L1 norm, max |component|, mean of the first 8 — all JVM
+    higher-order expressions, no explode, no Python."""
+    emb = read_table(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    l1 = F.aggregate(v, F.lit(0.0), lambda a, x: a + F.abs(x))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    head_mean = F.aggregate(
+        F.slice(v, 1, 8), F.lit(0.0), lambda a, x: a + x
+    ) / F.lit(8.0)
+    return emb.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        F.round(l1, 4).alias("l1_norm"),
+        F.round(amax, 4).alias("abs_max"),
+        F.round(head_mean, 4).alias("head8_mean"),
+    )
+
+
+ORACLE_ARRAY_STATS_EMBEDDINGS = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 4) AS l1_norm,
+       round(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 4) AS abs_max,
+       round(list_sum(CAST(embedding[1:8] AS DOUBLE[])) / 8.0, 4) AS head8_mean
+FROM embeddings
+"""
+
+
 # ---------------------------------------------------------------------------
 # hash-based ops with no SQL equivalent → rows-only checks
 # ---------------------------------------------------------------------------
@@ -1515,6 +1570,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_codes": q_supplier_codes,
     "first_last_order_value": q_first_last_order_value,
     "balance_distribution": q_balance_distribution,
+    "json_struct_events": q_json_struct_events,
+    "array_stats_embeddings": q_array_stats_embeddings,
 }
 
 ORACLES: dict[str, str] = {
@@ -1569,4 +1626,6 @@ ORACLES: dict[str, str] = {
     "supplier_codes": ORACLE_SUPPLIER_CODES,
     "first_last_order_value": ORACLE_FIRST_LAST_ORDER_VALUE,
     "balance_distribution": ORACLE_BALANCE_DISTRIBUTION,
+    "json_struct_events": ORACLE_JSON_STRUCT_EVENTS,
+    "array_stats_embeddings": ORACLE_ARRAY_STATS_EMBEDDINGS,
 }
