@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from statline_bq_spark.functions.cleaning import rename_dotted_columns
 from statline_bq_spark.plans import layout
+from statline_bq_spark.observability import observed
 from statline_bq_spark.sources import catalog as cat
 from statline_bq_spark.sources import metadata as md
 from statline_bq_spark.sources.odata import ingest_tables, table_file_name
@@ -40,6 +41,8 @@ class DatasetResult:
     files: dict[str, str] = field(default_factory=dict)
     namespace: str | None = None
     tables: list[str] = field(default_factory=list)
+    #: rows landed per file, observed inside the write job itself
+    row_counts: dict[str, int] = field(default_factory=dict)
 
 
 def process_dataset(
@@ -73,11 +76,14 @@ def process_dataset(
 
     # -- S10/S15: land each ingestable table under the dated snapshot --------
     files: dict[str, str] = {}
+    row_counts: dict[str, int] = {}
     for table, thunk in sorted(ingest_tables(dict(tables)).items()):
         df = thunk()
         if table == "DataProperties":
             df = rename_dotted_columns(df)  # S11, main.py:170-180
         file_name = table_file_name(source, odata_version, dataset_id, table)
+        # S27 analogue: row count piggybacks on the write job (no re-scan)
+        df, obs = observed(df, f"{dataset_id}.{table}")
         path = layout.write_snapshot(
             df,
             storage_root,
@@ -88,6 +94,7 @@ def process_dataset(
             load_date=load_date,
         )
         files[file_name] = path
+        row_counts[file_name] = int(obs.get["rows"])
 
     # -- S13/S14: side files --------------------------------------------------
     md.write_metadata(metadata, meta_dir, source, odata_version, dataset_id)
@@ -101,7 +108,9 @@ def process_dataset(
             suffix="ColDescriptions",
         )
 
-    result = DatasetResult(dataset_id=dataset_id, skipped=False, files=files)
+    result = DatasetResult(
+        dataset_id=dataset_id, skipped=False, files=files, row_counts=row_counts
+    )
 
     # -- S20/S21/S22: catalog endpoint ---------------------------------------
     if endpoint == "catalog":

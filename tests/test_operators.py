@@ -233,3 +233,37 @@ def test_ivf_topk_prefers_own_cluster(spark):
         per_q.setdefault(r.q_id, []).append(r.rn)
         assert -1.0001 <= r.sim <= 1.0001
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+# --- observability -----------------------------------------------------------
+
+def test_observed_metrics_piggyback(spark):
+    from statline_bq_spark.observability import observed
+
+    base = read_table(spark, SF_SMOKE, "orders")
+    df, obs = observed(
+        base, "orders_scan",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("o_totalprice").alias("total"),
+    )
+    n = df.count()
+    assert obs.get["rows"] == n > 0
+    assert obs.get["total"] > 0
+
+
+def test_logdec_logs_and_reraises(caplog):
+    import logging
+    from statline_bq_spark.observability import logdec
+
+    @logdec
+    def boom():
+        raise ValueError("nope")
+
+    with caplog.at_level(logging.DEBUG, logger="statline_bq_spark"):
+        try:
+            boom()
+        except ValueError:
+            pass
+        else:
+            raise AssertionError("must re-raise")
+    assert any("boom failed" in r.message for r in caplog.records)

@@ -45,8 +45,10 @@ def test_local_endpoint_lands_snapshot(spark, tmp_path, dataset):
     # dotted DataProperties columns renamed (S11, main.py:170-180)
     dp = spark.read.parquet(res.files["cbs.v3.T1_DataProperties"])
     assert dp.columns == ["odata_type", "Key_Name", "Description"]
-    # data round-trips
+    # data round-trips; row counts observed inside the write job
     assert spark.read.parquet(res.files["cbs.v3.T1_TypedDataSet"]).count() == 25
+    assert res.row_counts["cbs.v3.T1_TypedDataSet"] == 25
+    assert res.row_counts["cbs.v3.T1_Regio"] == 5
 
 
 def test_incremental_skip_and_force(spark, tmp_path, dataset):
