@@ -81,3 +81,22 @@ def lang_id(col: Column | str, default: str = "en") -> Column:
         expr = F.when(hit, F.lit(lang)) if expr is None else expr.when(hit, F.lit(lang))
     assert expr is not None
     return expr.otherwise(F.lit(default))
+
+
+#: BPE-ish pre-tokenization pattern (the GPT-2-style split classes, without
+#: lookaheads so the same pattern runs identically on Spark (Java regex) and
+#: DuckDB (RE2)): letter runs, digit runs, runs of other non-space symbols.
+BPE_SPLIT_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """Subword-ish pre-tokens via regexp_extract_all — the class structure a
+    BPE tokenizer splits on before merges. A real tokenizer's merge table
+    would run as a Pandas UDF over these; the count is the scale-relevant
+    per-row feature (sizing batches, cost estimation)."""
+    return F.regexp_extract_all(_col(col), F.lit(BPE_SPLIT_PATTERN), 0)
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Number of BPE-ish pre-tokens (≥ whitespace token count by design)."""
+    return F.size(bpe_ish_tokens(col))

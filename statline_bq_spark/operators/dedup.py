@@ -460,3 +460,63 @@ def simhash_neardup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --------------------------------------------------------------------------
+# winnowing (rolling-hash document fingerprints)
+# --------------------------------------------------------------------------
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
+    k-gram, slide a window of ``window`` consecutive k-gram hashes, keep
+    each window's minimum — guaranteeing any match of length ≥ k+window-1
+    shares a selected fingerprint, with ~2/(window+1) selection density.
+
+    Output: (<id_col>, fingerprint) distinct — the per-doc fingerprint set
+    for plagiarism/overlap detection; join two corpora on `fingerprint` to
+    find shared passages.
+
+    Same execution shape as ``shingle_index`` (posexplode + per-doc window
+    functions, all codegen): the k-gram rolling hash is the window-lead
+    xxhash64, and the winnowing min is a ROWS-frame min over the hash
+    sequence. Shuffles once on the doc id.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), "\\s+")).alias(
+            "_pos", "_tok"
+        ),
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    leads = [F.lead("_tok", j).over(w) for j in range(1, k)]
+    grams = toks.select(
+        "_id",
+        "_pos",
+        F.xxhash64("_tok", *leads).alias("_h"),
+        leads[-1].alias("_last"),
+    ).filter(F.col("_last").isNotNull())
+    wmin = (
+        Window.partitionBy("_id")
+        .orderBy("_pos")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    selected = (
+        grams.select(
+            "_id",
+            F.min("_h").over(wmin).alias("fingerprint"),
+            F.row_number().over(Window.partitionBy("_id").orderBy("_pos")).alias("_rn"),
+        )
+        # the first window-1 rows carry partial windows; winnowing emits
+        # starting from the first full window
+        .filter(F.col("_rn") >= window)
+        .select(F.col("_id").alias(id_col), "fingerprint")
+        .distinct()
+    )
+    return selected

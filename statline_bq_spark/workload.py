@@ -21,7 +21,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from statline_bq_spark.functions.cleaning import clean_description, clean_python_name
-from statline_bq_spark.functions.text import lang_id, quality_score, stopword_ratio, token_count
+from statline_bq_spark.functions.text import (
+    bpe_ish_token_count,
+    lang_id,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
 from statline_bq_spark.io import read_table, register_views
 from statline_bq_spark.operators import analytic, dedup, multimodal, similarity, timeseries
 from statline_bq_spark.operators.hierarchy import hierarchy_closure
@@ -1401,6 +1407,25 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
 """
 
 
+def q_bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace vs BPE-ish pre-token counts per document (north-star
+    "token counting" — whitespace + a BPE-ish regex)."""
+    d = read_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").cast("bigint").alias("ws_tokens"),
+        bpe_ish_token_count("text").cast("bigint").alias("bpe_tokens"),
+    )
+
+
+ORACLE_BPE_TOKEN_COUNTS = """
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS bpe_tokens
+FROM documents
+"""
+
+
 def q_json_struct_events(spark: SparkSession, sf: str) -> DataFrame:
     """Typed JSON parsing (vs the per-path ``get_json_object`` of
     q_json_props_sum): ``from_json`` with a declared schema parses `props`
@@ -1498,6 +1523,13 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash_neardup_pairs(d.unionByName(redo), max_hamming=3)
 
 
+def q_winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (xxhash64-based ⇒ rows-only
+    check; the guarantee property is unit-tested)."""
+    d = read_table(spark, sf, "documents")
+    return dedup.winnowing_fingerprints(d)
+
+
 def q_approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     """HyperLogLog++ distinct-user estimate per event type (approximate by
     construction ⇒ rows-only check; the exact twin is q_distinct_counts)."""
@@ -1572,6 +1604,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "balance_distribution": q_balance_distribution,
     "json_struct_events": q_json_struct_events,
     "array_stats_embeddings": q_array_stats_embeddings,
+    "bpe_token_counts": q_bpe_token_counts,
+    "winnowing_fingerprints": q_winnowing_fingerprints,
 }
 
 ORACLES: dict[str, str] = {
@@ -1628,4 +1662,5 @@ ORACLES: dict[str, str] = {
     "balance_distribution": ORACLE_BALANCE_DISTRIBUTION,
     "json_struct_events": ORACLE_JSON_STRUCT_EVENTS,
     "array_stats_embeddings": ORACLE_ARRAY_STATS_EMBEDDINGS,
+    "bpe_token_counts": ORACLE_BPE_TOKEN_COUNTS,
 }

@@ -267,3 +267,28 @@ def test_logdec_logs_and_reraises(caplog):
         else:
             raise AssertionError("must re-raise")
     assert any("boom failed" in r.message for r in caplog.records)
+
+
+# --- winnowing ---------------------------------------------------------------
+
+def test_winnowing_shared_passage_guarantee(spark):
+    """Docs sharing a passage of >= k+window-1 tokens must share at least
+    one selected fingerprint (the winnowing guarantee)."""
+    passage = "the quick brown fox jumps over the lazy dog today"  # 10 tokens
+    df = spark.createDataFrame(
+        [
+            (1, "intro words here " + passage + " trailing bits"),
+            (2, "completely different opening " + passage),
+            (3, "no overlap with anything else at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = dedup.winnowing_fingerprints(df, k=3, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "shared passage must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    # density: selected fingerprints are a strict subset of all k-grams
+    n_grams_doc3 = 8 - 3 + 1
+    assert 0 < len(by_doc[3]) <= n_grams_doc3
