@@ -153,3 +153,31 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style load_date partitioning + a filter on the partition column
+    must prune at PLAN time (PartitionFilters), not scan-and-discard — the
+    Catalyst replacement for the reference's latest-folder listing. With
+    1000 daily snapshots of a 100 TB table, this is the difference between
+    reading one partition and reading three years of data."""
+    from statline_bq_spark.io import read_table
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "snap")
+    base = read_table(spark, SF_SMOKE, "orders").limit(200)
+    for d in ("20240101", "20240102", "20240103"):
+        base.withColumn("load_date", F.lit(d)).write.mode("append").partitionBy(
+            "load_date"
+        ).parquet(out)
+
+    df = spark.read.parquet(out).filter(F.col("load_date") == "20240103")
+    plan = explain_str(df)
+    assert "PartitionFilters: [" in plan
+    assert "20240103" in plan
+    # the data filter list must NOT carry the partition predicate (that
+    # would mean scan-then-filter instead of pruning); with nothing left to
+    # push, the PushedFilters line may be absent entirely
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert all("load_date" not in ln for ln in pushed)
+    assert df.count() == 200
