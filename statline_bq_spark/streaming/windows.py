@@ -130,3 +130,29 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicates(
         [*keys, ts_col]
     )
+
+
+def stream_stream_interval_join(
+    left, right, *, key: str, left_ts: str, right_ts: str,
+    lookback: str = "1 hour", watermark: str = "2 hours",
+):
+    """Stream-stream inner join: right rows join left rows of the same key
+    whose timestamp falls in (right_ts - lookback, right_ts].
+
+    Both sides are watermarked so the state store can evict: the left side
+    keeps at most ``watermark + lookback`` of history per key, the right
+    side ``watermark``. Without BOTH a watermark and a time-range condition
+    a stream-stream join's state grows forever — Spark refuses unbounded
+    state in append mode for good reason; this wrapper makes the bound part
+    of the operator's signature.
+    """
+    from pyspark.sql import functions as F
+
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (lw[left_ts] <= rw[right_ts])
+        & (lw[left_ts] > rw[right_ts] - F.expr(f"INTERVAL {lookback}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key])

@@ -1407,6 +1407,104 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
 """
 
 
+def q_unshipped_orders_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q3-shaped composite: segment filter × date-window join × agg ×
+    top-k. Filters reach both parquet scans before the join; top-k is
+    TakeOrderedAndProject after the aggregate."""
+    cutoff = "1998-06-01 00:00:00"
+    c = read_table(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = read_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp_ntz(F.lit(cutoff))
+    )
+    li = read_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp_ntz(F.lit(cutoff))
+    )
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+    )
+    agg = joined.groupBy(
+        "l_orderkey", F.to_date("o_orderdate").alias("order_date"), "o_orderpriority"
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    return top_k(
+        agg, [F.col("revenue").desc(), F.col("l_orderkey")], 10
+    ).select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+
+
+ORACLE_UNSHIPPED_ORDERS_TOPK = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_nation_trade_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q7-shaped composite: supplier nation × customer nation yearly
+    revenue for a nation pair, both directions. Two independent dimension
+    chains decode against the same broadcast nation table."""
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer")
+    s = read_table(spark, sf, "supplier")
+    n = read_table(spark, sf, "nation")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(n1, s["s_nationkey"] == F.col("s_nk"))
+        .join(n2, c["c_nationkey"] == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+ORACLE_NATION_TRADE_VOLUME = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
 def q_bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Whitespace vs BPE-ish pre-token counts per document (north-star
     "token counting" — whitespace + a BPE-ish regex)."""
@@ -1606,6 +1704,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "array_stats_embeddings": q_array_stats_embeddings,
     "bpe_token_counts": q_bpe_token_counts,
     "winnowing_fingerprints": q_winnowing_fingerprints,
+    "unshipped_orders_topk": q_unshipped_orders_topk,
+    "nation_trade_volume": q_nation_trade_volume,
 }
 
 ORACLES: dict[str, str] = {
@@ -1663,4 +1763,6 @@ ORACLES: dict[str, str] = {
     "json_struct_events": ORACLE_JSON_STRUCT_EVENTS,
     "array_stats_embeddings": ORACLE_ARRAY_STATS_EMBEDDINGS,
     "bpe_token_counts": ORACLE_BPE_TOKEN_COUNTS,
+    "unshipped_orders_topk": ORACLE_UNSHIPPED_ORDERS_TOPK,
+    "nation_trade_volume": ORACLE_NATION_TRADE_VOLUME,
 }

@@ -182,3 +182,44 @@ def test_stateful_running_user_totals(spark, events_dir):
         .collect()
     }
     assert latest == batch
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    """Clicks joined to purchases of the same user within the preceding
+    hour — streaming result must equal the equivalent batch join."""
+    schema = spark.read.parquet(events_dir).schema
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        return clicks, purchases
+
+    stream = windows.read_event_stream(spark, events_dir, schema)
+    sc, sp = split(stream)
+    joined = windows.stream_stream_interval_join(
+        sc.withColumnRenamed("user_id", "p_user"), sp,
+        key="p_user", left_ts="click_ts", right_ts="purchase_ts",
+        lookback="1 hour", watermark="2 hours",
+    ).select("p_user", "click_id", "purchase_id")
+    got = {
+        (r.p_user, r.click_id, r.purchase_id)
+        for r in _run_stream(spark, joined, "ssj").collect()
+    }
+
+    batch = spark.read.parquet(events_dir)
+    bc, bp = split(batch)
+    expected = {
+        (r.p_user, r.click_id, r.purchase_id)
+        for r in bc.join(
+            bp,
+            (bc["user_id"] == bp["p_user"])
+            & (bc["click_ts"] <= bp["purchase_ts"])
+            & (bc["click_ts"] > bp["purchase_ts"] - F.expr("INTERVAL 1 hour")),
+        ).select("p_user", "click_id", "purchase_id").collect()
+    }
+    assert got == expected and len(got) > 0
