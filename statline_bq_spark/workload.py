@@ -836,13 +836,47 @@ WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
 
 
 def q_embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label centroids in long form, as (exact component sum, count).
+
+    Double `avg` accumulates in partition order, so the last ulp differs
+    between engines and `round(avg, 4)` flips near .xxxx5 — found by
+    cross-checking at a second scale factor. Summing each component as
+    DECIMAL(20,10) is exact (the cast rounds the same float identically in
+    both engines), and the decimal→double conversion of the final sum is
+    IEEE nearest — bit-identical. The consumer divides sum/n when it wants
+    the mean (similarity.centroids_by_label keeps the rounded-avg form for
+    the IVF coarse quantizer, where cross-engine determinism is not
+    needed).
+    """
     emb = read_table(spark, sf, "embeddings")
-    out = similarity.centroids_by_label(emb)
-    return out.withColumn("pos", F.col("pos").cast("bigint"))
+    # float→DOUBLE first, then DOUBLE→DECIMAL(20,6): engines disagree on a
+    # direct float→decimal cast (shortest-repr vs exact-binary expansion),
+    # and even at 10dp the repr difference can flip the last digit; at 6dp a
+    # full-mantissa float sits ≥ ~1e-9 from any rounding boundary, so both
+    # engines quantize identically, then the sum is exact decimal math
+    exploded = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    )
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("val").cast("decimal(20,6)")).cast("double").alias(
+                "centroid_sum"
+            ),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .withColumn("pos", F.col("pos").cast("bigint"))
+    )
 
 
 ORACLE_EMBEDDING_CENTROIDS = """
-SELECT label, i AS pos, round(avg(CAST(embedding[i + 1] AS DOUBLE)), 4) AS centroid_val
+SELECT label, i AS pos,
+       CAST(sum(CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(20,6)))
+            AS DOUBLE) AS centroid_sum,
+       count(*) AS n_vectors
 FROM embeddings, range(0, 64) t(i)
 GROUP BY label, i
 """
@@ -1075,23 +1109,71 @@ GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
 
 
 def q_price_percentiles(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact interpolated percentiles (median / p90) per return flag —
-    ``percentile`` (continuous) matches ANSI percentile_cont semantics."""
+    """Discrete percentiles (median / p90) per return flag: the element at
+    rank ceil(p·n) in sort order — an ACTUAL data value, no interpolation.
+
+    Continuous percentiles (`percentile`/`quantile_cont`) interpolate
+    (a+b)/2 between neighbors, which lands exactly on .xx5 rounding ties
+    where engines disagree (HALF_UP vs scale-and-nearbyint) — found by
+    cross-checking at a second scale factor. Discrete selection is
+    bit-identical across engines by construction. The rank formulation is
+    spelled out in both engines rather than relying on each engine's
+    `percentile_disc` tie convention.
+    """
     li = read_table(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("median_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90_price"),
-        F.round(F.percentile("l_discount", F.lit(0.5)), 4).alias("median_disc"),
-    )
+
+    def disc(col: str, picks: list[tuple[float, str]]) -> DataFrame:
+        # ONE sorted window pass per order column; every requested quantile
+        # comes out of it via conditional aggregation
+        w = Window.partitionBy("l_returnflag").orderBy(
+            col, "l_orderkey", "l_linenumber"
+        )
+        n = F.count(F.lit(1)).over(Window.partitionBy("l_returnflag"))
+        ranked = li.select(
+            "l_returnflag",
+            F.col(col).alias("_v"),
+            F.row_number().over(w).alias("_rn"),
+            n.alias("_n"),
+        )
+        return ranked.groupBy("l_returnflag").agg(
+            *[
+                F.max(
+                    F.when(
+                        F.col("_rn") == F.ceil(F.col("_n") * p).cast("int"),
+                        F.col("_v"),
+                    )
+                ).alias(alias)
+                for p, alias in picks
+            ]
+        )
+
+    return disc(
+        "l_extendedprice", [(0.5, "median_price"), (0.9, "p90_price")]
+    ).join(disc("l_discount", [(0.5, "median_disc")]), "l_returnflag")
 
 
 ORACLE_PRICE_PERCENTILES = """
-SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
-       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
-       round(quantile_cont(l_discount, 0.5), 4) AS median_disc
-FROM lineitem
-GROUP BY l_returnflag
+WITH ranked_p AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+), ranked_d AS (
+  SELECT l_returnflag, l_discount,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_discount, l_orderkey, l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT m.l_returnflag, m.l_extendedprice AS median_price,
+       p.l_extendedprice AS p90_price, d.l_discount AS median_disc
+FROM (SELECT l_returnflag, l_extendedprice FROM ranked_p
+      WHERE rn = CAST(ceil(n * 0.5) AS INT)) m
+JOIN (SELECT l_returnflag, l_extendedprice FROM ranked_p
+      WHERE rn = CAST(ceil(n * 0.9) AS INT)) p USING (l_returnflag)
+JOIN (SELECT l_returnflag, l_discount FROM ranked_d
+      WHERE rn = CAST(ceil(n * 0.5) AS INT)) d USING (l_returnflag)
 """
 
 
@@ -1565,7 +1647,9 @@ def q_array_stats_embeddings(spark: SparkSession, sf: str) -> DataFrame:
         F.size(v).alias("dim"),
         F.round(l1, 4).alias("l1_norm"),
         F.round(amax, 4).alias("abs_max"),
-        F.round(head_mean, 4).alias("head8_mean"),
+        # + 0.0 canonicalizes IEEE negative zero (round can yield -0.0
+        # in one engine and +0.0 in the other for tiny negative means)
+        (F.round(head_mean, 4) + F.lit(0.0)).alias("head8_mean"),
     )
 
 
@@ -1574,7 +1658,7 @@ SELECT vec_id,
        len(embedding) AS dim,
        round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 4) AS l1_norm,
        round(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 4) AS abs_max,
-       round(list_sum(CAST(embedding[1:8] AS DOUBLE[])) / 8.0, 4) AS head8_mean
+       round(list_sum(CAST(embedding[1:8] AS DOUBLE[])) / 8.0, 4) + 0.0 AS head8_mean
 FROM embeddings
 """
 
