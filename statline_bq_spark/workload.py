@@ -330,6 +330,36 @@ SELECT c_custkey FROM customer WHERE c_acctbal > -500
 """
 
 
+def q_set_ops_multiset(spark: SparkSession, sf: str) -> DataFrame:
+    """Bag-semantics set ops (EXCEPT ALL / INTERSECT ALL): multiplicities
+    are preserved, unlike the distinct variants in q_set_ops_customers.
+    Input bags built from order priorities so duplicates actually occur."""
+    o = read_table(spark, sf, "orders")
+    a = o.filter(F.col("o_totalprice") > 50_000).select("o_custkey", "o_orderpriority")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey", "o_orderpriority")
+    kept = a.exceptAll(b)
+    both = a.intersectAll(b)
+    return (
+        kept.withColumn("src", F.lit("except_all"))
+        .unionByName(both.withColumn("src", F.lit("intersect_all")))
+        .groupBy("src", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_SET_OPS_MULTISET = """
+WITH a AS (SELECT o_custkey, o_orderpriority FROM orders WHERE o_totalprice > 50000),
+     b AS (SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
+     u AS (
+       SELECT 'except_all' AS src, o_orderpriority FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+       UNION ALL
+       SELECT 'intersect_all', o_orderpriority FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+     )
+SELECT src, o_orderpriority, count(*) AS n
+FROM u GROUP BY 1, 2
+"""
+
+
 def q_distinct_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Exact distinct aggregation (expand + two-phase agg under the hood)."""
     li = read_table(spark, sf, "lineitem")
@@ -1587,6 +1617,268 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_customer_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q13-shaped composite: outer join with an ON-clause filter
+    (priority stands in for the comment LIKE — the test orders table has no
+    comment column), then a two-level aggregate building a histogram of
+    orders-per-customer. The ON-filter must NOT become a WHERE: customers
+    with zero surviving orders must still appear with c_count = 0.
+
+    Scale note: the join shuffles on custkey and the first groupBy reuses
+    that partitioning (no second exchange); only the tiny histogram agg
+    reshuffles.
+    """
+    c = read_table(spark, sf, "customer")
+    o = read_table(spark, sf, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+ORACLE_CUSTOMER_ORDER_DISTRIBUTION = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+"""
+
+
+def q_small_qty_part_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q17-shaped composite: per-part correlated average (l_quantity
+    below 20% of that part's average) gating a revenue sum, grouped by
+    brand. The correlated scalar subquery becomes a window average over the
+    part key — one shuffle serves both the threshold and the filter.
+
+    Determinism: quantities are integer-valued doubles, so avg = exact-sum /
+    count is bit-identical across engines and partition orders; the revenue
+    sum is quantized to DECIMAL(20,6).
+
+    Scale note: the part filter lands before the join (broadcast-able after
+    pruning); the window shuffles on l_partkey only for surviving parts.
+    """
+    p = read_table(spark, sf, "part").filter(F.col("p_size") <= 5).select(
+        "p_partkey", "p_brand"
+    )
+    li = read_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    joined = li.join(p, li["l_partkey"] == p["p_partkey"])
+    w = Window.partitionBy("l_partkey")
+    small = joined.withColumn("part_avg_qty", F.avg("l_quantity").over(w)).filter(
+        F.col("l_quantity") < 0.2 * F.col("part_avg_qty")
+    )
+    return small.groupBy("p_brand").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(20,6)"))
+        .cast("double")
+        .alias("revenue_small_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+ORACLE_SMALL_QTY_PART_REVENUE = """
+SELECT p_brand,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS revenue_small_qty,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size <= 5
+  AND l_quantity < (
+    SELECT 0.2 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+GROUP BY p_brand
+"""
+
+
+def q_large_order_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q18-shaped composite: orders whose total quantity exceeds 300
+    (HAVING over a fact-table aggregate), decoded against orders + customer,
+    top-100 by price. The HAVING side aggregates lineitem FIRST — the big
+    table shrinks to a handful of keys before any join.
+
+    Determinism: sum of integer-valued double quantities is exact; cast to
+    bigint for a clean cross-engine hash. o_totalprice passes through raw.
+    """
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    joined = (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+    return top_k(joined, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 100)
+
+
+ORACLE_LARGE_ORDER_CUSTOMERS = """
+SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       o_totalprice, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING sum(l_quantity) > 300
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q22-shaped composite: customers with above-average positive
+    balance and no urgent orders (every test customer has SOME order, so the
+    anti-join target is the filtered urgent subset), grouped by nation.
+
+    Determinism: the global average threshold is applied by cross-
+    multiplication — ``c_acctbal * n > total`` — where ``total`` is an exact
+    DECIMAL sum; both sides are then single deterministic double ops, so no
+    summation-order ulp can flip a row across the threshold.
+
+    Scale note: the 1-row global aggregate broadcasts; the anti join
+    shuffles on custkey against a priority-pruned orders scan.
+    """
+    c = read_table(spark, sf, "customer")
+    o = read_table(spark, sf, "orders")
+    pos = c.filter(F.col("c_acctbal") > 0)
+    stats = pos.agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum(F.col("c_acctbal").cast("decimal(20,6)"))
+        .cast("double")
+        .alias("total_pos"),
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    rich = (
+        pos.crossJoin(F.broadcast(stats))
+        .filter(F.col("c_acctbal") * F.col("n_pos") > F.col("total_pos"))
+        .join(urgent, pos["c_custkey"] == urgent["o_custkey"], "left_anti")
+    )
+    return rich.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(F.col("c_acctbal").cast("decimal(20,6)"))
+        .cast("double")
+        .alias("totacctbal"),
+    )
+
+
+ORACLE_IDLE_RICH_CUSTOMERS = """
+WITH s AS (
+  SELECT count(*) AS n_pos,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS total_pos
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS totacctbal
+FROM customer, s
+WHERE c_acctbal > 0
+  AND c_acctbal * s.n_pos > s.total_pos
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+  )
+GROUP BY c_nationkey
+"""
+
+
+def q_sole_late_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q21-shaped composite: suppliers who were the ONLY late shipper
+    on a finished multi-supplier order ("late" = shipped >1000 days after
+    the order date — the synthetic shipdates are uncorrelated with order
+    dates, so classic receipt/commit lateness doesn't exist here).
+
+    Shape: EXISTS (another supplier on the order) via left-semi with a
+    non-equi key clause, NOT EXISTS (another LATE supplier on the order)
+    via left-anti — the pattern Spark compiles both of without a subquery.
+    """
+    o = read_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = read_table(spark, sf, "supplier")
+    late = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 1000 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    sole = (
+        late.join(
+            other,
+            (late["l_orderkey"] == other["o2_orderkey"])
+            & (late["l_suppkey"] != other["o2_suppkey"]),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (late["l_orderkey"] == other_late["l2_orderkey"])
+            & (late["l_suppkey"] != other_late["l2_suppkey"]),
+            "left_anti",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        sole.join(s, sole["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+ORACLE_SOLE_LATE_SUPPLIERS = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 1000 DAY
+)
+SELECT s_name, count(*) AS numwait
+FROM (
+  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+  FROM late l1
+  WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+  )
+) sole
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+"""
+
+
 def q_bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Whitespace vs BPE-ish pre-token counts per document (north-star
     "token counting" — whitespace + a BPE-ish regex)."""
@@ -1737,6 +2029,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_per_customer": q_top_orders_per_customer,
     "latest_event_per_user": q_latest_event_per_user,
     "set_ops_customers": q_set_ops_customers,
+    "set_ops_multiset": q_set_ops_multiset,
     "distinct_counts": q_distinct_counts,
     "rollup_region_nation": q_rollup_region_nation,
     "ordered_orders_limit": q_ordered_orders_limit,
@@ -1790,6 +2083,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "unshipped_orders_topk": q_unshipped_orders_topk,
     "nation_trade_volume": q_nation_trade_volume,
+    "customer_order_distribution": q_customer_order_distribution,
+    "small_qty_part_revenue": q_small_qty_part_revenue,
+    "large_order_customers": q_large_order_customers,
+    "idle_rich_customers": q_idle_rich_customers,
+    "sole_late_suppliers": q_sole_late_suppliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -1803,6 +2101,7 @@ ORACLES: dict[str, str] = {
     "top_orders_per_customer": ORACLE_TOP_ORDERS_PER_CUSTOMER,
     "latest_event_per_user": ORACLE_LATEST_EVENT_PER_USER,
     "set_ops_customers": ORACLE_SET_OPS_CUSTOMERS,
+    "set_ops_multiset": ORACLE_SET_OPS_MULTISET,
     "distinct_counts": ORACLE_DISTINCT_COUNTS,
     "rollup_region_nation": ORACLE_ROLLUP_REGION_NATION,
     "ordered_orders_limit": ORACLE_ORDERED_ORDERS_LIMIT,
@@ -1849,4 +2148,9 @@ ORACLES: dict[str, str] = {
     "bpe_token_counts": ORACLE_BPE_TOKEN_COUNTS,
     "unshipped_orders_topk": ORACLE_UNSHIPPED_ORDERS_TOPK,
     "nation_trade_volume": ORACLE_NATION_TRADE_VOLUME,
+    "customer_order_distribution": ORACLE_CUSTOMER_ORDER_DISTRIBUTION,
+    "small_qty_part_revenue": ORACLE_SMALL_QTY_PART_REVENUE,
+    "large_order_customers": ORACLE_LARGE_ORDER_CUSTOMERS,
+    "idle_rich_customers": ORACLE_IDLE_RICH_CUSTOMERS,
+    "sole_late_suppliers": ORACLE_SOLE_LATE_SUPPLIERS,
 }
