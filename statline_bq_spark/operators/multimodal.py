@@ -126,6 +126,73 @@ def extract_features(
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 
 
+def _make_fake_resizer() -> Callable[[bytes, int, int], bytes]:
+    def fake(payload: bytes, width: int, height: int) -> bytes:
+        # Deterministic stand-in for a real image resample: cycle the source
+        # bytes to exactly width*height output bytes (1 byte/px grayscale).
+        n = width * height
+        src = payload or b"\x00"
+        reps = -(-n // len(src))
+        return (src * reps)[:n]
+
+    return fake
+
+
+#: Stand-in for a real image resampler (PIL/libvips not in this
+#: environment). Closure instance → cloudpickle ships it by value.
+deterministic_fake_resizer = _make_fake_resizer()
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+    ]
+)
+
+
+def resize(
+    df: DataFrame,
+    *,
+    width: int,
+    height: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize media payloads via ``mapInPandas`` (Arrow-batched).
+
+    Same contract pattern as :func:`extract_features`: ``resizer`` is the
+    pluggable codec hook (``None`` → ``NotImplementedError`` from inside the
+    stub; tests plug ``deterministic_fake_resizer``). Output carries the
+    new dimensions as typed metadata so downstream partitioning/filtering
+    stays JVM-side.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if resizer is None:
+                raise NotImplementedError(
+                    "no image codec available in this environment; "
+                    "pass resizer= (e.g. deterministic_fake_resizer)"
+                )
+            out = [
+                resizer(bytes(p) if p is not None else b"", width, height)
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(
     df: DataFrame,
     *,

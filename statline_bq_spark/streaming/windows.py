@@ -132,6 +132,27 @@ def dedup_stream(
     )
 
 
+def dedup_stream_within_watermark(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    keys: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Dedup by business key alone, tolerating timestamp jitter between
+    duplicates (at-least-once sources re-emit the same event with a slightly
+    different ingest time — exact-ts dedup misses those).
+
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival per key and
+    guarantees eviction once the watermark passes the FIRST sighting —
+    bounded state, unlike keying the plain ``dropDuplicates`` on a jittery
+    timestamp column.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def stream_stream_interval_join(
     left, right, *, key: str, left_ts: str, right_ts: str,
     lookback: str = "1 hour", watermark: str = "2 hours",

@@ -507,6 +507,54 @@ JOIN region ON n_regionkey = r_regionkey
 """
 
 
+def q_hierarchy_closure_recursive(spark: SparkSession, sf: str) -> DataFrame:
+    """The same hierarchy flattening via ``WITH RECURSIVE`` (Spark 4 SQL) —
+    the declarative twin of the iterative-join ``hierarchy_closure``
+    operator. The reference's CategoryGroups.ParentID chains (SURVEY Q4,
+    ``main.py:501``) are arbitrary-depth, which recursion expresses exactly;
+    depth guard in the recursive member bounds runaway graphs.
+    """
+    register_views(spark, sf, ("customer", "nation", "region"))
+    return spark.sql(
+        """
+        WITH RECURSIVE edges AS (
+          SELECT c_name AS child, n_name AS parent
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          UNION ALL
+          SELECT n_name, r_name
+          FROM nation JOIN region ON n_regionkey = r_regionkey
+        ),
+        closure(child, ancestor, depth) AS (
+          SELECT child, parent, 1 FROM edges
+          UNION ALL
+          SELECT c.child, e.parent, c.depth + 1
+          FROM closure c JOIN edges e ON c.ancestor = e.child
+          WHERE c.depth < 8
+        )
+        SELECT child, ancestor, depth FROM closure
+        """
+    )
+
+
+ORACLE_HIERARCHY_CLOSURE_RECURSIVE = """
+WITH RECURSIVE edges AS (
+  SELECT c_name AS child, n_name AS parent
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL
+  SELECT n_name, r_name
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+closure(child, ancestor, depth) AS (
+  SELECT child, parent, 1 FROM edges
+  UNION ALL
+  SELECT c.child, e.parent, c.depth + 1
+  FROM closure c JOIN edges e ON c.ancestor = e.child
+  WHERE c.depth < 8
+)
+SELECT child, ancestor, depth FROM closure
+"""
+
+
 def q_clean_identifiers(spark: SparkSession, sf: str) -> DataFrame:
     """Identifier normalization (reference S12 ``utils.py:267-295``) as a
     pure regexp expression."""
@@ -927,6 +975,40 @@ SELECT doc_id,
        sha256(text) AS digest,
        doc_id % 16 AS bucket
 FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Decode + feature-extract over binary payloads through the
+    ``mapInPandas`` plumbing (Arrow-batched Python — the one place the
+    multimodal path legitimately leaves the JVM). The deterministic fake
+    decoder (sha256-derived floats) stands in for a real codec, which makes
+    THIS Pandas-UDF path oracle-checkable: the DuckDB twin re-derives the
+    same floats from ``sha256()`` hex pairs.
+    """
+    d = read_table(spark, sf, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return multimodal.extract_features(
+        d,
+        id_col="doc_id",
+        payload_col="payload",
+        dim=8,
+        decoder=multimodal.deterministic_fake_decoder,
+    ).withColumnRenamed("media_id", "doc_id")
+
+
+def _hex_byte_over_255(i: int) -> str:
+    hi = f"(strpos('0123456789abcdef', substr(h, {2 * i + 1}, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substr(h, {2 * i + 2}, 1)) - 1)"
+    return f"CAST(({hi} * 16 + {lo}) / 255.0 AS FLOAT)"
+
+
+ORACLE_MULTIMODAL_FEATURES = f"""
+WITH t AS (SELECT doc_id, sha256(text) AS h FROM documents)
+SELECT doc_id,
+       [{", ".join(_hex_byte_over_255(i) for i in range(8))}] AS feature
+FROM t
 """
 
 
@@ -2004,6 +2086,98 @@ def q_winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.winnowing_fingerprints(d)
 
 
+def q_event_type_map_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Map-function coverage (§2.C array/map/JSON): per-user event-type
+    counts packed into a ``map<string,bigint>`` (``map_from_entries`` over
+    ``collect_list(struct(..))``) and unpacked again with ``explode`` —
+    the build/consume round trip of the reference's dict-shaped metadata
+    (``statline.py:366-368``). The map is internal: output is plain rows so
+    the cross-engine hash stays map-order-independent.
+    """
+    e = read_table(spark, sf, "events")
+    per = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    packed = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("type_counts")
+    )
+    unpacked = packed.select(
+        "user_id",
+        F.map_keys("type_counts").alias("ks"),
+        F.explode("type_counts").alias("event_type", "n"),
+    )
+    return unpacked.select(
+        "user_id",
+        F.size("ks").alias("n_types"),
+        "event_type",
+        "n",
+    )
+
+
+ORACLE_EVENT_TYPE_MAP_ROUNDTRIP = """
+WITH per AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) OVER (PARTITION BY user_id) AS INT) AS n_types,
+       event_type, n
+FROM per
+"""
+
+
+def q_order_price_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """Math/stats coverage (§2.C math fns): variance + stddev of order
+    totals per priority — computed from EXACT decimal sums (Σx, Σx² with
+    the square taken in decimal, never double) so the result is one
+    deterministic double expression per group; native ``var_samp`` would
+    hash-mismatch across engines on summation order.
+    """
+    o = read_table(spark, sf, "orders")
+    # (18,6) not (20,6): the square must stay inside precision 38
+    # ((18,6)x(18,6) -> (37,12), exact in both engines; (20,6) squared
+    # would overflow 38 and round the scale away in Spark only)
+    dec = F.col("o_totalprice").cast("decimal(18,6)")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("sum_price"),
+        F.sum(dec * dec).cast("double").alias("sum_sq"),
+    )
+    n = F.col("n")
+    var = (F.col("sum_sq") - F.col("sum_price") * F.col("sum_price") / n) / (
+        n - 1
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        var.alias("var_price"),
+        F.sqrt(var).alias("stddev_price"),
+    )
+
+
+ORACLE_ORDER_PRICE_MOMENTS = """
+WITH agg AS (
+  SELECT o_orderpriority,
+         count(*) AS n,
+         -- (19,6) here vs (18,6) in Spark: DuckDB needs int128 storage for
+         -- the square; both products are exact so the sums agree. The
+         -- VARCHAR hop matters: DuckDB's direct int128-decimal->double cast
+         -- is not correctly rounded, its string parse (like Spark's
+         -- BigDecimal.doubleValue) is.
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR)
+              AS DOUBLE) AS sum_price,
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(19,6))
+                     * CAST(o_totalprice AS DECIMAL(19,6))) AS VARCHAR)
+              AS DOUBLE) AS sum_sq
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, n,
+       (sum_sq - sum_price * sum_price / n) / (n - 1) AS var_price,
+       sqrt((sum_sq - sum_price * sum_price / n) / (n - 1)) AS stddev_price
+FROM agg
+"""
+
+
 def q_approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     """HyperLogLog++ distinct-user estimate per event type (approximate by
     construction ⇒ rows-only check; the exact twin is q_distinct_counts)."""
@@ -2088,6 +2262,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "large_order_customers": q_large_order_customers,
     "idle_rich_customers": q_idle_rich_customers,
     "sole_late_suppliers": q_sole_late_suppliers,
+    "multimodal_features": q_multimodal_features,
+    "hierarchy_closure_recursive": q_hierarchy_closure_recursive,
+    "event_type_map_roundtrip": q_event_type_map_roundtrip,
+    "order_price_moments": q_order_price_moments,
 }
 
 ORACLES: dict[str, str] = {
@@ -2153,4 +2331,8 @@ ORACLES: dict[str, str] = {
     "large_order_customers": ORACLE_LARGE_ORDER_CUSTOMERS,
     "idle_rich_customers": ORACLE_IDLE_RICH_CUSTOMERS,
     "sole_late_suppliers": ORACLE_SOLE_LATE_SUPPLIERS,
+    "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+    "hierarchy_closure_recursive": ORACLE_HIERARCHY_CLOSURE_RECURSIVE,
+    "event_type_map_roundtrip": ORACLE_EVENT_TYPE_MAP_ROUNDTRIP,
+    "order_price_moments": ORACLE_ORDER_PRICE_MOMENTS,
 }

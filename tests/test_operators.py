@@ -57,6 +57,25 @@ def test_extract_features_stub_raises(spark, media):
         out.collect()
 
 
+def test_resize_fake_resizer(spark, media):
+    out = {r.media_id: r for r in multimodal.resize(
+        media, width=4, height=3, resizer=multimodal.deterministic_fake_resizer
+    ).collect()}
+    assert set(out) == {1, 2, 3}
+    assert all(r.width == 4 and r.height == 3 for r in out.values())
+    assert len(out[1].payload) == 12
+    # cycled bytes: prefix of the repeated source payload
+    assert bytes(out[1].payload) == (b"fake-image-bytes" * 1)[:12]
+    # null payload → zero-byte fill, still exactly w*h bytes
+    assert len(out[3].payload) == 12
+
+
+def test_resize_stub_raises(spark, media):
+    out = multimodal.resize(media, width=2, height=2, resizer=None)
+    with pytest.raises(Exception, match="NotImplementedError|no image codec"):
+        out.collect()
+
+
 def test_frame_sample_plan(spark, media):
     plan = multimodal.frame_sample_plan(
         media.filter(F.col("duration_ms").isNotNull())

@@ -123,6 +123,28 @@ def test_dedup_stream(spark, events_dir, tmp_path):
     assert out.count() == spark.read.parquet(events_dir).count()
 
 
+def test_dedup_stream_within_watermark(spark, events_dir, tmp_path):
+    # duplicates with JITTERED timestamps: exact-ts dedup would keep both
+    # copies, within-watermark dedup must collapse them by event_id alone
+    jit_dir = str(tmp_path / "jittered")
+    src = spark.read.parquet(events_dir)
+    src.write.mode("overwrite").parquet(jit_dir)
+    src.withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 3 SECONDS")
+    ).write.mode("append").parquet(jit_dir)
+    schema = spark.read.parquet(jit_dir).schema
+    assert spark.read.parquet(jit_dir).count() == 2 * src.count()
+    out = _run_stream(
+        spark,
+        windows.dedup_stream_within_watermark(
+            windows.read_event_stream(spark, jit_dir, schema),
+            watermark="10 minutes",
+        ),
+        "t_dedup_wm",
+    )
+    assert out.count() == src.select("event_id").distinct().count()
+
+
 def test_incremental_parquet_pipeline(spark, events_dir, tmp_path):
     out_dir = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
