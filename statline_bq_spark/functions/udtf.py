@@ -1,0 +1,61 @@
+"""Python UDTF surface (SURVEY.md §2.C "UDF/UDAF/UDTF" — the reference has
+no user-facing UDTF; Spark 4 adds Arrow-optimized Python UDTFs and this
+module exercises that contract with a training-data chunker).
+
+A UDTF is the right shape when one input row fans out to a variable number
+of output rows with per-row Python logic. It is still the SLOW path — the
+chunker here has a pure-JVM twin (``posexplode`` over ``slice`` of
+``split``), and a 100 TB pipeline should prefer that; the UDTF exists to
+(a) cover the API surface end-to-end and (b) host logic that genuinely
+can't be expressed as JVM expressions (e.g. a real tokenizer).
+
+Everything is built inside factory functions so cloudpickle ships the UDTF
+class BY VALUE to executor Python workers — a module-level class would
+pickle by reference and break under a driver session that doesn't ship
+this package.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import udtf
+
+#: step = chunk_size - overlap; starts are 0, step, 2*step, ... while
+#: start < max(1, n_tokens - overlap). Mirrored exactly by the DuckDB
+#: oracle in workload.py.
+CHUNK_SIZE = 32
+CHUNK_OVERLAP = 8
+
+CHUNK_SCHEMA = "chunk_idx int, chunk string, n_tokens int"
+
+
+def make_chunk_udtf(chunk_size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP):
+    """Build the chunking UDTF class (closure-scoped → pickled by value)."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    step = chunk_size - overlap
+
+    @udtf(returnType=CHUNK_SCHEMA, useArrow=True)
+    class ChunkText:
+        def eval(self, text: str):
+            words = (text or "").split()
+            n = len(words)
+            limit = max(1, n - overlap)
+            idx = 0
+            for start in range(0, limit, step):
+                piece = words[start : start + chunk_size]
+                yield idx, " ".join(piece), len(piece)
+                idx += 1
+
+    return ChunkText
+
+
+def register_chunk_udtf(
+    spark: SparkSession,
+    name: str = "chunk_text",
+    *,
+    chunk_size: int = CHUNK_SIZE,
+    overlap: int = CHUNK_OVERLAP,
+) -> None:
+    """Register the chunker for SQL ``LATERAL chunk_text(text)`` use."""
+    spark.udtf.register(name, make_chunk_udtf(chunk_size, overlap))

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from statline_bq_spark.functions.cleaning import clean_description, clean_python_name
+from statline_bq_spark.functions import udtf as udtf_mod
 from statline_bq_spark.functions.text import (
     bpe_ish_token_count,
     lang_id,
@@ -48,6 +49,12 @@ from statline_bq_spark.operators.star import star_join
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 LINEITEM_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+#: Chunking geometry shared by the UDTF and JVM chunkers (and mirrored in
+#: their common DuckDB oracle).
+CHUNK_WIDTH = 32
+CHUNK_OVERLAP = 8
+CHUNK_STEP = CHUNK_WIDTH - CHUNK_OVERLAP
 
 #: Measure-format metadata (reference Q12: `Decimals` column of
 #: DataProperties/MeasureCodes drives per-measure rounding).
@@ -2178,6 +2185,76 @@ FROM agg
 """
 
 
+def q_chunk_documents_udtf(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-data chunking via a Python UDTF (§2.C UDTF surface): each
+    document fans out to overlapping 32-token windows (step 24) through an
+    Arrow-optimized ``LATERAL`` table function. The oracle mirrors the
+    chunk arithmetic with ``generate_series`` + ``list_slice``.
+
+    Scale note: a UDTF is Arrow-batched Python — fine for a real tokenizer
+    that must be Python, but this particular chunker has a pure-JVM twin
+    (``posexplode(sequence(...))`` + ``slice(split(...))``); the UDTF query
+    exists to exercise the UDTF contract end-to-end.
+    """
+    register_views(spark, sf, ("documents",))
+    udtf_mod.register_chunk_udtf(spark)
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_tokens
+        FROM documents d, LATERAL chunk_text(d.text) c
+        """
+    )
+
+
+ORACLE_CHUNK_DOCUMENTS_UDTF = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, words, len(words) AS n,
+         unnest(generate_series(0, greatest(len(words) - 8, 1) - 1, 24)) AS s
+  FROM w
+)
+SELECT doc_id,
+       CAST(s // 24 AS INT) AS chunk_idx,
+       array_to_string(list_slice(words, s + 1, least(s + 32, n)), ' ') AS chunk,
+       CAST(least(s + 32, n) - s AS INT) AS n_tokens
+FROM starts
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """The pure-JVM twin of the UDTF chunker: ``posexplode(sequence)`` +
+    ``slice``/``array_join`` — no Python in the loop. Same oracle as the
+    UDTF variant, so the two formulations are provably equivalent; bench
+    compares their throughput.
+    """
+    d = read_table(spark, sf, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    base = d.select("doc_id", words.alias("words"), F.size(words).alias("n"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("n") - CHUNK_OVERLAP, F.lit(1)) - 1,
+        F.lit(CHUNK_STEP),
+    )
+    exploded = base.select(
+        "doc_id",
+        "words",
+        "n",
+        F.posexplode(starts).alias("chunk_idx", "s"),
+    )
+    chunk_len = F.least(F.col("s") + CHUNK_WIDTH, F.col("n")) - F.col("s")
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(
+            F.slice(F.col("words"), F.col("s") + 1, chunk_len), " "
+        ).alias("chunk"),
+        chunk_len.cast("int").alias("n_tokens"),
+    )
+
+
 def q_approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     """HyperLogLog++ distinct-user estimate per event type (approximate by
     construction ⇒ rows-only check; the exact twin is q_distinct_counts)."""
@@ -2266,6 +2343,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hierarchy_closure_recursive": q_hierarchy_closure_recursive,
     "event_type_map_roundtrip": q_event_type_map_roundtrip,
     "order_price_moments": q_order_price_moments,
+    "chunk_documents_udtf": q_chunk_documents_udtf,
+    "chunk_documents": q_chunk_documents,
 }
 
 ORACLES: dict[str, str] = {
@@ -2335,4 +2414,6 @@ ORACLES: dict[str, str] = {
     "hierarchy_closure_recursive": ORACLE_HIERARCHY_CLOSURE_RECURSIVE,
     "event_type_map_roundtrip": ORACLE_EVENT_TYPE_MAP_ROUNDTRIP,
     "order_price_moments": ORACLE_ORDER_PRICE_MOMENTS,
+    "chunk_documents_udtf": ORACLE_CHUNK_DOCUMENTS_UDTF,
+    "chunk_documents": ORACLE_CHUNK_DOCUMENTS_UDTF,
 }
