@@ -1,0 +1,89 @@
+"""Sampling & splitting operators (north-star training-pipeline surface).
+
+Two different tools for two different jobs:
+
+- :func:`hash_split` — content-hash assignment. Deterministic per ROW
+  (not per run): stable under repartitioning, re-runs, cluster size, and
+  incremental appends. This is the correct way to carve train/test/val
+  from a 100 TB corpus — a row's split never changes when data around it
+  does. md5 is used (not xxhash64) so external systems can reproduce the
+  assignment.
+- :func:`stratified_sample` — ``df.sampleBy``: per-stratum Bernoulli
+  sampling, seeded. Right for downsampling over-represented strata (e.g.
+  per-language caps); per-row membership depends on partition layout, so
+  it is NOT re-run-stable — don't use it to define datasets, use it to
+  shrink them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, *, n_buckets: int = 256, salt: str = "") -> Column:
+    """Stable bucket in [0, n_buckets) from md5(salt || key). Two hex chars
+    cover 256 buckets; widen for finer splits."""
+    if not 1 <= n_buckets <= 65536:
+        raise ValueError("n_buckets must be in [1, 65536]")
+    n_hex = 2 if n_buckets <= 256 else 4
+    raw = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, n_hex),
+        16,
+        10,
+    ).cast("int")
+    return F.pmod(raw, F.lit(n_buckets))
+
+
+def hash_split(
+    df: DataFrame,
+    key: str | Column,
+    splits: Mapping[str, float],
+    *,
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by content hash; ``splits`` maps
+    name → fraction (must sum to ~1). Fractions quantize to 1/256."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    key_col = F.col(key) if isinstance(key, str) else key
+    bucket = hash_bucket(key_col, n_buckets=256, salt=salt)
+    expr = None
+    hi = 0
+    names = list(splits)
+    for name in names[:-1]:
+        hi += int(round(splits[name] * 256))
+        cond = bucket < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = names[-1]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: Mapping[str, float],
+    *,
+    seed: int,
+    default_fraction: float | None = None,
+    strata: Sequence[str] | None = None,
+) -> DataFrame:
+    """Seeded per-stratum Bernoulli downsampling via ``sampleBy``.
+
+    ``fractions`` maps stratum value → keep fraction; strata not listed are
+    DROPPED unless ``default_fraction`` is given with an explicit
+    ``strata`` universe (``sampleBy`` semantics — never let an unlisted
+    stratum pass silently at full volume).
+    """
+    fr = dict(fractions)
+    if default_fraction is not None:
+        if strata is None:
+            raise ValueError("default_fraction requires the strata universe")
+        for s in strata:
+            fr.setdefault(s, default_fraction)
+    return df.sampleBy(stratum_col, fr, seed=seed)

@@ -81,6 +81,46 @@ def latest_snapshot_date(
     return dates[-1] if dates else None
 
 
+def compact_snapshot(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 512 * 1024 * 1024,
+    max_records_per_file: int | None = None,
+) -> int:
+    """Compact a parquet directory's small files into ~``target_file_bytes``
+    files; returns the new file count.
+
+    Paged ingest (reference S6/S9: one ndjson per 10k/100k-row page) and
+    streaming micro-batches both leave a long tail of small files; at
+    100 TB the footer-read cost alone of millions of tiny files dominates
+    scan setup. Sizing comes from the ON-DISK compressed bytes (what the
+    next scan actually pays), not row counts. A full ``repartition`` (not
+    ``coalesce``) is used so output files are evenly sized even when the
+    input tail is skewed — the one extra shuffle is the point of the op.
+
+    The rewrite goes to a sibling temp dir, then swaps in — Spark cannot
+    safely overwrite a directory it is currently reading.
+    """
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dirpath, f))
+        for dirpath, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // target_file_bytes))
+    tmp = path.rstrip("/") + ".compact.tmp"
+    writer = spark.read.parquet(path).repartition(n_files).write.mode("overwrite")
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files
+
+
 def read_latest_snapshot(
     spark: SparkSession,
     root: str,

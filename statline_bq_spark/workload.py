@@ -30,7 +30,14 @@ from statline_bq_spark.functions.text import (
     token_count,
 )
 from statline_bq_spark.io import read_table, register_views
-from statline_bq_spark.operators import analytic, dedup, multimodal, similarity, timeseries
+from statline_bq_spark.operators import (
+    analytic,
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    timeseries,
+)
 from statline_bq_spark.operators.hierarchy import hierarchy_closure
 from statline_bq_spark.operators.pivot import long_to_wide, wide_to_long
 from statline_bq_spark.operators.relational import (
@@ -434,6 +441,38 @@ SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
 FROM orders
 ORDER BY o_orderdate, o_orderkey
 LIMIT 50
+"""
+
+
+def q_paged_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyset-free pagination: deterministic sort + OFFSET/LIMIT
+    (``DataFrame.offset``, Spark 3.4+). The reference pages its OData scans
+    by ``$skip``/``$top`` (S5, ``statline.py:197-237``) — this is the same
+    contract expressed on the query side.
+
+    Scale note: OFFSET executes as a global sort + skip on the driver-side
+    limit operator — fine for page-sized results, wrong for deep paging;
+    deep scans should use keyset predicates (``WHERE key > last_seen``)
+    which stay partition-prunable, as the docstring'd alternative.
+    """
+    o = read_table(spark, sf, "orders")
+    return (
+        o.orderBy("o_orderdate", "o_orderkey")
+        .offset(40)
+        .limit(20)
+        .select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_totalprice",
+        )
+    )
+
+
+ORACLE_PAGED_ORDERS = """
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice
+FROM orders
+ORDER BY o_orderdate, o_orderkey
+LIMIT 20 OFFSET 40
 """
 
 
@@ -2255,6 +2294,39 @@ def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_train_test_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-based train/test split (north-star pipeline op):
+    bucket = first md5 byte of the doc id → <205 (~80%) train. Unlike
+    ``df.sample``, a content-hash split is stable under repartitioning,
+    re-runs, and incremental appends — the property a 100 TB training
+    pipeline actually needs — and md5 exists in both engines, so the split
+    itself is oracle-checked, not just the counts.
+    """
+    d = read_table(spark, sf, "documents")
+    return (
+        sampling.hash_split(d, "doc_id", {"train": 0.8, "test": 0.2})
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+ORACLE_TRAIN_TEST_SPLIT = """
+WITH b AS (
+  SELECT lang, n_chars,
+         (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+         AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 205 THEN 'train' ELSE 'test' END AS split,
+       lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM b GROUP BY 1, 2
+"""
+
+
 def q_approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     """HyperLogLog++ distinct-user estimate per event type (approximate by
     construction ⇒ rows-only check; the exact twin is q_distinct_counts)."""
@@ -2345,6 +2417,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_price_moments": q_order_price_moments,
     "chunk_documents_udtf": q_chunk_documents_udtf,
     "chunk_documents": q_chunk_documents,
+    "train_test_split": q_train_test_split,
+    "paged_orders": q_paged_orders,
 }
 
 ORACLES: dict[str, str] = {
@@ -2416,4 +2490,6 @@ ORACLES: dict[str, str] = {
     "order_price_moments": ORACLE_ORDER_PRICE_MOMENTS,
     "chunk_documents_udtf": ORACLE_CHUNK_DOCUMENTS_UDTF,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS_UDTF,
+    "train_test_split": ORACLE_TRAIN_TEST_SPLIT,
+    "paged_orders": ORACLE_PAGED_ORDERS,
 }

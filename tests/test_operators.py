@@ -84,6 +84,63 @@ def test_frame_sample_plan(spark, media):
     assert rows == [0, 1000, 2000, 3000, 4000]
 
 
+# --- sampling / splitting ---------------------------------------------------
+
+def test_hash_split_stable_and_proportional(spark):
+    from statline_bq_spark.operators import sampling
+
+    df = spark.range(5000).withColumnRenamed("id", "k")
+    out = sampling.hash_split(df, "k", {"train": 0.8, "test": 0.2})
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "test"}
+    # 205/256 = 80.08% nominal; allow a few points of hash noise
+    frac = counts["train"] / 5000
+    assert 0.75 < frac < 0.85
+    # per-row stability: same assignment regardless of partitioning
+    again = sampling.hash_split(
+        df.repartition(7), "k", {"train": 0.8, "test": 0.2}
+    )
+    a = {r.k: r.split for r in out.collect()}
+    b = {r.k: r.split for r in again.collect()}
+    assert a == b
+    # salt changes assignments
+    salted = sampling.hash_split(
+        df, "k", {"train": 0.8, "test": 0.2}, salt="v2"
+    )
+    c = {r.k: r.split for r in salted.collect()}
+    assert a != c
+
+
+def test_hash_split_three_way_and_validation(spark):
+    from statline_bq_spark.operators import sampling
+
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    out = sampling.hash_split(
+        df, "k", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    with pytest.raises(ValueError, match="sum to 1"):
+        sampling.hash_split(df, "k", {"a": 0.5, "b": 0.4})
+
+
+def test_stratified_sample_bounds_and_drop(spark):
+    from statline_bq_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "nl") for i in range(4000)], "i int, lang string"
+    )
+    out = sampling.stratified_sample(
+        df, "lang", {"en": 0.5}, seed=42
+    )
+    counts = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert "nl" not in counts          # unlisted stratum dropped, not passed
+    assert 800 < counts["en"] < 1200   # ~0.5 of 2000
+    with pytest.raises(ValueError, match="strata universe"):
+        sampling.stratified_sample(df, "lang", {}, seed=1, default_fraction=0.1)
+
+
 # --- hierarchy --------------------------------------------------------------
 
 def test_hierarchy_depth_cap_and_cycle_safety(spark):

@@ -125,3 +125,44 @@ def test_running_total_matches_prefix_sums(spark, rows):
     for k, i, v in data:
         acc[k] = acc.get(k, 0) + v
         assert got[(k, i)] == acc[k]
+
+
+# --- chunker: pure-Python reference semantics -------------------------------
+
+def _ref_chunks(text, width=8, overlap=3):
+    words = text.split()
+    step = width - overlap
+    out = []
+    for idx, start in enumerate(range(0, max(1, len(words) - overlap), step)):
+        piece = words[start : start + width]
+        out.append((idx, " ".join(piece), len(piece)))
+    return out
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab c\t\n"), min_size=1, max_size=60
+        ).filter(lambda s: s.strip()),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_udtf_chunker_matches_reference(spark, texts):
+    """The UDTF chunker on adversarial whitespace == the pure-Python spec
+    (and transitively the JVM twin, which shares the DuckDB oracle)."""
+    from statline_bq_spark.functions.udtf import make_chunk_udtf
+
+    spark.udtf.register("chunk_text_prop", make_chunk_udtf(8, 3))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    df.createOrReplaceTempView("prop_docs")
+    got = {}
+    for r in spark.sql(
+        "SELECT d.doc_id, c.* FROM prop_docs d, LATERAL chunk_text_prop(d.text) c"
+    ).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk, r.n_tokens))
+    for i, t in enumerate(texts):
+        assert sorted(got[i]) == _ref_chunks(t), (i, t)

@@ -162,6 +162,22 @@ def test_snapshot_layout_and_latest(spark, tmp_path):
     assert latest.select("load_date").distinct().collect()[0][0] == "20240301"
 
 
+def test_compact_snapshot(spark, tmp_path):
+    import glob
+
+    path = str(tmp_path / "many")
+    # a long tail of small files, as paged ingest leaves behind
+    spark.range(10_000).repartition(64).write.parquet(path)
+    before = glob.glob(path + "/*.parquet")
+    assert len(before) == 64
+    data_before = sorted(r.id for r in spark.read.parquet(path).collect())
+    n = layout.compact_snapshot(spark, path, target_file_bytes=1 << 30)
+    after = glob.glob(path + "/*.parquet")
+    assert n == 1 and len(after) == 1
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == data_before
+    assert not glob.glob(path + ".compact.tmp")
+
+
 def test_latest_snapshot_missing(spark, tmp_path):
     assert layout.latest_snapshot_date(str(tmp_path), "cbs", "v3", "NOPE") is None
     with pytest.raises(FileNotFoundError):
