@@ -52,6 +52,8 @@ BENCH_QUERIES = (
     "token_stats",
     "quality_scores",
     "multimodal_binary_meta",
+    "chunk_documents",
+    "training_data_pipeline",
 )
 
 

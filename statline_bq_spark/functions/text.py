@@ -100,3 +100,45 @@ def bpe_ish_tokens(col: Column | str) -> Column:
 def bpe_ish_token_count(col: Column | str) -> Column:
     """Number of BPE-ish pre-tokens (≥ whitespace token count by design)."""
     return F.size(bpe_ish_tokens(col))
+
+
+def chunk_words(
+    df,
+    *,
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = ("doc_id",),
+    width: int = 32,
+    overlap: int = 8,
+):
+    """Fan each row into overlapping ``width``-token windows (step =
+    width - overlap) — the training-data chunker as pure JVM expressions:
+    ``posexplode(sequence)`` over the start offsets + ``slice``/``array_join``
+    to materialize each window. No Python in the loop; chunking 100 TB is a
+    narrow map with zero shuffle.
+
+    Returns ``carry_cols`` + (chunk_idx, chunk, n_tokens). Empty/whitespace
+    text yields one empty chunk (mirrors ``str.split`` semantics of the
+    UDTF twin for non-empty input).
+    """
+    if not 0 <= overlap < width:
+        raise ValueError("need 0 <= overlap < width")
+    step = width - overlap
+    words = tokens(text_col)
+    base = df.select(*carry_cols, words.alias("__words"), F.size(words).alias("__n"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("__n") - overlap, F.lit(1)) - 1,
+        F.lit(step),
+    )
+    exploded = base.select(
+        *carry_cols, "__words", "__n", F.posexplode(starts).alias("chunk_idx", "__s")
+    )
+    chunk_len = F.least(F.col("__s") + width, F.col("__n")) - F.col("__s")
+    return exploded.select(
+        *carry_cols,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(F.slice(F.col("__words"), F.col("__s") + 1, chunk_len), " ").alias(
+            "chunk"
+        ),
+        chunk_len.cast("int").alias("n_tokens"),
+    )

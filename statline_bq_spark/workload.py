@@ -24,6 +24,7 @@ from statline_bq_spark.functions.cleaning import clean_description, clean_python
 from statline_bq_spark.functions import udtf as udtf_mod
 from statline_bq_spark.functions.text import (
     bpe_ish_token_count,
+    chunk_words,
     lang_id,
     quality_score,
     stopword_ratio,
@@ -2270,27 +2271,9 @@ def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
     compares their throughput.
     """
     d = read_table(spark, sf, "documents")
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    base = d.select("doc_id", words.alias("words"), F.size(words).alias("n"))
-    starts = F.sequence(
-        F.lit(0),
-        F.greatest(F.col("n") - CHUNK_OVERLAP, F.lit(1)) - 1,
-        F.lit(CHUNK_STEP),
-    )
-    exploded = base.select(
-        "doc_id",
-        "words",
-        "n",
-        F.posexplode(starts).alias("chunk_idx", "s"),
-    )
-    chunk_len = F.least(F.col("s") + CHUNK_WIDTH, F.col("n")) - F.col("s")
-    return exploded.select(
-        "doc_id",
-        F.col("chunk_idx").cast("int").alias("chunk_idx"),
-        F.array_join(
-            F.slice(F.col("words"), F.col("s") + 1, chunk_len), " "
-        ).alias("chunk"),
-        chunk_len.cast("int").alias("n_tokens"),
+    return chunk_words(
+        d, text_col="text", carry_cols=("doc_id",),
+        width=CHUNK_WIDTH, overlap=CHUNK_OVERLAP,
     )
 
 
@@ -2323,6 +2306,94 @@ WITH b AS (
 )
 SELECT CASE WHEN bucket < 205 THEN 'train' ELSE 'test' END AS split,
        lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM b GROUP BY 1, 2
+"""
+
+
+def q_training_data_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The end-to-end training-data prep composite, as ONE declarative plan:
+    quality gate → exact dedup → chunk → hash split → per-split stats. Every
+    stage is a north-star §2.D operator; composing them in one DataFrame
+    means Catalyst sees the whole pipeline (filters reach the scan, the
+    dedup shuffle is the only wide stage before the final agg).
+
+    Stage thresholds are chosen tie-proof: token counts are integers and the
+    stopword ratio is a single exact-int division, so both engines compute
+    bit-identical doubles before the comparison.
+
+    Scale note: the dedup shuffle ships the text payload because chunking
+    needs it downstream — that's inherent, not waste. When only survivor
+    ids are needed, key the dedup on xxhash64(text) instead and shuffle
+    8-byte keys (see ``operators/dedup.exact_dedup``).
+    """
+    d = read_table(spark, sf, "documents")
+    feat = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        token_count("text").cast("bigint").alias("n_tokens"),
+        stopword_ratio("text").alias("stop_ratio"),
+    )
+    kept = feat.filter(
+        F.col("n_tokens").between(20, 80) & (F.col("stop_ratio") < 0.2)
+    )
+    # exact dedup: canonical doc = smallest doc_id per distinct text
+    ded = kept.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+    )
+    chunked = chunk_words(
+        ded, text_col="text", carry_cols=("doc_id", "lang"),
+        width=CHUNK_WIDTH, overlap=CHUNK_OVERLAP,
+    )
+    split = sampling.hash_split(chunked, "doc_id", {"train": 0.8, "test": 0.2})
+    return split.groupBy("split", "lang").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+ORACLE_TRAINING_DATA_PIPELINE = """
+WITH feat AS (
+  SELECT doc_id, lang, text,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                  x -> lower(x) IN ('the', 'a', 'of', 'and', 'to', 'in')))
+              AS DOUBLE)
+           / len(string_split_regex(trim(text), '\\s+')) AS stop_ratio
+  FROM documents
+),
+kept AS (
+  SELECT * FROM feat WHERE n_tokens BETWEEN 20 AND 80 AND stop_ratio < 0.2
+),
+ded AS (
+  SELECT text, min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang
+  FROM kept GROUP BY text
+),
+words AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w FROM ded
+),
+chunks AS (
+  SELECT doc_id, lang, least(s + 32, len(w)) - s AS n_tokens
+  FROM (
+    SELECT doc_id, lang, w,
+           unnest(generate_series(0, greatest(len(w) - 8, 1) - 1, 24)) AS s
+    FROM words
+  )
+),
+b AS (
+  SELECT doc_id, lang, n_tokens,
+         (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+         AS bucket
+  FROM chunks
+)
+SELECT CASE WHEN bucket < 205 THEN 'train' ELSE 'test' END AS split,
+       lang,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_chunks,
+       sum(n_tokens) AS total_tokens
 FROM b GROUP BY 1, 2
 """
 
@@ -2419,6 +2490,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "train_test_split": q_train_test_split,
     "paged_orders": q_paged_orders,
+    "training_data_pipeline": q_training_data_pipeline,
 }
 
 ORACLES: dict[str, str] = {
@@ -2492,4 +2564,5 @@ ORACLES: dict[str, str] = {
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS_UDTF,
     "train_test_split": ORACLE_TRAIN_TEST_SPLIT,
     "paged_orders": ORACLE_PAGED_ORDERS,
+    "training_data_pipeline": ORACLE_TRAINING_DATA_PIPELINE,
 }

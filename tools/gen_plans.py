@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: formatted physical-plan snapshots for
+representative queries, with the scale rationale for each. Run after any
+plan-affecting change; the enforced invariants live in tests/test_plans.py."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from statline_bq_spark.session import get_spark  # noqa: E402
+from statline_bq_spark.workload import QUERIES  # noqa: E402
+
+NOTES = {
+    "star_schema_agg": (
+        "Flagship star join (SURVEY Q1/Q6). Dimensions broadcast; the fact "
+        "scan is the only wide input; aggregation is partial (map-side) then "
+        "final. At cluster scale AQE keeps the dim broadcasts and re-plans "
+        "the fact exchange from observed sizes."
+    ),
+    "training_data_pipeline": (
+        "North-star composite (quality gate → exact dedup → chunk → hash "
+        "split → stats) as one plan: the scan reads only (doc_id, text, "
+        "lang) — column pruning across five logical stages — and the dedup "
+        "groupBy is the single wide stage before the final aggregate."
+    ),
+    "customer_order_distribution": (
+        "TPC-H Q13 shape: the ON-clause filter stays in the join (not a "
+        "WHERE), preserving zero-order customers; the per-customer count "
+        "reuses the join's partitioning, so only the tiny histogram "
+        "aggregate reshuffles."
+    ),
+    "asof_click_before_purchase": (
+        "As-of join via the union-merge formulation: one shuffle + one "
+        "sort serve both sides; no range-explosion, no broadcast of the "
+        "big side."
+    ),
+    "minhash_neardup_pairs": (
+        "MinHash-LSH: shingles are 64-bit hashes from the first map stage "
+        "on; every shuffle moves 8-byte keys, never text. Band buckets "
+        "join on (band, bucket-hash) — the candidate join is equi, not "
+        "cross."
+    ),
+}
+
+
+def main() -> None:
+    spark = get_spark()
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    out = [
+        "# Physical plans (generated; `python tools/gen_plans.py`)",
+        "",
+        '`.explain("formatted")` snapshots at sf0.01 for representative',
+        "queries, with the scale rationale. Regenerate after plan-affecting",
+        "changes — the plan-quality gates in `tests/test_plans.py` enforce the",
+        "invariants (pushdown, pruning, broadcast choices, no Python in hot",
+        "paths); this file is the human-readable tour.",
+        "",
+    ]
+    for name, note in NOTES.items():
+        plan = QUERIES[name](spark, sf)._jdf.queryExecution().explainString(mode)
+        tree = plan.split("\n\n")[0]
+        out += [f"## {name}", "", note, "", "```", tree, "```", ""]
+    target = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"
+    )
+    with open(target, "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote {target}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
