@@ -181,3 +181,78 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert all("load_date" not in ln for ln in pushed)
     assert df.count() == 200
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join must split a pathologically hot key's partition at
+    runtime (thresholds lowered so local data trips them). This is the
+    no-code-change half of the skew story; operators/skew.salted_join is
+    the explicit half for keys known hot a priori. A 100 TB join with one
+    hot customer must not serialize into a single straggler task."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # one key owns ~90% of the left side; the pad column keeps the hot
+        # partition over the (lowered) skew threshold — an aggregate-only
+        # action would column-prune it away and mask the skew
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(1000).select(F.col("id").alias("k"), F.lit(1).alias("w"))
+        joined = left.join(right, "k")
+        assert len(joined.collect()) > 0
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime filter injection: a selective dim-side predicate must become
+    a bloom filter applied to the fact scan side (thresholds lowered to
+    trip locally). At 100 TB this is the difference between shuffling the
+    whole fact table and shuffling only rows that can possibly join."""
+    from pyspark.sql import functions as F
+    from statline_bq_spark.io import read_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = read_table(spark, SF_SMOKE, "lineitem")
+        o = read_table(spark, SF_SMOKE, "orders").filter(
+            workload.F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        plan = explain_str(joined)
+        assert "bloomfilter" in plan.lower() or "BloomFilter" in plan, plan[:3000]
+        assert joined.count() > 0
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
