@@ -34,6 +34,7 @@ from statline_bq_spark.io import read_table, register_views
 from statline_bq_spark.operators import (
     analytic,
     dedup,
+    graph,
     multimodal,
     sampling,
     similarity,
@@ -912,6 +913,54 @@ FROM pairs
 JOIN sz sa ON sa.doc_id = a
 JOIN sz sb ON sb.doc_id = b
 WHERE round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 4) >= 0.2
+"""
+
+
+def q_neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs → dedup CLUSTERS via iterative min-label propagation
+    (``operators/graph.connected_components`` — SURVEY §2's "iterative
+    algorithms" class). Component id = smallest doc_id in the cluster (the
+    canonical survivor); output is cluster cardinalities. The DuckDB twin
+    computes the same closure with a recursive CTE, so even the iterative
+    op is oracle-checked, transitivity included.
+    """
+    d = read_table(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, shingle_n=3, threshold=0.2)
+    comp = graph.connected_components(pairs, "a", "b")
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+ORACLE_NEARDUP_CLUSTERS = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), idx AS (
+  SELECT doc_id, t, unnest(range(0, greatest(len(t) - 2, 0))) AS i FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS g
+  FROM idx
+), sz AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), p AS (
+  SELECT a, b FROM pairs
+  JOIN sz sa ON sa.doc_id = a
+  JOIN sz sb ON sb.doc_id = b
+  WHERE round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 4) >= 0.2
+), e AS (
+  SELECT a, b FROM p UNION SELECT b, a FROM p
+), reach(n, m) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT r.n, e2.b FROM reach r JOIN e e2 ON r.m = e2.a
+), labels AS (
+  SELECT n AS node, min(m) AS component FROM reach GROUP BY n
+)
+SELECT component, count(*) AS n_docs FROM labels GROUP BY component
 """
 
 
@@ -2491,6 +2540,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_test_split": q_train_test_split,
     "paged_orders": q_paged_orders,
     "training_data_pipeline": q_training_data_pipeline,
+    "neardup_clusters": q_neardup_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -2565,4 +2615,5 @@ ORACLES: dict[str, str] = {
     "train_test_split": ORACLE_TRAIN_TEST_SPLIT,
     "paged_orders": ORACLE_PAGED_ORDERS,
     "training_data_pipeline": ORACLE_TRAINING_DATA_PIPELINE,
+    "neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
 }

@@ -84,6 +84,38 @@ def test_frame_sample_plan(spark, media):
     assert rows == [0, 1000, 2000, 3000, 4000]
 
 
+# --- graph: connected components --------------------------------------------
+
+def test_connected_components_chain_and_islands(spark):
+    from statline_bq_spark.operators.graph import connected_components
+
+    # a 5-chain (diameter 4), a pair, and a triangle sharing no nodes
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "src bigint, dst bigint",
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components(edges, max_iter=10).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from statline_bq_spark.operators.graph import connected_components
+
+    # a 6-chain cannot finish min-propagation in 2 rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "src bigint, dst bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
+
 # --- sampling / splitting ---------------------------------------------------
 
 def test_hash_split_stable_and_proportional(spark):
