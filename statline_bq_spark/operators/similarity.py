@@ -79,6 +79,90 @@ def ann_cosine_topk(
     return out
 
 
+def ann_cosine_topk_np(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    k: int = 5,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Brute-force ANN, Arrow + BLAS edition: one matmul scores a whole
+    Arrow batch against every query at once (``mapInPandas``), each
+    partition emits only its per-query top-k, and a final window merges the
+    per-partition candidates (Q × k × partitions rows — tiny).
+
+    Same contract as :func:`ann_cosine_topk`; the neighbor SETS match (a
+    test pins that), but sims are summed by BLAS in blocked order rather
+    than a sequential fold, so value hashes aren't cross-engine-stable →
+    rows-only check for the query entry.
+
+    The query set is collected to the driver by design — it is the bounded
+    side (10s-1000s of vectors), and shipping it inside the closure is
+    exactly what `broadcast` would do anyway.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:
+        raise ValueError("queries is empty")
+    q_ids = np.array([r[0] for r in q_rows], dtype="int64")
+    qm = np.asarray([list(map(float, r[1])) for r in q_rows], dtype="float64")
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            m = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+            )
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ qm.T  # (batch, n_queries)
+            frames = []
+            for j in range(len(q_ids)):
+                col = sims[:, j]
+                keep = ids != q_ids[j]
+                cid, csim = ids[keep], col[keep]
+                # order by (-sim, id): lexsort's last key is primary
+                order = np.lexsort((cid, -csim))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": q_ids[j],
+                            "neighbor_id": cid[order],
+                            "sim": csim[order],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        score, "q_id bigint, neighbor_id bigint, sim double"
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "q_id",
+            "neighbor_id",
+            "rn",
+            (
+                F.round("sim", round_to)
+                if round_to is not None
+                else F.col("sim")
+            ).alias("sim"),
+        )
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
     """Deterministic pseudo-random unit-free hyperplanes (sign LSH only needs
     directions)."""

@@ -974,6 +974,19 @@ def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("rn", F.col("rn").cast("bigint"))
 
 
+def q_ann_cosine_topk_np(spark: SparkSession, sf: str) -> DataFrame:
+    """The BLAS/Arrow rendition of the brute-force ANN: one matmul per
+    Arrow batch via ``mapInPandas`` (rows-only check — BLAS blocked
+    summation isn't bit-stable vs a sequential SQL fold; a unit test pins
+    neighbor-set equality with q_ann_cosine_topk)."""
+    emb = read_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = similarity.ann_cosine_topk_np(emb, queries, k=5)
+    return out.withColumn("rn", F.col("rn").cast("bigint"))
+
+
 ORACLE_ANN_COSINE_TOPK = """
 WITH q AS (
   SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -2541,6 +2554,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paged_orders": q_paged_orders,
     "training_data_pipeline": q_training_data_pipeline,
     "neardup_clusters": q_neardup_clusters,
+    "ann_cosine_topk_np": q_ann_cosine_topk_np,
 }
 
 ORACLES: dict[str, str] = {

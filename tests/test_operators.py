@@ -84,6 +84,30 @@ def test_frame_sample_plan(spark, media):
     assert rows == [0, 1000, 2000, 3000, 4000]
 
 
+# --- similarity: BLAS variant equivalence ------------------------------------
+
+def test_ann_np_matches_hof_neighbor_sets(spark):
+    """The mapInPandas/BLAS ANN must return the same neighbor SETS as the
+    JVM-fold baseline (values may differ in the last ulp; membership and
+    the returned rank-by-rounded-sim structure must not)."""
+    from statline_bq_spark.io import read_table
+    from statline_bq_spark.operators import similarity
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    hof = similarity.ann_cosine_topk(emb, qs, k=5)
+    blas = similarity.ann_cosine_topk_np(emb, qs, k=5)
+    a = {(r.q_id, r.neighbor_id) for r in hof.collect()}
+    b = {(r.q_id, r.neighbor_id) for r in blas.collect()}
+    assert a == b
+    # rounded sims agree too
+    sa = {(r.q_id, r.neighbor_id): r.sim for r in hof.collect()}
+    sb = {(r.q_id, r.neighbor_id): r.sim for r in blas.collect()}
+    assert all(abs(sa[k_] - sb[k_]) < 1e-3 for k_ in sa)
+
+
 # --- graph: connected components --------------------------------------------
 
 def test_connected_components_chain_and_islands(spark):
