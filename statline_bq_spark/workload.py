@@ -964,6 +964,46 @@ SELECT component, count(*) AS n_docs FROM labels GROUP BY component
 """
 
 
+def q_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    """The dedup capstone: remove every non-canonical near-duplicate from
+    the corpus (keep the min-doc_id member of each similarity cluster) and
+    report the surviving corpus per language. Pairs → components →
+    anti-join: only cluster "losers" are materialized (a tiny set), so the
+    big table passes through with one left-anti shuffle — the corpus is
+    never collected or recomputed per cluster.
+    """
+    d = read_table(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, shingle_n=3, threshold=0.2)
+    comp = graph.connected_components(pairs, "a", "b")
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    survivors = d.join(losers, "doc_id", "left_anti")
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+ORACLE_DEDUP_SURVIVORS = (
+    ORACLE_NEARDUP_CLUSTERS.replace(
+        """labels AS (
+  SELECT n AS node, min(m) AS component FROM reach GROUP BY n
+)
+SELECT component, count(*) AS n_docs FROM labels GROUP BY component""",
+        """labels AS (
+  SELECT n AS node, min(m) AS component FROM reach GROUP BY n
+), losers AS (
+  SELECT node AS doc_id FROM labels WHERE node <> component
+)
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+GROUP BY lang""",
+    )
+)
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force exact top-k cosine neighbors for 10 query vectors."""
     emb = read_table(spark, sf, "embeddings")
@@ -2555,6 +2595,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_data_pipeline": q_training_data_pipeline,
     "neardup_clusters": q_neardup_clusters,
     "ann_cosine_topk_np": q_ann_cosine_topk_np,
+    "dedup_survivors": q_dedup_survivors,
 }
 
 ORACLES: dict[str, str] = {
@@ -2630,4 +2671,5 @@ ORACLES: dict[str, str] = {
     "paged_orders": ORACLE_PAGED_ORDERS,
     "training_data_pipeline": ORACLE_TRAINING_DATA_PIPELINE,
     "neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
+    "dedup_survivors": ORACLE_DEDUP_SURVIVORS,
 }
