@@ -121,6 +121,35 @@ def compact_snapshot(
     return n_files
 
 
+def expire_snapshots(
+    root: str,
+    source: str,
+    odata_version: str,
+    dataset_id: str,
+    *,
+    keep_latest: int = 3,
+    older_than: str | None = None,
+) -> list[str]:
+    """Retention for dated snapshots (the lifecycle half of S15/S17 the
+    reference leaves to manual cleanup): delete snapshot folders beyond the
+    newest ``keep_latest``, optionally only those strictly older than
+    ``older_than`` (YYYYMMDD). Returns the deleted dates. The newest
+    snapshot is never deleted regardless of arguments — the "latest"
+    readers (S17) must always have a target."""
+    import shutil
+
+    if keep_latest < 1:
+        raise ValueError("keep_latest must be >= 1")
+    dates = list_snapshot_dates(root, source, odata_version, dataset_id)
+    victims = dates[:-keep_latest] if keep_latest < len(dates) else []
+    if older_than is not None:
+        victims = [d for d in victims if d < older_than]
+    base = dataset_root(root, source, odata_version, dataset_id)
+    for d in victims:
+        shutil.rmtree(os.path.join(base, d))
+    return victims
+
+
 def read_latest_snapshot(
     spark: SparkSession,
     root: str,

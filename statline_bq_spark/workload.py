@@ -2379,6 +2379,52 @@ def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_approx_price_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate-ops coverage beyond HLL (q_approx_distinct_users):
+    KLL/GK-style quantile sketch (``percentile_approx``) and a guaranteed
+    error bound check via the exact percentile — emitted as the sketch's
+    absolute rank error so the result is meaningfully testable while
+    staying rows-only (sketch internals differ per engine).
+
+    Scale note: the sketch aggregates with map-side partials and constant
+    memory per partition — the only way to get quantiles in one pass over
+    100 TB; the exact twin (q_price_percentiles) needs a sort per group.
+    """
+    li = read_table(spark, sf, "lineitem")
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10_000).alias(
+            "approx_q"
+        ),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("exact_median"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return approx.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("approx_q")[0], 2).alias("median_approx"),
+        F.round(F.col("approx_q")[1], 2).alias("p95_approx"),
+        F.round(F.col("approx_q")[2], 2).alias("p99_approx"),
+        F.round(F.col("exact_median") - F.col("approx_q")[0], 2).alias(
+            "median_abs_err"
+        ),
+    )
+
+
+def q_frequent_suppliers_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy-hitters sketch (``freqItems``, a lossy-counting variant): the
+    candidate set of suppliers covering >0.5% of lineitems. Rows-only by
+    nature (sketch may include false positives); the operator test pins
+    that every TRUE heavy hitter is present — the sketch's actual
+    guarantee."""
+    li = read_table(spark, sf, "lineitem")
+    cand = li.stat.freqItems(["l_suppkey"], 0.005)
+    return cand.select(
+        F.explode("l_suppkey_freqItems").alias("l_suppkey")
+    ).orderBy("l_suppkey")
+
+
 def q_train_test_split(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic hash-based train/test split (north-star pipeline op):
     bucket = first md5 byte of the doc id → <205 (~80%) train. Unlike
@@ -2596,6 +2642,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_clusters": q_neardup_clusters,
     "ann_cosine_topk_np": q_ann_cosine_topk_np,
     "dedup_survivors": q_dedup_survivors,
+    "approx_price_sketch": q_approx_price_sketch,
+    "frequent_suppliers_sketch": q_frequent_suppliers_sketch,
 }
 
 ORACLES: dict[str, str] = {

@@ -84,6 +84,39 @@ def test_frame_sample_plan(spark, media):
     assert rows == [0, 1000, 2000, 3000, 4000]
 
 
+# --- approximate sketches: guarantees, not exact values ----------------------
+
+def test_freq_items_contains_all_true_heavy_hitters(spark):
+    """freqItems may emit false positives but must NEVER miss an item above
+    the support threshold — the lossy-counting guarantee we rely on."""
+    from statline_bq_spark.io import read_table
+    from statline_bq_spark.workload import q_frequent_suppliers_sketch
+
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    n = li.count()
+    true_heavy = {
+        r.l_suppkey
+        for r in li.groupBy("l_suppkey")
+        .count()
+        .filter(F.col("count") > 0.005 * n)
+        .collect()
+    }
+    cand = {r.l_suppkey for r in q_frequent_suppliers_sketch(spark, SF_SMOKE).collect()}
+    assert true_heavy <= cand
+
+
+def test_percentile_approx_error_bounded(spark):
+    from statline_bq_spark.workload import q_approx_price_sketch
+
+    rows = q_approx_price_sketch(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # 10k accuracy → rank error ≤ n/10000; prices span ~[900, 105000],
+        # so a loose absolute bound proves the sketch is actually close
+        assert abs(r.median_abs_err) < 2000, r
+        assert r.median_approx <= r.p95_approx <= r.p99_approx
+
+
 # --- similarity: BLAS variant equivalence ------------------------------------
 
 def test_ann_np_matches_hof_neighbor_sets(spark):

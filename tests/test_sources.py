@@ -178,6 +178,26 @@ def test_compact_snapshot(spark, tmp_path):
     assert not glob.glob(path + ".compact.tmp")
 
 
+def test_expire_snapshots_keeps_latest(spark, tmp_path):
+    root = str(tmp_path)
+    df = spark.range(3)
+    for d in ("20240101", "20240215", "20240301", "20240401"):
+        layout.write_snapshot(df, root, "cbs", "v3", "D1", "t", load_date=d)
+    gone = layout.expire_snapshots(root, "cbs", "v3", "D1", keep_latest=2)
+    assert gone == ["20240101", "20240215"]
+    assert layout.list_snapshot_dates(root, "cbs", "v3", "D1") == [
+        "20240301", "20240401",
+    ]
+    # older_than narrows the victim set; latest always survives
+    gone2 = layout.expire_snapshots(
+        root, "cbs", "v3", "D1", keep_latest=1, older_than="20240301"
+    )
+    assert gone2 == []
+    assert layout.latest_snapshot_date(root, "cbs", "v3", "D1") == "20240401"
+    with pytest.raises(ValueError):
+        layout.expire_snapshots(root, "cbs", "v3", "D1", keep_latest=0)
+
+
 def test_latest_snapshot_missing(spark, tmp_path):
     assert layout.latest_snapshot_date(str(tmp_path), "cbs", "v3", "NOPE") is None
     with pytest.raises(FileNotFoundError):
