@@ -153,6 +153,22 @@ def dedup_stream_within_watermark(
     )
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    *,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: decode a streaming fact against a
+    batch dimension (the streaming rendition of the reference's code-table
+    decode, SURVEY Q1-Q3). No watermark needed — the static side is
+    re-planned per micro-batch, so a dimension refresh lands on the next
+    trigger. Keep the dim broadcast-small or pre-bucketed by the key; a
+    shuffling stream-static join pays the shuffle EVERY micro-batch."""
+    return stream.join(dim, on=key, how=how)
+
+
 def stream_stream_interval_join(
     left, right, *, key: str, left_ts: str, right_ts: str,
     lookback: str = "1 hour", watermark: str = "2 hours",

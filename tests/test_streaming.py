@@ -145,6 +145,31 @@ def test_dedup_stream_within_watermark(spark, events_dir, tmp_path):
     assert out.count() == src.select("event_id").distinct().count()
 
 
+def test_enrich_stream_matches_batch_join(spark, events_dir):
+    from pyspark.sql import functions as F
+
+    # static dim: per-user tier derived from the batch table
+    src = spark.read.parquet(events_dir)
+    dim = (
+        src.select("user_id").distinct()
+        .withColumn("tier", F.when(F.col("user_id") % 3 == 0, "gold").otherwise("std"))
+    )
+    schema = src.schema
+    stream = windows.read_event_stream(spark, events_dir, schema)
+    out = _run_stream(
+        spark,
+        windows.enrich_stream(stream, dim, key="user_id").groupBy("tier").count(),
+        "t_enrich",
+        out_mode="complete",
+    )
+    got = {r.tier: r["count"] for r in out.collect()}
+    want = {
+        r.tier: r["count"]
+        for r in src.join(dim, "user_id").groupBy("tier").count().collect()
+    }
+    assert got == want
+
+
 def test_incremental_parquet_pipeline(spark, events_dir, tmp_path):
     out_dir = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
