@@ -1,6 +1,7 @@
-"""Python UDTF surface (SURVEY.md §2.C "UDF/UDAF/UDTF" — the reference has
-no user-facing UDTF; Spark 4 adds Arrow-optimized Python UDTFs and this
-module exercises that contract with a training-data chunker).
+"""Python UDTF/UDAF surface (SURVEY.md §2.C "UDF/UDAF/UDTF" — the
+reference has no user-facing UDTF/UDAF; Spark 4 adds Arrow-optimized
+Python table functions and grouped aggregates, and this module exercises
+both contracts: a training-data chunker UDTF and a rank-statistic UDAF).
 
 A UDTF is the right shape when one input row fans out to a variable number
 of output rows with per-row Python logic. It is still the SLOW path — the
@@ -16,6 +17,8 @@ this package.
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import udtf
@@ -48,6 +51,44 @@ def make_chunk_udtf(chunk_size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP):
                 idx += 1
 
     return ChunkText
+
+
+def make_median_udaf():
+    """Grouped-aggregate Pandas UDF (the UDAF surface, §2.C): exact median
+    of a numeric column per group, computed in numpy over the whole group's
+    Arrow batch.
+
+    A grouped-agg pandas_udf is the right UDAF shape when the aggregate
+    genuinely needs the full group vector (rank statistics, trimmed means);
+    for algebraic aggregates prefer built-ins — they keep map-side partial
+    aggregation, which a grouped-agg UDF gives up (the whole group must
+    co-locate). Median of integer-valued doubles is cross-engine exact:
+    odd n picks an element, even n is (a+b)/2 — both reproducible.
+
+    Closure-built so cloudpickle ships it by value (vanilla driver
+    sessions don't have this package on executor PYTHONPATH).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy(dtype="float64")))
+
+    return median_udaf
+
+
+def make_count_udaf():
+    """Companion grouped-agg count — Spark refuses to mix a grouped-agg
+    pandas UDF with JVM aggregates in one ``agg`` (INVALID_PANDAS_UDF_
+    PLACEMENT), so a UDAF-only aggregation needs its counts as UDAFs too."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def count_udaf(v: pd.Series) -> int:
+        return int(len(v))
+
+    return count_udaf
 
 
 def register_chunk_udtf(

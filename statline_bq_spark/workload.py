@@ -2379,6 +2379,30 @@ def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_udaf_median_qty(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-aggregate Pandas UDAF (§2.C UDAF surface): exact per-group
+    median via numpy over the group's Arrow batch. Oracle-checkable because
+    the median of integer-valued doubles is engine-exact (element or
+    (a+b)/2). The built-in ``percentile`` is the fast twin — this entry
+    proves the custom-UDAF contract end to end.
+    """
+    li = read_table(spark, sf, "lineitem")
+    median = udtf_mod.make_median_udaf()
+    n = udtf_mod.make_count_udaf()
+    # grouped-agg pandas UDFs can't mix with JVM aggregates in one agg()
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        median("l_quantity").alias("median_qty"),
+        n("l_quantity").alias("n"),
+    )
+
+
+ORACLE_UDAF_MEDIAN_QTY = """
+SELECT l_returnflag, l_linestatus,
+       median(l_quantity) AS median_qty, count(*) AS n
+FROM lineitem GROUP BY 1, 2
+"""
+
+
 def q_approx_price_sketch(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate-ops coverage beyond HLL (q_approx_distinct_users):
     KLL/GK-style quantile sketch (``percentile_approx``) and a guaranteed
@@ -2644,6 +2668,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_survivors": q_dedup_survivors,
     "approx_price_sketch": q_approx_price_sketch,
     "frequent_suppliers_sketch": q_frequent_suppliers_sketch,
+    "udaf_median_qty": q_udaf_median_qty,
 }
 
 ORACLES: dict[str, str] = {
@@ -2720,4 +2745,5 @@ ORACLES: dict[str, str] = {
     "training_data_pipeline": ORACLE_TRAINING_DATA_PIPELINE,
     "neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
     "dedup_survivors": ORACLE_DEDUP_SURVIVORS,
+    "udaf_median_qty": ORACLE_UDAF_MEDIAN_QTY,
 }
