@@ -235,6 +235,12 @@ def minhash_lsh_pairs(
     buckets = sig.select(
         "_id", F.explode(band_structs).alias("band")
     ).select("_id", "band.band_id", "band.band_hash")
+    # buckets embeds the whole shingle→signature pipeline and feeds three
+    # consumers (size cap + both self-join sides); materialize it once.
+    # localCheckpoint measured ~3× faster than triple recompute at sf0.1
+    # (persisting the raw shingle index instead was a LOSS — the window
+    # index is cheap to recompute relative to its materialized size).
+    buckets = buckets.localCheckpoint(eager=True)
 
     # Cap degenerate buckets (boilerplate clusters) to keep the self-join
     # from going quadratic on one key; AQE skew-join splits the rest.
@@ -302,6 +308,10 @@ def ngram_jaccard_pairs(
     probability.
     """
     inv = shingle_index(df, id_col=id_col, text_col=text_col, n=shingle_n)
+    # three consumers (both self-join sides + set sizes): materialize the
+    # index once (measured ~12% at sf0.1; grows with document count since
+    # the recompute is a per-doc window sort)
+    inv = inv.localCheckpoint(eager=True)
     pairs = (
         inv.select(F.col("_g"), F.col("_id").alias("a"))
         .join(inv.select(F.col("_g"), F.col("_id").alias("b")), "_g")
@@ -435,6 +445,12 @@ def simhash_neardup_pairs(
     buckets = fps.select(
         F.col(id_col).alias("_id"), "simhash", F.explode(block_structs).alias("blk")
     ).select("_id", "simhash", "blk.block_id", "blk.block_val")
+    # The 64-way fingerprint hash-agg feeds three consumers (bucket sizes +
+    # both join sides); materialize it once. localCheckpoint beats persist
+    # here (measured 2.8s vs 3.7s vs 4.6s recompute at sf0.1) and
+    # self-cleans via RDD GC. Lineage is cut — acceptable for a batch dedup
+    # pass; a lost executor re-runs the job, not silent corruption.
+    buckets = buckets.localCheckpoint(eager=True)
 
     sizes = buckets.groupBy("block_id", "block_val").agg(
         F.count(F.lit(1)).alias("_n")
