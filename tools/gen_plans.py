@@ -41,7 +41,10 @@ NOTES = {
         "MinHash-LSH: shingles are 64-bit hashes from the first map stage "
         "on; every shuffle moves 8-byte keys, never text. Band buckets "
         "join on (band, bucket-hash) — the candidate join is equi, not "
-        "cross."
+        "cross. The band-bucket subplan is localCheckpoint-materialized "
+        "(it feeds the size cap and both self-join sides), which is why "
+        "the plan starts from an ExistingRDD scan instead of replaying "
+        "the signature aggregation three times."
     ),
 }
 
