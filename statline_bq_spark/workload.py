@@ -2581,6 +2581,630 @@ def q_approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H shape completion (the remaining distinctive relational patterns:
+# EXISTS, global scalar subqueries, conditional-aggregate ratios, disjunctive
+# multi-clause predicates, min-per-group join-back, nested semi-joins)
+# ---------------------------------------------------------------------------
+
+
+def _dec_sum(col: F.Column | str, alias: str) -> F.Column:
+    """Exact DECIMAL(20,6) sum surfaced as DOUBLE — the cross-engine-safe
+    money aggregate (per-row quantization makes the sum order-independent;
+    the oracle mirrors it with the VARCHAR-cast idiom because DuckDB's
+    int128-decimal→double cast is not correctly rounded)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(20,6)")).cast("double").alias(alias)
+
+
+def q_order_priority_check(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q4-shaped composite: orders in a quarter that have at least one
+    line shipped >60 days after the order date (EXISTS → left-semi join),
+    counted per priority. Catalyst plans the EXISTS as a semi-join, so each
+    qualifying order is counted once no matter how many late lines it has.
+
+    Scale note: both scans are filtered before the semi-join (the date
+    window prunes orders; the join condition's ``l_shipdate > o_orderdate``
+    can't be pushed, but the semi-join never materializes lineitem columns).
+    """
+    o = read_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp_ntz(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp_ntz(F.lit("1996-04-01")))
+    )
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+ORACLE_ORDER_PRIORITY_CHECK = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q8-shaped composite: NATION_3's share of supplier revenue into
+    EUROPE customers, per order year — a conditional aggregate ratio
+    (sum(CASE)/sum). Both sums are exact decimals; the share is a single
+    double division of two identical-across-engines doubles.
+
+    Scale note: region/nation decode chains are broadcasts; the only wide
+    shuffles are the fact joins on orderkey/custkey/suppkey. The CASE runs
+    map-side inside the final hash aggregate.
+    """
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp_ntz(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp_ntz(F.lit("1998-01-01")))
+    )
+    c = read_table(spark, sf, "customer")
+    s = read_table(spark, sf, "supplier")
+    n = read_table(spark, sf, "nation")
+    r = read_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    cn = F.broadcast(
+        n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+            F.col("n_nationkey").alias("c_nk")
+        )
+    )
+    sn = F.broadcast(
+        n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(20,6)"
+    )
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(cn, c["c_nationkey"] == F.col("c_nk"))
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(sn, s["s_nationkey"] == F.col("s_nk"))
+    )
+    agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0).cast("decimal(20,6)")))
+        .cast("double")
+        .alias("nation_rev"),
+        F.sum(vol).cast("double").alias("total_rev"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_rev",
+        "total_rev",
+        (F.col("nation_rev") / F.col("total_rev")).alias("mkt_share"),
+    )
+
+
+ORACLE_MARKET_SHARE = """
+WITH agg AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         sum(CASE WHEN n2.n_name = 'NATION_3'
+                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))
+                  ELSE CAST(0 AS DECIMAL(20,6)) END) AS nation_rev_d,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS total_rev_d
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'EUROPE'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1
+)
+SELECT o_year,
+       CAST(CAST(nation_rev_d AS VARCHAR) AS DOUBLE) AS nation_rev,
+       CAST(CAST(total_rev_d AS VARCHAR) AS DOUBLE) AS total_rev,
+       CAST(CAST(nation_rev_d AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(total_rev_d AS VARCHAR) AS DOUBLE) AS mkt_share
+FROM agg
+"""
+
+
+def q_profit_by_nation_year(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q9-shaped composite: profit per supplier nation per year over a
+    part-name LIKE slice. The test schema has no partsupp, so unit cost is
+    proxied as 10% of retail price (same operator shape: fact × part ×
+    supplier × nation with an arithmetic measure).
+
+    Determinism: the per-row profit expression is written with identical
+    association in both engines, quantized to DECIMAL(20,6) before the sum.
+    """
+    li = read_table(spark, sf, "lineitem")
+    p = read_table(spark, sf, "part").filter(F.col("p_name").like("%red%"))
+    s = read_table(spark, sf, "supplier")
+    o = read_table(spark, sf, "orders")
+    n = F.broadcast(
+        read_table(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+        )
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(20,6)")
+    joined = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(n, s["s_nationkey"] == F.col("s_nk"))
+    )
+    return joined.groupBy(
+        "nation", F.year("o_orderdate").alias("o_year")
+    ).agg(F.sum(profit).cast("double").alias("sum_profit"))
+
+
+ORACLE_PROFIT_BY_NATION_YEAR = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                          - 0.1 * p_retailprice * l_quantity
+                          AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+def q_returned_item_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q10-shaped composite: top-20 customers by revenue lost to
+    returned items ('R' lines) in a quarter, decoded against nation. The
+    aggregate runs on the custkey the join already shuffled on; top-k is a
+    TakeOrderedAndProject with the unique custkey as tie-break.
+    """
+    li = read_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = read_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp_ntz(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp_ntz(F.lit("1997-04-01")))
+    )
+    c = read_table(spark, sf, "customer")
+    n = F.broadcast(
+        read_table(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("c_nk"), "n_name"
+        )
+    )
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == F.col("c_nk"))
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "n_name", "c_acctbal").agg(
+        _dec_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+        )
+    )
+    return top_k(agg, [F.col("revenue").desc(), F.col("c_custkey")], 20)
+
+
+ORACLE_RETURNED_ITEM_CUSTOMERS = """
+SELECT c_custkey, c_name, n_name, c_acctbal,
+       CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6)))
+            AS VARCHAR) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q11-shaped composite: per-part shipped value from NATION_1
+    suppliers, keeping parts above 0.1% of the total — a global scalar
+    subquery gating a grouped aggregate. The threshold comparison stays in
+    exact decimal arithmetic (``value * 1000 > total``), so boundary rows
+    can't flip between engines.
+
+    Scale note: the grand total is a one-row aggregate broadcast back over
+    the per-part rows (no second scan of the fact table — Spark reuses the
+    exchange feeding both aggregates under AQE).
+    """
+    li = read_table(spark, sf, "lineitem")
+    s = read_table(spark, sf, "supplier")
+    n = F.broadcast(
+        read_table(spark, sf, "nation")
+        .filter(F.col("n_name") == "NATION_1")
+        .select(F.col("n_nationkey").alias("s_nk"))
+    )
+    shipped = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(n, s["s_nationkey"] == F.col("s_nk"))
+    )
+    per_part = shipped.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(20,6)"
+            )
+        ).alias("value_d")
+    )
+    total = per_part.agg(F.sum("value_d").alias("total_d"))
+    kept = per_part.crossJoin(F.broadcast(total)).filter(
+        F.col("value_d") * F.lit(1000) > F.col("total_d")
+    )
+    return kept.select(
+        "l_partkey", F.col("value_d").cast("double").alias("part_value")
+    )
+
+
+ORACLE_IMPORTANT_PARTS = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS value_d
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(CAST(value_d AS VARCHAR) AS DOUBLE) AS part_value
+FROM per_part
+WHERE value_d * 1000 > (SELECT sum(value_d) FROM per_part)
+"""
+
+
+def q_priority_line_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q12-shaped composite: per return-flag class (stand-in for
+    shipmode, which the test schema lacks), counts of high- vs low-priority
+    orders among 1997 shipments — conditional aggregation after a fact join.
+    """
+    li = read_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp_ntz(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp_ntz(F.lit("1998-01-01")))
+    )
+    o = read_table(spark, sf, "orders")
+    joined = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+ORACLE_PRIORITY_LINE_COUNTS = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q14-shaped composite: PROMO parts' percentage of one month's
+    revenue — a single-row conditional-aggregate ratio. Both component sums
+    are exact decimals; the percentage is one double expression evaluated
+    with identical association in both engines.
+    """
+    li = read_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp_ntz(F.lit("1997-06-01")))
+        & (F.col("l_shipdate") < F.to_timestamp_ntz(F.lit("1997-07-01")))
+    )
+    p = read_table(spark, sf, "part")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(20,6)"
+    )
+    joined = li.join(p, li["l_partkey"] == p["p_partkey"])
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0).cast("decimal(20,6)")))
+        .cast("double")
+        .alias("promo_revenue"),
+        F.sum(vol).cast("double").alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+            "promo_pct"
+        ),
+    )
+
+
+ORACLE_PROMO_REVENUE = """
+WITH agg AS (
+  SELECT sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))
+                  ELSE CAST(0 AS DECIMAL(20,6)) END) AS promo_d,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS total_d
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+)
+SELECT CAST(CAST(promo_d AS VARCHAR) AS DOUBLE) AS promo_revenue,
+       CAST(CAST(total_d AS VARCHAR) AS DOUBLE) AS total_revenue,
+       100.0 * CAST(CAST(promo_d AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(total_d AS VARCHAR) AS DOUBLE) AS promo_pct
+FROM agg
+"""
+
+
+def q_part_supplier_variety(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q16-shaped composite: distinct supplier count per (brand, type,
+    size) for selected sizes, excluding one brand and any supplier with a
+    negative balance (the NOT IN → anti-join). The part-supplier link is
+    lineitem (the test schema has no partsupp), deduplicated before the
+    count-distinct.
+
+    Scale note: the anti-join side is a tiny broadcast; the count-distinct
+    shuffles only (partkey, suppkey) pairs, never fact payload.
+    """
+    li = read_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    p = read_table(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = read_table(spark, sf, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("bad_suppkey"))
+    links = li.join(
+        F.broadcast(bad),
+        li["l_suppkey"] == F.col("bad_suppkey"),
+        "left_anti",
+    )
+    joined = links.join(p, links["l_partkey"] == p["p_partkey"])
+    return joined.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count_distinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+ORACLE_PART_SUPPLIER_VARIETY = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_disjunctive_brand_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q19-shaped composite: revenue under three OR-ed
+    (brand × size-range × quantity-range) clauses — the disjunctive
+    multi-clause predicate pattern. Catalyst extracts the common
+    ``p_partkey = l_partkey`` conjunct so the join stays equi; the
+    disjunction is evaluated post-join.
+    """
+    li = read_table(spark, sf, "lineitem")
+    p = read_table(spark, sf, "part")
+    joined = li.join(p, li["l_partkey"] == p["p_partkey"])
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(clause).agg(
+        _dec_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+ORACLE_DISJUNCTIVE_BRAND_REVENUE = """
+SELECT CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6)))
+            AS VARCHAR) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q2-shaped composite: for each EUROPE-supplied part of one size,
+    the supplier(s) offering the minimum unit price — min-per-group with a
+    join-back (here: a window min + equality filter, one shuffle serves
+    both). Unit price is a per-(part, supplier) min of IEEE divisions, so
+    the min and the equality filter are bit-deterministic in both engines.
+    """
+    li = read_table(spark, sf, "lineitem")
+    p = read_table(spark, sf, "part").filter(F.col("p_size") == 15).select(
+        "p_partkey", "p_name"
+    )
+    s = read_table(spark, sf, "supplier")
+    n = read_table(spark, sf, "nation")
+    r = read_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    sn = F.broadcast(
+        n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+        )
+    )
+    offers = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(sn, s["s_nationkey"] == F.col("s_nk"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "nation")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_price"
+            )
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        offers.withColumn("best_price", F.min("unit_price").over(w))
+        .filter(F.col("unit_price") == F.col("best_price"))
+        .select("p_partkey", "p_name", "s_name", "nation", "unit_price")
+    )
+
+
+ORACLE_MIN_COST_SUPPLIER = """
+WITH offers AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, n_name AS nation,
+         min(l_extendedprice / l_quantity) AS unit_price
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size = 15 AND r_name = 'EUROPE'
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT p_partkey, p_name, s_name, nation, unit_price
+FROM offers
+WHERE unit_price = (
+  SELECT min(unit_price) FROM offers o2 WHERE o2.p_partkey = offers.p_partkey
+)
+"""
+
+
+def q_promotion_candidate_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q20-shaped composite: suppliers who shipped >150 units of some
+    'red' part during 1997 — nested semi-joins (supplier ⟕ part-qualified
+    shipments). Counts and string outputs only, so fully deterministic.
+
+    Scale note: the inner aggregate shrinks lineitem to (suppkey, partkey)
+    rows before any join; the part filter broadcasts; the final semi-join
+    keys on suppkey alone.
+    """
+    li = read_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp_ntz(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp_ntz(F.lit("1998-01-01")))
+    )
+    p = read_table(spark, sf, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey")
+    s = read_table(spark, sf, "supplier")
+    n = F.broadcast(
+        read_table(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+        )
+    )
+    heavy = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 150)
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"], "left_semi")
+    )
+    return (
+        s.join(heavy, s["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        .join(n, s["s_nationkey"] == F.col("s_nk"))
+        .select("s_name", "nation")
+    )
+
+
+ORACLE_PROMOTION_CANDIDATE_SUPPLIERS = """
+SELECT s_name, n_name AS nation
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 150
+)
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Unnormalized TF-IDF (north-star text analysis): top-3 terms per
+    document scored by ``tf × (N / df)``. Log-free on purpose — ``ln``
+    differs in the last ulp between JVM and libm, while IEEE division of
+    exact integers is bit-identical, so the score is cross-engine-safe.
+
+    Scale note: tokenize → (doc, term) counts → term document-frequencies →
+    join back on term; every shuffle keys on the term or (doc, term), the
+    corpus size N is a one-row broadcast. No global window, no collect.
+    """
+    d = read_table(spark, sf, "documents")
+    terms = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "term"
+        ),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * (F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score")
+    )
+
+
+ORACLE_TFIDF_TOP_TERMS = """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.term, tf, df,
+         tf * (CAST(n_docs AS DOUBLE) / df) AS score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tf * (CAST(n_docs AS DOUBLE) / df) DESC,
+                                     tf.term) AS rn
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score FROM scored WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2669,6 +3293,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_price_sketch": q_approx_price_sketch,
     "frequent_suppliers_sketch": q_frequent_suppliers_sketch,
     "udaf_median_qty": q_udaf_median_qty,
+    "order_priority_check": q_order_priority_check,
+    "market_share": q_market_share,
+    "profit_by_nation_year": q_profit_by_nation_year,
+    "returned_item_customers": q_returned_item_customers,
+    "important_parts": q_important_parts,
+    "priority_line_counts": q_priority_line_counts,
+    "promo_revenue": q_promo_revenue,
+    "part_supplier_variety": q_part_supplier_variety,
+    "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
+    "min_cost_supplier": q_min_cost_supplier,
+    "promotion_candidate_suppliers": q_promotion_candidate_suppliers,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 ORACLES: dict[str, str] = {
@@ -2746,4 +3382,16 @@ ORACLES: dict[str, str] = {
     "neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
     "dedup_survivors": ORACLE_DEDUP_SURVIVORS,
     "udaf_median_qty": ORACLE_UDAF_MEDIAN_QTY,
+    "order_priority_check": ORACLE_ORDER_PRIORITY_CHECK,
+    "market_share": ORACLE_MARKET_SHARE,
+    "profit_by_nation_year": ORACLE_PROFIT_BY_NATION_YEAR,
+    "returned_item_customers": ORACLE_RETURNED_ITEM_CUSTOMERS,
+    "important_parts": ORACLE_IMPORTANT_PARTS,
+    "priority_line_counts": ORACLE_PRIORITY_LINE_COUNTS,
+    "promo_revenue": ORACLE_PROMO_REVENUE,
+    "part_supplier_variety": ORACLE_PART_SUPPLIER_VARIETY,
+    "disjunctive_brand_revenue": ORACLE_DISJUNCTIVE_BRAND_REVENUE,
+    "min_cost_supplier": ORACLE_MIN_COST_SUPPLIER,
+    "promotion_candidate_suppliers": ORACLE_PROMOTION_CANDIDATE_SUPPLIERS,
+    "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
 }
