@@ -16,17 +16,37 @@ reference guards against (SURVEY.md §7 risk register).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import NullType, StringType, StructType
+
+
+def sanitize_null_types(schema: StructType) -> StructType:
+    """Replace NullType (VOID) fields with string.
+
+    An all-null column infers as NullType, which Parquet cannot store and
+    most operators reject. The reference hits the same case (all-null
+    ``ParentID`` in the DataProperties fixture lands as Arrow ``null``) and
+    its EDM mapping policy is "unmapped type → string"
+    (``statline.py:304-306``); we apply the same policy to inferred VOIDs
+    (SURVEY.md §7 risk register).
+    """
+    fields = [
+        f.__class__(f.name, StringType(), True, f.metadata)
+        if isinstance(f.dataType, NullType)
+        else f
+        for f in schema.fields
+    ]
+    return StructType(fields)
 
 
 def infer_schema_from_first_file(
     spark: SparkSession, files: list[str]
 ) -> StructType:
     """Schema-once policy: infer from the first ndjson file only (reference
-    ``utils.py:123-126``), then callers enforce it everywhere."""
+    ``utils.py:123-126``), then callers enforce it everywhere. All-null
+    columns degrade to string via :func:`sanitize_null_types`."""
     if not files:
         raise ValueError("no ndjson files to infer from")
-    return spark.read.json(files[0]).schema
+    return sanitize_null_types(spark.read.json(files[0]).schema)
 
 
 def ndjson_to_parquet(

@@ -2817,9 +2817,11 @@ def q_important_parts(spark: SparkSession, sf: str) -> DataFrame:
     exact decimal arithmetic (``value * 1000 > total``), so boundary rows
     can't flip between engines.
 
-    Scale note: the grand total is a one-row aggregate broadcast back over
-    the per-part rows (no second scan of the fact table — Spark reuses the
-    exchange feeding both aggregates under AQE).
+    Scale note: the per-part aggregate feeds two consumers (the grand total
+    and the filter), which would replay the fact join twice — Catalyst does
+    not reuse the exchange because the branches prune different columns.
+    ``localCheckpoint`` materializes the per-part rows (one per part, tiny
+    relative to the fact table) so lineitem is scanned exactly once.
     """
     li = read_table(spark, sf, "lineitem")
     s = read_table(spark, sf, "supplier")
@@ -2838,7 +2840,7 @@ def q_important_parts(spark: SparkSession, sf: str) -> DataFrame:
                 "decimal(20,6)"
             )
         ).alias("value_d")
-    )
+    ).localCheckpoint(eager=True)
     total = per_part.agg(F.sum("value_d").alias("total_d"))
     kept = per_part.crossJoin(F.broadcast(total)).filter(
         F.col("value_d") * F.lit(1000) > F.col("total_d")

@@ -223,6 +223,55 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.set(k, v)
 
 
+def test_order_priority_check_plans_semi_join(spark):
+    """The EXISTS must become a semi-join (each order counted once, lineitem
+    payload never materialized), with the date window pushed to the orders
+    scan."""
+    plan = explain_str(workload.q_order_priority_check(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_important_parts_scans_fact_once(spark):
+    """The global-scalar-subquery pattern must not replay the fact join for
+    the total: the per-part aggregate is materialized once, so lineitem
+    appears in exactly zero of the downstream branches (the plan starts
+    from the checkpointed rows)."""
+    plan = explain_str(workload.q_important_parts(spark, SF_SMOKE))
+    assert plan.count("Scan parquet") == 0  # only ExistingRDD scans remain
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_market_share_is_all_broadcast_no_cartesian(spark):
+    plan = explain_str(workload.q_market_share(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_disjunctive_brand_revenue_join_stays_equi(spark):
+    """Catalyst must extract the common partkey conjunct from the OR-ed
+    clauses — a nested-loop join here would be a 100 TB cross product."""
+    plan = explain_str(workload.q_disjunctive_brand_revenue(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_promotion_candidates_aggregate_before_semi_joins(spark):
+    plan = explain_str(workload.q_promotion_candidate_suppliers(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "HashAggregate" in plan
+
+
+def test_tfidf_has_no_global_window(spark):
+    """The per-doc ranking window partitions by doc_id; the only
+    single-partition exchange allowed is the one-row corpus-size scalar."""
+    plan = explain_str(workload.q_tfidf_top_terms(spark, SF_SMOKE), "extended")
+    assert "windowspecdefinition(doc_id" in plan
+    assert "windowspecdefinition(score" not in plan  # no unpartitioned spec
+
+
 def test_runtime_bloom_filter_prunes_fact_side(spark):
     """Runtime filter injection: a selective dim-side predicate must become
     a bloom filter applied to the fact scan side (thresholds lowered to

@@ -118,6 +118,19 @@ def test_ndjson_first_file_inference_policy(spark, tmp_path):
     assert [f.name for f in schema.fields] == ["ID"]
 
 
+def test_ndjson_all_null_column_degrades_to_string(spark, tmp_path):
+    # all-null column (the reference's null-typed ParentID fixture case):
+    # VOID is unwritable to Parquet — policy casts it to string
+    p1 = tmp_path / "a.ndjson"
+    p1.write_text('{"ID": 1, "ParentID": null}\n{"ID": 2, "ParentID": null}\n')
+    out = ndjson.ndjson_to_parquet(
+        spark, [str(p1)], str(tmp_path / "out.parquet")
+    )
+    by_name = {f.name: f.dataType.typeName() for f in out.schema.fields}
+    assert by_name["ParentID"] == "string"
+    assert [r.ParentID for r in out.collect()] == [None, None]
+
+
 # --- catalog (S20/S21/S22) --------------------------------------------------
 
 def test_catalog_register_and_comment(spark, tmp_path):
