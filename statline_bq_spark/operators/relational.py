@@ -81,6 +81,25 @@ def incremental_anti_join(
     return source.join(loaded, cond, "left_anti")
 
 
+def merge_upsert(
+    snapshot: DataFrame, changes: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """SQL MERGE (SCD type 1) as a plain DataFrame plan: rows of ``changes``
+    replace matching-key rows of ``snapshot``; unmatched change rows insert.
+
+    The batch rendition of the reference's idempotent re-load (S20
+    ``gcpl.py:549-573``: drop + recreate), refined from whole-dataset to
+    per-key granularity: ``changes ∪ (snapshot ⟕anti changes)``. Both
+    branches shuffle on the same keys, and at 100 TB the anti join is the
+    only wide stage touching the big snapshot — the union is
+    partition-local. Column sets must match (unionByName).
+    """
+    keep = snapshot.join(
+        changes.select(*keys), list(keys), "left_anti"
+    )
+    return changes.unionByName(keep)
+
+
 def latest_by_group(
     df: DataFrame,
     partition_keys: Sequence[str],

@@ -3206,6 +3206,107 @@ SELECT doc_id, term, tf, df, score FROM scored WHERE rn <= 3
 """
 
 
+def q_scd1_merge_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE/upsert (SCD type 1) through ``relational.merge_upsert``: a
+    change set (open orders, price adjusted) replaces matching snapshot
+    rows, verified by a per-status aggregate over the merged result. The
+    per-key refinement of the reference's idempotent drop-and-recreate
+    reload (S20) and the batch twin of the foreachBatch ingest path.
+
+    Determinism: the price adjustment is an addition (no rounding anywhere);
+    the final sum is the exact-decimal aggregate.
+    """
+    from statline_bq_spark.operators.relational import merge_upsert
+
+    o = read_table(spark, sf, "orders")
+    changes = o.filter(F.col("o_orderstatus") == "O").withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(10.0)
+    )
+    merged = merge_upsert(o, changes, ["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dec_sum("o_totalprice", "total_price"),
+    )
+
+
+ORACLE_SCD1_MERGE_ORDERS = """
+WITH changes AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 10.0 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderstatus = 'O'
+),
+merged AS (
+  SELECT * FROM changes
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority
+  FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+)
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE)
+         AS total_price
+FROM merged GROUP BY o_orderstatus
+"""
+
+
+def q_user_state_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD-type-2-shaped state history: collapse each user's event stream to
+    state transitions (event_type changes), then derive [valid_from,
+    valid_to) intervals with ``lead`` — the interval-building pattern behind
+    slowly-changing dimensions and the temporal twin of latest-snapshot
+    selection (Q9).
+
+    Scale note: one shuffle on user_id serves both windows (lag for the
+    transition filter, lead for the interval close); open intervals get a
+    sentinel end. Timestamps leave as formatted strings (driver contract).
+    """
+    e = read_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = trans.withColumn("valid_to_ts", F.lead("ts").over(w2))
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format("valid_to_ts", "yyyy-MM-dd HH:mm:ss"),
+            F.lit("9999-12-31 00:00:00"),
+        ).alias("valid_to"),
+    )
+
+
+ORACLE_USER_STATE_HISTORY = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+),
+hist AS (
+  SELECT user_id, event_type, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_ts
+  FROM trans
+)
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       coalesce(strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S'),
+                '9999-12-31 00:00:00') AS valid_to
+FROM hist
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3307,6 +3408,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "min_cost_supplier": q_min_cost_supplier,
     "promotion_candidate_suppliers": q_promotion_candidate_suppliers,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "scd1_merge_orders": q_scd1_merge_orders,
+    "user_state_history": q_user_state_history,
 }
 
 ORACLES: dict[str, str] = {
@@ -3396,4 +3499,6 @@ ORACLES: dict[str, str] = {
     "min_cost_supplier": ORACLE_MIN_COST_SUPPLIER,
     "promotion_candidate_suppliers": ORACLE_PROMOTION_CANDIDATE_SUPPLIERS,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
+    "scd1_merge_orders": ORACLE_SCD1_MERGE_ORDERS,
+    "user_state_history": ORACLE_USER_STATE_HISTORY,
 }

@@ -303,6 +303,26 @@ def test_lsh_ann_self_bucket_recall(spark):
     assert recall >= 0.4  # single-table LSH, deterministic seed → stable
 
 
+# --- merge / upsert ----------------------------------------------------------
+
+def test_merge_upsert_updates_inserts_preserves(spark):
+    from statline_bq_spark.operators.relational import merge_upsert
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, s string, v double"
+    )
+    changes = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], "k int, s string, v double"
+    )
+    out = {r.k: (r.s, r.v) for r in merge_upsert(snap, changes, ["k"]).collect()}
+    assert out == {
+        1: ("a", 10.0),   # untouched
+        2: ("b2", 99.0),  # updated
+        3: ("c", 30.0),   # untouched
+        4: ("d", 40.0),   # inserted
+    }
+
+
 # --- asof / band join -------------------------------------------------------
 
 def test_asof_join_strict_and_nulls(spark):
