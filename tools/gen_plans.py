@@ -46,6 +46,27 @@ NOTES = {
         "the plan starts from an ExistingRDD scan instead of replaying "
         "the signature aggregation three times."
     ),
+    "market_share": (
+        "TPC-H Q8 shape: both nation decode chains and the region filter "
+        "broadcast; the conditional CASE aggregate runs map-side inside "
+        "the final hash aggregate, so the ratio costs nothing beyond the "
+        "star join itself."
+    ),
+    "important_parts": (
+        "TPC-H Q11 shape (global scalar subquery): the per-part aggregate "
+        "is localCheckpoint-materialized because its two consumers (grand "
+        "total, threshold filter) prune different columns and Catalyst "
+        "would otherwise replay the whole fact join twice. The plan "
+        "therefore starts from ExistingRDD — lineitem is scanned exactly "
+        "once per run."
+    ),
+    "tfidf_top_terms": (
+        "Log-free TF-IDF: tokenize → (doc,term) counts → term document "
+        "frequencies → join back on term. Every wide stage keys on term "
+        "or (doc_id, term); the corpus size N is a one-row broadcast "
+        "(the only SinglePartition exchange), and the ranking window "
+        "partitions by doc_id — no global window anywhere."
+    ),
 }
 
 
