@@ -338,6 +338,231 @@ def _assign_to_centroids(
     )
 
 
+def kmeans_fit(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    max_iter: int = 5,
+    seed: int = 42,
+    round_to: int = 6,
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means over an embedding column; returns the
+    trained codebook as a k×dim list (driver-side — a codebook is bounded
+    by definition, k·dim floats, exactly what MLlib's KMeans also collects
+    and broadcasts every iteration).
+
+    Scale shape per iteration: ONE ``mapInPandas`` pass assigns every row
+    to its nearest centroid with a BLAS matmul against the broadcast
+    codebook and emits only per-(batch, cluster) partial sums — k rows per
+    Arrow batch, each carrying a dim-length sum vector and a count. The
+    global reduce is a groupBy(cid) over those partials (posexplode →
+    sum), so the shuffle moves k·num_batches tiny rows, never the corpus.
+    No corpus-wide join, no N-row shuffle, no lineage growth (each
+    iteration reads the same source scan).
+
+    Initialisation is deterministic farthest-first traversal (the k-center
+    2-approximation): seed 1 is the row with the smallest
+    ``xxhash64(id, seed)``; each further seed is the row farthest from its
+    nearest already-chosen seed (ties broken by the same hash). That is
+    k-1 extra max-reduce scans — the same pass-count trade MLlib's
+    k-means|| makes — and unlike a uniform draw it cannot put two seeds in
+    one dense region and merge well-separated clusters into a local
+    optimum. Empty clusters keep their previous centroid. Centroids are
+    rounded to ``round_to`` dp each iteration so results don't drift with
+    shuffle order across runs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    dim = df.select(F.size(F.col(vec_col).cast("array<double>"))).first()[0]
+    hashed = df.select(
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"),
+    )
+    first = hashed.orderBy("_h").limit(1).collect()
+    if not first:
+        raise ValueError("cannot fit k-means on an empty DataFrame")
+    chosen = [[float(x) for x in first[0]["_v"]]]
+    norm2 = F.aggregate(
+        F.col("_v"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    for _ in range(k - 1):
+        # distance to the NEAREST chosen seed; pick the farthest row
+        dists = []
+        for cent in chosen:
+            c = F.array(*[F.lit(x) for x in cent])
+            dot = F.aggregate(
+                F.zip_with(F.col("_v"), c, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            dists.append(norm2 - 2 * dot + F.lit(sum(x * x for x in cent)))
+        mind = F.least(*dists) if len(dists) > 1 else dists[0]
+        far = (
+            hashed.select("_v", "_h", mind.alias("_d"))
+            .orderBy(F.col("_d").desc(), "_h")
+            .limit(1)
+            .collect()
+        )
+        chosen.append([float(x) for x in far[0]["_v"]])
+    centroids = np.asarray(chosen, dtype="float64")
+
+    src = df.select(F.col(vec_col).alias("_v"))
+    out_schema = "cid int, psum array<double>, n bigint"
+
+    for _ in range(max_iter):
+        cmat = centroids.copy()  # closure-captured snapshot for this pass
+        half_norms = 0.5 * (cmat * cmat).sum(axis=1)
+
+        def partial_sums(batches, _c=cmat, _h=half_norms):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                m = np.asarray(
+                    [np.asarray(v, dtype="float64") for v in pdf["_v"]]
+                )
+                # argmin ||x-c||^2 == argmax (x·c - ||c||^2/2)
+                cid = np.argmax(m @ _c.T - _h, axis=1)
+                rows = []
+                for c in np.unique(cid):
+                    sel = m[cid == c]
+                    rows.append(
+                        {
+                            "cid": int(c),
+                            "psum": sel.sum(axis=0).tolist(),
+                            "n": int(sel.shape[0]),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        agg = (
+            src.mapInPandas(partial_sums, out_schema)
+            .select("cid", "n", F.posexplode("psum").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.sum("val").alias("s"),
+                F.sum(F.when(F.col("pos") == 0, F.col("n"))).alias("cnt"),
+            )
+            .collect()
+        )
+        counts = [0] * k
+        sums = np.zeros((k, dim), dtype="float64")
+        for r in agg:
+            sums[r["cid"], r["pos"]] = r["s"]
+            if r["cnt"] is not None:
+                counts[r["cid"]] = r["cnt"]
+        new = centroids.copy()  # empty cluster -> keep previous centroid
+        for c in range(k):
+            if counts[c] > 0:
+                new[c] = np.round(sums[c] / counts[c], round_to)
+        if np.array_equal(new, centroids):
+            break
+        centroids = new
+    return [list(map(float, row)) for row in centroids]
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Attach (cid, dist2) — nearest trained centroid and squared L2 — as a
+    pure JVM-side projection: the codebook ships as array literals and each
+    row evaluates k folded dot products, so the plan is scan → project with
+    ZERO shuffle (the assignment step of IVF index build at 100 TB).
+
+    Ties break toward the smaller cid (struct-max lexicographic order).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    scored = []
+    for cid, cent in enumerate(centroids):
+        c = F.array(*[F.lit(float(x)) for x in cent])
+        half_norm = 0.5 * sum(x * x for x in cent)
+        dot = F.aggregate(
+            F.zip_with(v, c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        # argmin dist2 == argmax (dot - ||c||^2/2); negative cid so the
+        # lexicographic struct max prefers the SMALLER cid on score ties
+        scored.append(
+            F.struct(
+                (dot - F.lit(half_norm)).alias("score"),
+                F.lit(-cid).alias("neg_cid"),
+            )
+        )
+    best = F.greatest(*scored) if len(scored) > 1 else scored[0]
+    norm2 = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    return df.withColumn("_best", best).select(
+        "*",
+        (-F.col("_best.neg_cid")).alias("cid"),
+        F.round(norm2 - 2 * F.col("_best.score"), round_to).alias("dist2"),
+    ).drop("_best")
+
+
+def ivf_kmeans_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    n_clusters: int = 8,
+    max_iter: int = 4,
+    seed: int = 42,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF top-k with a TRAINED coarse quantizer: k-means codebook instead
+    of :func:`ivf_topk`'s label-mean stand-in. Same search path — inverted
+    lists keyed by nearest centroid, probe ``nprobe`` lists per query,
+    exact cosine re-rank — but the lists now follow the data's own
+    geometry, so recall holds when labels don't align with clusters."""
+    spark = corpus.sparkSession
+    codebook = kmeans_fit(
+        corpus,
+        vec_col=vec_col,
+        id_col=id_col,
+        k=n_clusters,
+        max_iter=max_iter,
+        seed=seed,
+    )
+    cents = F.broadcast(
+        spark.createDataFrame(
+            [(cid, vec) for cid, vec in enumerate(codebook)],
+            "label int, _cvec array<double>",
+        )
+    )
+    corpus_lists = _assign_to_centroids(
+        corpus, cents, id_col=id_col, vec_col=vec_col, nprobe=1
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_c_vec"),
+        "label",
+    )
+    query_probes = _assign_to_centroids(
+        queries, cents, id_col=query_id_col, vec_col=vec_col, nprobe=nprobe
+    ).select(
+        F.col(query_id_col).alias("q_id"), F.col(vec_col).alias("_q_vec"), "label"
+    )
+    candidates = (
+        corpus_lists.join(query_probes, "label")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .dropDuplicates(["q_id", "neighbor_id"])
+        .withColumn("_sim", cosine_similarity(F.col("_c_vec"), F.col("_q_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col("neighbor_id"))
+    return (
+        candidates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "neighbor_id", "rn", F.round("_sim", 4).alias("sim"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2218,6 +2218,36 @@ def q_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=5, nprobe=2)
 
 
+def q_kmeans_doc_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus (farthest-first
+    init, BLAS partial-sum iterations), then a zero-shuffle JVM assignment
+    pass; output is the per-cluster profile (size, mean dist2). Iterative —
+    no SQL oracle ⇒ rows-only check; unit tests pin blob recovery and
+    determinism."""
+    emb = read_table(spark, sf, "embeddings")
+    cents = similarity.kmeans_fit(emb, k=8, max_iter=4, seed=42)
+    assigned = similarity.kmeans_assign(emb, cents)
+    return (
+        assigned.groupBy(F.col("cid").cast("bigint").alias("cid"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("dist2"), 2).alias("avg_dist2"),
+        )
+    )
+
+
+def q_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN with a TRAINED k-means coarse quantizer (vs q_ivf_ann_topk's
+    label-mean codebook). Approximate + iterative ⇒ rows-only check."""
+    emb = read_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.ivf_kmeans_topk(
+        emb, queries, n_clusters=8, k=5, nprobe=2, seed=42
+    )
+
+
 def q_simhash_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash banded Hamming near-dup pairs (xxhash64-based fingerprints
     have no DuckDB equivalent ⇒ rows-only check)."""
@@ -3361,6 +3391,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_fingerprints": q_simhash_fingerprints,
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
+    "kmeans_doc_clusters": q_kmeans_doc_clusters,
+    "ivf_kmeans_topk": q_ivf_kmeans_topk,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "approx_distinct_users": q_approx_distinct_users,
     "supplier_revenue_ranking": q_supplier_revenue_ranking,

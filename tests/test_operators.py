@@ -420,6 +420,66 @@ def test_ivf_topk_prefers_own_cluster(spark):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
 
 
+# --- k-means ----------------------------------------------------------------
+
+def _blob_df(spark, n_per=40, dim=8, centers=((10.0, 0), (-10.0, 3), (9.0, 6))):
+    """Three well-separated blobs: center value at a distinct position."""
+    import random as _r
+
+    rng = _r.Random(7)
+    rows = []
+    vid = 0
+    for cval, cpos in centers:
+        for _ in range(n_per):
+            v = [rng.uniform(-0.5, 0.5) for _ in range(dim)]
+            v[cpos] += cval
+            rows.append((vid, v))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_kmeans_recovers_separated_blobs(spark):
+    df = _blob_df(spark)
+    cents = similarity.kmeans_fit(df, k=3, max_iter=6, seed=1)
+    assert len(cents) == 3 and all(len(c) == 8 for c in cents)
+    assigned = similarity.kmeans_assign(df, cents).collect()
+    # blob membership (by vec_id range) must map 1:1 onto cluster ids
+    blob_of = {r.vec_id: r.vec_id // 40 for r in assigned}
+    cid_of_blob = {}
+    for r in assigned:
+        b = blob_of[r.vec_id]
+        cid_of_blob.setdefault(b, set()).add(r.cid)
+    assert all(len(s) == 1 for s in cid_of_blob.values())
+    assert len(set().union(*cid_of_blob.values())) == 3
+    assert all(r.dist2 >= 0 for r in assigned)
+
+
+def test_kmeans_deterministic_and_empty_cluster_safe(spark):
+    df = _blob_df(spark, n_per=20)
+    a = similarity.kmeans_fit(df, k=5, max_iter=4, seed=3)
+    b = similarity.kmeans_fit(df, k=5, max_iter=4, seed=3)
+    assert a == b  # same seed, same data -> identical codebook
+    # k=5 over 3 blobs can strand clusters; assignment must still be total
+    n = similarity.kmeans_assign(df, a).count()
+    assert n == df.count()
+
+
+def test_ivf_kmeans_topk_matches_exact_on_separated_data(spark):
+    df = _blob_df(spark)
+    queries = df.filter(F.col("vec_id").isin(0, 45, 85)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    approx = similarity.ivf_kmeans_topk(
+        df, queries, n_clusters=3, k=3, nprobe=1, seed=1
+    )
+    exact = similarity.ann_cosine_topk(df, queries, k=3)
+    # with well-separated blobs and nprobe=1, the probed list contains the
+    # true neighbors, so the approximate result IS the exact result
+    a = {(r.q_id, r.neighbor_id, r.rn) for r in approx.collect()}
+    e = {(r.q_id, r.neighbor_id, r.rn) for r in exact.collect()}
+    assert a == e
+
+
 # --- observability -----------------------------------------------------------
 
 def test_observed_metrics_piggyback(spark):
