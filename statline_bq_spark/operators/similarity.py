@@ -310,6 +310,70 @@ def _centroid_vectors(
     )
 
 
+def _assign_nearest_literal(
+    df: DataFrame,
+    labeled_centroids: list[tuple],
+    *,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    out_vec: str,
+) -> DataFrame:
+    """Zero-shuffle nearest-centroid (cosine) assignment for the CORPUS side
+    of an IVF probe: the codebook is bounded by definition, so it ships
+    inside the task closure as an L2-normalised numpy matrix and each Arrow
+    batch is scored with ONE BLAS matmul + argmax — scan → mapInPandas, no
+    join, no window, no shuffle of the corpus. (The window-based
+    :func:`_assign_to_centroids` stays for the query side, which needs
+    top-``nprobe`` rather than the argmax and is the small side anyway.)
+
+    Three formulations were measured at sf0.1 before settling here: a
+    broadcast-join + per-row window shuffles N×nlist rows; a zip_with/
+    aggregate fold is interpreted per element (~1.5× slower end-to-end);
+    an unrolled ``v[0]*c0+...`` literal tree is whole-stage-codegen'd but
+    pays seconds of analysis/codegen per plan (nlist×dim terms) — worst of
+    all. The Arrow+BLAS path has a constant-size plan and C-speed math.
+
+    ``labeled_centroids`` is [(label, vector), ...]; cosine ties break
+    toward the earlier entry (np.argmax takes the first maximum), matching
+    the window path's (sim desc, label asc) ordering when entries are
+    sorted by label.
+    """
+    import numpy as np
+
+    cmat = np.asarray([c for _, c in labeled_centroids], dtype="float64")
+    norms = np.linalg.norm(cmat, axis=1)
+    norms[norms == 0.0] = 1.0
+    cmat = (cmat / norms[:, None]).T  # (dim, nlist), closure-shipped
+    labels = [lbl for lbl, _ in labeled_centroids]
+    out_type = df.schema[id_col].dataType.simpleString()
+    vec_type = df.schema[vec_col].dataType.simpleString()
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+            )
+            # argmax over normalised-centroid dots == argmax cosine (the
+            # row's own norm is constant across candidates)
+            idx = np.argmax(m @ cmat, axis=1)
+            yield pd.DataFrame(
+                {
+                    out_id: pdf[id_col].to_numpy(),
+                    out_vec: pdf[vec_col],
+                    "label": [labels[i] for i in idx],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, f"{out_id} {out_type}, {out_vec} {vec_type}, label int"
+    )
+
+
 def _assign_to_centroids(
     df: DataFrame,
     centroids: DataFrame,
@@ -385,28 +449,43 @@ def kmeans_fit(
     if not first:
         raise ValueError("cannot fit k-means on an empty DataFrame")
     chosen = [[float(x) for x in first[0]["_v"]]]
-    norm2 = F.aggregate(
-        F.col("_v"), F.lit(0.0), lambda acc, x: acc + x * x
-    )
     for _ in range(k - 1):
-        # distance to the NEAREST chosen seed; pick the farthest row
-        dists = []
-        for cent in chosen:
-            c = F.array(*[F.lit(x) for x in cent])
-            dot = F.aggregate(
-                F.zip_with(F.col("_v"), c, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            dists.append(norm2 - 2 * dot + F.lit(sum(x * x for x in cent)))
-        mind = F.least(*dists) if len(dists) > 1 else dists[0]
-        far = (
-            hashed.select("_v", "_h", mind.alias("_d"))
-            .orderBy(F.col("_d").desc(), "_h")
-            .limit(1)
-            .collect()
-        )
-        chosen.append([float(x) for x in far[0]["_v"]])
+        # distance to the NEAREST chosen seed; pick the farthest row.
+        # Each pass is one mapInPandas scan emitting ONE candidate per
+        # Arrow batch (BLAS distance matrix + argmax); the driver reduces
+        # the per-batch winners. Tie-break: (dist desc, hash asc).
+        cmat = np.asarray(chosen, dtype="float64")
+        cn2 = (cmat * cmat).sum(axis=1)
+
+        def batch_far(batches, _c=cmat, _n2=cn2):
+            import pandas as pd
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                m = np.asarray(
+                    [np.asarray(v, dtype="float64") for v in pdf["_v"]]
+                )
+                d = (
+                    (m * m).sum(axis=1)[:, None]
+                    - 2.0 * (m @ _c.T)
+                    + _n2[None, :]
+                ).min(axis=1)
+                h = pdf["_h"].to_numpy()
+                best = np.lexsort((h, -d))[0]
+                yield pd.DataFrame(
+                    {
+                        "_v": [list(map(float, m[best]))],
+                        "_h": [int(h[best])],
+                        "_d": [float(d[best])],
+                    }
+                )
+
+        winners = hashed.mapInPandas(
+            batch_far, "_v array<double>, _h bigint, _d double"
+        ).collect()
+        far = max(winners, key=lambda r: (r["_d"], -r["_h"]))
+        chosen.append([float(x) for x in far["_v"]])
     centroids = np.asarray(chosen, dtype="float64")
 
     src = df.select(F.col(vec_col).alias("_v"))
@@ -470,38 +549,45 @@ def kmeans_assign(
     vec_col: str = "embedding",
     round_to: int = 4,
 ) -> DataFrame:
-    """Attach (cid, dist2) — nearest trained centroid and squared L2 — as a
-    pure JVM-side projection: the codebook ships as array literals and each
-    row evaluates k folded dot products, so the plan is scan → project with
-    ZERO shuffle (the assignment step of IVF index build at 100 TB).
-
-    Ties break toward the smaller cid (struct-max lexicographic order).
+    """Attach (cid, dist2) — nearest trained centroid and squared L2 — with
+    ZERO shuffle: the codebook ships inside the task closure and each Arrow
+    batch is scored by one BLAS distance matrix + argmin (the assignment
+    step of an IVF index build at 100 TB: scan → mapInPandas, no join).
+    All input columns pass through. Ties break toward the smaller cid
+    (np.argmin takes the first minimum).
     """
-    v = F.col(vec_col).cast("array<double>")
-    scored = []
-    for cid, cent in enumerate(centroids):
-        c = F.array(*[F.lit(float(x)) for x in cent])
-        half_norm = 0.5 * sum(x * x for x in cent)
-        dot = F.aggregate(
-            F.zip_with(v, c, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        # argmin dist2 == argmax (dot - ||c||^2/2); negative cid so the
-        # lexicographic struct max prefers the SMALLER cid on score ties
-        scored.append(
-            F.struct(
-                (dot - F.lit(half_norm)).alias("score"),
-                F.lit(-cid).alias("neg_cid"),
+    import numpy as np
+
+    cmat = np.asarray(centroids, dtype="float64")
+    cn2 = (cmat * cmat).sum(axis=1)
+    cols = list(df.columns)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", cid int, dist2 double"
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
             )
-        )
-    best = F.greatest(*scored) if len(scored) > 1 else scored[0]
-    norm2 = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
-    return df.withColumn("_best", best).select(
-        "*",
-        (-F.col("_best.neg_cid")).alias("cid"),
-        F.round(norm2 - 2 * F.col("_best.score"), round_to).alias("dist2"),
-    ).drop("_best")
+            d = (
+                (m * m).sum(axis=1)[:, None]
+                - 2.0 * (m @ cmat.T)
+                + cn2[None, :]
+            )
+            cid = np.argmin(d, axis=1)
+            out = pdf[cols].copy()
+            out["cid"] = cid.astype("int32")
+            out["dist2"] = np.round(
+                np.maximum(d[np.arange(len(cid)), cid], 0.0), round_to
+            )
+            yield out
+
+    return df.mapInPandas(assign, out_schema)
 
 
 def ivf_kmeans_topk(
@@ -537,12 +623,13 @@ def ivf_kmeans_topk(
             "label int, _cvec array<double>",
         )
     )
-    corpus_lists = _assign_to_centroids(
-        corpus, cents, id_col=id_col, vec_col=vec_col, nprobe=1
-    ).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_c_vec"),
-        "label",
+    corpus_lists = _assign_nearest_literal(
+        corpus,
+        list(enumerate(codebook)),
+        id_col=id_col,
+        vec_col=vec_col,
+        out_id="neighbor_id",
+        out_vec="_c_vec",
     )
     query_probes = _assign_to_centroids(
         queries, cents, id_col=query_id_col, vec_col=vec_col, nprobe=nprobe
@@ -579,23 +666,40 @@ def ivf_topk(
     lists per query, exact-cosine re-rank inside them.
 
     The coarse quantizer here is the per-``label`` mean vector (a
-    deterministic stand-in for a k-means codebook — swap `_centroid_vectors`
-    for trained centroids without touching the search path). Everything is
-    DataFrame-native: centroids stay distributed and broadcast-joined; the
-    only corpus-wide shuffle is the candidate equi-join on the centroid
-    label, which is exactly the inverted-list probe — scan cost per query
-    drops from O(N) to O(N·nprobe/nlist).
+    deterministic stand-in for a k-means codebook — see
+    :func:`ivf_kmeans_topk` for the trained variant sharing this search
+    path). The codebook is bounded (nlist×dim), so the corpus-side
+    assignment ships it as normalised literal arrays and runs as a
+    zero-shuffle projection; the only corpus-wide shuffle is the candidate
+    equi-join on the centroid label, which is exactly the inverted-list
+    probe — scan cost per query drops from O(N) to O(N·nprobe/nlist).
 
     Output: (q_id, neighbor_id, rn, sim) like ``ann_cosine_topk`` — but
     approximate: neighbors outside the probed lists are missed.
     """
-    cents = _centroid_vectors(corpus, label_col=label_col, vec_col=vec_col)
-    corpus_lists = _assign_to_centroids(
-        corpus, cents, id_col=id_col, vec_col=vec_col, nprobe=1
-    ).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_c_vec"),
-        "label",
+    # the codebook is bounded (nlist × dim) — collect it once; the
+    # corpus-side assignment then runs as a zero-shuffle literal projection
+    # (vs a broadcast-join + per-row window over N×nlist rows), and the
+    # query side probes a literal-backed local relation instead of
+    # re-deriving the centroid aggregation subplan a second time
+    labeled = sorted(
+        (r["label"], [float(x) for x in r["_cvec"]])
+        for r in _centroid_vectors(
+            corpus, label_col=label_col, vec_col=vec_col
+        ).collect()
+    )
+    corpus_lists = _assign_nearest_literal(
+        corpus,
+        labeled,
+        id_col=id_col,
+        vec_col=vec_col,
+        out_id="neighbor_id",
+        out_vec="_c_vec",
+    )
+    cents = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            labeled, "label int, _cvec array<double>"
+        )
     )
     query_probes = _assign_to_centroids(
         queries, cents, id_col=query_id_col, vec_col=vec_col, nprobe=nprobe
