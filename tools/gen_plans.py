@@ -60,6 +60,15 @@ NOTES = {
         "therefore starts from ExistingRDD — lineitem is scanned exactly "
         "once per run."
     ),
+    "ivf_ann_topk": (
+        "IVF probe: the corpus-side nearest-centroid assignment is a "
+        "zero-shuffle ArrowEvalPython/mapInPandas stage (the bounded "
+        "codebook ships in the task closure; one BLAS matmul per Arrow "
+        "batch), so the only corpus-wide exchange is the inverted-list "
+        "equi-join on the centroid label — exactly the probe. The query "
+        "side scores against a literal-backed local relation; the centroid "
+        "aggregation subplan runs once, not per consumer."
+    ),
     "tfidf_top_terms": (
         "Log-free TF-IDF: tokenize → (doc,term) counts → term document "
         "frequencies → join back on term. Every wide stage keys on term "
