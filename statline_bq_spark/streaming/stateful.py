@@ -89,3 +89,153 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+#: Output schema for :func:`user_type_counts`.
+TYPE_COUNTS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def user_type_counts(events: DataFrame, *, ttl_ms: int = 60 * 60 * 1000) -> DataFrame:
+    """Streaming per-(user, event_type) running counts via
+    ``applyInPandasWithState`` with a MAP-typed state column.
+
+    Per-user state is a ``map<string,bigint>`` of event_type → running
+    count; each trigger folds the arriving Arrow batches into the map and
+    emits refreshed (user_id, event_type, n) rows for the types it touched
+    (output mode ``update``). An inactivity timeout evicts abandoned users.
+
+    Scale: state partitioned by user in the executor-side state store
+    (RocksDB in production), map size bounded by the event-type cardinality
+    per user, Arrow batches bounded per key per trigger — nothing
+    accumulates on the driver.
+
+    See :func:`user_type_counts_tws` for the same operator on Spark 4's
+    successor API ``transformWithStateInPandas`` (typed MapState + TTL),
+    which needs the ``protobuf`` package at runtime.
+    """
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (counts,) = state.get if state.exists else ({},)
+        counts = dict(counts) if counts else {}
+        touched: set[str] = set()
+        for pdf in pdfs:
+            for et, cnt in pdf["event_type"].value_counts().items():
+                counts[et] = counts.get(et, 0) + int(cnt)
+                touched.add(et)
+        state.update((counts,))
+        state.setTimeoutDuration(ttl_ms)
+        out = sorted(touched)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out),
+                "event_type": out,
+                "n": [counts[et] for et in out],
+            }
+        )
+
+    return (
+        events.select("user_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=TYPE_COUNTS_SCHEMA,
+            stateStructType="counts map<string,bigint>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def user_type_counts_tws(
+    events: DataFrame, *, ttl_ms: int = 60 * 60 * 1000
+) -> DataFrame:
+    """Per-(user, event_type) running counts on Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState`` with TYPED composite state primitives
+    (Value/List/MapState) instead of one flat tuple.
+
+    Here the per-user state is a ``MapState`` keyed by event_type; state
+    carries a TTL so abandoned users cost nothing — the store evicts them
+    without a timer round-trip.
+
+    **Environment note**: the transformWithState state-server protocol is
+    protobuf-based; the PRE_INIT driver worker crashes if ``google.protobuf``
+    is not importable. This container has no protobuf, so this variant
+    raises ImportError eagerly with a clear message (the query would
+    otherwise die with an opaque "driver worker exited unexpectedly").
+    :func:`user_type_counts` is the dependency-free equivalent.
+
+    The processor class is defined as a closure so cloudpickle ships it by
+    value (module-level classes pickle by reference and break on sessions
+    that didn't ship this package).
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(its state server speaks protobuf); install protobuf or use "
+            "user_type_counts() which runs on applyInPandasWithState."
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "counts", "event_type string", "n bigint", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            touched: dict[str, int] = {}
+            for pdf in rows:
+                for et, cnt in pdf["event_type"].value_counts().items():
+                    touched[et] = touched.get(et, 0) + int(cnt)
+            out = []
+            for et, add in touched.items():
+                prev = self._counts.getValue((et,))
+                n = (prev[0] if prev else 0) + add
+                self._counts.updateValue((et,), (n,))
+                out.append((key[0], et, n))
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in out],
+                    "event_type": [r[1] for r in out],
+                    "n": [r[2] for r in out],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=TypeCounts(),
+            outputStructType=TYPE_COUNTS_SCHEMA,
+            outputMode="update",
+            timeMode="ProcessingTime",
+        )
+    )
+
+
+def _tws_unavailable_reason() -> str | None:
+    """Why transformWithState can't run here, or None if it can."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return None
+    except ImportError:
+        return "google.protobuf not installed (required by the TWS state server)"

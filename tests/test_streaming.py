@@ -231,6 +231,49 @@ def test_stateful_running_user_totals(spark, events_dir):
     assert latest == batch
 
 
+def test_stateful_user_type_counts(spark, events_dir):
+    from statline_bq_spark.streaming import stateful
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = windows.read_event_stream(spark, events_dir, schema)
+    out = _run_stream(
+        spark,
+        stateful.user_type_counts(stream),
+        "type_counts",
+        out_mode="update",
+    )
+    # update-mode memory sink appends every refresh; the max n per
+    # (user, type) is the final state and must equal the batch counts
+    latest = {}
+    for r in out.collect():
+        k = (r.user_id, r.event_type)
+        latest[k] = max(latest.get(k, 0), r.n)
+    batch = {
+        (r.user_id, r.event_type): r.n
+        for r in read_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert latest == batch
+
+
+def test_tws_variant_gated_without_protobuf(spark, events_dir):
+    """transformWithStateInPandas needs google.protobuf; without it the
+    variant must fail EAGERLY with a clear ImportError instead of an
+    opaque streaming-query crash.  With protobuf present it must at least
+    build a streaming plan."""
+    from statline_bq_spark.streaming import stateful
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = windows.read_event_stream(spark, events_dir, schema)
+    if stateful._tws_unavailable_reason() is not None:
+        with pytest.raises(ImportError, match="protobuf"):
+            stateful.user_type_counts_tws(stream)
+    else:  # pragma: no cover - protobuf-equipped envs only
+        assert stateful.user_type_counts_tws(stream).isStreaming
+
+
 def test_stream_stream_interval_join_matches_batch(spark, events_dir):
     """Clicks joined to purchases of the same user within the preceding
     hour — streaming result must equal the equivalent batch join."""
