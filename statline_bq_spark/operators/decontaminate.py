@@ -1,0 +1,167 @@
+"""Benchmark decontamination — n-gram overlap between a training corpus and
+a (small) benchmark/eval set.
+
+A training-data pipeline must guarantee the corpus does not contain eval
+material (SURVEY §2.D training-pipeline extensions; the reference has no
+analogue — its nearest concept is the table-name anti-filter,
+``statline.py:418-427``).  The standard recipe (GPT-3 appendix C / Dolma):
+mark a training document contaminated when it shares any word n-gram with
+any benchmark document, then drop or flag it.
+
+Scale design: the benchmark side is inherently SMALL (an eval suite:
+thousands of documents → at most a few tens of MB of distinct grams), so the
+gram join is a **broadcast semi/inner join — the 100-TB corpus side is
+never shuffled**; each corpus partition streams its grams past the
+broadcast hash set and the per-document counts fold map-side.  If the
+blocklist ever outgrows broadcast range, swap the join key to
+``xxhash64(gram)`` (8-byte shuffle keys, collisions 2⁻⁶⁴ — the same trade
+``dedup.shingle_index`` makes).  Here grams join as raw strings so the
+DuckDB oracle reproduces the semantics exactly.
+
+Gram construction reuses the posexplode + per-doc window ``lead`` shape of
+``dedup.shingle_index`` (measured ~5× faster than higher-order array
+functions, which are interpreted per element).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def doc_ngram_strings(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    distinct: bool = True,
+) -> DataFrame:
+    """Word n-grams of each document as strings: (_id, _g).
+
+    ``distinct=True`` dedups grams within a document (set semantics, the
+    contamination convention); ``False`` keeps multiplicity (used by the
+    repetition score).  Everything — split, explode, window lead, concat —
+    stays inside whole-stage codegen; the only shuffle is by document id
+    and the window sort is bounded by one document's length.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), "\\s+")).alias(
+            "_pos", "_tok"
+        ),
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    leads = [F.lead("_tok", j).over(w) for j in range(1, n)]
+    grams = (
+        toks.select(
+            "_id",
+            F.concat_ws(" ", "_tok", *leads).alias("_g"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("_id", "_g")
+    )
+    return grams.distinct() if distinct else grams
+
+
+def contamination_counts(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Per-document contamination: (doc_id, n_shared, n_grams) for every
+    corpus document sharing ≥1 distinct n-gram with the benchmark set.
+
+    ``n_grams`` is the document's distinct-gram count (the denominator for
+    a contamination ratio — emitted as exact ints so the result is
+    bit-deterministic across engines).
+    """
+    corpus_grams = doc_ngram_strings(
+        corpus, id_col=id_col, text_col=text_col, n=n
+    )
+    bench_grams = (
+        doc_ngram_strings(benchmark, id_col=id_col, text_col=text_col, n=n)
+        .select("_g")
+        .distinct()
+    )
+    sizes = corpus_grams.groupBy("_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    shared = (
+        corpus_grams.join(F.broadcast(bench_grams), "_g")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(sizes, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_shared",
+            "n_grams",
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Corpus rows that share NO word n-gram with the benchmark set.
+
+    Plan shape: corpus grams ⟕(anti, broadcast)⟖ benchmark grams → distinct
+    contaminated ids → LEFT ANTI join back to the corpus.  The contaminated
+    id set is tiny (it's bounded by the benchmark's reach), so the final
+    anti join broadcasts too — the full corpus is never shuffled.
+    """
+    corpus_grams = doc_ngram_strings(
+        corpus, id_col=id_col, text_col=text_col, n=n
+    )
+    bench_grams = (
+        doc_ngram_strings(benchmark, id_col=id_col, text_col=text_col, n=n)
+        .select("_g")
+        .distinct()
+    )
+    contaminated = (
+        corpus_grams.join(F.broadcast(bench_grams), "_g")
+        .select("_id")
+        .distinct()
+    )
+    return corpus.join(
+        F.broadcast(contaminated),
+        corpus[id_col] == contaminated["_id"],
+        "left_anti",
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality signal): per document,
+    total vs distinct word n-grams and their ratio.
+
+    A document whose ``distinct_ratio`` is far below 1 repeats itself —
+    boilerplate, keyword stuffing, generation loops.  The ratio is one
+    double division of two exact ints, so it is bit-identical across
+    engines (no rounding step to disagree on).
+    """
+    grams = doc_ngram_strings(
+        df, id_col=id_col, text_col=text_col, n=n, distinct=False
+    )
+    return grams.groupBy(F.col("_id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count_distinct("_g").alias("n_distinct"),
+        (
+            F.count_distinct("_g").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("distinct_ratio"),
+    )

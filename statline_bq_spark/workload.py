@@ -31,8 +31,10 @@ from statline_bq_spark.functions.text import (
     token_count,
 )
 from statline_bq_spark.io import read_table, register_views
+from statline_bq_spark.functions import pii
 from statline_bq_spark.operators import (
     analytic,
+    decontaminate,
     dedup,
     graph,
     multimodal,
@@ -3337,6 +3339,142 @@ FROM hist
 """
 
 
+def q_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing over the documents table (SURVEY §2.D text analysis).
+
+    The synthetic corpus contains no natural contact info, so the query
+    first DERIVES a deterministic contact line from doc_id (same derivation
+    in the oracle), then redacts emails → IPv4 → phones with pure JVM
+    regexp expressions (``functions/pii.py``) and counts each category.
+    Redaction rides the scan — no shuffle at all in this plan.
+    """
+    docs = read_table(spark, sf, "documents")
+    raw = F.concat(
+        F.lit("contact user."), F.col("doc_id").cast("string"),
+        F.lit("@ex"), (F.col("doc_id") % 10).cast("string"),
+        F.lit(".org from 10."), (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 250).cast("string"),
+        F.lit(" call +31-20-55"), (100000 + F.col("doc_id")).cast("string"),
+        F.lit(" "), F.col("text"),
+    )
+    return docs.select(
+        "doc_id",
+        pii.redact_pii(raw).alias("clean_text"),
+        pii.email_count(raw).alias("n_emails"),
+        pii.ipv4_count(raw).alias("n_ips"),
+        pii.phone_count(raw).alias("n_phones"),
+    )
+
+
+ORACLE_PII_REDACTION = r"""
+WITH synth AS (
+  SELECT doc_id,
+         'contact user.' || CAST(doc_id AS VARCHAR) || '@ex'
+         || CAST(doc_id % 10 AS VARCHAR) || '.org from 10.'
+         || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+         || CAST(doc_id % 250 AS VARCHAR) || ' call +31-20-55'
+         || CAST(100000 + doc_id AS VARCHAR) || ' ' || text AS raw
+  FROM documents
+), s1 AS (
+  SELECT doc_id, raw,
+         regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS e
+  FROM synth
+), s2 AS (
+  SELECT doc_id, raw, e,
+         regexp_replace(e, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                        '<IP>', 'g') AS i
+  FROM s1
+)
+SELECT doc_id,
+       regexp_replace(i, '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS clean_text,
+       len(regexp_extract_all(raw,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(e,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+       len(regexp_extract_all(i, '\+?\d[\d -]{7,}\d')) AS n_phones
+FROM s2
+"""
+
+#: DuckDB 4-gram construction shared by the decontamination oracles.
+_DUCK_GRAMS_4 = """
+  SELECT DISTINCT doc_id,
+         t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM {src}),
+       LATERAL (SELECT unnest(range(0, greatest(len(t) - 3, 0))) AS i)
+"""
+
+
+def q_benchmark_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination counts (GPT-3-style n-gram overlap).
+
+    A deterministic slice of the corpus (doc_id % 17 == 0) plays the
+    benchmark/eval suite; every remaining document sharing ≥1 word 4-gram
+    with it is reported with its shared- and total-gram counts. The
+    benchmark gram set is broadcast — the corpus side never shuffles
+    (``operators/decontaminate.py``).
+    """
+    docs = read_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return decontaminate.contamination_counts(corpus, bench, n=4)
+
+
+ORACLE_BENCHMARK_CONTAMINATION = f"""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
+bench AS (SELECT * FROM documents WHERE doc_id % 17 = 0),
+cg AS ({_DUCK_GRAMS_4.format(src="corpus")}),
+bg AS (SELECT DISTINCT g FROM ({_DUCK_GRAMS_4.format(src="bench")})),
+sz AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id),
+sh AS (SELECT doc_id, count(*) AS n_shared FROM cg JOIN bg USING (g)
+       GROUP BY doc_id)
+SELECT doc_id, n_shared, n_grams FROM sh JOIN sz USING (doc_id)
+"""
+
+
+def q_decontaminated_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus after decontamination: documents sharing NO word 4-gram
+    with the benchmark slice (left-anti against a broadcast id set)."""
+    docs = read_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return decontaminate.decontaminate(corpus, bench, n=4).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+ORACLE_DECONTAMINATED_DOCS = f"""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
+bench AS (SELECT * FROM documents WHERE doc_id % 17 = 0),
+cg AS ({_DUCK_GRAMS_4.format(src="corpus")}),
+bg AS (SELECT DISTINCT g FROM ({_DUCK_GRAMS_4.format(src="bench")}))
+SELECT doc_id, lang, n_chars FROM corpus
+WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g))
+"""
+
+
+def q_doc_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality signal): total vs
+    distinct word 3-grams per document, ratio as one exact-int division
+    (bit-deterministic — no rounding step for engines to disagree on)."""
+    docs = read_table(spark, sf, "documents")
+    return decontaminate.repetition_stats(docs, n=3)
+
+
+ORACLE_DOC_REPETITION_STATS = """
+WITH g AS (
+  SELECT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents),
+       LATERAL (SELECT unnest(range(0, greatest(len(t) - 2, 0))) AS i)
+)
+SELECT doc_id, count(*) AS n_grams, count(DISTINCT g) AS n_distinct,
+       CAST(count(DISTINCT g) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS distinct_ratio
+FROM g GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3440,6 +3578,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "min_cost_supplier": q_min_cost_supplier,
     "promotion_candidate_suppliers": q_promotion_candidate_suppliers,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "pii_redaction": q_pii_redaction,
+    "benchmark_contamination": q_benchmark_contamination,
+    "decontaminated_docs": q_decontaminated_docs,
+    "doc_repetition_stats": q_doc_repetition_stats,
     "scd1_merge_orders": q_scd1_merge_orders,
     "user_state_history": q_user_state_history,
 }
@@ -3531,6 +3673,10 @@ ORACLES: dict[str, str] = {
     "min_cost_supplier": ORACLE_MIN_COST_SUPPLIER,
     "promotion_candidate_suppliers": ORACLE_PROMOTION_CANDIDATE_SUPPLIERS,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
+    "pii_redaction": ORACLE_PII_REDACTION,
+    "benchmark_contamination": ORACLE_BENCHMARK_CONTAMINATION,
+    "decontaminated_docs": ORACLE_DECONTAMINATED_DOCS,
+    "doc_repetition_stats": ORACLE_DOC_REPETITION_STATS,
     "scd1_merge_orders": ORACLE_SCD1_MERGE_ORDERS,
     "user_state_history": ORACLE_USER_STATE_HISTORY,
 }

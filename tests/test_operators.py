@@ -537,3 +537,59 @@ def test_winnowing_shared_passage_guarantee(spark):
     # density: selected fingerprints are a strict subset of all k-grams
     n_grams_doc3 = 8 - 3 + 1
     assert 0 < len(by_doc[3]) <= n_grams_doc3
+
+
+# --- decontamination / PII ----------------------------------------------------
+
+def test_decontaminate_partitions_corpus(spark):
+    """contaminated ∪ survivors == corpus, disjoint; a doc that literally
+    contains a benchmark 4-gram must be flagged."""
+    from statline_bq_spark.operators import decontaminate as dc
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "xx alpha beta gamma delta yy"),        # contains bench 4-gram
+            (2, "alpha beta gamma zeta delta epsilon"),  # only 3-gram overlap
+            (3, "totally unrelated words in this one"),
+        ],
+        "doc_id long, text string",
+    )
+    flagged = {r.doc_id for r in dc.contamination_counts(corpus, bench, n=4).collect()}
+    survivors = {r.doc_id for r in dc.decontaminate(corpus, bench, n=4).collect()}
+    assert flagged == {1}
+    assert survivors == {2, 3}
+    assert flagged | survivors == {1, 2, 3} and not flagged & survivors
+
+
+def test_repetition_stats_counts_duplicates(spark):
+    from statline_bq_spark.operators import decontaminate as dc
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "p q r s t u")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dc.repetition_stats(df, n=3).collect()}
+    # doc 1: 7 grams, distinct {abc, bca, cab} = 3
+    assert (rows[1].n_grams, rows[1].n_distinct) == (7, 3)
+    assert (rows[2].n_grams, rows[2].n_distinct) == (4, 4)
+    assert rows[2].distinct_ratio == 1.0
+
+
+def test_pii_redaction_order_and_counts(spark):
+    from statline_bq_spark.functions import pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b-c@x.org or 10.1.2.3 or +31-20-5551234 end")],
+        "id long, t string",
+    )
+    r = df.select(
+        pii.redact_pii("t").alias("clean"),
+        pii.email_count("t").alias("ne"),
+        pii.ipv4_count("t").alias("ni"),
+        pii.phone_count("t").alias("np"),
+    ).first()
+    assert r.clean == "mail <EMAIL> or <IP> or <PHONE> end"
+    assert (r.ne, r.ni, r.np) == (1, 1, 1)
