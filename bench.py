@@ -54,6 +54,8 @@ BENCH_QUERIES = (
     "multimodal_binary_meta",
     "chunk_documents",
     "training_data_pipeline",
+    "busy_interval_stats",
+    "embedding_quantization",
 )
 
 

@@ -198,3 +198,53 @@ def band_join(
     )
     hi_pred = facts[value] < bands[hi]
     return facts.join(F.broadcast(bands), lo_pred & hi_pred, "left")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    value: str,
+    lo: str,
+    hi: str,
+    *,
+    bucket_width: int,
+) -> DataFrame:
+    """Point-in-interval join where BOTH sides are SF-scaled — the case
+    ``band_join`` must never handle (its broadcast nested-loop assumes a
+    bounded interval side).
+
+    The scalable formulation is interval bucketization: each interval
+    ``[lo, hi)`` is exploded to the fixed-width buckets it covers
+    (``sequence(floor(lo/w), floor((hi-1)/w))``), each point maps to exactly
+    one bucket (``floor(value/w)``), and the join becomes an EQUI-join on
+    the 8-byte bucket id with the range predicate kept as a residual
+    filter. Catalyst plans a plain shuffled/sort-merge join — one shuffle
+    per side, no BroadcastNestedLoopJoin, no per-key cartesian — and AQE
+    can still split skewed buckets. Cost scales with
+    Σ interval_len/bucket_width (the explode), so pick ``bucket_width``
+    near the median interval length.
+
+    ``value``, ``lo``, ``hi`` are integral columns (e.g. epoch seconds).
+    Intervals are half-open ``[lo, hi)``. Output: inner join of points ×
+    containing intervals, all columns from both sides.
+    """
+    w = F.lit(bucket_width).cast("long")
+    p = points.withColumn("_pb", F.floor(F.col(value) / w))
+    # hi is exclusive → last covered bucket is floor((hi-1)/w); guard the
+    # degenerate hi<=lo interval (sequence() would DESCEND, not error).
+    iv = intervals.filter(F.col(lo) < F.col(hi)).withColumn(
+        "_ib",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / w), F.floor((F.col(hi) - 1) / w)
+            )
+        ),
+    )
+    joined = p.join(
+        iv,
+        (p["_pb"] == iv["_ib"])
+        & (p[value] >= iv[lo])
+        & (p[value] < iv[hi]),
+        "inner",
+    )
+    return joined.drop("_pb", "_ib")

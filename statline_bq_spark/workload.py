@@ -49,6 +49,7 @@ from statline_bq_spark.operators.relational import (
     band_join,
     filtered_slice,
     incremental_anti_join,
+    interval_join,
     latest_by_group,
     top_k,
     top_k_per_group,
@@ -3475,6 +3476,173 @@ FROM g GROUP BY doc_id
 """
 
 
+def q_busy_interval_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-interval join at fact scale (`relational.interval_join`):
+    derive data-driven "busy periods" (maximal runs of hours whose event
+    count exceeds 1.5× the global hourly mean — gaps-and-islands), then
+    assign EVERY event to its containing period WITHOUT a per-user equi
+    key, the case where a naive range join is a cartesian. The bucketized
+    equi-join shuffles each side once on an 8-byte hour bucket.
+
+    The busy/threshold comparison is exact-integer (2·n·n_hours >
+    3·n_events) so no float tie can flip membership cross-engine.
+    """
+    e = read_table(spark, sf, "events").withColumn(
+        "_es", F.unix_timestamp("ts")
+    )
+    hourly = e.groupBy(F.floor(F.col("_es") / 3600).alias("hb")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = hourly.agg(
+        F.count(F.lit(1)).alias("nh"), F.sum("n").alias("ne")
+    )
+    busy = (
+        hourly.join(F.broadcast(tot))
+        .filter(2 * F.col("n") * F.col("nh") > 3 * F.col("ne"))
+        .select("hb")
+    )
+    # islands: the busy-hour set is bounded (≤ hours in the data window),
+    # so the unpartitioned ordering window is a deliberate single-task step
+    # over a tiny aggregate side, not a fact-table sort.
+    wlag = Window.orderBy("hb")
+    wrun = wlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv = (
+        busy.withColumn(
+            "brk",
+            F.when(F.col("hb") - F.lag("hb").over(wlag) > 1, 1).otherwise(0),
+        )
+        .withColumn("iid", F.sum("brk").over(wrun))
+        .groupBy("iid")
+        .agg(
+            (F.min("hb") * 3600).alias("lo"),
+            ((F.max("hb") + 1) * 3600).alias("hi"),
+        )
+        .drop("iid")
+    )
+    joined = interval_join(e, iv, "_es", "lo", "hi", bucket_width=3600)
+    return joined.groupBy("lo", "hi").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    ).select(
+        F.from_unixtime("lo").alias("interval_start"),
+        F.from_unixtime("hi").alias("interval_end"),
+        "n_events",
+        "n_users",
+        "total_value",
+    )
+
+
+ORACLE_BUSY_INTERVAL_STATS = """
+WITH e AS (
+  SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+), hourly AS (
+  SELECT CAST(floor(es / 3600) AS BIGINT) AS hb, count(*) AS n
+  FROM e GROUP BY 1
+), tot AS (
+  SELECT count(*) AS nh, sum(n) AS ne FROM hourly
+), busy AS (
+  SELECT hb FROM hourly, tot WHERE 2 * n * nh > 3 * ne
+), isl AS (
+  SELECT hb, CASE WHEN hb - lag(hb) OVER (ORDER BY hb) > 1
+                  THEN 1 ELSE 0 END AS brk
+  FROM busy
+), isl2 AS (
+  SELECT hb, sum(brk) OVER (ORDER BY hb ROWS UNBOUNDED PRECEDING) AS iid
+  FROM isl
+), iv AS (
+  SELECT min(hb) * 3600 AS lo, (max(hb) + 1) * 3600 AS hi
+  FROM isl2 GROUP BY iid
+)
+SELECT strftime(make_timestamp(lo * 1000000), '%Y-%m-%d %H:%M:%S')
+         AS interval_start,
+       strftime(make_timestamp(hi * 1000000), '%Y-%m-%d %H:%M:%S')
+         AS interval_end,
+       count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+       round(sum(value), 2) AS total_value
+FROM e JOIN iv ON e.es >= iv.lo AND e.es < iv.hi
+GROUP BY lo, hi
+"""
+
+
+def q_hll_user_sketches(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL, built
+    into Spark ≥3.5): per-(event_type, day) partial sketches union-merged
+    to per-type estimates — the re-aggregatable rollup pattern that lets a
+    100 TB pipeline maintain daily sketches and answer any date-range
+    distinct query by merging bytes instead of rescanning raw events.
+
+    Driver-oracle contract: the estimate itself is sketch-implementation
+    specific, so the query emits the EXACT distinct count plus a
+    self-check that the merged estimate lands within 5 % of it (integer
+    arithmetic), and the oracle pins that flag to TRUE — same pattern as
+    `approx_price_sketch`.
+    """
+    e = read_table(spark, sf, "events")
+    partials = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    merged = partials.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("est") - F.col("n_users_exact")) * 20
+            <= F.col("n_users_exact")
+        ).alias("est_within_5pct"),
+    )
+
+
+ORACLE_HLL_USER_SKETCHES = """
+SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+       TRUE AS est_within_5pct
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_embedding_quantization(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column
+    (`similarity.quantize_embeddings`) — float32→int8 is the 4× scan-byte
+    lever for 100 TB embedding stores. Output is the codes' integer facets
+    (sum/min/max per vector) so the oracle check covers the quantized
+    values themselves, not a rounded proxy.
+    """
+    emb = read_table(spark, sf, "embeddings")
+    return similarity.quantize_embeddings(emb)
+
+
+ORACLE_EMBEDDING_QUANTIZATION = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+), m AS (
+  SELECT vec_id, vd, list_max(list_transform(vd, x -> abs(x))) AS maxabs
+  FROM v
+), c AS (
+  SELECT vec_id, maxabs,
+         list_transform(
+           vd,
+           x -> CASE WHEN maxabs = 0 THEN 0
+                     ELSE CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT)
+                END
+         ) AS codes
+  FROM m
+)
+SELECT vec_id, len(codes) AS n_dims,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       CAST(list_min(codes) AS BIGINT) AS code_min,
+       CAST(list_max(codes) AS BIGINT) AS code_max,
+       CAST(floor(maxabs / 127.0 * 1e6) AS BIGINT) AS scale_micros
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3584,6 +3752,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition_stats": q_doc_repetition_stats,
     "scd1_merge_orders": q_scd1_merge_orders,
     "user_state_history": q_user_state_history,
+    "busy_interval_stats": q_busy_interval_stats,
+    "hll_user_sketches": q_hll_user_sketches,
+    "embedding_quantization": q_embedding_quantization,
 }
 
 ORACLES: dict[str, str] = {
@@ -3679,4 +3850,7 @@ ORACLES: dict[str, str] = {
     "doc_repetition_stats": ORACLE_DOC_REPETITION_STATS,
     "scd1_merge_orders": ORACLE_SCD1_MERGE_ORDERS,
     "user_state_history": ORACLE_USER_STATE_HISTORY,
+    "busy_interval_stats": ORACLE_BUSY_INTERVAL_STATS,
+    "hll_user_sketches": ORACLE_HLL_USER_SKETCHES,
+    "embedding_quantization": ORACLE_EMBEDDING_QUANTIZATION,
 }

@@ -593,3 +593,75 @@ def test_pii_redaction_order_and_counts(spark):
     ).first()
     assert r.clean == "mail <EMAIL> or <IP> or <PHONE> end"
     assert (r.ne, r.ni, r.np) == (1, 1, 1)
+
+
+# --- interval_join ----------------------------------------------------------
+
+def test_interval_join_matches_range_semantics(spark):
+    from statline_bq_spark.operators.relational import interval_join
+
+    points = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([0, 5, 10, 99, 100, 150, 250, 299, 300])],
+        "pid long, x long",
+    )
+    intervals = spark.createDataFrame(
+        [(1, 0, 100), (2, 100, 300), (3, 50, 60), (4, 400, 400)],
+        "iid long, lo long, hi long",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(
+            points, intervals, "x", "lo", "hi", bucket_width=64
+        ).collect()
+    }
+    expect = {
+        (p.pid, i.iid)
+        for p in points.collect()
+        for i in intervals.collect()
+        if i.lo <= p.x < i.hi
+    }
+    assert got == expect
+    # degenerate hi<=lo interval contributed nothing (and didn't blow up
+    # sequence(), which DESCENDS on reversed bounds)
+    assert all(iid != 4 for _, iid in got)
+
+
+def test_interval_join_plans_as_equi_join(spark):
+    """The point of the bucketization: BOTH sides SF-scaled must plan as a
+    shuffled EQUI join on the bucket id, never BroadcastNestedLoopJoin."""
+    from statline_bq_spark.operators.relational import interval_join
+
+    points = spark.range(0, 10_000).select(
+        F.col("id").alias("pid"), (F.col("id") * 7 % 100_000).alias("x")
+    )
+    intervals = spark.range(0, 5_000).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 20).alias("lo"),
+        (F.col("id") * 20 + 40).alias("hi"),
+    )
+    joined = interval_join(points, intervals, "x", "lo", "hi", bucket_width=32)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# --- embedding quantization -------------------------------------------------
+
+def test_quantize_embeddings_codes_and_edge_cases(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, -1.0, 0.5, 0.0]),
+            (2, [0.0, 0.0, 0.0]),       # all-zero → scale 0, codes 0
+            (3, [2.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in similarity.quantize_embeddings(emb).collect()}
+    # vec 1: maxabs=1 → codes 127, -127, floor(63.5+0.5)=64, 0
+    assert out[1].n_dims == 4
+    assert out[1].code_min == -127 and out[1].code_max == 127
+    assert out[1].code_sum == 127 - 127 + 64 + 0
+    assert out[1].scale_micros == int(1.0 / 127.0 * 1e6)
+    assert out[2].code_sum == 0 and out[2].code_min == 0
+    assert out[2].scale_micros == 0
+    assert out[3].code_max == 127 and out[3].n_dims == 1
