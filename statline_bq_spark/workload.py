@@ -3617,6 +3617,20 @@ def q_embedding_quantization(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.quantize_embeddings(emb)
 
 
+def q_quantized_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-pass ANN over int8 codes (`similarity.quantized_rerank_topk`):
+    approximate candidate generation on the 4×-smaller quantized
+    representation, exact re-rank of the survivors. Rows-only vs the
+    driver oracle (BLAS blocked sums, like `ann_cosine_topk_np`); a unit
+    test pins neighbor-set equality with the exact brute force."""
+    emb = read_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = similarity.quantized_rerank_topk(emb, queries, k=5)
+    return out.withColumn("rn", F.col("rn").cast("bigint"))
+
+
 ORACLE_EMBEDDING_QUANTIZATION = """
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
@@ -3755,6 +3769,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "busy_interval_stats": q_busy_interval_stats,
     "hll_user_sketches": q_hll_user_sketches,
     "embedding_quantization": q_embedding_quantization,
+    "quantized_rerank_topk": q_quantized_rerank_topk,
 }
 
 ORACLES: dict[str, str] = {

@@ -665,3 +665,22 @@ def test_quantize_embeddings_codes_and_edge_cases(spark):
     assert out[2].code_sum == 0 and out[2].code_min == 0
     assert out[2].scale_micros == 0
     assert out[3].code_max == 127 and out[3].n_dims == 1
+
+
+def test_quantized_rerank_matches_exact_topk(spark):
+    """The int8-candidate + exact-re-rank path must return the SAME
+    neighbor sets as exact brute force on the test corpus (re-rank is
+    exact, so only a candidate miss could diverge — the 4k margin must
+    absorb all quantization error here)."""
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = similarity.ann_cosine_topk(emb, qs, k=5)
+    quant = similarity.quantized_rerank_topk(emb, qs, k=5)
+    a = {(r.q_id, r.neighbor_id) for r in exact.collect()}
+    b = {(r.q_id, r.neighbor_id) for r in quant.collect()}
+    assert a == b
+    sa = {(r.q_id, r.neighbor_id): r.sim for r in exact.collect()}
+    sb = {(r.q_id, r.neighbor_id): r.sim for r in quant.collect()}
+    assert all(abs(sa[k_] - sb[k_]) < 1e-3 for k_ in sa)
