@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -72,6 +72,78 @@ def session_agg(
         *keys,
         F.date_format(F.col("_first_ts"), TS_FMT).alias(start_alias),
         *agg_cols,
+    )
+
+
+def gap_fill_forward(
+    df: DataFrame,
+    ts_col: str,
+    step: str,
+    key: str,
+    value_col: str,
+    *,
+    start_alias: str = "window_start",
+    count_alias: str = "n_events",
+    fill_alias: str = "filled_value",
+) -> DataFrame:
+    """Resample to a dense per-key time grid and forward-fill the last value.
+
+    The missing half of windowed aggregation: ``tumbling_agg`` only emits
+    buckets that contain events, but downstream consumers (charting,
+    change-point detection, feature windows for training data) need a dense
+    series. Steps:
+
+    1. bucket events into ``step``-sized tumbles (one shuffle, map-side
+       partial agg — shuffle volume is #groups, not #events);
+    2. build the full time spine with ``sequence(min, max, step)`` over a
+       single global-bounds row, exploded — the spine is #buckets rows
+       regardless of input size;
+    3. cross the spine with the distinct key values (both tiny → the join
+       against the bucketed aggregate broadcasts the spine side);
+    4. forward-fill gaps with ``last(value, ignorenulls=True)`` over an
+       UNBOUNDED PRECEDING row frame per key.
+
+    At 100 TB the only full-data pass is step 1; everything after runs on
+    #keys × #buckets rows. The per-key window in step 4 assumes #buckets per
+    key fits one task (time grids do: a decade of hours is 87k rows); if
+    keys are few and grids huge, range-partition on (key, coarse-time) and
+    fill per segment carrying the last value across boundaries.
+
+    Rows before a key's first observation keep NULL in ``fill_alias`` —
+    there is nothing to carry forward; oracle behavior (DuckDB
+    ``last_value(x IGNORE NULLS)``) matches.
+    """
+    interval = F.expr(f"INTERVAL {step}")
+    bucketed = (
+        df.groupBy(F.window(F.col(ts_col), step).alias("_w"), key)
+        .agg(
+            F.count(F.lit(1)).alias(count_alias),
+            F.round(F.sum(value_col), 2).alias("_v"),
+        )
+        .select(F.col("_w.start").alias("_hour"), key, count_alias, "_v")
+    )
+    bounds = df.select(
+        F.window(F.min(ts_col), step).start.alias("_lo"),
+        F.window(F.max(ts_col), step).start.alias("_hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("_lo", "_hi", interval)).alias("_hour")
+    )
+    keys = df.select(key).distinct()
+    grid = spine.crossJoin(keys)
+    fill_w = (
+        Window.partitionBy(key)
+        .orderBy("_hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(bucketed, ["_hour", key], "left")
+        .select(
+            key,
+            F.date_format("_hour", TS_FMT).alias(start_alias),
+            F.coalesce(F.col(count_alias), F.lit(0)).alias(count_alias),
+            F.last("_v", ignorenulls=True).over(fill_w).alias(fill_alias),
+        )
     )
 
 

@@ -1542,6 +1542,42 @@ GROUP BY 1, 2
 """
 
 
+def q_gap_fill_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Dense per-type hourly series with forward-filled values: resample the
+    event log onto the full hour grid (spine = sequence(min,max) crossed with
+    the distinct keys) and carry the last observed bucket total across gaps.
+    Empty buckets report n_events=0 and the carried value (NULL before a
+    key's first observation)."""
+    e = read_table(spark, sf, "events")
+    return timeseries.gap_fill_forward(e, "ts", "1 hour", "event_type", "value")
+
+
+ORACLE_GAP_FILL_HOURLY = """
+WITH b AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
+         count(*) AS n_events, round(sum(value), 2) AS v
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT time_bucket(INTERVAL '1 hour', min(ts)) AS lo,
+         time_bucket(INTERVAL '1 hour', max(ts)) AS hi
+  FROM events
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS h FROM bounds
+), grid AS (
+  SELECT s.h, k.event_type
+  FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) k
+)
+SELECT g.event_type,
+       strftime(g.h, '%Y-%m-%d %H:%M:%S') AS window_start,
+       coalesce(b.n_events, 0) AS n_events,
+       last_value(b.v IGNORE NULLS)
+         OVER (PARTITION BY g.event_type ORDER BY g.h
+               ROWS UNBOUNDED PRECEDING) AS filled_value
+FROM grid g
+LEFT JOIN b ON b.h = g.h AND b.event_type = g.event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # supplier-side queries, subqueries, skew path, date/string coverage
 # ---------------------------------------------------------------------------
@@ -3707,6 +3743,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_click_before_purchase": q_asof_click_before_purchase,
     "price_band_totals": q_price_band_totals,
     "sliding_6h_stats": q_sliding_6h_stats,
+    "gap_fill_hourly": q_gap_fill_hourly,
     "minhash_neardup_pairs": q_minhash_neardup_pairs,
     "simhash_fingerprints": q_simhash_fingerprints,
     "lsh_ann_topk": q_lsh_ann_topk,
@@ -3818,6 +3855,7 @@ ORACLES: dict[str, str] = {
     "asof_click_before_purchase": ORACLE_ASOF_CLICK_BEFORE_PURCHASE,
     "price_band_totals": ORACLE_PRICE_BAND_TOTALS,
     "sliding_6h_stats": ORACLE_SLIDING_6H_STATS,
+    "gap_fill_hourly": ORACLE_GAP_FILL_HOURLY,
     "supplier_revenue_ranking": ORACLE_SUPPLIER_REVENUE_RANKING,
     "customers_above_nation_avg": ORACLE_CUSTOMERS_ABOVE_NATION_AVG,
     "salted_join_revenue": ORACLE_SALTED_JOIN_REVENUE,
