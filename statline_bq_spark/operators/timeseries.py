@@ -98,8 +98,10 @@ def gap_fill_forward(
     2. build the full time spine with ``sequence(min, max, step)`` over a
        single global-bounds row, exploded — the spine is #buckets rows
        regardless of input size;
-    3. cross the spine with the distinct key values (both tiny → the join
-       against the bucketed aggregate broadcasts the spine side);
+    3. cross the spine with the distinct key values (taken from the bucketed
+       aggregate — no extra scan); the grid→bucketed left join broadcasts
+       the bucketed aggregate (#keys × #non-empty-buckets rows, the only
+       build side Spark's broadcast hash join allows for a left outer);
     4. forward-fill gaps with ``last(value, ignorenulls=True)`` over an
        UNBOUNDED PRECEDING row frame per key.
 
@@ -120,27 +122,30 @@ def gap_fill_forward(
             F.count(F.lit(1)).alias(count_alias),
             F.round(F.sum(value_col), 2).alias("_v"),
         )
-        .select(F.col("_w.start").alias("_hour"), key, count_alias, "_v")
+        .select(F.col("_w.start").alias("_gf_bucket"), key, count_alias, "_v")
     )
-    bounds = df.select(
-        F.window(F.min(ts_col), step).start.alias("_lo"),
-        F.window(F.max(ts_col), step).start.alias("_hi"),
+    # Bounds and distinct keys come from the (small) bucketed aggregate, not
+    # from a rescan of df — the only full-data pass is the groupBy above.
+    # Deriving min/max of the already-windowed bucket starts also sidesteps
+    # Spark's "multiple time window expressions" restriction.
+    bounds = bucketed.select(
+        F.min("_gf_bucket").alias("_gf_lo"), F.max("_gf_bucket").alias("_gf_hi")
     )
     spine = bounds.select(
-        F.explode(F.sequence("_lo", "_hi", interval)).alias("_hour")
+        F.explode(F.sequence("_gf_lo", "_gf_hi", interval)).alias("_gf_bucket")
     )
-    keys = df.select(key).distinct()
+    keys = bucketed.select(key).distinct()
     grid = spine.crossJoin(keys)
     fill_w = (
         Window.partitionBy(key)
-        .orderBy("_hour")
+        .orderBy("_gf_bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        grid.join(bucketed, ["_hour", key], "left")
+        grid.join(F.broadcast(bucketed), ["_gf_bucket", key], "left")
         .select(
             key,
-            F.date_format("_hour", TS_FMT).alias(start_alias),
+            F.date_format("_gf_bucket", TS_FMT).alias(start_alias),
             F.coalesce(F.col(count_alias), F.lit(0)).alias(count_alias),
             F.last("_v", ignorenulls=True).over(fill_w).alias(fill_alias),
         )

@@ -729,7 +729,7 @@ def q_json_props_sum(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_JSON_PROPS_SUM = """
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        count(*) AS n
 FROM events
 GROUP BY event_type
@@ -999,7 +999,7 @@ SELECT component, count(*) AS n_docs FROM labels GROUP BY component""",
 ), losers AS (
   SELECT node AS doc_id FROM labels WHERE node <> component
 )
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 GROUP BY lang""",
@@ -2185,7 +2185,7 @@ def q_json_struct_events(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_JSON_STRUCT_EVENTS = """
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
        count(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS n_null
 FROM events
@@ -2546,7 +2546,7 @@ WITH b AS (
   FROM documents
 )
 SELECT CASE WHEN bucket < 205 THEN 'train' ELSE 'test' END AS split,
-       lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+       lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM b GROUP BY 1, 2
 """
 
@@ -2634,7 +2634,7 @@ SELECT CASE WHEN bucket < 205 THEN 'train' ELSE 'test' END AS split,
        lang,
        count(DISTINCT doc_id) AS n_docs,
        count(*) AS n_chunks,
-       sum(n_tokens) AS total_tokens
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM b GROUP BY 1, 2
 """
 
@@ -2955,10 +2955,10 @@ def q_priority_line_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_PRIORITY_LINE_COUNTS = """
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'

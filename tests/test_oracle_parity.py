@@ -99,3 +99,19 @@ def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF_ORACLE)
     assert df.columns
     df.collect()  # must not raise
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_output_types_hashable(duck, name):
+    """The driver hashes TYPED values: DuckDB ``sum(INTEGER)`` returns
+    HUGEINT (int128), which Spark can never emit, so an uncast integer sum
+    in an oracle's output guarantees a hash mismatch even when every value
+    is identical (round-1 ``json_props_sum`` failure). Gate: no oracle
+    output column may be HUGEINT — wrap in CAST(... AS BIGINT)."""
+    cur = duck.execute(ORACLES[name])
+    bad = [
+        d[0]
+        for d in cur.description
+        if str(d[1]).upper().startswith(("HUGEINT", "INT128", "UHUGEINT"))
+    ]
+    assert not bad, f"{name}: HUGEINT output columns {bad} — CAST AS BIGINT"
