@@ -292,6 +292,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.2,
+    df_cap: int = 128,
 ) -> DataFrame:
     """Exact Jaccard over token n-gram sets for every pair sharing ≥1 shingle.
 
@@ -299,6 +300,18 @@ def ngram_jaccard_pairs(
     count common per pair) is the exact baseline MinHash approximates; its
     cost is Σ bucket² over shingle buckets, so it's the *verification*
     strategy, not the discovery strategy, at 100 TB.
+
+    ``df_cap`` bounds that Σ bucket² blowup: shingles appearing in more
+    than ``df_cap`` documents are dropped from the gram universe (both the
+    common counts AND the per-doc set sizes — Jaccard over *informative*
+    grams) before the self-join. A boilerplate trigram shared by 1M docs
+    would otherwise emit 10¹² join rows from a single key; dropping it
+    loses no discriminative signal (it has none — its presence says
+    nothing about any specific pair), mirroring ``minhash_lsh_pairs``'
+    ``max_bucket_size``. The cap is far above natural-corpus gram
+    frequencies at test scale (max df 25 at sf0.1), so results are
+    unchanged there; the DuckDB oracles mirror the cap so semantics agree
+    at every scale.
 
     Output: (a, b, jaccard) with a < b, jaccard ≥ threshold, rounded to 4.
 
@@ -312,14 +325,21 @@ def ngram_jaccard_pairs(
     # index once (measured ~12% at sf0.1; grows with document count since
     # the recompute is a per-doc window sort)
     inv = inv.localCheckpoint(eager=True)
+    ok = (
+        inv.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= df_cap)
+        .select("_g")
+    )
+    capped = inv.join(ok, "_g", "leftsemi").localCheckpoint(eager=True)
     pairs = (
-        inv.select(F.col("_g"), F.col("_id").alias("a"))
-        .join(inv.select(F.col("_g"), F.col("_id").alias("b")), "_g")
+        capped.select(F.col("_g"), F.col("_id").alias("a"))
+        .join(capped.select(F.col("_g"), F.col("_id").alias("b")), "_g")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    return _jaccard_from_common(pairs, shingle_set_sizes(inv), threshold)
+    return _jaccard_from_common(pairs, shingle_set_sizes(capped), threshold)
 
 
 # --------------------------------------------------------------------------

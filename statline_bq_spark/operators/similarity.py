@@ -272,6 +272,90 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_blocked(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    n_blocks: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Exact cosine near-duplicate pairs via block-grid equi-joins — the
+    100 TB shape of brute-force all-pairs.
+
+    ``cosine_pairs``' ``a.join(b, a<b)`` compiles to a
+    BroadcastNestedLoopJoin: one side is broadcast whole and every executor
+    re-scans it per row — unusable beyond a few thousand vectors. This
+    operator keeps the *exact* semantics (identical output, same rounded
+    JVM cosine expression) but restructures the O(N²) compare as blocked
+    matrix multiplication:
+
+    1. each vector gets a deterministic block id ``xxhash64(id) % P``;
+    2. a P(P+1)/2-row block-pair grid (bi ≤ bj) is built driver-side and
+       broadcast;
+    3. vectors join the grid on their block id (BroadcastHashJoin), then
+       equi-join the other side on the partner block id — every unordered
+       vector pair is produced exactly once (same-block pairs dedup on
+       id order);
+    4. the exact JVM cosine + threshold filter runs per candidate.
+
+    Cost model: data moved ≈ N·(P+1)/2 rows (each block participates in P
+    block-pairs), compute = the same N²/2 cosines but spread evenly over
+    P(P+1)/2 independent tasks — no broadcast of the full table, no nested
+    re-scan, AQE-splittable. Choose P ≈ max(shuffle partitions, N·dim·8 /
+    executor-memory-budget) so one block pair fits in memory.
+
+    Why not sign-LSH candidates here: at moderate thresholds (e.g. 0.4)
+    the per-bit collision probability is 1-arccos(t)/π ≈ 0.63, so any
+    table count that keeps recall at 1.0 (required: this op's contract is
+    *exact*) generates more candidates than the blocked exact compare.
+    LSH (``lsh_bucket_topk``) is the right tool for high-threshold/top-k
+    workloads, not exact moderate-threshold pair enumeration. A metric
+    pruning layer (k-means cells + spherical triangle inequality
+    ``sim(x,y) ≤ cos(θ_cells − r1 − r2)``) composes with this blocking for
+    clustered corpora, but on near-uniform data (cell radii ~80°) it
+    prunes nothing, so it is not the default.
+    """
+    spark = df.sparkSession
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "_bi int, _bj int",
+    )
+    left = df.select(
+        F.col(id_col).alias("_xid"),
+        F.col(vec_col).alias("_xv"),
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_blocks))
+        .cast("int")
+        .alias("_xb"),
+    )
+    right = df.select(
+        F.col(id_col).alias("_yid"),
+        F.col(vec_col).alias("_yv"),
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_blocks))
+        .cast("int")
+        .alias("_yb"),
+    )
+    cand = (
+        left.join(F.broadcast(grid), left["_xb"] == grid["_bi"])
+        .join(right, F.col("_bj") == right["_yb"])
+        .filter(
+            (F.col("_bi") < F.col("_bj")) | (F.col("_xid") < F.col("_yid"))
+        )
+    )
+    return (
+        cand.withColumn(
+            "sim", F.round(cosine_similarity(F.col("_xv"), F.col("_yv")), 4)
+        )
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.least("_xid", "_yid").alias("a"),
+            F.greatest("_xid", "_yid").alias("b"),
+            "sim",
+        )
+    )
+
+
 def centroids_by_label(
     df: DataFrame,
     *,

@@ -903,11 +903,15 @@ WITH toks AS (
 ), sh AS (
   SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS g
   FROM idx
+), gok AS (
+  SELECT g FROM sh GROUP BY g HAVING count(*) <= 128
+), shc AS (
+  SELECT sh.doc_id, sh.g FROM sh JOIN gok USING (g)
 ), sz AS (
-  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+  SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id
 ), pairs AS (
   SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
-  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+  FROM shc x JOIN shc y ON x.g = y.g AND x.doc_id < y.doc_id
   GROUP BY 1, 2
 )
 SELECT a, b,
@@ -943,11 +947,15 @@ WITH RECURSIVE toks AS (
 ), sh AS (
   SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS g
   FROM idx
+), gok AS (
+  SELECT g FROM sh GROUP BY g HAVING count(*) <= 128
+), shc AS (
+  SELECT sh.doc_id, sh.g FROM sh JOIN gok USING (g)
 ), sz AS (
-  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+  SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id
 ), pairs AS (
   SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
-  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+  FROM shc x JOIN shc y ON x.g = y.g AND x.doc_id < y.doc_id
   GROUP BY 1, 2
 ), p AS (
   SELECT a, b FROM pairs
@@ -1050,9 +1058,13 @@ QUALIFY rn <= 5
 
 
 def q_cosine_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above a similarity threshold."""
+    """Embedding-cosine near-duplicate pairs above a similarity threshold.
+
+    Exact semantics (oracle: true all-pairs SQL) through the blocked
+    equi-join shape — no BroadcastNestedLoopJoin; the plain all-pairs
+    ``similarity.cosine_pairs`` stays as the test-only baseline."""
     emb = read_table(spark, sf, "embeddings")
-    return similarity.cosine_pairs(emb, threshold=0.4)
+    return similarity.cosine_pairs_blocked(emb, threshold=0.4)
 
 
 ORACLE_COSINE_NEAR_DUP_PAIRS = """

@@ -305,3 +305,14 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cosine_near_dup_pairs_has_no_nested_loop_join(spark):
+    plan = explain_str(workload.q_cosine_near_dup_pairs(spark, SF_SMOKE))
+    # exact all-pairs must run as the blocked grid equi-join (distributed
+    # matmul shape), never as an O(N^2) BroadcastNestedLoopJoin that
+    # broadcasts the whole table and re-scans it per row.
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the block-pair grid itself is the only broadcast (bounded: P(P+1)/2)
+    assert "BroadcastHashJoin" in plan

@@ -166,3 +166,31 @@ def test_udtf_chunker_matches_reference(spark, texts):
         got.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk, r.n_tokens))
     for i, t in enumerate(texts):
         assert sorted(got[i]) == _ref_chunks(t), (i, t)
+
+
+def test_ngram_jaccard_df_cap_bounds_boilerplate_blowup(spark):
+    """A shingle shared by every document must not quadratic-blow the
+    inverted-index self-join: with df_cap below the corpus size the
+    boilerplate gram is dropped from the gram universe, so pairs whose only
+    overlap is boilerplate disappear while genuinely-overlapping pairs
+    (distinct shared grams) keep their informative-gram Jaccard."""
+    from statline_bq_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "lorem ipsum dolor"
+    rows = [(i, f"{boiler} unique{i} tail{i} end{i}") for i in range(40)]
+    # two true near-dups sharing informative grams beyond the boilerplate
+    rows += [(100, f"{boiler} alpha beta gamma delta"),
+             (101, f"{boiler} alpha beta gamma delta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(df, shingle_n=3, threshold=0.05, df_cap=8)
+    got = {(r["a"], r["b"]): r["jaccard"] for r in capped.collect()}
+    # the 40 boilerplate-only docs share ONLY capped grams -> no pairs
+    assert all(a == 100 and b == 101 for (a, b) in got), got
+    # the true pair survives with Jaccard over informative grams = 1.0
+    assert got[(100, 101)] == 1.0
+
+    # uncapped baseline would emit a pair for every boilerplate doc combo
+    uncapped = ngram_jaccard_pairs(df, shingle_n=3, threshold=0.05,
+                                   df_cap=10**9)
+    assert uncapped.count() > len(got)
