@@ -2242,31 +2242,180 @@ FROM embeddings
 # ---------------------------------------------------------------------------
 
 def q_minhash_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH near-dup discovery, emitted as an oracle-checkable
+    QUALITY CONTRACT (the `hll_user_sketches` pattern): the hash-dependent
+    pair set itself is not SQL-derivable, so the query joins the LSH pairs
+    against the exact capped-gram Jaccard pairs (`ngram_jaccard_pairs`,
+    the ground truth MinHash approximates) and emits the exact true-pair
+    count plus pinned recall/precision ≥ 0.8 booleans (integer
+    arithmetic; measured 1.0/1.0 at sf0.01). The raw pair output stays
+    available via `dedup.minhash_lsh_pairs` and is unit-tested."""
     d = read_table(spark, sf, "documents")
-    return dedup.minhash_lsh_pairs(d, jaccard_threshold=0.3)
+    true_pairs = dedup.ngram_jaccard_pairs(
+        d, shingle_n=3, threshold=0.3
+    ).select("a", "b")
+    mh = dedup.minhash_lsh_pairs(d, jaccard_threshold=0.3).select("a", "b")
+    hits = mh.join(true_pairs, ["a", "b"])
+    counts = (
+        true_pairs.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+        .crossJoin(mh.agg(F.count(F.lit(1)).alias("_n_mh")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("_n_hit")))
+    )
+    return counts.select(
+        "n_true_pairs",
+        (F.col("_n_hit") * 5 >= F.col("n_true_pairs") * 4).alias(
+            "recall_ge_80pct"
+        ),
+        (F.col("_n_hit") * 5 >= F.col("_n_mh") * 4).alias(
+            "precision_ge_80pct"
+        ),
+    )
 
 
 def q_simhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash fingerprints, as an oracle-checkable invariant: fingerprints
+    are hash-defined (not SQL-derivable), but identical texts MUST map to
+    identical 64-bit fingerprints — the property exact dedup relies on.
+    Emits the exact doc/text-group counts plus that pinned invariant; the
+    raw (doc_id, simhash) output stays available via
+    `dedup.simhash_fingerprints` and is unit-tested."""
     d = read_table(spark, sf, "documents")
-    return dedup.simhash_fingerprints(d)
+    fp = dedup.simhash_fingerprints(d)
+    per_text = (
+        d.join(fp, "doc_id")
+        .groupBy("text")
+        .agg(F.countDistinct("simhash").alias("_nfp"))
+    )
+    return (
+        d.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(
+            per_text.agg(
+                F.count(F.lit(1)).alias("n_text_groups"),
+                (F.max("_nfp") <= 1).alias("exact_dups_share_fp"),
+            )
+        )
+        .select("n_docs", "n_text_groups", "exact_dups_share_fp")
+    )
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Sign-LSH ANN as an oracle-checkable recall contract: the bucketed
+    top-k joins against the exact `ann_cosine_topk` baseline and the query
+    emits SQL-derivable counts plus a pinned recall@5 ≥ 0.8 flag
+    (bits=4/tables=32 measures 0.98 at sf0.01 — near-uniform 64-d vectors
+    are sign-LSH's hard case, per-bit collision ~0.63 at the ~63° angles
+    of true neighbors, hence the high table count). Raw per-pair output
+    stays available via `similarity.lsh_bucket_topk`."""
     emb = read_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    return similarity.lsh_bucket_topk(emb, queries, k=5)
+    exact = similarity.ann_cosine_topk(emb, queries, k=5).select(
+        "q_id", "neighbor_id"
+    )
+    approx = similarity.lsh_bucket_topk(
+        emb, queries, k=5, bits=4, tables=32
+    ).select("q_id", "neighbor_id")
+    hits = approx.join(exact, ["q_id", "neighbor_id"])
+    return (
+        exact.agg(
+            F.countDistinct("q_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_exact_pairs"),
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("_n_hit")))
+        .select(
+            "n_queries",
+            "n_exact_pairs",
+            (F.col("_n_hit") * 5 >= F.col("n_exact_pairs") * 4).alias(
+                "recall_at_5_ge_80pct"
+            ),
+        )
+    )
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-style ANN (approximate — probes nprobe inverted lists, so recall
-    < 1 ⇒ rows-only check)."""
+    """IVF ANN as an oracle-checkable recall contract (see q_lsh_ann_topk):
+    probing 6 of the 10 label-mean inverted lists measures recall@5 = 0.80
+    at sf0.01 (uniform data is IVF's worst case — neighbors spread across
+    cells), pinned at ≥ 0.7. Raw output via `similarity.ivf_topk`."""
     emb = read_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    return similarity.ivf_topk(emb, queries, k=5, nprobe=2)
+    exact = similarity.ann_cosine_topk(emb, queries, k=5).select(
+        "q_id", "neighbor_id"
+    )
+    approx = similarity.ivf_topk(emb, queries, k=5, nprobe=6).select(
+        "q_id", "neighbor_id"
+    )
+    hits = approx.join(exact, ["q_id", "neighbor_id"])
+    return (
+        exact.agg(
+            F.countDistinct("q_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_exact_pairs"),
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("_n_hit")))
+        .select(
+            "n_queries",
+            "n_exact_pairs",
+            (F.col("_n_hit") * 10 >= F.col("n_exact_pairs") * 7).alias(
+                "recall_at_5_ge_70pct"
+            ),
+        )
+    )
+
+
+ORACLE_MINHASH_NEARDUP_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), idx AS (
+  SELECT doc_id, t, unnest(range(0, greatest(len(t) - 2, 0))) AS i FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS g
+  FROM idx
+), gok AS (
+  SELECT g FROM sh GROUP BY g HAVING count(*) <= 128
+), shc AS (
+  SELECT sh.doc_id, sh.g FROM sh JOIN gok USING (g)
+), sz AS (
+  SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id
+), pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+  FROM shc x JOIN shc y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT count(*) AS n_true_pairs,
+       TRUE AS recall_ge_80pct,
+       TRUE AS precision_ge_80pct
+FROM pairs
+JOIN sz sa ON sa.doc_id = a
+JOIN sz sb ON sb.doc_id = b
+WHERE round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 4) >= 0.3
+"""
+
+
+ORACLE_SIMHASH_FINGERPRINTS = """
+SELECT count(*) AS n_docs,
+       count(DISTINCT text) AS n_text_groups,
+       TRUE AS exact_dups_share_fp
+FROM documents
+"""
+
+
+ORACLE_LSH_ANN_TOPK = """
+SELECT count(*) AS n_queries,
+       count(*) * 5 AS n_exact_pairs,
+       TRUE AS recall_at_5_ge_80pct
+FROM embeddings WHERE vec_id < 10
+"""
+
+
+ORACLE_IVF_ANN_TOPK = """
+SELECT count(*) AS n_queries,
+       count(*) * 5 AS n_exact_pairs,
+       TRUE AS recall_at_5_ge_70pct
+FROM embeddings WHERE vec_id < 10
+"""
 
 
 def q_kmeans_doc_clusters(spark: SparkSession, sf: str) -> DataFrame:
@@ -3852,6 +4001,10 @@ ORACLES: dict[str, str] = {
     "quality_scores": ORACLE_QUALITY_SCORES,
     "lang_id": ORACLE_LANG_ID,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD_PAIRS,
+    "minhash_neardup_pairs": ORACLE_MINHASH_NEARDUP_PAIRS,
+    "simhash_fingerprints": ORACLE_SIMHASH_FINGERPRINTS,
+    "lsh_ann_topk": ORACLE_LSH_ANN_TOPK,
+    "ivf_ann_topk": ORACLE_IVF_ANN_TOPK,
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "cosine_near_dup_pairs": ORACLE_COSINE_NEAR_DUP_PAIRS,
     "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
