@@ -84,3 +84,50 @@ def test_catalog_endpoint_registers_tables(spark, tmp_path, dataset):
     comments = {f.name: f.metadata.get("comment") for f in tbl.schema.fields}
     assert comments["n_name"] == "nation name"
     spark.sql("DROP DATABASE IF EXISTS cbs_v3_T1 CASCADE")
+
+
+def test_cli_lands_dataset_from_local_parquet(spark, tmp_path):
+    """S26 console-script parity (reference cli.py:36-87): config-driven
+    env target, dataset-id arg, offline --tables-from landing, and the
+    second run skipping via the incremental Modified check."""
+    import json
+
+    from click.testing import CliRunner
+
+    from statline_bq_spark.cli import upload_datasets
+
+    src = tmp_path / "src"
+    src.mkdir()
+    read_table(spark, SF_SMOKE, "region").write.parquet(str(src / "Regio.parquet"))
+    (src / "T9_Metadata.json").write_text(
+        json.dumps({"Identifier": "T9", "Modified": "2024-01-01T00:00:00"})
+    )
+    store = tmp_path / "store"
+    cfg = tmp_path / "config.toml"
+    cfg.write_text(
+        f'datasets = ["T9"]\n[envs.dev]\nstorage_root = "{store}"\n'
+    )
+
+    runner = CliRunner()
+    res = runner.invoke(
+        upload_datasets, ["--config", str(cfg), "--tables-from", str(src)]
+    )
+    assert res.exit_code == 0, res.output
+    assert "T9: landed 1 files" in res.output
+    assert "Finished processing datasets." in res.output
+    landed = list(store.rglob("*.parquet"))
+    assert landed, "no parquet landed under the storage root"
+
+    # unchanged Modified -> skip; --force -> reprocess
+    res2 = runner.invoke(
+        upload_datasets, ["--config", str(cfg), "--tables-from", str(src)]
+    )
+    assert res2.exit_code == 0, res2.output
+    assert "T9: skipped (unchanged)" in res2.output
+    res3 = runner.invoke(
+        upload_datasets,
+        ["--config", str(cfg), "--dataset-id", "T9", "--force",
+         "--tables-from", str(src)],
+    )
+    assert res3.exit_code == 0, res3.output
+    assert "T9: landed 1 files" in res3.output
