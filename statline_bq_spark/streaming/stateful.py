@@ -186,6 +186,29 @@ def user_type_counts_tws(
             "(its state server speaks protobuf); install protobuf or use "
             "user_type_counts() which runs on applyInPandasWithState."
         ) from exc
+    return (
+        events.select("user_id", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=make_type_counts_processor(ttl_ms=ttl_ms),
+            outputStructType=TYPE_COUNTS_SCHEMA,
+            outputMode="update",
+            timeMode="ProcessingTime",
+        )
+    )
+
+
+def make_type_counts_processor(*, ttl_ms: int = 60 * 60 * 1000):
+    """Build the ``StatefulProcessor`` for :func:`user_type_counts_tws`.
+
+    Defined as a factory (closure — cloudpickle ships it by value) and
+    SEPARATE from the protobuf query gate so the processor's state logic
+    is unit-testable without the TWS runtime: ``StatefulProcessor`` and
+    ``StatefulProcessorHandle`` are plain Python ABCs; only the running
+    query's state *server* needs protobuf. Tests drive
+    ``init``/``handleInputRows`` against a fake MapState handle and check
+    multi-batch accumulation (tests/test_streaming.py).
+    """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -203,7 +226,7 @@ def user_type_counts_tws(
                 for et, cnt in pdf["event_type"].value_counts().items():
                     touched[et] = touched.get(et, 0) + int(cnt)
             out = []
-            for et, add in touched.items():
+            for et, add in sorted(touched.items()):
                 prev = self._counts.getValue((et,))
                 n = (prev[0] if prev else 0) + add
                 self._counts.updateValue((et,), (n,))
@@ -219,16 +242,7 @@ def user_type_counts_tws(
         def close(self) -> None:
             pass
 
-    return (
-        events.select("user_id", "event_type")
-        .groupBy("user_id")
-        .transformWithStateInPandas(
-            statefulProcessor=TypeCounts(),
-            outputStructType=TYPE_COUNTS_SCHEMA,
-            outputMode="update",
-            timeMode="ProcessingTime",
-        )
-    )
+    return TypeCounts()
 
 
 def _tws_unavailable_reason() -> str | None:

@@ -313,3 +313,66 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir):
         ).select("p_user", "click_id", "purchase_id").collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_tws_processor_logic_accumulates_across_batches(spark):
+    """Exercise the transformWithState processor's state logic WITHOUT the
+    TWS runtime (whose state server needs protobuf): drive
+    init/handleInputRows against a fake MapState over three micro-batches
+    and check per-(user, type) accumulation — the same semantics the
+    applyInPandasWithState twin (test_stateful_user_type_counts) verifies
+    end-to-end."""
+    import pandas as pd
+
+    from statline_bq_spark.streaming import stateful
+
+    class FakeMapState:
+        def __init__(self):
+            self.d = {}
+
+        def getValue(self, key):
+            return self.d.get(key)
+
+        def updateValue(self, key, value):
+            self.d[key] = value
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeMapState()
+            self.ttl = None
+
+        def getMapState(self, name, key_schema, value_schema, ttlDurationMs):
+            self.ttl = ttlDurationMs
+            return self.state
+
+    proc = stateful.make_type_counts_processor(ttl_ms=1234)
+    handle = FakeHandle()
+    proc.init(handle)
+    assert handle.ttl == 1234
+
+    batches = [
+        pd.DataFrame({"event_type": ["click", "click", "view"]}),
+        pd.DataFrame({"event_type": ["view"]}),
+        pd.DataFrame({"event_type": ["click", "purchase"]}),
+    ]
+    emitted = []
+    for b in batches:
+        emitted.extend(
+            pd.concat(list(proc.handleInputRows((7,), [b], None))).to_dict(
+                "records"
+            )
+        )
+    proc.close()
+
+    # final state: running totals per event_type under user 7
+    assert handle.state.d == {
+        ("click",): (3,),
+        ("view",): (2,),
+        ("purchase",): (1,),
+    }
+    # each batch emitted the refreshed running count, keyed by the user
+    assert {(r["user_id"], r["event_type"], r["n"]) for r in emitted} == {
+        (7, "click", 2), (7, "view", 1),
+        (7, "view", 2),
+        (7, "click", 3), (7, "purchase", 1),
+    }
