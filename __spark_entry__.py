@@ -52,11 +52,16 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so the
-    driver's bounded correctness window covers not-yet-verified entries."""
+    driver's bounded correctness window covers not-yet-verified entries —
+    oracle-backed ones first (they get the full rows+schema+hash check;
+    rows-only entries would waste window slots on a weaker check)."""
     q = workload.QUERIES
-    order = [k for k in q if k not in _DRIVER_VERIFIED] + [
-        k for k in q if k in _DRIVER_VERIFIED
-    ]
+    oracles = workload.ORACLES
+    order = (
+        [k for k in q if k not in _DRIVER_VERIFIED and k in oracles]
+        + [k for k in q if k not in _DRIVER_VERIFIED and k not in oracles]
+        + [k for k in q if k in _DRIVER_VERIFIED]
+    )
     return {k: q[k] for k in order}
 
 

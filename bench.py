@@ -43,11 +43,11 @@ BENCH_QUERIES = (
     "cube_order_stats",
     "price_percentiles",
     "dedup_exact_docs",
-    "minhash_neardup_pairs",
+    "minhash_pairs_raw",
     "ngram_jaccard_pairs",
     "simhash_neardup_pairs",
     "ann_cosine_topk",
-    "ivf_ann_topk",
+    "ivf_topk_raw",
     "embedding_centroids",
     "token_stats",
     "quality_scores",

@@ -2418,6 +2418,25 @@ FROM embeddings WHERE vec_id < 10
 """
 
 
+def q_minhash_pairs_raw(spark: SparkSession, sf: str) -> DataFrame:
+    """Raw MinHash-LSH pair output — the operator as a pipeline runs it
+    (bench headline; hash-based ⇒ rows-only). Its correctness is proven by
+    the `minhash_neardup_pairs` recall/precision contract against exact
+    capped-gram Jaccard."""
+    d = read_table(spark, sf, "documents")
+    return dedup.minhash_lsh_pairs(d, jaccard_threshold=0.3)
+
+
+def q_ivf_topk_raw(spark: SparkSession, sf: str) -> DataFrame:
+    """Raw IVF ANN top-k output (bench headline; approximate ⇒ rows-only).
+    Correctness proven by the `ivf_ann_topk` recall contract."""
+    emb = read_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, queries, k=5, nprobe=6)
+
+
 def q_kmeans_doc_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embedding corpus (farthest-first
     init, BLAS partial-sum iterations), then a zero-shuffle JVM assignment
@@ -3909,6 +3928,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_fingerprints": q_simhash_fingerprints,
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
+    "minhash_pairs_raw": q_minhash_pairs_raw,
+    "ivf_topk_raw": q_ivf_topk_raw,
     "kmeans_doc_clusters": q_kmeans_doc_clusters,
     "ivf_kmeans_topk": q_ivf_kmeans_topk,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
