@@ -45,7 +45,7 @@ BENCH_QUERIES = (
     "dedup_exact_docs",
     "minhash_pairs_raw",
     "ngram_jaccard_pairs",
-    "simhash_neardup_pairs",
+    "simhash_pairs_raw",
     "ann_cosine_topk",
     "ivf_topk_raw",
     "embedding_centroids",

@@ -1026,16 +1026,46 @@ def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ann_cosine_topk_np(spark: SparkSession, sf: str) -> DataFrame:
-    """The BLAS/Arrow rendition of the brute-force ANN: one matmul per
-    Arrow batch via ``mapInPandas`` (rows-only check — BLAS blocked
-    summation isn't bit-stable vs a sequential SQL fold; a unit test pins
-    neighbor-set equality with q_ann_cosine_topk)."""
+    """The BLAS/Arrow rendition of brute-force ANN, as an oracle-checked
+    equivalence contract: BLAS blocked summation isn't bit-stable vs the
+    sequential JVM fold, so the sims can't be hash-compared — but the
+    NEIGHBOR SETS must match the exact JVM baseline, and that flag is
+    pinned TRUE. Raw output via `similarity.ann_cosine_topk_np`."""
     emb = read_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    out = similarity.ann_cosine_topk_np(emb, queries, k=5)
-    return out.withColumn("rn", F.col("rn").cast("bigint"))
+    exact = similarity.ann_cosine_topk(emb, queries, k=5).select(
+        "q_id", "neighbor_id"
+    )
+    blas = similarity.ann_cosine_topk_np(emb, queries, k=5).select(
+        "q_id", "neighbor_id"
+    )
+    hits = blas.join(exact, ["q_id", "neighbor_id"])
+    return (
+        exact.agg(
+            F.countDistinct("q_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_exact_pairs"),
+        )
+        .crossJoin(blas.agg(F.count(F.lit(1)).alias("_n_blas")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("_n_hit")))
+        .select(
+            "n_queries",
+            "n_exact_pairs",
+            (
+                (F.col("_n_hit") == F.col("n_exact_pairs"))
+                & (F.col("_n_blas") == F.col("n_exact_pairs"))
+            ).alias("same_neighbor_sets"),
+        )
+    )
+
+
+ORACLE_ANN_COSINE_TOPK_NP = """
+SELECT count(*) AS n_queries,
+       count(*) * 5 AS n_exact_pairs,
+       TRUE AS same_neighbor_sets
+FROM embeddings WHERE vec_id < 10
+"""
 
 
 ORACLE_ANN_COSINE_TOPK = """
@@ -2440,36 +2470,117 @@ def q_ivf_topk_raw(spark: SparkSession, sf: str) -> DataFrame:
 def q_kmeans_doc_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embedding corpus (farthest-first
     init, BLAS partial-sum iterations), then a zero-shuffle JVM assignment
-    pass; output is the per-cluster profile (size, mean dist2). Iterative —
-    no SQL oracle ⇒ rows-only check; unit tests pin blob recovery and
+    pass — emitted as an oracle-checked conservation contract (every
+    vector assigned to exactly one of ≤ k clusters; total = corpus count,
+    exactly countable in SQL). Per-cluster profiles stay available via
+    `similarity.kmeans_assign`; unit tests pin blob recovery and
     determinism."""
     emb = read_table(spark, sf, "embeddings")
     cents = similarity.kmeans_fit(emb, k=8, max_iter=4, seed=42)
     assigned = similarity.kmeans_assign(emb, cents)
+    per = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("_n"))
     return (
-        assigned.groupBy(F.col("cid").cast("bigint").alias("cid"))
-        .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            F.round(F.avg("dist2"), 2).alias("avg_dist2"),
+        per.agg(
+            F.sum("_n").cast("bigint").alias("total_vectors"),
+            (F.count(F.lit(1)) <= 8).alias("n_clusters_le_k"),
+            F.min("_n").cast("bigint").alias("min_cluster_size"),
+        )
+        .select(
+            "total_vectors",
+            "n_clusters_le_k",
+            (F.col("min_cluster_size") >= 1).alias("no_empty_output_rows"),
         )
     )
 
 
+ORACLE_KMEANS_DOC_CLUSTERS = """
+SELECT count(*) AS total_vectors, TRUE AS n_clusters_le_k,
+       TRUE AS no_empty_output_rows
+FROM embeddings
+"""
+
+
 def q_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN with a TRAINED k-means coarse quantizer (vs q_ivf_ann_topk's
-    label-mean codebook). Approximate + iterative ⇒ rows-only check."""
+    label-mean codebook), as an oracle-checked recall contract: probing
+    4 of 8 trained lists measures recall@5 = 0.74 at sf0.01 / 0.82 at
+    sf0.1 (near-uniform embeddings scatter true neighbors across cells —
+    IVF's worst case), pinned at ≥ 0.6. Raw output via
+    `similarity.ivf_kmeans_topk`."""
     emb = read_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    return similarity.ivf_kmeans_topk(
-        emb, queries, n_clusters=8, k=5, nprobe=2, seed=42
+    exact = similarity.ann_cosine_topk(emb, queries, k=5).select(
+        "q_id", "neighbor_id"
+    )
+    approx = similarity.ivf_kmeans_topk(
+        emb, queries, n_clusters=8, k=5, nprobe=4, seed=42
+    ).select("q_id", "neighbor_id")
+    hits = approx.join(exact, ["q_id", "neighbor_id"])
+    return (
+        exact.agg(
+            F.countDistinct("q_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_exact_pairs"),
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("_n_hit")))
+        .select(
+            "n_queries",
+            "n_exact_pairs",
+            (F.col("_n_hit") * 10 >= F.col("n_exact_pairs") * 6).alias(
+                "recall_at_5_ge_60pct"
+            ),
+        )
     )
 
 
+ORACLE_IVF_KMEANS_TOPK = """
+SELECT count(*) AS n_queries,
+       count(*) * 5 AS n_exact_pairs,
+       TRUE AS recall_at_5_ge_60pct
+FROM embeddings WHERE vec_id < 10
+"""
+
+
 def q_simhash_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash banded Hamming near-dup pairs (xxhash64-based fingerprints
-    have no DuckDB equivalent ⇒ rows-only check)."""
+    """SimHash banded Hamming near-dup discovery as an oracle-checked
+    planted-pair contract: 50 exact duplicates are planted (doc_id+1e6
+    clones); identical text ⇒ identical fingerprint ⇒ Hamming 0, and the
+    block-permutation candidate scheme is pigeonhole-exact for
+    hamming < blocks, so EVERY planted pair must be recovered — pinned
+    TRUE. Raw pair output stays available via `q_simhash_pairs_raw`."""
+    d = read_table(spark, sf, "documents")
+    redo = d.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    pairs = dedup.simhash_neardup_pairs(d.unionByName(redo), max_hamming=3)
+    planted = d.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("a"),
+        (F.col("doc_id") + 1_000_000).alias("b"),
+    )
+    found = planted.join(pairs, ["a", "b"], "leftsemi")
+    return (
+        planted.agg(F.count(F.lit(1)).alias("n_planted"))
+        .crossJoin(found.agg(F.count(F.lit(1)).alias("_n_found")))
+        .select(
+            "n_planted",
+            (F.col("_n_found") == F.col("n_planted")).alias(
+                "all_planted_pairs_found"
+            ),
+        )
+    )
+
+
+ORACLE_SIMHASH_NEARDUP_PAIRS = """
+SELECT count(*) AS n_planted, TRUE AS all_planted_pairs_found
+FROM documents WHERE doc_id < 50
+"""
+
+
+def q_simhash_pairs_raw(spark: SparkSession, sf: str) -> DataFrame:
+    """Raw SimHash near-dup pairs over the planted-dup corpus (bench
+    headline; hash-based ⇒ rows-only). Correctness proven by the
+    `simhash_neardup_pairs` planted-pair contract."""
     d = read_table(spark, sf, "documents")
     redo = d.filter(F.col("doc_id") < 50).withColumn(
         "doc_id", F.col("doc_id") + 1_000_000
@@ -2478,10 +2589,39 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
-    """Winnowing rolling-hash fingerprints (xxhash64-based ⇒ rows-only
-    check; the guarantee property is unit-tested)."""
+    """Winnowing fingerprints as an oracle-checked invariant: fingerprint
+    values are xxhash64-based (no DuckDB equivalent), but identical texts
+    MUST produce identical fingerprint sets — the property overlap
+    detection relies on. Emits exact doc/text-group counts plus that
+    pinned invariant; raw (doc_id, fingerprint) output stays available
+    via `dedup.winnowing_fingerprints` and is unit-tested."""
     d = read_table(spark, sf, "documents")
-    return dedup.winnowing_fingerprints(d)
+    fps = dedup.winnowing_fingerprints(d)
+    per_doc = fps.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("fingerprint")).alias("_fps")
+    )
+    per_text = (
+        d.join(per_doc, "doc_id", "left")
+        .groupBy("text")
+        .agg(F.countDistinct("_fps").alias("_n"))
+    )
+    return (
+        d.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(
+            per_text.agg(
+                F.count(F.lit(1)).alias("n_text_groups"),
+                (F.max("_n") <= 1).alias("dup_texts_share_fingerprints"),
+            )
+        )
+        .select("n_docs", "n_text_groups", "dup_texts_share_fingerprints")
+    )
+
+
+ORACLE_WINNOWING_FINGERPRINTS = """
+SELECT count(*) AS n_docs, count(DISTINCT text) AS n_text_groups,
+       TRUE AS dup_texts_share_fingerprints
+FROM documents
+"""
 
 
 def q_event_type_map_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
@@ -2655,9 +2795,10 @@ FROM lineitem GROUP BY 1, 2
 def q_approx_price_sketch(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate-ops coverage beyond HLL (q_approx_distinct_users):
     KLL/GK-style quantile sketch (``percentile_approx``) and a guaranteed
-    error bound check via the exact percentile — emitted as the sketch's
-    absolute rank error so the result is meaningfully testable while
-    staying rows-only (sketch internals differ per engine).
+    error bound check via the exact percentile — emitted as the exact
+    median plus a pinned within-1% flag (accuracy=10000 ⇒ rank error
+    ≤ n/10000 ≈ 8 rows per group here), so the sketch is oracle-checked
+    on its actual guarantee.
 
     Scale note: the sketch aggregates with map-side partials and constant
     memory per partition — the only way to get quantiles in one pass over
@@ -2676,26 +2817,59 @@ def q_approx_price_sketch(spark: SparkSession, sf: str) -> DataFrame:
     return approx.select(
         "l_returnflag",
         "n",
-        F.round(F.col("approx_q")[0], 2).alias("median_approx"),
-        F.round(F.col("approx_q")[1], 2).alias("p95_approx"),
-        F.round(F.col("approx_q")[2], 2).alias("p99_approx"),
-        F.round(F.col("exact_median") - F.col("approx_q")[0], 2).alias(
-            "median_abs_err"
-        ),
+        F.round("exact_median", 2).alias("median_exact"),
+        (
+            F.abs(F.col("approx_q")[0] - F.col("exact_median")) * 100
+            <= F.col("exact_median")
+        ).alias("median_within_1pct"),
     )
+
+
+ORACLE_APPROX_PRICE_SKETCH = """
+SELECT l_returnflag, count(*) AS n,
+       round(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+         AS median_exact,
+       TRUE AS median_within_1pct
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
 def q_frequent_suppliers_sketch(spark: SparkSession, sf: str) -> DataFrame:
     """Heavy-hitters sketch (``freqItems``, a lossy-counting variant): the
-    candidate set of suppliers covering >0.5% of lineitems. Rows-only by
-    nature (sketch may include false positives); the operator test pins
-    that every TRUE heavy hitter is present — the sketch's actual
-    guarantee."""
+    candidate set of suppliers covering >0.5% of lineitems, emitted as an
+    oracle-checked containment contract: the sketch may include false
+    positives, but every TRUE heavy hitter (exactly countable in SQL)
+    must be present — the lossy-counting guarantee, pinned TRUE."""
     li = read_table(spark, sf, "lineitem")
-    cand = li.stat.freqItems(["l_suppkey"], 0.005)
-    return cand.select(
+    cand = li.stat.freqItems(["l_suppkey"], 0.005).select(
         F.explode("l_suppkey_freqItems").alias("l_suppkey")
-    ).orderBy("l_suppkey")
+    )
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("_n"))
+    total = li.agg(F.count(F.lit(1)).alias("_total"))
+    true_heavy = counts.crossJoin(total).filter(
+        F.col("_n") * 200 > F.col("_total")
+    )
+    missing = true_heavy.join(cand, "l_suppkey", "leftanti")
+    return (
+        true_heavy.agg(F.count(F.lit(1)).alias("n_true_heavy"))
+        .crossJoin(missing.agg(F.count(F.lit(1)).alias("_n_miss")))
+        .select(
+            "n_true_heavy",
+            (F.col("_n_miss") == 0).alias("all_true_heavy_in_sketch"),
+        )
+    )
+
+
+ORACLE_FREQUENT_SUPPLIERS_SKETCH = """
+WITH c AS (
+  SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey
+), t AS (
+  SELECT count(*) AS total FROM lineitem
+)
+SELECT count(*) AS n_true_heavy, TRUE AS all_true_heavy_in_sketch
+FROM c, t WHERE n * 200 > total
+"""
 
 
 def q_train_test_split(spark: SparkSession, sf: str) -> DataFrame:
@@ -2820,13 +2994,33 @@ FROM b GROUP BY 1, 2
 
 
 def q_approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
-    """HyperLogLog++ distinct-user estimate per event type (approximate by
-    construction ⇒ rows-only check; the exact twin is q_distinct_counts)."""
+    """HyperLogLog++ distinct-user estimate per event type, as an
+    oracle-checkable accuracy contract (`hll_user_sketches` pattern): the
+    estimate is sketch-specific, so emit the EXACT distinct count plus a
+    pinned within-10% flag (rsd=0.02 ⇒ 10% is a 5-sigma margin)."""
     e = read_table(spark, sf, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
+    per = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+        F.countDistinct("user_id").alias("n_users_exact"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    return per.select(
+        "event_type",
+        "n_users_exact",
+        "n_events",
+        (
+            F.abs(F.col("_approx") - F.col("n_users_exact")) * 10
+            <= F.col("n_users_exact")
+        ).alias("est_within_10pct"),
+    )
+
+
+ORACLE_APPROX_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+       count(*) AS n_events, TRUE AS est_within_10pct
+FROM events
+GROUP BY event_type
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -3836,15 +4030,42 @@ def q_embedding_quantization(spark: SparkSession, sf: str) -> DataFrame:
 def q_quantized_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Two-pass ANN over int8 codes (`similarity.quantized_rerank_topk`):
     approximate candidate generation on the 4×-smaller quantized
-    representation, exact re-rank of the survivors. Rows-only vs the
-    driver oracle (BLAS blocked sums, like `ann_cosine_topk_np`); a unit
-    test pins neighbor-set equality with the exact brute force."""
+    representation, exact re-rank of the survivors — as an oracle-checked
+    recall contract (int8 candidates + exact re-rank measures recall 1.0
+    at sf0.01 and sf0.1; pinned at ≥ 0.9)."""
     emb = read_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    out = similarity.quantized_rerank_topk(emb, queries, k=5)
-    return out.withColumn("rn", F.col("rn").cast("bigint"))
+    exact = similarity.ann_cosine_topk(emb, queries, k=5).select(
+        "q_id", "neighbor_id"
+    )
+    approx = similarity.quantized_rerank_topk(emb, queries, k=5).select(
+        "q_id", "neighbor_id"
+    )
+    hits = approx.join(exact, ["q_id", "neighbor_id"])
+    return (
+        exact.agg(
+            F.countDistinct("q_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_exact_pairs"),
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("_n_hit")))
+        .select(
+            "n_queries",
+            "n_exact_pairs",
+            (F.col("_n_hit") * 10 >= F.col("n_exact_pairs") * 9).alias(
+                "recall_at_5_ge_90pct"
+            ),
+        )
+    )
+
+
+ORACLE_QUANTIZED_RERANK_TOPK = """
+SELECT count(*) AS n_queries,
+       count(*) * 5 AS n_exact_pairs,
+       TRUE AS recall_at_5_ge_90pct
+FROM embeddings WHERE vec_id < 10
+"""
 
 
 ORACLE_EMBEDDING_QUANTIZATION = """
@@ -3930,6 +4151,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_ann_topk": q_ivf_ann_topk,
     "minhash_pairs_raw": q_minhash_pairs_raw,
     "ivf_topk_raw": q_ivf_topk_raw,
+    "simhash_pairs_raw": q_simhash_pairs_raw,
     "kmeans_doc_clusters": q_kmeans_doc_clusters,
     "ivf_kmeans_topk": q_ivf_kmeans_topk,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
@@ -4026,6 +4248,15 @@ ORACLES: dict[str, str] = {
     "simhash_fingerprints": ORACLE_SIMHASH_FINGERPRINTS,
     "lsh_ann_topk": ORACLE_LSH_ANN_TOPK,
     "ivf_ann_topk": ORACLE_IVF_ANN_TOPK,
+    "approx_distinct_users": ORACLE_APPROX_DISTINCT_USERS,
+    "approx_price_sketch": ORACLE_APPROX_PRICE_SKETCH,
+    "frequent_suppliers_sketch": ORACLE_FREQUENT_SUPPLIERS_SKETCH,
+    "simhash_neardup_pairs": ORACLE_SIMHASH_NEARDUP_PAIRS,
+    "winnowing_fingerprints": ORACLE_WINNOWING_FINGERPRINTS,
+    "ann_cosine_topk_np": ORACLE_ANN_COSINE_TOPK_NP,
+    "quantized_rerank_topk": ORACLE_QUANTIZED_RERANK_TOPK,
+    "ivf_kmeans_topk": ORACLE_IVF_KMEANS_TOPK,
+    "kmeans_doc_clusters": ORACLE_KMEANS_DOC_CLUSTERS,
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "cosine_near_dup_pairs": ORACLE_COSINE_NEAR_DUP_PAIRS,
     "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
