@@ -37,7 +37,7 @@ NOTES = {
         "sort serve both sides; no range-explosion, no broadcast of the "
         "big side."
     ),
-    "minhash_neardup_pairs": (
+    "minhash_pairs_raw": (
         "MinHash-LSH: shingles are 64-bit hashes from the first map stage "
         "on; every shuffle moves 8-byte keys, never text. Band buckets "
         "join on (band, bucket-hash) — the candidate join is equi, not "
@@ -60,7 +60,7 @@ NOTES = {
         "therefore starts from ExistingRDD — lineitem is scanned exactly "
         "once per run."
     ),
-    "ivf_ann_topk": (
+    "ivf_topk_raw": (
         "IVF probe: the corpus-side nearest-centroid assignment is a "
         "zero-shuffle ArrowEvalPython/mapInPandas stage (the bounded "
         "codebook ships in the task closure; one BLAS matmul per Arrow "
@@ -68,6 +68,29 @@ NOTES = {
         "equi-join on the centroid label — exactly the probe. The query "
         "side scores against a literal-backed local relation; the centroid "
         "aggregation subplan runs once, not per consumer."
+    ),
+    "cosine_near_dup_pairs": (
+        "Exact all-pairs cosine, blocked: vectors join a broadcast "
+        "P(P+1)/2 block-pair grid on their hash-block id, then equi-join "
+        "the partner block — the distributed-matmul shape. No "
+        "BroadcastNestedLoopJoin, no full-table broadcast; the N^2/2 "
+        "compute spreads evenly over independent block-pair tasks and "
+        "the data moved is N*(P+1)/2 rows."
+    ),
+    "gap_fill_hourly": (
+        "Dense-grid forward fill: the only full-data pass is the tumbling "
+        "groupBy; bounds, keys, and the exploded time spine all derive "
+        "from the (small) bucketed aggregate, which broadcasts into the "
+        "grid join. The forward-fill window partitions by key over "
+        "#buckets rows, never raw events."
+    ),
+    "ngram_jaccard_pairs": (
+        "Exact Jaccard inverted-index join with a gram document-frequency "
+        "cap: grams seen in >128 docs are dropped (groupBy + leftsemi) "
+        "before the self-join, bounding the sum-of-bucket-squared blowup "
+        "a boilerplate shingle would cause; set sizes come from the same "
+        "capped universe so the Jaccard stays exact over informative "
+        "grams (oracle mirrors the cap)."
     ),
     "tfidf_top_terms": (
         "Log-free TF-IDF: tokenize → (doc,term) counts → term document "
