@@ -2311,9 +2311,12 @@ def q_simhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     `dedup.simhash_fingerprints` and is unit-tested."""
     d = read_table(spark, sf, "documents")
     fp = dedup.simhash_fingerprints(d)
+    # group on a 64-bit text hash, not the text itself — the equality
+    # check shuffles 8-byte keys at any scale (same trade as
+    # dedup_exact_docs' md5 keying; collision odds ~2^-64)
     per_text = (
         d.join(fp, "doc_id")
-        .groupBy("text")
+        .groupBy(F.xxhash64("text").alias("_tg"))
         .agg(F.countDistinct("simhash").alias("_nfp"))
     )
     return (
@@ -2602,7 +2605,7 @@ def q_winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     )
     per_text = (
         d.join(per_doc, "doc_id", "left")
-        .groupBy("text")
+        .groupBy(F.xxhash64("text").alias("_tg"))
         .agg(F.countDistinct("_fps").alias("_n"))
     )
     return (
