@@ -165,3 +165,53 @@ def repetition_stats(
             / F.count(F.lit(1)).cast("double")
         ).alias("distinct_ratio"),
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Embedding-based decontamination: drop corpus rows whose embedding is
+    within cosine ``threshold`` of ANY benchmark embedding.
+
+    The semantic complement of :func:`decontaminate` (n-gram overlap):
+    paraphrased or lightly-edited eval material shares no exact grams but
+    stays close in embedding space — modern pipelines run both filters.
+
+    Scale shape is :func:`~statline_bq_spark.operators.similarity.ann_cosine_topk`'s:
+    the benchmark side is inherently small (an eval suite), so it
+    BROADCASTS and the corpus streams past it once — no corpus shuffle,
+    no pair materialization; the per-row max-similarity folds map-side
+    inside the (left-anti) broadcast join condition. The similarity is
+    rounded to 4 dp before thresholding (the repo-wide cross-engine
+    convention — raw float comparison at the boundary is the one place
+    two engines can disagree). Exact semantics ⇒
+    fully oracle-checkable (DuckDB NOT EXISTS over the same inputs). If
+    the benchmark outgrows broadcast range, swap in the blocked grid of
+    ``cosine_pairs_blocked`` with benchmark-side blocks.
+    """
+    from statline_bq_spark.functions.vectors import cosine_similarity
+
+    b = F.broadcast(
+        benchmark.select(
+            F.col(bench_id_col).alias("_b_id"), F.col(vec_col).alias("_b_vec")
+        )
+    )
+    contaminated = (
+        corpus.join(
+            b,
+            F.round(cosine_similarity(F.col(vec_col), F.col("_b_vec")), 4)
+            >= threshold,
+            "leftsemi",
+        )
+    )
+    return corpus.join(
+        contaminated.select(F.col(id_col).alias("_c_id")),
+        corpus[id_col] == F.col("_c_id"),
+        "leftanti",
+    )

@@ -2580,6 +2580,41 @@ FROM documents WHERE doc_id < 50
 """
 
 
+def q_semantic_decontaminated(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-based benchmark decontamination
+    (`decontaminate.semantic_decontaminate`): treat vec_id < 20 as the
+    (broadcast) eval suite; survivors are corpus vectors with cosine < 0.4
+    to every benchmark vector. Exact ⇒ fully oracle-checked, including
+    which ids survive (aggregated per label)."""
+    emb = read_table(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    bench = emb.filter(F.col("vec_id") < 20)
+    out = decontaminate.semantic_decontaminate(
+        corpus, bench, threshold=0.4
+    )
+    return out.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.sum("vec_id").cast("bigint").alias("id_sum"),
+    )
+
+
+ORACLE_SEMANTIC_DECONTAMINATED = """
+WITH c AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id >= 20
+), b AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 20
+)
+SELECT label, count(*) AS n_survivors,
+       CAST(sum(vec_id) AS BIGINT) AS id_sum
+FROM c
+WHERE NOT EXISTS (
+  SELECT 1 FROM b WHERE round(list_cosine_similarity(c.v, b.v), 4) >= 0.4
+)
+GROUP BY label
+"""
+
+
 def q_simhash_pairs_raw(spark: SparkSession, sf: str) -> DataFrame:
     """Raw SimHash near-dup pairs over the planted-dup corpus (bench
     headline; hash-based ⇒ rows-only). Correctness proven by the
@@ -4154,6 +4189,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_ann_topk": q_ivf_ann_topk,
     "minhash_pairs_raw": q_minhash_pairs_raw,
     "ivf_topk_raw": q_ivf_topk_raw,
+    "semantic_decontaminated": q_semantic_decontaminated,
     "simhash_pairs_raw": q_simhash_pairs_raw,
     "kmeans_doc_clusters": q_kmeans_doc_clusters,
     "ivf_kmeans_topk": q_ivf_kmeans_topk,
@@ -4260,6 +4296,7 @@ ORACLES: dict[str, str] = {
     "quantized_rerank_topk": ORACLE_QUANTIZED_RERANK_TOPK,
     "ivf_kmeans_topk": ORACLE_IVF_KMEANS_TOPK,
     "kmeans_doc_clusters": ORACLE_KMEANS_DOC_CLUSTERS,
+    "semantic_decontaminated": ORACLE_SEMANTIC_DECONTAMINATED,
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "cosine_near_dup_pairs": ORACLE_COSINE_NEAR_DUP_PAIRS,
     "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
