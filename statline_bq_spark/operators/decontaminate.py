@@ -198,20 +198,11 @@ def semantic_decontaminate(
     from statline_bq_spark.functions.vectors import cosine_similarity
 
     b = F.broadcast(
-        benchmark.select(
-            F.col(bench_id_col).alias("_b_id"), F.col(vec_col).alias("_b_vec")
-        )
-    )
-    contaminated = (
-        corpus.join(
-            b,
-            F.round(cosine_similarity(F.col(vec_col), F.col("_b_vec")), 4)
-            >= threshold,
-            "leftsemi",
-        )
+        benchmark.select(F.col(vec_col).alias("_b_vec"))
     )
     return corpus.join(
-        contaminated.select(F.col(id_col).alias("_c_id")),
-        corpus[id_col] == F.col("_c_id"),
+        b,
+        F.round(cosine_similarity(F.col(vec_col), F.col("_b_vec")), 4)
+        >= threshold,
         "leftanti",
     )

@@ -316,3 +316,12 @@ def test_cosine_near_dup_pairs_has_no_nested_loop_join(spark):
     assert "CartesianProduct" not in plan
     # the block-pair grid itself is the only broadcast (bounded: P(P+1)/2)
     assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_decontaminate_single_broadcast_anti_join(spark):
+    plan = explain_str(workload.q_semantic_decontaminated(spark, SF_SMOKE))
+    # one broadcast anti-join against the (small) benchmark side: the
+    # corpus is scanned once and never shuffled by the filter itself —
+    # the only exchange is the final per-label aggregate
+    assert "BroadcastNestedLoopJoin LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
