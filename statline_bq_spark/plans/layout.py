@@ -19,6 +19,7 @@ from __future__ import annotations
 import datetime as _dt
 import os
 import re
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -168,3 +169,33 @@ def read_latest_snapshot(
     return spark.read.parquet(
         os.path.join(snapshot_dir(root, source, odata_version, dataset_id, date), table)
     ).withColumn("load_date", F.lit(date))
+
+
+def write_clustered(
+    df,
+    path: str,
+    cluster_cols: Sequence[str],
+    *,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered on ``cluster_cols``: range-repartition so
+    each output file owns a disjoint key range, then sort within
+    partitions so every ROW GROUP's min/max stats are tight.
+
+    This is the data-layout lever scan pruning needs at 100 TB: parquet
+    readers (Spark, DuckDB, Trino) skip whole row groups whose min/max
+    exclude the predicate, but only if the writer clustered the data —
+    an unsorted write leaves every row group spanning the full key range
+    and every filter reads everything. Range partitioning (vs hash) also
+    makes file-level pruning work for range predicates, and the
+    per-partition sort is a no-spill local sort (each partition already
+    owns a narrow range).
+
+    The same layout is what makes a later merge/as-of join cheap: both
+    sides clustered on the join key zip through sorted runs.
+    """
+    out = df.repartitionByRange(
+        *( [n_files] if n_files else [] ), *cluster_cols
+    ).sortWithinPartitions(*cluster_cols)
+    out.write.mode(mode).parquet(path)

@@ -265,3 +265,40 @@ def test_config_load_and_routing(tmp_path):
     assert resolve_target(cfg, "dev", "iv3").storage_root == "/tmp/s"
     with pytest.raises(ValueError):
         check_env("staging")
+
+
+def test_write_clustered_produces_prunable_row_groups(spark, tmp_path):
+    """`layout.write_clustered` must produce tight, disjoint per-file key
+    ranges so parquet min/max stats actually prune scans — the data-layout
+    property 100 TB reads depend on. Checked against the physical parquet
+    metadata (pyarrow), not just the plan."""
+    import pyarrow.parquet as pq
+
+    from statline_bq_spark.io import read_table
+    from statline_bq_spark.plans import layout
+    from tests.conftest import SF_SMOKE
+
+    orders = read_table(spark, SF_SMOKE, "orders")
+    out = str(tmp_path / "orders_clustered")
+    layout.write_clustered(orders, out, ["o_custkey"], n_files=4)
+
+    ranges = []
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "o_custkey"
+        )
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            assert st is not None and st.has_min_max
+            ranges.append((st.min, st.max))
+    assert len(ranges) >= 4
+    # ranges must be non-overlapping once sorted (disjoint key ownership)
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping row-group ranges {(lo1, hi1)} {(lo2, hi2)}"
+    # round-trip integrity
+    assert spark.read.parquet(out).count() == orders.count()
