@@ -49,6 +49,7 @@ BENCH_QUERIES = (
     "ann_cosine_topk",
     "ivf_topk_raw",
     "embedding_centroids",
+    "semantic_decontaminated",
     "token_stats",
     "quality_scores",
     "multimodal_binary_meta",
