@@ -193,3 +193,36 @@ def stream_stream_interval_join(
         & (lw[left_ts] > rw[right_ts] - F.expr(f"INTERVAL {lookback}"))
     )
     return lw.join(rw, cond, "inner").drop(rw[key])
+
+
+def neardup_filter_stream(
+    docs: DataFrame,
+    *,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming near-duplicate filter: keep the first document per SimHash
+    fingerprint inside the watermark horizon — the streaming rendition of
+    the batch dedup stack for a continuously-ingested corpus (an LLM
+    pipeline consuming a crawl feed dedups online, not in a nightly batch).
+
+    The fingerprint is the same 64-bit JVM-expression SimHash the batch
+    path uses (`operators/dedup.simhash64`), so near-identical documents
+    (same token multiset up to small perturbations that don't flip sign
+    counters) collapse to one key; state is one 8-byte key per distinct
+    fingerprint within the watermark, evicted by
+    ``dropDuplicatesWithinWatermark`` once the horizon passes — bounded
+    regardless of stream length. Exact-duplicate semantics per fingerprint
+    bucket; widen to banded Hamming by keying on fingerprint bit-blocks
+    (`operators/dedup.simhash_neardup_pairs`'s pigeonhole scheme) at the
+    cost of blocks× state.
+    """
+    from statline_bq_spark.operators.dedup import simhash64
+
+    return (
+        docs.withColumn("_fp", simhash64(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )

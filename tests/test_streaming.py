@@ -376,3 +376,41 @@ def test_tws_processor_logic_accumulates_across_batches(spark):
         (7, "view", 2),
         (7, "click", 3), (7, "purchase", 1),
     }
+
+
+def test_streaming_neardup_filter_collapses_duplicate_texts(spark, tmp_path):
+    """The streaming SimHash near-dup filter must keep exactly one doc per
+    duplicated text (identical text ⇒ identical fingerprint) and all
+    unique docs — same outcome as batch exact dedup on this corpus."""
+    import shutil
+
+    from statline_bq_spark.io import read_table, table_path
+
+    src = str(tmp_path / "docs_stream")
+    # documents table has no ts: stamp a constant event-time inside the
+    # watermark so dropDuplicatesWithinWatermark state stays live
+    docs = read_table(spark, SF_SMOKE, "documents").withColumn(
+        "ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    docs.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = (
+        spark.readStream.schema(schema).parquet(src)
+    )
+    out = _run_stream(
+        spark,
+        windows.neardup_filter_stream(stream),
+        "neardup_filter",
+        out_mode="append",
+    )
+    from statline_bq_spark.operators.dedup import simhash64
+
+    got = out.count()
+    # the filter keeps exactly one doc per distinct FINGERPRINT — which is
+    # at most the distinct-text count (identical texts always collapse)
+    # and strictly less when near-identical texts share a fingerprint
+    want = docs.groupBy(simhash64(F.col("text"))).count().count()
+    distinct_texts = docs.groupBy(F.xxhash64("text")).count().count()
+    assert got == want, f"kept {got}, distinct fingerprints {want}"
+    assert got <= distinct_texts
