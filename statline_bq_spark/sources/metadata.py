@@ -40,14 +40,43 @@ def write_metadata(
     *,
     suffix: str = "Metadata",
 ) -> str:
-    os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, metadata_file_name(source, odata_version, dataset_id, suffix))
+    if "://" in out_dir:
+        # URI storage roots (gs://, s3://, file://) — the side files must
+        # land NEXT TO the parquet (reference S14/S23 put them in the GCS
+        # folder, gcpl.py:170-229). pyarrow.fs resolves the scheme to the
+        # same object-store backends the Hadoop connector uses for the
+        # parquet itself, so one storage_root serves both.
+        import io as _io
+
+        import pyarrow.fs as pafs
+
+        fs, dir_p = pafs.FileSystem.from_uri(out_dir)
+        fs.create_dir(dir_p, recursive=True)
+        file_p = f"{dir_p}/{os.path.basename(path)}"
+        with fs.open_output_stream(file_p) as raw:
+            raw.write(
+                json.dumps(metadata, ensure_ascii=False, indent=1).encode(
+                    "utf-8"
+                )
+            )
+        return path
+    os.makedirs(out_dir, exist_ok=True)
     with open(path, "w", encoding="utf-8") as f:
         json.dump(metadata, f, ensure_ascii=False, indent=1)
     return path
 
 
 def read_metadata(path: str) -> dict | None:
+    if "://" in path:
+        import pyarrow.fs as pafs
+
+        fs, p = pafs.FileSystem.from_uri(path)
+        info = fs.get_file_info(p)
+        if info.type == pafs.FileType.NotFound:
+            return None
+        with fs.open_input_stream(p) as raw:
+            return json.loads(raw.read().decode("utf-8"))
     if not os.path.exists(path):
         return None
     with open(path, encoding="utf-8") as f:

@@ -131,3 +131,29 @@ def test_cli_lands_dataset_from_local_parquet(spark, tmp_path):
     )
     assert res3.exit_code == 0, res3.output
     assert "T9: landed 1 files" in res3.output
+
+
+def test_uri_storage_root_via_hadoop_path(spark, tmp_path, dataset):
+    """S16 smoke: a URI storage_root ('file://' here — same mechanism as
+    'gs://' through the Hadoop connector for parquet and pyarrow.fs for
+    the JSON side files) lands the full snapshot AND round-trips the
+    incremental-skip metadata read."""
+    tables, metadata = dataset
+    root = f"file://{tmp_path}"
+    res = process_dataset(
+        spark, "T1", tables, metadata,
+        storage_root=root, endpoint="local", load_date="20240101",
+    )
+    assert not res.skipped
+    assert res.files
+    # parquet physically landed under the local rendering of the URI
+    landed = list(tmp_path.rglob("*.parquet"))
+    assert landed
+    meta_files = list(tmp_path.rglob("*_Metadata.json"))
+    assert meta_files, "metadata side file missing under URI root"
+    # second run must SKIP via the metadata read over the same URI root
+    res2 = process_dataset(
+        spark, "T1", tables, metadata,
+        storage_root=root, endpoint="local", load_date="20240101",
+    )
+    assert res2.skipped
