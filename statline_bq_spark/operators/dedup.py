@@ -558,3 +558,69 @@ def winnowing_fingerprints(
         .distinct()
     )
     return selected
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    str_col: str = "name",
+    max_dist: int = 1,
+    q: int = 3,
+    df_cap: int = 64,
+) -> DataFrame:
+    """Fuzzy string matching (entity resolution): pairs within Levenshtein
+    ``max_dist``, discovered through a character q-gram inverted index.
+
+    The scalable shape of a similarity join on names/titles/identifiers:
+    an all-pairs ``levenshtein`` is O(N²·L²); instead, candidate pairs
+    must share at least one *informative* q-gram (strings of length L
+    within edit distance k share ≥ L-q+1-k·q grams, so near-matches
+    share many), then the exact ``levenshtein`` — a JVM intrinsic —
+    verifies only candidates. Grams seen in more than ``df_cap`` rows are
+    dropped exactly like ``ngram_jaccard_pairs``' cap: a shared prefix
+    ("Supplier#000...") would otherwise quadratic-blow the index join.
+    A length-difference prefilter (|len(a)-len(b)| ≤ k, a Levenshtein
+    lower bound) cuts verify work without changing results.
+
+    NOTE the contract is "within ``max_dist`` AND sharing an uncapped
+    gram" — the oracle mirrors the gram rule, so the semantics are
+    engine-checkable at any scale. Output: (a, b, dist), a < b.
+    """
+    grams = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length({str_col})-{q - 1}, 0)),"
+                    f" i -> substring({str_col}, i, {q}))"
+                )
+            ).alias("_g"),
+        )
+        .distinct()
+    )
+    dfw = Window.partitionBy("_g")
+    capped = (
+        grams.withColumn("_df", F.count(F.lit(1)).over(dfw))
+        .filter(F.col("_df") <= df_cap)
+        .drop("_df")
+    )
+    cand = (
+        capped.select(F.col("_g"), F.col("_id").alias("a"))
+        .join(capped.select(F.col("_g"), F.col("_id").alias("b")), "_g")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    na = df.select(F.col(id_col).alias("a"), F.col(str_col).alias("_sa"))
+    nb = df.select(F.col(id_col).alias("b"), F.col(str_col).alias("_sb"))
+    return (
+        cand.join(na, "a")
+        .join(nb, "b")
+        .filter(
+            F.abs(F.length("_sa") - F.length("_sb")) <= max_dist
+        )
+        .withColumn("dist", F.levenshtein("_sa", "_sb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("a", "b", "dist")
+    )

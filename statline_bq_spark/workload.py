@@ -2615,6 +2615,50 @@ GROUP BY label
 """
 
 
+def q_fuzzy_supplier_names(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution (`dedup.fuzzy_pairs`): supplier-name pairs within
+    Levenshtein 1, discovered via a df-capped character-trigram inverted
+    index and verified with the JVM `levenshtein` intrinsic. The oracle
+    mirrors the gram candidate rule exactly (the contract is "within
+    max_dist AND sharing an uncapped q-gram"), so the scalable-join
+    semantics — not just the metric — are engine-checked."""
+    sup = read_table(spark, sf, "supplier")
+    pairs = dedup.fuzzy_pairs(
+        sup, id_col="s_suppkey", str_col="s_name", max_dist=1, q=3, df_cap=64
+    )
+    return pairs.groupBy("dist").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("a") + F.col("b")).cast("bigint").alias("key_sum"),
+    )
+
+
+ORACLE_FUZZY_SUPPLIER_NAMES = """
+WITH g AS (
+  SELECT DISTINCT s_suppkey AS id,
+         substr(s_name, CAST(i AS INT), 3) AS gram
+  FROM supplier,
+       unnest(range(1, greatest(len(s_name) - 2, 0) + 1)) AS t(i)
+), gok AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(*) <= 64
+), gc AS (
+  SELECT g.id, g.gram FROM g JOIN gok USING (gram)
+), cand AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM gc x JOIN gc y ON x.gram = y.gram AND x.id < y.id
+), verified AS (
+  SELECT cand.a, cand.b, levenshtein(sa.s_name, sb.s_name) AS dist
+  FROM cand
+  JOIN supplier sa ON sa.s_suppkey = cand.a
+  JOIN supplier sb ON sb.s_suppkey = cand.b
+  WHERE abs(len(sa.s_name) - len(sb.s_name)) <= 1
+)
+SELECT dist, count(*) AS n_pairs,
+       CAST(sum(a + b) AS BIGINT) AS key_sum
+FROM verified WHERE dist <= 1
+GROUP BY dist
+"""
+
+
 def q_simhash_pairs_raw(spark: SparkSession, sf: str) -> DataFrame:
     """Raw SimHash near-dup pairs over the planted-dup corpus (bench
     headline; hash-based ⇒ rows-only). Correctness proven by the
@@ -4190,6 +4234,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_pairs_raw": q_minhash_pairs_raw,
     "ivf_topk_raw": q_ivf_topk_raw,
     "semantic_decontaminated": q_semantic_decontaminated,
+    "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "simhash_pairs_raw": q_simhash_pairs_raw,
     "kmeans_doc_clusters": q_kmeans_doc_clusters,
     "ivf_kmeans_topk": q_ivf_kmeans_topk,
@@ -4297,6 +4342,7 @@ ORACLES: dict[str, str] = {
     "ivf_kmeans_topk": ORACLE_IVF_KMEANS_TOPK,
     "kmeans_doc_clusters": ORACLE_KMEANS_DOC_CLUSTERS,
     "semantic_decontaminated": ORACLE_SEMANTIC_DECONTAMINATED,
+    "fuzzy_supplier_names": ORACLE_FUZZY_SUPPLIER_NAMES,
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "cosine_near_dup_pairs": ORACLE_COSINE_NEAR_DUP_PAIRS,
     "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,

@@ -194,3 +194,25 @@ def test_ngram_jaccard_df_cap_bounds_boilerplate_blowup(spark):
     uncapped = ngram_jaccard_pairs(df, shingle_n=3, threshold=0.05,
                                    df_cap=10**9)
     assert uncapped.count() > len(got)
+
+
+def test_fuzzy_pairs_finds_planted_typos(spark):
+    """A planted one-char typo of an existing name must surface as a
+    dist-1 pair, and unrelated names must not pair up."""
+    from statline_bq_spark.operators.dedup import fuzzy_pairs
+
+    rows = [
+        (1, "Acme Widget Works"),
+        (2, "Acme Widget Worxs"),   # 1 substitution+shift of #1 (dist<=2?) -> verify below
+        (3, "Acme Widget Work"),    # 1 deletion of #1
+        (4, "Globex Corporation"),
+        (5, "Initech LLC"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {(r.a, r.b): r.dist for r in fuzzy_pairs(
+        df, id_col="id", str_col="name", max_dist=2, df_cap=10
+    ).collect()}
+    assert (1, 3) in got and got[(1, 3)] == 1
+    assert (1, 2) in got and got[(1, 2)] <= 2
+    assert all(a != 4 and b != 4 for a, b in got), got
+    assert all(a != 5 and b != 5 for a, b in got), got
