@@ -325,3 +325,12 @@ def test_semantic_decontaminate_single_broadcast_anti_join(spark):
     # the only exchange is the final per-label aggregate
     assert "BroadcastNestedLoopJoin LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_pairs_candidate_join_is_equi_not_cartesian(spark):
+    plan = explain_str(workload.q_fuzzy_supplier_names(spark, SF_SMOKE))
+    # candidate generation must be the gram-index equi self-join; the
+    # levenshtein verify runs only on candidates, never as an all-pairs
+    # nested loop over the full table
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
