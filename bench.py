@@ -50,6 +50,7 @@ BENCH_QUERIES = (
     "ivf_topk_raw",
     "embedding_centroids",
     "semantic_decontaminated",
+    "fuzzy_supplier_names",
     "token_stats",
     "quality_scores",
     "multimodal_binary_meta",
