@@ -37,6 +37,11 @@ def canon(v):
     return v
 
 
+def row_key(row):
+    """Null-safe total order (NULLs last, stringified values)."""
+    return tuple((v is None, str(v)) for v in row)
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     from pyspark.sql import SparkSession
@@ -67,7 +72,8 @@ def main() -> int:
             sdf = qs[name](spark, SF)
             scols = sorted(sdf.columns)
             srows = sorted(
-                tuple(canon(r[c]) for c in scols) for r in sdf.collect()
+                (tuple(canon(r[c]) for c in scols) for r in sdf.collect()),
+                key=row_key,
             )
             if name not in oracles:
                 print(f"{name}: rows-only ({len(srows)} rows)")
@@ -76,7 +82,8 @@ def main() -> int:
             dcols = [d[0] for d in cur.description]
             idx = [dcols.index(c) for c in sorted(dcols)]
             drows = sorted(
-                tuple(canon(r[i]) for i in idx) for r in cur.fetchall()
+                (tuple(canon(r[i]) for i in idx) for r in cur.fetchall()),
+                key=row_key,
             )
             if scols != sorted(dcols):
                 failures.append((name, f"cols {scols} vs {sorted(dcols)}"))
