@@ -2615,6 +2615,59 @@ GROUP BY label
 """
 
 
+def q_cms_supplier_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch per-key frequency estimates (the §2.C approximate-op
+    family beyond HLL/KLL/freqItems), as an oracle-checked contract: one
+    `count_min_sketch` aggregate (map-side partials, constant memory — the
+    one-pass way to answer point-frequency queries over 100 TB) is read
+    back driver-side (a single bounded binary, like a codebook) and probed
+    for the exact top-10 suppliers. Emits the exact counts plus CMS's two
+    defining guarantees, pinned: estimates never underestimate, and
+    overshoot ≤ 2·eps·N (eps=0.001, so width 2719 counters; deterministic
+    seed)."""
+    li = read_table(spark, sf, "lineitem")
+    row = li.agg(
+        F.expr("count_min_sketch(l_suppkey, 0.001d, 0.99d, 42)").alias("sk")
+    ).collect()[0]
+    jsk = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(row["sk"])
+    )
+    top = (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "l_suppkey")
+        .limit(10)
+        .collect()
+    )
+    n_rows = li.count()
+    data = []
+    for r in top:
+        est = int(jsk.estimateCount(int(r["l_suppkey"])))
+        data.append(
+            (
+                int(r["l_suppkey"]),
+                int(r["n_exact"]),
+                est >= r["n_exact"],
+                (est - r["n_exact"]) * 500 <= n_rows,
+            )
+        )
+    return spark.createDataFrame(
+        data,
+        "l_suppkey long, n_exact bigint, cms_never_underestimates boolean,"
+        " cms_within_2eps boolean",
+    )
+
+
+ORACLE_CMS_SUPPLIER_COUNTS = """
+SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey, count(*) AS n_exact,
+       TRUE AS cms_never_underestimates, TRUE AS cms_within_2eps
+FROM lineitem
+GROUP BY l_suppkey
+ORDER BY n_exact DESC, l_suppkey
+LIMIT 10
+"""
+
+
 def q_fuzzy_supplier_names(spark: SparkSession, sf: str) -> DataFrame:
     """Entity resolution (`dedup.fuzzy_pairs`): supplier-name pairs within
     Levenshtein 1, discovered via a df-capped character-trigram inverted
@@ -4235,6 +4288,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk_raw": q_ivf_topk_raw,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
+    "cms_supplier_counts": q_cms_supplier_counts,
     "simhash_pairs_raw": q_simhash_pairs_raw,
     "kmeans_doc_clusters": q_kmeans_doc_clusters,
     "ivf_kmeans_topk": q_ivf_kmeans_topk,
@@ -4343,6 +4397,7 @@ ORACLES: dict[str, str] = {
     "kmeans_doc_clusters": ORACLE_KMEANS_DOC_CLUSTERS,
     "semantic_decontaminated": ORACLE_SEMANTIC_DECONTAMINATED,
     "fuzzy_supplier_names": ORACLE_FUZZY_SUPPLIER_NAMES,
+    "cms_supplier_counts": ORACLE_CMS_SUPPLIER_COUNTS,
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "cosine_near_dup_pairs": ORACLE_COSINE_NEAR_DUP_PAIRS,
     "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
