@@ -92,6 +92,20 @@ NOTES = {
         "capped universe so the Jaccard stays exact over informative "
         "grams (oracle mirrors the cap)."
     ),
+    "semantic_decontaminated": (
+        "Embedding-based decontamination: ONE BroadcastNestedLoopJoin "
+        "LeftAnti against the (small, broadcast) benchmark side — the "
+        "corpus scans once, is never shuffled by the filter, and the "
+        "round-4 cosine threshold evaluates inside the join condition. "
+        "The only exchange is the final per-label aggregate."
+    ),
+    "fuzzy_supplier_names": (
+        "Fuzzy entity resolution: char-trigram inverted index with a "
+        "window-count df cap, equi self-join for candidates (never "
+        "cartesian — plan-gated), then the JVM levenshtein intrinsic "
+        "verifies only candidate pairs with a length-difference "
+        "prefilter."
+    ),
     "tfidf_top_terms": (
         "Log-free TF-IDF: tokenize → (doc,term) counts → term document "
         "frequencies → join back on term. Every wide stage keys on term "
