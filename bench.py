@@ -27,6 +27,11 @@ from statline_bq_spark.workload import QUERIES  # noqa: E402
 #: Headline subset: the flagship star query plus one representative per
 #: operator family (agg, window, pivot, sessionization, dedup, similarity,
 #: text). Full coverage runs in tests; bench tracks throughput.
+#:
+#: NOTE comparing totals across rounds: round 2 ADDED headliners
+#: (semantic_decontaminated, fuzzy_supplier_names) and made ivf_topk_raw
+#: probe 6 of 10 lists instead of 2 (recall 0.36 -> 0.80) — compare
+#: per-query times, not the total, across BENCH_r{N}.json files.
 BENCH_QUERIES = (
     "star_schema_agg",
     "pricing_summary",
