@@ -216,3 +216,59 @@ def test_fuzzy_pairs_finds_planted_typos(spark):
     assert (1, 2) in got and got[(1, 2)] <= 2
     assert all(a != 4 and b != 4 for a, b in got), got
     assert all(a != 5 and b != 5 for a, b in got), got
+
+
+def test_blocked_cosine_pairs_equals_all_pairs_baseline(spark):
+    """`cosine_pairs_blocked` must return EXACTLY the all-pairs baseline's
+    result on arbitrary vectors — the blocking is a physical rewrite, not
+    an approximation — including with many more blocks than rows."""
+    import random as _r
+
+    from statline_bq_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_blocked,
+    )
+
+    rng = _r.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = {(r.a, r.b, r.sim) for r in cosine_pairs(df, threshold=0.3).collect()}
+    for n_blocks in (1, 4, 64):
+        got = {
+            (r.a, r.b, r.sim)
+            for r in cosine_pairs_blocked(
+                df, threshold=0.3, n_blocks=n_blocks
+            ).collect()
+        }
+        assert got == base, f"n_blocks={n_blocks}"
+
+
+def test_new_ops_handle_empty_and_degenerate_inputs(spark):
+    """Empty corpus / empty benchmark must not raise and must obey the
+    obvious identities."""
+    from statline_bq_spark.operators.dedup import fuzzy_pairs
+    from statline_bq_spark.operators.decontaminate import (
+        semantic_decontaminate,
+    )
+    from statline_bq_spark.operators.similarity import cosine_pairs_blocked
+
+    empty_vec = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    assert cosine_pairs_blocked(empty_vec).count() == 0
+
+    empty_named = spark.createDataFrame([], "id long, name string")
+    assert fuzzy_pairs(empty_named, id_col="id", str_col="name").count() == 0
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # empty benchmark -> nothing is contaminated, corpus passes through
+    out = semantic_decontaminate(corpus, empty_vec, threshold=0.5)
+    assert sorted(r.vec_id for r in out.collect()) == [1, 2]
+    # benchmark identical to corpus -> everything is contaminated
+    out2 = semantic_decontaminate(corpus, corpus, threshold=0.99)
+    assert out2.count() == 0
