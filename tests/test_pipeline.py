@@ -157,3 +157,37 @@ def test_uri_storage_root_via_hadoop_path(spark, tmp_path, dataset):
         storage_root=root, endpoint="local", load_date="20240101",
     )
     assert res2.skipped
+
+
+def test_cli_catalog_endpoint_registers_tables(spark, tmp_path):
+    """--endpoint catalog must land files AND register external tables in
+    the session catalog (reference BQ endpoint, S20-S22)."""
+    import json
+
+    from click.testing import CliRunner
+
+    from statline_bq_spark.cli import upload_datasets
+
+    src = tmp_path / "src"
+    src.mkdir()
+    read_table(spark, SF_SMOKE, "region").write.parquet(str(src / "Regio.parquet"))
+    (src / "C1_Metadata.json").write_text(
+        json.dumps({"Identifier": "C1", "Modified": "2024-03-03T00:00:00"})
+    )
+    store = tmp_path / "store"
+    cfg = tmp_path / "config.toml"
+    cfg.write_text(f'[envs.dev]\nstorage_root = "{store}"\n')
+
+    res = CliRunner().invoke(
+        upload_datasets,
+        ["--config", str(cfg), "--dataset-id", "C1",
+         "--tables-from", str(src), "--endpoint", "catalog"],
+    )
+    assert res.exit_code == 0, res.output
+    assert "C1: landed 1 files" in res.output
+    ns = next(
+        db.name for db in spark.catalog.listDatabases() if "c1" in db.name
+    )
+    tables = [t.name for t in spark.catalog.listTables(ns)]
+    assert any(t.endswith("regio") for t in tables), tables
+    spark.sql(f"DROP DATABASE IF EXISTS {ns} CASCADE")
