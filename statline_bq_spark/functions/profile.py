@@ -1,0 +1,66 @@
+"""Column profiling — ANALYZE-style statistics as a one-pass aggregate.
+
+The reference exposes schema-as-data (`DataProperties`, SURVEY Q11) but has
+no data-profiling step; every warehouse bolt-on (dbt tests, expectations,
+BigQuery's own table stats) ends up wanting per-column null rates, ranges
+and cardinalities. This computes them for a set of numeric columns in ONE
+scan: a single wide `.agg` (every metric folds map-side), then a `stack`
+unpivot to long form — no per-column jobs, no driver loop over columns.
+
+Scale note: `countDistinct` over k columns in one aggregate triggers a
+k-way expand (k passes over the shuffle input). At test scale that is
+cheap; at 100 TB swap `exact=False` to use `approx_count_distinct`
+(HLL++, one pass, no expand) — the output then carries the estimate and
+callers should treat cardinality as approximate (the oracle-checked query
+keeps exact=True and emits the estimate-accuracy flag instead).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_numeric(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    exact: bool = True,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-column stats for numeric columns, long form:
+    (column, n_rows, n_nulls, n_distinct, min_v, max_v, mean_v).
+
+    One job, one scan; every metric is algebraic (partial-aggregatable),
+    so the shuffle carries one partial row per partition.
+    """
+    aggs = []
+    for c in cols:
+        distinct = (
+            F.countDistinct(c) if exact else F.approx_count_distinct(c)
+        )
+        aggs.extend(
+            [
+                F.count(F.lit(1)).alias(f"_rows_{c}"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"_nulls_{c}"),
+                distinct.alias(f"_nd_{c}"),
+                F.round(F.min(c).cast("double"), round_to).alias(f"_min_{c}"),
+                F.round(F.max(c).cast("double"), round_to).alias(f"_max_{c}"),
+                F.round(F.avg(c).cast("double"), round_to).alias(f"_avg_{c}"),
+            ]
+        )
+    wide = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', _rows_{c}, _nulls_{c}, _nd_{c}, _min_{c}, _max_{c}, _avg_{c}"
+        for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stacked}) AS "
+            "(column, n_rows, n_nulls, n_distinct, min_v, max_v, mean_v)"
+        )
+    )

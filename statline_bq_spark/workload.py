@@ -2615,6 +2615,78 @@ GROUP BY label
 """
 
 
+def q_profile_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass ANALYZE-style column profiling (`functions/profile.py`):
+    null counts, exact cardinality, range, and mean for the lineitem
+    measures, unpivoted to long form — all metrics algebraic, one scan.
+    The mean uses the exact-decimal sum idiom so the double is
+    cross-engine deterministic."""
+    from statline_bq_spark.functions import profile
+
+    li = read_table(spark, sf, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    # mean via exact decimal to dodge float sum-order divergence
+    out = profile.profile_numeric(li, cols, round_to=4)
+    exact_means = li.agg(
+        *[
+            (
+                F.sum(F.col(c).cast("decimal(20,6)"))
+                / F.count(F.lit(1))
+            ).cast("double").alias(c)
+            for c in cols
+        ]
+    )
+    means_long = exact_means.select(
+        F.expr(
+            "stack(4, "
+            + ", ".join(f"'{c}', {c}" for c in cols)
+            + ") AS (column, _mean_exact)"
+        )
+    )
+    return (
+        out.join(means_long, "column")
+        .select(
+            "column", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v",
+            F.round("_mean_exact", 4).alias("mean_v"),
+        )
+    )
+
+
+ORACLE_PROFILE_LINEITEM = """
+SELECT 'l_quantity' AS column, count(*) AS n_rows,
+       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT l_quantity) AS n_distinct,
+       round(CAST(min(l_quantity) AS DOUBLE), 4) AS min_v,
+       round(CAST(max(l_quantity) AS DOUBLE), 4) AS max_v,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4) AS mean_v
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*),
+       CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT l_extendedprice),
+       round(CAST(min(l_extendedprice) AS DOUBLE), 4),
+       round(CAST(max(l_extendedprice) AS DOUBLE), 4),
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(*),
+       CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT l_discount),
+       round(CAST(min(l_discount) AS DOUBLE), 4),
+       round(CAST(max(l_discount) AS DOUBLE), 4),
+       round(CAST(sum(CAST(l_discount AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4)
+FROM lineitem
+UNION ALL
+SELECT 'l_tax', count(*),
+       CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT l_tax),
+       round(CAST(min(l_tax) AS DOUBLE), 4),
+       round(CAST(max(l_tax) AS DOUBLE), 4),
+       round(CAST(sum(CAST(l_tax AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4)
+FROM lineitem
+"""
+
+
 def q_cms_supplier_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Count-min sketch per-key frequency estimates (the §2.C approximate-op
     family beyond HLL/KLL/freqItems), as an oracle-checked contract: one
@@ -4289,6 +4361,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
+    "profile_lineitem": q_profile_lineitem,
     "simhash_pairs_raw": q_simhash_pairs_raw,
     "kmeans_doc_clusters": q_kmeans_doc_clusters,
     "ivf_kmeans_topk": q_ivf_kmeans_topk,
@@ -4398,6 +4471,7 @@ ORACLES: dict[str, str] = {
     "semantic_decontaminated": ORACLE_SEMANTIC_DECONTAMINATED,
     "fuzzy_supplier_names": ORACLE_FUZZY_SUPPLIER_NAMES,
     "cms_supplier_counts": ORACLE_CMS_SUPPLIER_COUNTS,
+    "profile_lineitem": ORACLE_PROFILE_LINEITEM,
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "cosine_near_dup_pairs": ORACLE_COSINE_NEAR_DUP_PAIRS,
     "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
