@@ -179,3 +179,98 @@ def sliding_agg(
         *keys,
         *agg_cols,
     )
+
+
+def gap_fill_linear(
+    df: DataFrame,
+    ts_col: str,
+    step: str,
+    key: str,
+    value_col: str,
+    *,
+    start_alias: str = "window_start",
+    fill_alias: str = "interp_value",
+) -> DataFrame:
+    """Dense per-key grid with LINEAR interpolation across interior gaps.
+
+    Same grid construction as :func:`gap_fill_forward` (one full-data
+    tumbling pass; spine/keys/bounds derived from the small bucketed
+    aggregate), but missing buckets take
+    ``prev + (next - prev) * (t - t_prev) / (t_next - t_prev)`` between
+    their nearest observed neighbours instead of carrying the last value.
+    Leading/trailing buckets (before a key's first or after its last
+    observation) stay NULL — there is nothing to interpolate toward.
+
+    Window shape: two ROWS-frame passes per key (last-non-null looking
+    back, first-non-null looking forward) over #buckets rows — streaming
+    one-pass frames, no re-sort between them (same ordering). The
+    interpolation fraction uses bucket epoch seconds, so the arithmetic
+    is identical in any engine (integers into one double divide).
+    """
+    interval = F.expr(f"INTERVAL {step}")
+    # Exact-decimal sum (partition-order-independent), cast to double
+    # (exact: the scaled sum fits well under 2^53), THEN one divide and a
+    # scaled-integer round. Decimal DIVISION is avoided on purpose — each
+    # engine picks its own quotient scale, which re-rounds differently
+    # near 4dp ties; double ops on identical inputs are bit-identical
+    # everywhere, and round-to-integer only disagrees on exact .5 doubles
+    # where both engines round away from zero.
+    bucketed = (
+        df.groupBy(F.window(F.col(ts_col), step).alias("_w"), key)
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col(value_col).cast("decimal(20,6)"))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                    * 10000.0,
+                    0,
+                )
+                / 10000.0
+            ).alias("_v")
+        )
+        .select(F.col("_w.start").alias("_gl_bucket"), key, "_v")
+    )
+    bounds = bucketed.select(
+        F.min("_gl_bucket").alias("_gl_lo"), F.max("_gl_bucket").alias("_gl_hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("_gl_lo", "_gl_hi", interval)).alias("_gl_bucket")
+    )
+    keys = bucketed.select(key).distinct()
+    grid = spine.crossJoin(keys)
+    filled = grid.join(F.broadcast(bucketed), ["_gl_bucket", key], "left")
+
+    t = F.unix_timestamp("_gl_bucket").cast("double")
+    back = (
+        Window.partitionBy(key)
+        .orderBy("_gl_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(key)
+        .orderBy("_gl_bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_t = F.when(F.col("_v").isNotNull(), t)
+    prev_v = F.last("_v", ignorenulls=True).over(back)
+    prev_t = F.last(known_t, ignorenulls=True).over(back)
+    next_v = F.first("_v", ignorenulls=True).over(fwd)
+    next_t = F.first(known_t, ignorenulls=True).over(fwd)
+    # Cross-engine determinism: every IEEE op on identical doubles is
+    # bit-identical in any engine; the ONLY divergent op is decimal
+    # rounding (Spark rounds the shortest decimal repr, DuckDB the exact
+    # binary value — they disagree on near-tie 4dp values, which linear
+    # interpolation of 4dp endpoints produces constantly). So interpolate
+    # on 1e4-scaled values and round ONCE at integer precision, where the
+    # engines agree, then scale back with an exact-by-construction divide.
+    num = (prev_v * 10000.0) * (next_t - t) + (next_v * 10000.0) * (t - prev_t)
+    den = next_t - prev_t
+    interp = F.when(F.col("_v").isNotNull(), F.col("_v")).otherwise(
+        F.round(num / den, 0) / F.lit(10000.0)
+    )
+    return filled.select(
+        key,
+        F.date_format("_gl_bucket", TS_FMT).alias(start_alias),
+        interp.alias(fill_alias),
+    )

@@ -2615,6 +2615,57 @@ GROUP BY label
 """
 
 
+def q_gap_fill_linear_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Dense hourly grid with linear interpolation across interior gaps
+    (`timeseries.gap_fill_linear`) — the resample-and-interpolate half of
+    the timeseries surface (forward-fill is `gap_fill_hourly`)."""
+    e = read_table(spark, sf, "events")
+    return timeseries.gap_fill_linear(e, "ts", "1 hour", "event_type", "value")
+
+
+ORACLE_GAP_FILL_LINEAR_HOURLY = """
+WITH b AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS bk, event_type,
+         round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(*)
+               * 10000.0, 0) / 10000.0 AS v
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(bk) AS lo, max(bk) AS hi FROM b
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bk FROM bounds
+), keys AS (
+  SELECT DISTINCT event_type FROM b
+), grid AS (
+  SELECT s.bk, k.event_type FROM spine s CROSS JOIN keys k
+), g AS (
+  SELECT grid.bk, grid.event_type, b.v,
+         epoch(grid.bk) AS t
+  FROM grid LEFT JOIN b ON b.bk = grid.bk AND b.event_type = grid.event_type
+), w AS (
+  SELECT bk, event_type, v, t,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         first_value(v IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bk
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bk
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM g
+)
+SELECT event_type, strftime(bk, '%Y-%m-%d %H:%M:%S') AS window_start,
+       CASE WHEN v IS NOT NULL THEN v
+            ELSE round(((pv * 10000.0) * (nt - t) + (nv * 10000.0) * (t - pt))
+                       / (nt - pt), 0) / 10000.0
+       END AS interp_value
+FROM w
+"""
+
+
 def q_profile_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """One-pass ANALYZE-style column profiling (`functions/profile.py`):
     null counts, exact cardinality, range, and mean for the lineitem
@@ -4362,6 +4413,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
     "profile_lineitem": q_profile_lineitem,
+    "gap_fill_linear_hourly": q_gap_fill_linear_hourly,
     "simhash_pairs_raw": q_simhash_pairs_raw,
     "kmeans_doc_clusters": q_kmeans_doc_clusters,
     "ivf_kmeans_topk": q_ivf_kmeans_topk,
@@ -4472,6 +4524,7 @@ ORACLES: dict[str, str] = {
     "fuzzy_supplier_names": ORACLE_FUZZY_SUPPLIER_NAMES,
     "cms_supplier_counts": ORACLE_CMS_SUPPLIER_COUNTS,
     "profile_lineitem": ORACLE_PROFILE_LINEITEM,
+    "gap_fill_linear_hourly": ORACLE_GAP_FILL_LINEAR_HOURLY,
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "cosine_near_dup_pairs": ORACLE_COSINE_NEAR_DUP_PAIRS,
     "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
