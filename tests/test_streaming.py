@@ -36,7 +36,12 @@ def _run_stream(spark, stream_df, name, out_mode="append"):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # availableNow terminates when all input is processed; on a loaded
+    # machine that can exceed a short timeout, and awaitTermination would
+    # return with a PARTIAL memory table -> flaky asserts. Wait long and
+    # verify the query really finished.
+    finished = q.awaitTermination(600)
+    assert finished, f"stream {name} still running after 600s"
     return spark.table(name)
 
 
