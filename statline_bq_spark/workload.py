@@ -38,6 +38,7 @@ from statline_bq_spark.operators import (
     dedup,
     graph,
     multimodal,
+    packing,
     sampling,
     similarity,
     timeseries,
@@ -2638,6 +2639,84 @@ SELECT lang, doc_id, n_chars FROM ranked WHERE rn <= 20
 """
 
 
+def q_packed_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concatenate-then-chunk sequence packing (`packing.pack_sequences`):
+    per-language documents laid end-to-end in doc_id order, cut every 2048
+    whitespace tokens (GPT-style pretraining batches). The prefix-sum
+    offsets come from a two-level block scan (no whole-stream window task);
+    block_size=32 forces multiple blocks per language even at sf0.01 so the
+    oracle — a plain single-window cumulative sum — proves the block
+    decomposition exact, not just the happy path."""
+    d = read_table(spark, sf, "documents")
+    toks = d.select(
+        "lang", "doc_id", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    out = packing.pack_sequences(
+        toks, "lang", "doc_id", "n_tokens", capacity=2048, block_size=32
+    )
+    return out.select(
+        "lang", "doc_id", "n_tokens", "start_offset", "seq_id", "n_seqs_spanned"
+    )
+
+
+ORACLE_PACKED_SEQUENCES = """
+WITH t AS (
+  SELECT lang, doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT lang, doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM t
+)
+SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(floor(start_offset / 2048.0) AS BIGINT) AS seq_id,
+       CAST(floor((start_offset + greatest(n_tokens, 1) - 1) / 2048.0)
+            - floor(start_offset / 2048.0) + 1 AS BIGINT) AS n_seqs_spanned
+FROM o
+"""
+
+
+def q_mixture_sampled_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-resampled source mixture (`packing.mixture_sample`,
+    alpha=0.5): kept counts per source follow sqrt(n_s), smallest source
+    kept whole, membership md5-content-hashed so the SELECTION (not just
+    the counts) is engine-reproducible — the oracle re-derives every
+    per-row keep decision."""
+    d = read_table(spark, sf, "documents")
+    out = packing.mixture_sample(d, "source", "doc_id", alpha=0.5)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("keep").cast("bigint")).cast("bigint").alias("n_kept"),
+    )
+
+
+ORACLE_MIXTURE_SAMPLED_DOCS = """
+WITH cnt AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+), mn AS (
+  SELECT min(n) AS n_min FROM cnt
+), r AS (
+  SELECT source, power(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE), 0.5) AS rate
+  FROM cnt CROSS JOIN mn
+), k AS (
+  SELECT d.source,
+         CASE WHEN (
+             (strpos('0123456789abcdef', substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 4, 1)) - 1)
+         ) / 65536.0 < r.rate THEN 1 ELSE 0 END AS keep
+  FROM documents d JOIN r ON d.source = r.source
+)
+SELECT source, count(*) AS n_total, CAST(sum(keep) AS BIGINT) AS n_kept
+FROM k GROUP BY source
+"""
+
+
 def q_gap_fill_linear_hourly(spark: SparkSession, sf: str) -> DataFrame:
     """Dense hourly grid with linear interpolation across interior gaps
     (`timeseries.gap_fill_linear`) — the resample-and-interpolate half of
@@ -4523,6 +4602,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "local_supplier_volume": q_local_supplier_volume,
     "forecast_revenue": q_forecast_revenue,
     "top_supplier": q_top_supplier,
+    "packed_sequences": q_packed_sequences,
+    "mixture_sampled_docs": q_mixture_sampled_docs,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
@@ -4668,6 +4749,8 @@ ORACLES: dict[str, str] = {
     "local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
     "forecast_revenue": ORACLE_FORECAST_REVENUE,
     "top_supplier": ORACLE_TOP_SUPPLIER,
+    "packed_sequences": ORACLE_PACKED_SEQUENCES,
+    "mixture_sampled_docs": ORACLE_MIXTURE_SAMPLED_DOCS,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT_DOCS,

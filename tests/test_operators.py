@@ -676,3 +676,90 @@ def test_quantized_rerank_matches_exact_topk(spark):
     sa = {(r.q_id, r.neighbor_id): r.sim for r in exact.collect()}
     sb = {(r.q_id, r.neighbor_id): r.sim for r in quant.collect()}
     assert all(abs(sa[k_] - sb[k_]) < 1e-3 for k_ in sa)
+
+
+# --- packing & mixture ------------------------------------------------------
+
+def test_pack_sequences_matches_single_window(spark):
+    """Two-level block prefix sum == plain global window cumsum, for several
+    block sizes (incl. block_size=1, the degenerate all-blocks path)."""
+    from pyspark.sql import Window
+    from statline_bq_spark.operators import packing
+
+    rows = [("a", i, (i * 7) % 13 + 1) for i in range(50)] + [
+        ("b", i, (i * 3) % 5 + 1) for i in range(23)
+    ]
+    df = spark.createDataFrame(rows, "k string, ord long, n long")
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    expected = {
+        (r.k, r.ord): r.off
+        for r in df.select(
+            "k", "ord", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("off")
+        ).collect()
+    }
+    for bs in (1, 4, 4096):
+        got = {
+            (r.k, r.ord): r.start_offset
+            for r in packing.pack_sequences(
+                df, "k", "ord", "n", capacity=16, block_size=bs
+            ).collect()
+        }
+        assert got == expected, f"block_size={bs}"
+
+
+def test_pack_sequences_spans(spark):
+    from statline_bq_spark.operators import packing
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 10), ("a", 3, 25), ("a", 4, 0)],
+        "k string, ord long, n long",
+    )
+    out = {
+        r.ord: r
+        for r in packing.pack_sequences(
+            df, "k", "ord", "n", capacity=16
+        ).collect()
+    }
+    # doc1: [0,10) seq0; doc2: [10,20) crosses 16 -> spans 2; doc3: [20,45)
+    # covers seqs 1 and 2; doc4: zero tokens occupies 1 slot at 45 (seq 2).
+    assert (out[1].seq_id, out[1].n_seqs_spanned) == (0, 1)
+    assert (out[2].seq_id, out[2].n_seqs_spanned) == (0, 2)
+    assert (out[3].seq_id, out[3].n_seqs_spanned) == (1, 2)
+    assert (out[4].seq_id, out[4].n_seqs_spanned) == (2, 1)
+
+
+def test_mixture_sample_properties(spark):
+    """Smallest source kept whole; larger sources thinned toward sqrt
+    proportions; selection is deterministic across invocations."""
+    from statline_bq_spark.operators import packing
+
+    rows = [(f"s{j}", j * 10000 + i) for j, size in enumerate((50, 200, 800))
+            for i in range(size)]
+    df = spark.createDataFrame(rows, "source string, id long")
+    out = packing.mixture_sample(df, "source", "id", alpha=0.5)
+    per = {
+        r.source: r
+        for r in out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+            F.first("keep_rate").alias("rate"),
+        )
+        .collect()
+    }
+    assert per["s0"].kept == 50 and per["s0"].rate == 1.0
+    # expected kept ~ sqrt(50*n): s1 -> 100, s2 -> 200 (hash noise ~ ±20%)
+    assert 70 <= per["s1"].kept <= 130
+    assert 150 <= per["s2"].kept <= 250
+    first = sorted(
+        (r.id for r in out.filter("keep").select("id").collect())
+    )
+    second = sorted(
+        (r.id for r in packing.mixture_sample(df, "source", "id", alpha=0.5)
+         .filter("keep").select("id").collect())
+    )
+    assert first == second
