@@ -605,12 +605,16 @@ def fuzzy_pairs(
         )
         .distinct()
     )
-    dfw = Window.partitionBy("_g")
-    capped = (
-        grams.withColumn("_df", F.count(F.lit(1)).over(dfw))
-        .filter(F.col("_df") <= df_cap)
-        .drop("_df")
+    # Heavy (uninformative) grams are named by a map-side-combined groupBy
+    # and removed with a broadcast LeftAnti — the index never shuffles for
+    # the cap (same design as ngram_jaccard_pairs).
+    heavy = (
+        grams.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > df_cap)
+        .select("_g")
     )
+    capped = grams.join(F.broadcast(heavy), "_g", "left_anti")
     cand = (
         capped.select(F.col("_g"), F.col("_id").alias("a"))
         .join(capped.select(F.col("_g"), F.col("_id").alias("b")), "_g")

@@ -334,3 +334,61 @@ def test_fuzzy_pairs_candidate_join_is_equi_not_cartesian(spark):
     # nested loop over the full table
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_caps_are_broadcast_anti_joins_no_barrier(spark):
+    """The gram/bucket frequency caps in ngram/minhash/simhash dedup must be
+    broadcast anti-joins against the small heavy-hitter set — never a
+    whole-index window count (shuffle+sort of every index row) and never an
+    eager checkpoint barrier (which would also hide the plan)."""
+    from statline_bq_spark.io import read_table
+    from statline_bq_spark.operators import dedup
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    for df in (
+        dedup.ngram_jaccard_pairs(d),
+        dedup.minhash_lsh_pairs(d, jaccard_threshold=0.3),
+        dedup.simhash_neardup_pairs(d),
+    ):
+        plan = explain_str(df)
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+        # a checkpoint would surface as an RDD scan instead of the pipeline
+        assert "Scan ExistingRDD" not in plan
+
+
+def test_pack_sequences_has_no_whole_stream_window(spark):
+    """The packing prefix sum must never sort a whole stream in one window
+    task: every window partitioning in the plan must include the block
+    column, and the per-block-totals window only ever sees #blocks rows."""
+    from statline_bq_spark.io import read_table
+    from statline_bq_spark.operators import packing
+    from pyspark.sql import functions as F
+    from statline_bq_spark.functions.text import token_count
+
+    d = read_table(spark, SF_SMOKE, "documents").select(
+        "lang", "doc_id", token_count("text").cast("bigint").alias("n")
+    )
+    out = packing.pack_sequences(d, "lang", "doc_id", "n", capacity=2048,
+                                 block_size=32)
+    plan = explain_str(out)
+    window_lines = [ln for ln in plan.splitlines()
+                    if "Arguments" in ln and "windowspecdefinition" in ln]
+    assert window_lines, "expected window stages in the packing plan"
+    # the full-data window keys on (lang, _pk_blk); the only window keyed on
+    # lang alone is the per-block-totals pass, which follows a HashAggregate
+    # (it runs over #blocks rows, not the corpus)
+    full_data = [ln for ln in window_lines if "_pk_blk" in ln]
+    assert full_data, "corpus-wide window must include the block column"
+
+
+def test_mixture_sample_rates_broadcast_corpus_never_shuffles(spark):
+    """mixture_sample's keep/drop is a map-side filter: per-source rates are
+    broadcast; the corpus itself must not be exchanged."""
+    from statline_bq_spark.io import read_table
+    from statline_bq_spark.operators import packing
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    plan = explain_str(packing.mixture_sample(d, "source", "doc_id"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

@@ -41,10 +41,10 @@ NOTES = {
         "MinHash-LSH: shingles are 64-bit hashes from the first map stage "
         "on; every shuffle moves 8-byte keys, never text. Band buckets "
         "join on (band, bucket-hash) — the candidate join is equi, not "
-        "cross. The band-bucket subplan is localCheckpoint-materialized "
-        "(it feeds the size cap and both self-join sides), which is why "
-        "the plan starts from an ExistingRDD scan instead of replaying "
-        "the signature aggregation three times."
+        "cross. The degenerate-bucket cap is a broadcast LeftAnti against "
+        "the small heavy-hitter set, so the bucket stream never shuffles "
+        "for the cap; the signature groupBy exchange is identical in all "
+        "three consumers and appears once as a ReusedExchange."
     ),
     "market_share": (
         "TPC-H Q8 shape: both nation decode chains and the region filter "
@@ -86,11 +86,26 @@ NOTES = {
     ),
     "ngram_jaccard_pairs": (
         "Exact Jaccard inverted-index join with a gram document-frequency "
-        "cap: grams seen in >128 docs are dropped (groupBy + leftsemi) "
-        "before the self-join, bounding the sum-of-bucket-squared blowup "
-        "a boilerplate shingle would cause; set sizes come from the same "
-        "capped universe so the Jaccard stays exact over informative "
-        "grams (oracle mirrors the cap)."
+        "cap: grams seen in >128 docs (the small heavy-hitter set) are "
+        "removed by a broadcast LeftAnti before the self-join, bounding "
+        "the sum-of-bucket-squared blowup a boilerplate shingle would "
+        "cause without ever shuffling the index for the cap; set sizes "
+        "come from the same capped universe so the Jaccard stays exact "
+        "over informative grams (oracle mirrors the cap)."
+    ),
+    "packed_sequences": (
+        "Concat-then-chunk sequence packing: the per-stream token prefix "
+        "sum is a two-level block scan — within-block windows partition on "
+        "(stream, block) so no task sorts more than block_size rows, and "
+        "the per-block-totals window runs after a HashAggregate over "
+        "#blocks rows. The block-prefix join broadcasts. A naive global "
+        "window would serialize each stream into one task."
+    ),
+    "mixture_sampled_docs": (
+        "Temperature mixture resampling: per-source keep rates derive "
+        "from one count aggregate (#sources rows) and broadcast back; the "
+        "md5 keep/drop decision is a map-side filter, so the corpus is "
+        "never exchanged before the final per-source summary."
     ),
     "semantic_decontaminated": (
         "Embedding-based decontamination: ONE BroadcastNestedLoopJoin "
@@ -100,8 +115,9 @@ NOTES = {
         "The only exchange is the final per-label aggregate."
     ),
     "fuzzy_supplier_names": (
-        "Fuzzy entity resolution: char-trigram inverted index with a "
-        "window-count df cap, equi self-join for candidates (never "
+        "Fuzzy entity resolution: char-trigram inverted index with the "
+        "heavy grams removed by broadcast LeftAnti (the index never "
+        "shuffles for the cap), equi self-join for candidates (never "
         "cartesian — plan-gated), then the JVM levenshtein intrinsic "
         "verifies only candidate pairs with a length-difference "
         "prefilter."
