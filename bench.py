@@ -18,11 +18,38 @@ import json
 import os
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from statline_bq_spark.session import get_spark  # noqa: E402
 from statline_bq_spark.workload import QUERIES  # noqa: E402
+
+
+class StageMetrics:
+    """Cumulative executor metrics from the UI REST API (monotone counters
+    over completed stages); per-query cost = delta around the action. The
+    poll happens after the action returns, so timings are unaffected."""
+
+    def __init__(self, spark):
+        self._url = (
+            f"{spark.sparkContext.uiWebUrl}/api/v1/applications/"
+            f"{spark.sparkContext.applicationId}/stages?status=complete"
+        )
+
+    def totals(self) -> dict[str, int]:
+        try:
+            stages = json.load(urllib.request.urlopen(self._url, timeout=10))
+        except Exception:
+            return {}
+        out = {"shuffle_write": 0, "input": 0, "spill": 0}
+        for s in stages:
+            out["shuffle_write"] += s.get("shuffleWriteBytes", 0)
+            out["input"] += s.get("inputBytes", 0)
+            out["spill"] += s.get("memoryBytesSpilled", 0) + s.get(
+                "diskBytesSpilled", 0
+            )
+        return out
 
 #: Headline subset: the flagship star query plus one representative per
 #: operator family (agg, window, pivot, sessionization, dedup, similarity,
@@ -69,8 +96,11 @@ BENCH_QUERIES = (
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("statline-bq-spark-bench")
+    spark = get_spark(
+        "statline-bq-spark-bench", extra_conf={"spark.ui.enabled": "true"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
+    metrics = StageMetrics(spark)
 
     # Warm-up pass: JVM, whole-stage-codegen compile, parquet footer caches.
     cold_total = 0.0
@@ -80,25 +110,33 @@ def main() -> None:
         cold_total += time.perf_counter() - t0
 
     timings: dict[str, float] = {}
+    shuffle_mb: dict[str, float] = {}
+    before = metrics.totals()
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        after = metrics.totals()
+        if after and before:
+            shuffle_mb[name] = round(
+                (after["shuffle_write"] - before["shuffle_write"]) / 1e6, 3
+            )
+        before = after
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_total_sec": round(cold_total, 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_total_sec": round(cold_total, 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if before:  # UI reachable: attach the movement evidence
+        out["shuffle_write_mb"] = shuffle_mb
+        out["spilled_bytes_total"] = before["spill"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
