@@ -272,3 +272,70 @@ def test_new_ops_handle_empty_and_degenerate_inputs(spark):
     # benchmark identical to corpus -> everything is contaminated
     out2 = semantic_decontaminate(corpus, corpus, threshold=0.99)
     assert out2.count() == 0
+
+
+# --- sequence packing vs pure-Python prefix sums ----------------------------
+
+pack_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),      # stream key
+        st.integers(0, 10_000), # order key (deduped below)
+        st.integers(0, 50),     # token count (0 = empty doc)
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@given(rows=pack_rows, block_size=st.sampled_from([1, 3, 4096]),
+       capacity=st.sampled_from([7, 64]))
+@settings(**SETTINGS)
+def test_pack_sequences_matches_python_reference(spark, rows, block_size,
+                                                 capacity):
+    from statline_bq_spark.operators import packing
+
+    df = spark.createDataFrame(rows, "k int, ord long, n long")
+    got = {
+        (r.k, r.ord): (r.start_offset, r.seq_id, r.n_seqs_spanned)
+        for r in packing.pack_sequences(
+            df, "k", "ord", "n", capacity=capacity, block_size=block_size
+        ).collect()
+    }
+    # pure-Python reference: exclusive cumsum in (k, ord) order
+    by_key: dict[int, list] = {}
+    for k, o, n in rows:
+        by_key.setdefault(k, []).append((o, n))
+    expected = {}
+    for k, docs in by_key.items():
+        off = 0
+        for o, n in sorted(docs):
+            end = off + max(n, 1) - 1
+            expected[(k, o)] = (
+                off, off // capacity, end // capacity - off // capacity + 1
+            )
+            off += n
+    assert got == expected
+
+
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 100_000)),
+    min_size=3, max_size=60, unique_by=lambda r: r[1],
+))
+@settings(**SETTINGS)
+def test_mixture_sample_matches_python_md5_reference(spark, rows):
+    """The per-row keep decision is re-derivable from hashlib alone."""
+    import hashlib
+    from statline_bq_spark.operators import packing
+
+    df = spark.createDataFrame(rows, "source string, id long")
+    got = {r.id: r.keep for r in
+           packing.mixture_sample(df, "source", "id", alpha=0.5).collect()}
+    counts: dict[str, int] = {}
+    for s, _ in rows:
+        counts[s] = counts.get(s, 0) + 1
+    n_min = min(counts.values())
+    for s, i in rows:
+        rate = (n_min / counts[s]) ** 0.5
+        u = int(hashlib.md5(f"mix{i}".encode()).hexdigest()[:4], 16) / 65536.0
+        assert got[i] == (u < rate), (s, i, u, rate)
