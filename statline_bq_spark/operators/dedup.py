@@ -506,6 +506,50 @@ def simhash_neardup_pairs(
     )
 
 
+def passage_dup_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """INTER-document repeated-passage fraction: the share of a document's
+    distinct token n-grams that also appear in at least one other document.
+
+    The cross-corpus complement of the Gopher-style intra-doc repetition
+    ratio (``decontaminate.repetition_stats``): high ``shared_ratio`` flags
+    boilerplate/templated/mirrored content that near-dup PAIR detection
+    misses when the duplication is spread across many partners (a licence
+    header shared by 10k docs never yields a high-Jaccard pair, but every
+    one of its grams is shared). Used as a filter signal before training.
+
+    Output: (<id_col>, n_grams, n_shared, shared_ratio) for every doc with
+    at least one n-gram (docs shorter than ``n`` tokens emit nothing).
+
+    Scale: one inverted index (shuffle on the doc id for gram construction,
+    then 8-byte gram hashes everywhere), one gram document-frequency
+    aggregate, one gram-keyed join back — the index's exchange by gram is
+    identical for the aggregate and the join probe, so Spark reuses it
+    (ReusedExchange); nothing ever shuffles text.
+    """
+    inv = shingle_index(df, id_col=id_col, text_col=text_col, n=n)
+    gram_df = inv.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    flagged = inv.join(gram_df, "_g").select(
+        "_id", (F.col("_df") >= 2).cast("int").alias("_s")
+    )
+    return flagged.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("_s").cast("bigint").alias("n_shared"),
+    ).select(
+        F.col("_id").alias(id_col),
+        "n_grams",
+        "n_shared",
+        (F.col("n_shared").cast("double") / F.col("n_grams").cast("double")).alias(
+            "shared_ratio"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # winnowing (rolling-hash document fingerprints)
 # --------------------------------------------------------------------------

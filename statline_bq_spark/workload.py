@@ -4370,6 +4370,33 @@ def q_doc_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     return decontaminate.repetition_stats(docs, n=3)
 
 
+def q_passage_dup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-document repeated-passage fraction (`dedup.passage_dup_stats`):
+    share of each doc's distinct word 3-grams appearing in ≥1 other doc —
+    the cross-corpus boilerplate signal pair-based near-dup misses. The
+    ratio is one exact-int division, bit-deterministic across engines."""
+    docs = read_table(spark, sf, "documents")
+    return dedup.passage_dup_stats(docs, n=3)
+
+
+ORACLE_PASSAGE_DUP_DOCS = """
+WITH g AS (
+  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents),
+       LATERAL (SELECT unnest(range(0, greatest(len(t) - 2, 0))) AS i)
+), gdf AS (
+  SELECT g, count(*) AS df FROM g GROUP BY g
+)
+SELECT g.doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       CAST(sum(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS shared_ratio
+FROM g JOIN gdf ON g.g = gdf.g
+GROUP BY g.doc_id
+"""
+
+
 ORACLE_DOC_REPETITION_STATS = """
 WITH g AS (
   SELECT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
@@ -4604,6 +4631,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_supplier": q_top_supplier,
     "packed_sequences": q_packed_sequences,
     "mixture_sampled_docs": q_mixture_sampled_docs,
+    "passage_dup_docs": q_passage_dup_docs,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
@@ -4751,6 +4779,7 @@ ORACLES: dict[str, str] = {
     "top_supplier": ORACLE_TOP_SUPPLIER,
     "packed_sequences": ORACLE_PACKED_SEQUENCES,
     "mixture_sampled_docs": ORACLE_MIXTURE_SAMPLED_DOCS,
+    "passage_dup_docs": ORACLE_PASSAGE_DUP_DOCS,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT_DOCS,
