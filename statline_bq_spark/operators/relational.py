@@ -126,9 +126,13 @@ def asof_join(
     *,
     right_values: Sequence[str],
     strict: bool = True,
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """As-of join: attach to each left row the most recent right row with
-    the same keys and ``right_ts`` < ``left_ts`` (``<=`` when not strict).
+    """As-of join: attach to each left row the nearest right row with the
+    same keys — the most recent earlier one (``direction="backward"``,
+    ``right_ts`` < ``left_ts``, or ``<=`` when not strict) or the first
+    later one (``direction="forward"``, ``right_ts`` > ``left_ts``).
 
     Spark has no ASOF JOIN operator; the naive non-equi join is a per-key
     cartesian. This implements the scalable union-merge formulation: tag
@@ -136,15 +140,23 @@ def asof_join(
     right side's values forward with ``last(..., ignorenulls=True)`` over a
     running frame — one shuffle on ``on``, one within-key sort, zero
     row-pair blowup, identical to what a merge-join-based ASOF (DuckDB,
-    pandas.merge_asof) computes.
+    pandas.merge_asof) computes. ``direction="forward"`` is the same scan
+    with the timestamp order reversed.
 
-    Ordering subtlety: right rows sort BEFORE left rows at the same
-    timestamp when ``strict`` is False (ties attach), AFTER when True (ties
-    don't attach).
+    ``tolerance`` (an SQL INTERVAL string, e.g. ``"2 hours"``; timestamp
+    ts columns only) bounds how far the match may be from the left row —
+    matches outside the window null out, exactly pandas ``merge_asof``'s
+    ``tolerance``. Applied AFTER the nearest match is found (a nearer-but-
+    excluded row is not replaced by a farther in-tolerance one), matching
+    pandas semantics.
 
-    Output: all left columns plus ``right_values`` (null when no earlier
-    right row exists).
+    Ordering subtlety: right rows sort so that timestamp TIES attach when
+    ``strict`` is False and don't when True, in both directions.
+
+    Output: all left columns plus ``right_values`` (null when no match).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     tie = 0 if not strict else 2
     l_tag = left.select(
         *[F.col(c) for c in left.columns],
@@ -158,21 +170,42 @@ def asof_join(
         F.col(right_ts).alias("_ts"),
     )
     merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    ts_order = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_ts"), F.col("_side"))
+        .orderBy(ts_order, F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    carry_cols = list(right_values)
+    if tolerance is not None:
+        carry_cols.append("_rts")
+        merged = merged.withColumn(
+            "_rts", F.when(F.col("_side") != 1, F.col("_ts"))
+        )
     carried = merged.select(
-        *[c for c in merged.columns if c not in right_values],
+        *[c for c in merged.columns if c not in carry_cols],
         *[
             F.last(
                 F.when(F.col("_side") != 1, F.col(v)), ignorenulls=True
             ).over(w).alias(v)
-            for v in right_values
+            for v in carry_cols
         ],
     )
-    return carried.filter(F.col("_side") == 1).drop("_side", "_ts")
+    out = carried.filter(F.col("_side") == 1)
+    if tolerance is not None:
+        bound = F.expr(f"INTERVAL {tolerance}")
+        in_tol = (
+            F.col("_rts") >= F.col("_ts") - bound
+            if direction == "backward"
+            else F.col("_rts") <= F.col("_ts") + bound
+        )
+        out = out.select(
+            *[c for c in out.columns if c not in carry_cols],
+            *[
+                F.when(in_tol, F.col(v)).alias(v) for v in right_values
+            ],
+        )
+    return out.drop("_side", "_ts", "_rts")
 
 
 def band_join(

@@ -1525,6 +1525,59 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts > c.cts
 """
 
 
+def q_next_purchase_after_click(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward as-of join with tolerance: for every click, the user's FIRST
+    strictly-later purchase within 12 hours (null beyond — pandas
+    merge_asof's direction='forward', tolerance semantics). Same union-merge
+    single-shuffle formulation as the backward variant, timestamp order
+    reversed; the tolerance nulls matches after the nearest is found, never
+    substituting a farther in-window row."""
+    e = read_table(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        ["user_id"],
+        "ts",
+        "purchase_ts",
+        right_values=["purchase_ts"],
+        strict=True,
+        direction="forward",
+        tolerance="12 hours",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "purchase_ts"
+        ),
+    )
+
+
+ORACLE_NEXT_PURCHASE_AFTER_CLICK = """
+WITH c AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'
+), nearest AS (
+  SELECT c.event_id, min(p.pts) AS pts
+  FROM c JOIN p ON c.user_id = p.user_id AND p.pts > c.ts
+  GROUP BY c.event_id
+)
+SELECT c.user_id, c.event_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       CASE WHEN nearest.pts <= c.ts + INTERVAL 12 HOUR
+            THEN strftime(nearest.pts, '%Y-%m-%d %H:%M:%S') END AS purchase_ts
+FROM c LEFT JOIN nearest ON c.event_id = nearest.event_id
+"""
+
+
 #: Order-value bands — a bounded "code list" dimension like the reference's
 #: CategoryGroups, used for the non-equi band join.
 PRICE_BANDS = (
@@ -4632,6 +4685,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "packed_sequences": q_packed_sequences,
     "mixture_sampled_docs": q_mixture_sampled_docs,
     "passage_dup_docs": q_passage_dup_docs,
+    "next_purchase_after_click": q_next_purchase_after_click,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
@@ -4780,6 +4834,7 @@ ORACLES: dict[str, str] = {
     "packed_sequences": ORACLE_PACKED_SEQUENCES,
     "mixture_sampled_docs": ORACLE_MIXTURE_SAMPLED_DOCS,
     "passage_dup_docs": ORACLE_PASSAGE_DUP_DOCS,
+    "next_purchase_after_click": ORACLE_NEXT_PURCHASE_AFTER_CLICK,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT_DOCS,

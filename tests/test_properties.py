@@ -41,26 +41,34 @@ events = st.lists(
 )
 
 
-def _ref_asof(left, right, strict):
-    """O(n·m) reference: latest right row with same key and rt < t (<= when
-    not strict); ties on rt resolved by max rt only (value of the max-rt row
-    is ambiguous under exact rt duplicates, so inputs dedupe rt per key)."""
+def _ref_asof(left, right, strict, direction="backward"):
+    """O(n·m) reference: nearest right row with same key — latest earlier
+    (backward: rt < t, <= when not strict) or first later (forward: rt > t,
+    >= when not strict); ties on rt resolved by nearest rt only (value of
+    that row is ambiguous under exact rt duplicates, so inputs dedupe rt
+    per key)."""
     out = {}
     for (lk, lt, lid) in left:
         best = None
         for (rk, rt, rv) in right:
             if rk != lk:
                 continue
-            if (rt < lt) if strict else (rt <= lt):
-                if best is None or rt > best[0]:
-                    best = (rt, rv)
+            if direction == "backward":
+                ok = (rt < lt) if strict else (rt <= lt)
+                better = best is None or rt > best[0]
+            else:
+                ok = (rt > lt) if strict else (rt >= lt)
+                better = best is None or rt < best[0]
+            if ok and better:
+                best = (rt, rv)
         out[lid] = best[1] if best else None
     return out
 
 
-@given(left=events, right=events, strict=st.booleans())
+@given(left=events, right=events, strict=st.booleans(),
+       direction=st.sampled_from(["backward", "forward"]))
 @settings(**SETTINGS)
-def test_asof_join_matches_reference(spark, left, right, strict):
+def test_asof_join_matches_reference(spark, left, right, strict, direction):
     # unique left ids; dedupe right (key, ts) so the reference is well-defined
     left = [(k, t, i) for i, (k, t, _) in enumerate(left)]
     seen, rdedup = set(), []
@@ -73,10 +81,11 @@ def test_asof_join_matches_reference(spark, left, right, strict):
     got = {
         r.lid: r.rv
         for r in asof_join(
-            ldf, rdf, ["key"], "t", "rt", right_values=["rv"], strict=strict
+            ldf, rdf, ["key"], "t", "rt", right_values=["rv"],
+            strict=strict, direction=direction,
         ).collect()
     }
-    assert got == _ref_asof(left, rdedup, strict)
+    assert got == _ref_asof(left, rdedup, strict, direction)
 
 
 # --- clean_python_name vs the reference's regex semantics -------------------
