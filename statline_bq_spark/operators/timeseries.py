@@ -53,13 +53,18 @@ def tumbling_agg(
 def session_agg(
     df: DataFrame,
     ts_col: str,
-    gap: str,
+    gap: str | Column,
     keys: Sequence[str],
     aggs: Sequence[Column],
     *,
     start_alias: str = "session_start",
 ) -> DataFrame:
     """Session-window groupBy keyed on ``keys`` with inactivity ``gap``.
+
+    ``gap`` may be a fixed interval string or a Column expression producing
+    per-row interval strings (Spark's dynamic gap duration, e.g.
+    ``F.when(col("type") == "click", "10 minutes").otherwise("1 hour")``) —
+    sessions then time out at a rate chosen by the row's attributes.
 
     Output: (*keys, session_start, *aggs) where session_start is the first
     event's timestamp formatted as a string.

@@ -795,6 +795,54 @@ GROUP BY user_id, sid
 """
 
 
+def q_dynamic_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows with a DYNAMIC per-row gap (Spark's dynamic gap
+    duration): clicks time out after 10 minutes, purchases after 1 hour,
+    everything else after 30 minutes. Keyed on (user_id, event_type) the
+    gap is constant within each session chain, so a lag-based islands
+    oracle reproduces the merge exactly."""
+    e = read_table(spark, sf, "events")
+    gap = (
+        F.when(F.col("event_type") == "click", "10 minutes")
+        .when(F.col("event_type") == "purchase", "1 hour")
+        .otherwise("30 minutes")
+    )
+    return timeseries.session_agg(
+        e,
+        "ts",
+        gap,
+        ["user_id", "event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    )
+
+
+ORACLE_DYNAMIC_SESSION_WINDOWS = """
+WITH e AS (
+  SELECT user_id, event_type, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts)
+                   >= CASE event_type
+                        WHEN 'click' THEN INTERVAL '10 minutes'
+                        WHEN 'purchase' THEN INTERVAL '1 hour'
+                        ELSE INTERVAL '30 minutes' END
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id, event_type ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT user_id, event_type,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM s
+GROUP BY user_id, event_type, sid
+"""
+
+
 # ---------------------------------------------------------------------------
 # north-star: dedup / similarity / text / multimodal (SURVEY.md §2.D)
 # ---------------------------------------------------------------------------
@@ -4686,6 +4734,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sampled_docs": q_mixture_sampled_docs,
     "passage_dup_docs": q_passage_dup_docs,
     "next_purchase_after_click": q_next_purchase_after_click,
+    "dynamic_session_windows": q_dynamic_session_windows,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
@@ -4835,6 +4884,7 @@ ORACLES: dict[str, str] = {
     "mixture_sampled_docs": ORACLE_MIXTURE_SAMPLED_DOCS,
     "passage_dup_docs": ORACLE_PASSAGE_DUP_DOCS,
     "next_purchase_after_click": ORACLE_NEXT_PURCHASE_AFTER_CLICK,
+    "dynamic_session_windows": ORACLE_DYNAMIC_SESSION_WINDOWS,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT_DOCS,
