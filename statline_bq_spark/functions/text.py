@@ -142,3 +142,40 @@ def chunk_words(
         ),
         chunk_len.cast("int").alias("n_tokens"),
     )
+
+
+#: Unicode script ranges for character-class ratio features. The ranges are
+#: written as LITERAL characters (not \\u escapes) so the same pattern text
+#: is valid in both Java regex (Spark) and RE2 (DuckDB oracle) — the two
+#: engines' escape syntaxes differ (\\uXXXX vs \\x{XXXX}), literals don't.
+#: BMP-only ranges, so code-unit vs codepoint length semantics agree too.
+SCRIPT_RANGES = {
+    "latin": "A-Za-zÀ-ɏ",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "arabic": "؀-ۿ",
+    "cjk": "一-鿿぀-ヿ가-힯",
+    "digit": "0-9",
+}
+
+
+def script_char_count(col: Column | str, script: str) -> Column:
+    """Number of characters of ``script`` (a SCRIPT_RANGES key) in the text:
+    strip everything outside the range, count what's left. Pure JVM regexp —
+    no shuffle, no Python."""
+    ranges = SCRIPT_RANGES[script]
+    return F.length(F.regexp_replace(_col(col), f"[^{ranges}]", ""))
+
+
+def dominant_script(col: Column | str) -> Column:
+    """The script with the most characters (fixed SCRIPT_RANGES iteration
+    order breaks ties; 'none' when the text has no script characters at
+    all). Integer comparisons only — deterministic in any engine."""
+    counts = {s: script_char_count(col, s) for s in SCRIPT_RANGES if s != "digit"}
+    best = F.greatest(*counts.values())
+    expr: Column | None = None
+    for name, cnt in counts.items():
+        cond = (cnt == best) & (best > 0)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    assert expr is not None
+    return expr.otherwise(F.lit("none"))

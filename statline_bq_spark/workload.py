@@ -795,6 +795,52 @@ GROUP BY user_id, sid
 """
 
 
+def q_script_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode script detection (north-star text analysis): per-document
+    character counts for Latin/Cyrillic/CJK/digit ranges plus the dominant
+    script — the writing-system filter that runs before language ID in a
+    multilingual corpus pipeline. Pure JVM regexp over literal codepoint
+    ranges (`functions.text.SCRIPT_RANGES`), shared verbatim with the
+    oracle so Java-regex and RE2 evaluate the same class."""
+    from statline_bq_spark.functions import text as text_fns
+
+    d = read_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_text"),
+        text_fns.script_char_count("text", "latin").alias("latin_chars"),
+        text_fns.script_char_count("text", "cyrillic").alias("cyrillic_chars"),
+        text_fns.script_char_count("text", "cjk").alias("cjk_chars"),
+        text_fns.script_char_count("text", "digit").alias("digit_chars"),
+        text_fns.dominant_script("text").alias("dominant_script"),
+    )
+
+
+def _script_stats_oracle() -> str:
+    from statline_bq_spark.functions.text import SCRIPT_RANGES as R
+
+    def cnt(s: str) -> str:
+        return f"length(regexp_replace(text, '[^{R[s]}]', '', 'g'))"
+
+    scripts = [s for s in R if s != "digit"]
+    best = "greatest(" + ", ".join(cnt(s) for s in scripts) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {cnt(s)} = {best} AND {best} > 0 THEN '{s}'" for s in scripts
+    ) + " ELSE 'none' END"
+    return f"""
+SELECT doc_id, length(text) AS n_chars_text,
+       CAST({cnt('latin')} AS BIGINT) AS latin_chars,
+       CAST({cnt('cyrillic')} AS BIGINT) AS cyrillic_chars,
+       CAST({cnt('cjk')} AS BIGINT) AS cjk_chars,
+       CAST({cnt('digit')} AS BIGINT) AS digit_chars,
+       {case} AS dominant_script
+FROM documents
+"""
+
+
+ORACLE_SCRIPT_STATS = _script_stats_oracle()
+
+
 def q_dynamic_session_windows(spark: SparkSession, sf: str) -> DataFrame:
     """Session windows with a DYNAMIC per-row gap (Spark's dynamic gap
     duration): clicks time out after 10 minutes, purchases after 1 hour,
@@ -4735,6 +4781,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "passage_dup_docs": q_passage_dup_docs,
     "next_purchase_after_click": q_next_purchase_after_click,
     "dynamic_session_windows": q_dynamic_session_windows,
+    "script_stats": q_script_stats,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
@@ -4885,6 +4932,7 @@ ORACLES: dict[str, str] = {
     "passage_dup_docs": ORACLE_PASSAGE_DUP_DOCS,
     "next_purchase_after_click": ORACLE_NEXT_PURCHASE_AFTER_CLICK,
     "dynamic_session_windows": ORACLE_DYNAMIC_SESSION_WINDOWS,
+    "script_stats": ORACLE_SCRIPT_STATS,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT_DOCS,

@@ -763,3 +763,48 @@ def test_mixture_sample_properties(spark):
          .filter("keep").select("id").collect())
     )
     assert first == second
+
+
+# --- script detection -------------------------------------------------------
+
+def test_script_detection_multilingual(spark):
+    """The synthetic corpus is Latin-only; pin the other ranges with real
+    multilingual text against pure-Python codepoint counting."""
+    from statline_bq_spark.functions import text as text_fns
+
+    samples = [
+        (1, "Hello world 123"),
+        (2, "Привет мир"),
+        (3, "你好世界 and some latin"),
+        (4, "مرحبا بالعالم"),
+        (5, "Ελληνικά κείμενο"),
+        (6, "こんにちは 世界"),
+        (7, "1234 5678"),
+        (8, ""),
+    ]
+    df = spark.createDataFrame(samples, "id long, text string")
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            *[
+                text_fns.script_char_count("text", s).alias(s)
+                for s in text_fns.SCRIPT_RANGES
+            ],
+            text_fns.dominant_script("text").alias("dom"),
+        ).collect()
+    }
+
+    import re as _re
+    ranges = {k: _re.compile(f"[{v}]") for k, v in text_fns.SCRIPT_RANGES.items()}
+    for i, t in samples:
+        for s, pat in ranges.items():
+            assert out[i][s] == len(pat.findall(t)), (i, s)
+    assert out[1].dom == "latin"
+    assert out[2].dom == "cyrillic"
+    assert out[3].dom == "latin"      # more latin chars than cjk here
+    assert out[4].dom == "arabic"
+    assert out[5].dom == "greek"
+    assert out[6].dom == "cjk"
+    assert out[7].dom == "none"       # digits aren't a script
+    assert out[8].dom == "none"
