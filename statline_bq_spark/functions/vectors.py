@@ -33,3 +33,19 @@ def l2_norm(a: Column | str) -> Column:
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """dot(a,b) / (|a| * |b|) — matches DuckDB's list_cosine_similarity."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def truncate_dims(a: Column | str, k: int) -> Column:
+    """First ``k`` dimensions of an embedding (matryoshka-style truncation:
+    MRL-trained models pack coarse-to-fine information so the head is a
+    usable low-cost embedding)."""
+    return F.slice(_as_double_array(a), 1, k)
+
+
+def l2_normalize(a: Column | str) -> Column:
+    """Unit-normalize an embedding: x / ||x||. One fold for the norm, one
+    transform for the divide — all JVM-side, zero shuffle; NULL/zero-norm
+    vectors yield NULL elements (0/0) rather than erroring."""
+    arr = _as_double_array(a)
+    n = l2_norm(arr)
+    return F.transform(arr, lambda x: x / n)

@@ -795,6 +795,44 @@ GROUP BY user_id, sid
 """
 
 
+def q_matryoshka_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka-style embedding truncation + re-normalization
+    (`functions.vectors.truncate_dims` / `l2_normalize`): keep the first 16
+    of 64 dims and unit-normalize the head — the 4x storage/compute lever
+    MRL-trained models are built for. All values go through the
+    cross-engine-safe floor(x*1e4 + 0.5)/1e4 rounding (floor of identical
+    doubles is exact; round() would let the engines' decimal-tie behavior
+    diverge). Zero shuffle: pure per-row JVM folds."""
+    from statline_bq_spark.functions import vectors
+
+    emb = read_table(spark, sf, "embeddings")
+    head = vectors.truncate_dims("embedding", 16)
+    unit = vectors.l2_normalize(head)
+    fr = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("full_dim"),
+        fr(vectors.l2_norm(head)).alias("head_norm"),
+        F.transform(unit, lambda x: fr(x)).alias("head_unit"),
+    )
+
+
+ORACLE_MATRYOSHKA_EMBEDDINGS = """
+WITH h AS (
+  SELECT vec_id, len(embedding) AS full_dim,
+         list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS hd
+  FROM embeddings
+), n AS (
+  SELECT vec_id, full_dim, hd, sqrt(list_dot_product(hd, hd)) AS nrm FROM h
+)
+SELECT vec_id, CAST(full_dim AS INT) AS full_dim,
+       floor(nrm * 10000 + 0.5) / 10000 AS head_norm,
+       list_transform(hd, x -> floor(x / nrm * 10000 + 0.5) / 10000)
+         AS head_unit
+FROM n
+"""
+
+
 def q_script_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Unicode script detection (north-star text analysis): per-document
     character counts for Latin/Cyrillic/CJK/digit ranges plus the dominant
@@ -4782,6 +4820,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "next_purchase_after_click": q_next_purchase_after_click,
     "dynamic_session_windows": q_dynamic_session_windows,
     "script_stats": q_script_stats,
+    "matryoshka_embeddings": q_matryoshka_embeddings,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
@@ -4933,6 +4972,7 @@ ORACLES: dict[str, str] = {
     "next_purchase_after_click": ORACLE_NEXT_PURCHASE_AFTER_CLICK,
     "dynamic_session_windows": ORACLE_DYNAMIC_SESSION_WINDOWS,
     "script_stats": ORACLE_SCRIPT_STATS,
+    "matryoshka_embeddings": ORACLE_MATRYOSHKA_EMBEDDINGS,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT_DOCS,
