@@ -56,9 +56,10 @@ class StageMetrics:
 #: text). Full coverage runs in tests; bench tracks throughput.
 #:
 #: NOTE comparing totals across rounds: round 2 ADDED headliners
-#: (semantic_decontaminated, fuzzy_supplier_names) and made ivf_topk_raw
-#: probe 6 of 10 lists instead of 2 (recall 0.36 -> 0.80) — compare
-#: per-query times, not the total, across BENCH_r{N}.json files.
+#: (semantic_decontaminated, fuzzy_supplier_names, then passage_dup_docs,
+#: packed_sequences, script_stats) and made ivf_topk_raw probe 6 of 10
+#: lists instead of 2 (recall 0.36 -> 0.80) — compare per-query times, not
+#: the total, across BENCH_r{N}.json files.
 BENCH_QUERIES = (
     "star_schema_agg",
     "pricing_summary",
@@ -90,6 +91,9 @@ BENCH_QUERIES = (
     "training_data_pipeline",
     "busy_interval_stats",
     "embedding_quantization",
+    "passage_dup_docs",
+    "packed_sequences",
+    "script_stats",
 )
 
 

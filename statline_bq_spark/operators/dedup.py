@@ -77,12 +77,13 @@ def _jaccard_from_common(
 ) -> DataFrame:
     """Attach exact Jaccard to (a, b, common) pair counts and filter.
 
-    |A∪B| = |A| + |B| - common; sizes is small relative to the corpus
-    (one row per doc) but SF-scaled, so it's a plain shuffle join —
-    AQE broadcasts it when it fits.
+    |A∪B| = |A| + |B| - common; sizes is one row per doc — SF-scaled —
+    so it joins sort-merge (hinted: a borderline size estimate must not
+    tempt the planner into driver-broadcasting a corpus-sized relation;
+    at real scale SMJ is the only viable choice anyway).
     """
-    sa = sizes.select(F.col("_id").alias("a"), F.col("_sz").alias("_sa"))
-    sb = sizes.select(F.col("_id").alias("b"), F.col("_sz").alias("_sb"))
+    sa = sizes.select(F.col("_id").alias("a"), F.col("_sz").alias("_sa")).hint("merge")
+    sb = sizes.select(F.col("_id").alias("b"), F.col("_sz").alias("_sb")).hint("merge")
     return (
         pairs.join(sa, "a")
         .join(sb, "b")
@@ -271,9 +272,14 @@ def minhash_lsh_pairs(
     )
 
     # Exact-Jaccard verify restricted to candidates: count common grams by
-    # joining the index on (doc, gram) for each side of the pair.
-    inv_a = inv.select(F.col("_id").alias("a"), "_g")
-    inv_b = inv.select(F.col("_id").alias("b"), "_g")
+    # joining the index on (doc, gram) for each side of the pair. The index
+    # sides carry a merge (sort-merge) hint: the inverted index is
+    # corpus-sized, and letting the planner driver-broadcast it whenever a
+    # borderline size estimate dips under the auto-broadcast threshold is
+    # both a scale hazard and a measured source of 20x run-to-run variance
+    # mid-size; SMJ is what a real cluster picks at scale anyway.
+    inv_a = inv.select(F.col("_id").alias("a"), "_g").hint("merge")
+    inv_b = inv.select(F.col("_id").alias("b"), "_g").hint("merge")
     common = (
         candidates.join(inv_a, "a")
         .join(inv_b, ["b", "_g"])
