@@ -265,7 +265,8 @@ def minhash_lsh_pairs(
         F.col("band_id"), F.col("band_hash"), F.col("_id").alias("b")
     )
     candidates = (
-        left.join(right, ["band_id", "band_hash"])
+        # merge hint: buckets is corpus-sized (docs x bands rows)
+        left.join(right.hint("merge"), ["band_id", "band_hash"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
@@ -345,7 +346,9 @@ def ngram_jaccard_pairs(
     capped = inv.join(F.broadcast(heavy), "_g", "left_anti")
     pairs = (
         capped.select(F.col("_g"), F.col("_id").alias("a"))
-        .join(capped.select(F.col("_g"), F.col("_id").alias("b")), "_g")
+        # merge hint: the capped index is corpus-sized; never let a
+        # borderline estimate driver-broadcast it (see minhash verify).
+        .join(capped.select(F.col("_g"), F.col("_id").alias("b")).hint("merge"), "_g")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("common"))
@@ -500,7 +503,8 @@ def simhash_neardup_pairs(
         "block_id", "block_val", F.col("_id").alias("b"), F.col("simhash").alias("_fb")
     )
     return (
-        left.join(right, ["block_id", "block_val"])
+        # merge hint: buckets is corpus-sized (docs x blocks rows)
+        left.join(right.hint("merge"), ["block_id", "block_val"])
         .filter(F.col("a") < F.col("b"))
         .select(
             "a",
@@ -539,7 +543,10 @@ def passage_dup_stats(
     (ReusedExchange); nothing ever shuffles text.
     """
     inv = shingle_index(df, id_col=id_col, text_col=text_col, n=n)
-    gram_df = inv.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    # merge hint: gram_df is corpus-sized (one row per distinct gram) — a
+    # borderline size estimate must not tempt the planner into
+    # driver-broadcasting it (same hazard as the minhash verify joins).
+    gram_df = inv.groupBy("_g").agg(F.count(F.lit(1)).alias("_df")).hint("merge")
     flagged = inv.join(gram_df, "_g").select(
         "_id", (F.col("_df") >= 2).cast("int").alias("_s")
     )
@@ -667,7 +674,8 @@ def fuzzy_pairs(
     capped = grams.join(F.broadcast(heavy), "_g", "left_anti")
     cand = (
         capped.select(F.col("_g"), F.col("_id").alias("a"))
-        .join(capped.select(F.col("_g"), F.col("_id").alias("b")), "_g")
+        # merge hint: corpus-sized gram index, same rationale as above
+        .join(capped.select(F.col("_g"), F.col("_id").alias("b")).hint("merge"), "_g")
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
