@@ -795,6 +795,99 @@ GROUP BY user_id, sid
 """
 
 
+def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel analysis: users who viewed, then clicked AFTER their
+    first view, then purchased AFTER that click — the sequencing constraint
+    (each stage strictly later than the previous stage's first completion)
+    is what separates a funnel from three independent filters.
+
+    Scale shape: three conditional min-aggregates over events, each keyed
+    on user_id (map-side partial min, shuffle = #users rows), chained by
+    user-keyed joins — no window over the whole event stream, no
+    per-user event materialization.
+    """
+    e = read_table(spark, sf, "events").select("user_id", "event_type", "ts")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("_tv")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("_tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_tc"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("_tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_tp"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+    )
+
+
+ORACLE_EVENT_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS tv FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS tc
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.tv
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS tp
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.tc
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_viewed,
+       (SELECT count(*) FROM c) AS n_clicked_after_view,
+       (SELECT count(*) FROM p) AS n_purchased_after_click
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, distinct active
+    users per (cohort_week, weeks_since) — the standard retention triangle.
+    Weeks are integer epoch-week numbers (floor(epoch/604800)), so every
+    bucket boundary is exact integer arithmetic in both engines.
+
+    Scale shape: one min-aggregate for first-seen (shuffle = #users), one
+    user-keyed join back, one distinct-count aggregate on (cohort, offset)
+    — events never sort globally.
+    """
+    e = read_table(spark, sf, "events").select("user_id", "ts")
+    wk = lambda c: F.floor(F.unix_timestamp(c) / 604800).cast("bigint")  # noqa: E731
+    first = e.groupBy("user_id").agg(F.min("ts").alias("_first_ts"))
+    joined = e.join(first, "user_id").select(
+        "user_id",
+        wk(F.col("_first_ts")).alias("cohort_week"),
+        (wk(F.col("ts")) - wk(F.col("_first_ts"))).alias("weeks_since"),
+    )
+    return joined.groupBy("cohort_week", "weeks_since").agg(
+        F.countDistinct("user_id").alias("n_active_users")
+    )
+
+
+ORACLE_RETENTION_COHORTS = """
+WITH first AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+)
+SELECT CAST(floor(epoch(first_ts) / 604800) AS BIGINT) AS cohort_week,
+       CAST(floor(epoch(e.ts) / 604800)
+            - floor(epoch(first_ts) / 604800) AS BIGINT) AS weeks_since,
+       count(DISTINCT e.user_id) AS n_active_users
+FROM events e JOIN first ON e.user_id = first.user_id
+GROUP BY 1, 2
+"""
+
+
 def q_matryoshka_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """Matryoshka-style embedding truncation + re-normalization
     (`functions.vectors.truncate_dims` / `l2_normalize`): keep the first 16
@@ -4821,6 +4914,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dynamic_session_windows": q_dynamic_session_windows,
     "script_stats": q_script_stats,
     "matryoshka_embeddings": q_matryoshka_embeddings,
+    "event_funnel": q_event_funnel,
+    "retention_cohorts": q_retention_cohorts,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
@@ -4973,6 +5068,8 @@ ORACLES: dict[str, str] = {
     "dynamic_session_windows": ORACLE_DYNAMIC_SESSION_WINDOWS,
     "script_stats": ORACLE_SCRIPT_STATS,
     "matryoshka_embeddings": ORACLE_MATRYOSHKA_EMBEDDINGS,
+    "event_funnel": ORACLE_EVENT_FUNNEL,
+    "retention_cohorts": ORACLE_RETENTION_COHORTS,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT_DOCS,
