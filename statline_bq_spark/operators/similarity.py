@@ -346,7 +346,11 @@ def cosine_pairs_blocked(
     )
     cand = (
         left.join(F.broadcast(grid), left["_xb"] == grid["_bi"])
-        .join(right, F.col("_bj") == right["_yb"])
+        # merge hint: the partner-block side is the full corpus — a
+        # borderline size estimate must not tempt the planner into
+        # driver-broadcasting it (the block-pair grid above is the only
+        # intentionally-broadcast relation here).
+        .join(right.hint("merge"), F.col("_bj") == right["_yb"])
         .filter(
             (F.col("_bi") < F.col("_bj")) | (F.col("_xid") < F.col("_yid"))
         )
