@@ -107,6 +107,20 @@ NOTES = {
         "md5 keep/drop decision is a map-side filter, so the corpus is "
         "never exchanged before the final per-source summary."
     ),
+    "event_funnel": (
+        "Ordered funnel: three conditional min-aggregates chained by "
+        "user-keyed joins — each stage's shuffle carries #users rows, the "
+        "event stream is never globally sorted and no per-user event list "
+        "is materialized. The sequencing constraint (stage N strictly "
+        "after stage N-1's first completion) lives in join-side filters."
+    ),
+    "passage_dup_docs": (
+        "Inter-doc shared-passage fraction: inverted index → gram "
+        "document-frequency aggregate → gram-keyed join back, with the "
+        "gram join sort-merge-pinned (corpus-sized side) and the index's "
+        "exchange reused between the aggregate and the probe. Shuffles "
+        "carry 8-byte gram hashes, never text."
+    ),
     "semantic_decontaminated": (
         "Embedding-based decontamination: ONE BroadcastNestedLoopJoin "
         "LeftAnti against the (small, broadcast) benchmark side — the "
