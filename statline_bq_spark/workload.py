@@ -795,6 +795,75 @@ GROUP BY user_id, sid
 """
 
 
+def q_session_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionized path analysis: the first five event types of every
+    30-minute-gap user session concatenated into a path string ('view >
+    click > purchase'), counted across sessions — the clickstream-mining
+    rendition of the session window. Session boundaries use the same
+    lag-islands rule as the session-window oracle, and the within-session
+    order is made total by (ts, event_id), so the paths are deterministic.
+
+    Scale shape: one shuffle on user_id serves both the islands window and
+    the per-session ordering; the per-session state is one bounded
+    struct-array (capped at 5 by slice); the final count shuffles only
+    distinct path strings.
+    """
+    e = read_table(spark, sf, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # interval comparison (not unix_timestamp, which truncates to whole
+    # seconds while the oracle's epoch() keeps fractions — sub-second
+    # event times exist at sf0.1)
+    new_s = F.when(
+        F.col("ts") - F.lag("ts").over(w) >= F.expr("INTERVAL 30 MINUTES"),
+        1,
+    ).otherwise(0)
+    sid = F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = e.withColumn("_sid", sid)
+    paths = (
+        sess.groupBy("user_id", "_sid")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("_evs")
+        )
+        .select(
+            F.concat_ws(
+                " > ",
+                F.transform(
+                    F.slice(F.col("_evs"), 1, 5), lambda s: s["event_type"]
+                ),
+            ).alias("path")
+        )
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
+ORACLE_SESSION_PATHS = """
+WITH e AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN ts - lag(ts) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id)
+                  >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                               ORDER BY ts, event_id) AS rn
+  FROM s
+), p AS (
+  SELECT string_agg(event_type, ' > ' ORDER BY ts, event_id) AS path
+  FROM r WHERE rn <= 5 GROUP BY user_id, sid
+)
+SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+"""
+
+
 def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered funnel analysis: users who viewed, then clicked AFTER their
     first view, then purchased AFTER that click — the sequencing constraint
@@ -4916,6 +4985,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "matryoshka_embeddings": q_matryoshka_embeddings,
     "event_funnel": q_event_funnel,
     "retention_cohorts": q_retention_cohorts,
+    "session_paths": q_session_paths,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
@@ -5070,6 +5140,7 @@ ORACLES: dict[str, str] = {
     "matryoshka_embeddings": ORACLE_MATRYOSHKA_EMBEDDINGS,
     "event_funnel": ORACLE_EVENT_FUNNEL,
     "retention_cohorts": ORACLE_RETENTION_COHORTS,
+    "session_paths": ORACLE_SESSION_PATHS,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT_DOCS,
