@@ -795,6 +795,116 @@ GROUP BY user_id, sid
 """
 
 
+def q_robust_price_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust dispersion statistics per return flag: discrete median, IQR
+    (p75 - p25), MAD (median absolute deviation) and the count of
+    |x - median| > 3*MAD outliers — the outlier-gate feature set a data-
+    cleaning pipeline computes before clipping. All quantiles are DISCRETE
+    rank selections (actual data values, see q_price_percentiles — no
+    interpolation, so no cross-engine rounding ties), and the deviation /
+    threshold arithmetic is exact IEEE on identical doubles.
+
+    Scale shape: two ranked window passes (values, then deviations) plus
+    one conditional count, each partitioned by the group key; the tiny
+    per-group stats broadcast back between passes. Exact per-group
+    quantiles inherently sort each group — the approx_* sketch queries are
+    the 100 TB discovery path; this is the exact verification form.
+    """
+    li = read_table(spark, sf, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+    def disc_pick(df, val: str, order_cols, picks):
+        w = Window.partitionBy("l_returnflag").orderBy(val, *order_cols)
+        n = F.count(F.lit(1)).over(Window.partitionBy("l_returnflag"))
+        ranked = df.select(
+            "l_returnflag",
+            F.col(val).alias("_v"),
+            F.row_number().over(w).alias("_rn"),
+            n.alias("_n"),
+        )
+        return ranked.groupBy("l_returnflag").agg(
+            *[
+                F.max(
+                    F.when(
+                        F.col("_rn") == F.ceil(F.col("_n") * p).cast("int"),
+                        F.col("_v"),
+                    )
+                ).alias(alias)
+                for p, alias in picks
+            ]
+        )
+
+    quarts = disc_pick(
+        li,
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        [(0.25, "_p25"), (0.5, "median_price"), (0.75, "_p75")],
+    )
+    with_dev = li.join(F.broadcast(quarts), "l_returnflag").withColumn(
+        "_dev", F.abs(F.col("l_extendedprice") - F.col("median_price"))
+    )
+    mad = disc_pick(
+        with_dev, "_dev", ["l_orderkey", "l_linenumber"], [(0.5, "mad")]
+    )
+    outliers = (
+        with_dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                F.when(F.col("_dev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers")
+        )
+    )
+    return (
+        quarts.join(mad, "l_returnflag")
+        .join(outliers, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "median_price",
+            (F.col("_p75") - F.col("_p25")).alias("iqr"),
+            "mad",
+            "n_outliers",
+        )
+    )
+
+
+ORACLE_ROBUST_PRICE_STATS = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey,
+                                     l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+), quarts AS (
+  SELECT l_returnflag,
+         max(CASE WHEN rn = CAST(ceil(n * 0.25) AS INT) THEN v END) AS p25,
+         max(CASE WHEN rn = CAST(ceil(n * 0.5) AS INT) THEN v END) AS median_price,
+         max(CASE WHEN rn = CAST(ceil(n * 0.75) AS INT) THEN v END) AS p75
+  FROM ranked GROUP BY l_returnflag
+), dev AS (
+  SELECT li.l_returnflag, abs(li.l_extendedprice - q.median_price) AS d,
+         li.l_orderkey, li.l_linenumber
+  FROM lineitem li JOIN quarts q ON li.l_returnflag = q.l_returnflag
+), dev_ranked AS (
+  SELECT l_returnflag, d,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY d, l_orderkey, l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM dev
+), mad AS (
+  SELECT l_returnflag,
+         max(CASE WHEN rn = CAST(ceil(n * 0.5) AS INT) THEN d END) AS mad
+  FROM dev_ranked GROUP BY l_returnflag
+)
+SELECT q.l_returnflag, q.median_price, q.p75 - q.p25 AS iqr, m.mad,
+       (SELECT CAST(sum(CASE WHEN d.d > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+        FROM dev d WHERE d.l_returnflag = q.l_returnflag) AS n_outliers
+FROM quarts q JOIN mad m ON q.l_returnflag = m.l_returnflag
+"""
+
+
 def q_session_paths(spark: SparkSession, sf: str) -> DataFrame:
     """Sessionized path analysis: the first five event types of every
     30-minute-gap user session concatenated into a path string ('view >
@@ -4986,6 +5096,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_funnel": q_event_funnel,
     "retention_cohorts": q_retention_cohorts,
     "session_paths": q_session_paths,
+    "robust_price_stats": q_robust_price_stats,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
@@ -5141,6 +5252,7 @@ ORACLES: dict[str, str] = {
     "event_funnel": ORACLE_EVENT_FUNNEL,
     "retention_cohorts": ORACLE_RETENTION_COHORTS,
     "session_paths": ORACLE_SESSION_PATHS,
+    "robust_price_stats": ORACLE_ROBUST_PRICE_STATS,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT_DOCS,
