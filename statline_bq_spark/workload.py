@@ -795,6 +795,95 @@ GROUP BY user_id, sid
 """
 
 
+def q_snapshot_diff_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot change detection (the inspection half of S19/Q10's
+    incremental upsert): classify every order key across two dated
+    snapshots as added / removed / changed / unchanged and count each
+    class per order status. The 'new' snapshot is derived deterministically
+    from orders itself (md5-picked ~10% of keys dropped, a disjoint ~10%
+    repriced, one synthetic key added) so the diff is reproducible in SQL.
+
+    Scale shape: full outer join on the key — one co-partitioned shuffle
+    per side — then change classification as a row-level CASE on the
+    joined columns and a tiny class/status aggregate. Value comparison
+    uses the raw (unmodified vs modified) doubles, exact by construction.
+    """
+    o = read_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2), 16, 10)
+        .cast("int"),
+        F.lit(10),
+    )
+    new = (
+        o.withColumn("_b", bucket)
+        .filter(F.col("_b") != 0)  # bucket 0 -> removed rows
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("_b") == 1, F.col("o_totalprice") * 2
+            ).otherwise(F.col("o_totalprice")),  # bucket 1 -> changed rows
+        )
+        .drop("_b")
+        .unionByName(
+            spark.createDataFrame(
+                [(-1, "F", 1.0)],
+                "o_orderkey long, o_orderstatus string, o_totalprice double",
+            )
+        )
+    )
+    old_k = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("_os_old"),
+        F.col("o_totalprice").alias("_tp_old"),
+    )
+    new_k = new.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("_os_new"),
+        F.col("o_totalprice").alias("_tp_new"),
+    )
+    classified = old_k.join(new_k, "k", "full_outer").select(
+        F.coalesce("_os_new", "_os_old").alias("o_orderstatus"),
+        F.when(F.col("_tp_old").isNull(), "added")
+        .when(F.col("_tp_new").isNull(), "removed")
+        .when(F.col("_tp_new") != F.col("_tp_old"), "changed")
+        .otherwise("unchanged")
+        .alias("change"),
+    )
+    return classified.groupBy("o_orderstatus", "change").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+ORACLE_SNAPSHOT_DIFF_ORDERS = """
+WITH b AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         ((strpos('0123456789abcdef',
+                  substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 16
+        + (strpos('0123456789abcdef',
+                  substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1)) % 10
+           AS bk
+  FROM orders
+), new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN bk = 1 THEN o_totalprice * 2 ELSE o_totalprice END
+           AS o_totalprice
+  FROM b WHERE bk <> 0
+  UNION ALL SELECT -1, 'F', 1.0
+), j AS (
+  SELECT COALESCE(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN n.o_totalprice <> o.o_totalprice THEN 'changed'
+              ELSE 'unchanged' END AS change
+  FROM orders o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderstatus, change, count(*) AS n_orders
+FROM j GROUP BY o_orderstatus, change
+"""
+
+
 def q_robust_price_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Robust dispersion statistics per return flag: discrete median, IQR
     (p75 - p25), MAD (median absolute deviation) and the count of
@@ -5097,6 +5186,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_cohorts": q_retention_cohorts,
     "session_paths": q_session_paths,
     "robust_price_stats": q_robust_price_stats,
+    "snapshot_diff_orders": q_snapshot_diff_orders,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
@@ -5253,6 +5343,7 @@ ORACLES: dict[str, str] = {
     "retention_cohorts": ORACLE_RETENTION_COHORTS,
     "session_paths": ORACLE_SESSION_PATHS,
     "robust_price_stats": ORACLE_ROBUST_PRICE_STATS,
+    "snapshot_diff_orders": ORACLE_SNAPSHOT_DIFF_ORDERS,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT_DOCS,
