@@ -795,6 +795,63 @@ GROUP BY user_id, sid
 """
 
 
+def q_pivot_event_multi_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Long→wide pivot carrying MULTIPLE aggregates per pivot value (count
+    and rounded sum per event type) — Spark suffixes the agg alias onto
+    each pivot column (click_n, click_total, ...), still one hash-agg pass
+    with the explicit value list (no discovery pass)."""
+    e = read_table(spark, sf, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )
+
+
+def _pivot_multi_oracle() -> str:
+    cols = ",\n       ".join(
+        f"CAST(count(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT)"
+        f" AS {t}_n,\n       "
+        f"round(sum(CASE WHEN event_type = '{t}' THEN value END), 2)"
+        f" AS {t}_total"
+        for t in EVENT_TYPES
+    )
+    return f"SELECT user_id,\n       {cols}\nFROM events GROUP BY user_id"
+
+
+ORACLE_PIVOT_EVENT_MULTI_AGG = _pivot_multi_oracle()
+
+
+def q_vocab_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary mining: the 100 whitespace tokens with the highest
+    document frequency, rank made total by (df DESC, token) so the cutoff
+    is deterministic. The Spark plan is a distinct-explode + hash-agg +
+    TakeOrderedAndProject — no global sort materializes the vocabulary."""
+    d = read_table(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    ).distinct()
+    df_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return df_counts.orderBy(F.col("df").desc(), "tok").limit(100)
+
+
+ORACLE_VOCAB_TOP_TERMS = """
+SELECT tok, count(*) AS df
+FROM (
+  SELECT DISTINCT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+)
+GROUP BY tok
+ORDER BY df DESC, tok
+LIMIT 100
+"""
+
+
 def q_snapshot_diff_orders(spark: SparkSession, sf: str) -> DataFrame:
     """Snapshot change detection (the inspection half of S19/Q10's
     incremental upsert): classify every order key across two dated
@@ -5187,6 +5244,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_paths": q_session_paths,
     "robust_price_stats": q_robust_price_stats,
     "snapshot_diff_orders": q_snapshot_diff_orders,
+    "pivot_event_multi_agg": q_pivot_event_multi_agg,
+    "vocab_top_terms": q_vocab_top_terms,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
@@ -5344,6 +5403,8 @@ ORACLES: dict[str, str] = {
     "session_paths": ORACLE_SESSION_PATHS,
     "robust_price_stats": ORACLE_ROBUST_PRICE_STATS,
     "snapshot_diff_orders": ORACLE_SNAPSHOT_DIFF_ORDERS,
+    "pivot_event_multi_agg": ORACLE_PIVOT_EVENT_MULTI_AGG,
+    "vocab_top_terms": ORACLE_VOCAB_TOP_TERMS,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT_DOCS,
