@@ -795,6 +795,41 @@ GROUP BY user_id, sid
 """
 
 
+def q_nations_covering_all_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Relational DIVISION (the one classic operator the rest of the
+    surface lacks): nations whose customers span EVERY market segment,
+    via the count-distinct formulation — group the dividend by the
+    candidate key, keep groups whose distinct-divisor count equals the
+    divisor's cardinality (a one-row broadcast). No NOT EXISTS double
+    negation, one shuffle on the group key."""
+    c = read_table(spark, sf, "customer").select("c_nationkey", "c_mktsegment")
+    n = read_table(spark, sf, "nation")
+    total = c.agg(
+        F.countDistinct("c_mktsegment").alias("_n_segments")
+    )
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .filter(F.col("n_segments") == F.col("_n_segments"))
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .select("n_name", "n_segments", "n_customers")
+    )
+
+
+ORACLE_NATIONS_COVERING_ALL_SEGMENTS = """
+SELECT n_name,
+       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+       count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+HAVING count(DISTINCT c_mktsegment) =
+       (SELECT count(DISTINCT c_mktsegment) FROM customer)
+"""
+
+
 def q_pivot_event_multi_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Long→wide pivot carrying MULTIPLE aggregates per pivot value (count
     and rounded sum per event type) — Spark suffixes the agg alias onto
@@ -5246,6 +5281,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff_orders": q_snapshot_diff_orders,
     "pivot_event_multi_agg": q_pivot_event_multi_agg,
     "vocab_top_terms": q_vocab_top_terms,
+    "nations_covering_all_segments": q_nations_covering_all_segments,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
@@ -5405,6 +5441,7 @@ ORACLES: dict[str, str] = {
     "snapshot_diff_orders": ORACLE_SNAPSHOT_DIFF_ORDERS,
     "pivot_event_multi_agg": ORACLE_PIVOT_EVENT_MULTI_AGG,
     "vocab_top_terms": ORACLE_VOCAB_TOP_TERMS,
+    "nations_covering_all_segments": ORACLE_NATIONS_COVERING_ALL_SEGMENTS,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT_DOCS,
