@@ -795,6 +795,81 @@ GROUP BY user_id, sid
 """
 
 
+def q_hourly_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series anomaly detection: flag hours whose event count deviates
+    from the trailing-24h mean by more than 3 sigma, per event type — the
+    batch rendition of a streaming monitor. The trailing window is a RANGE
+    frame over the integer epoch-hour index (not 24 ROWS — row frames
+    silently shrink the lookback across gaps), excludes the current hour,
+    and requires >= 12 observed hours before judging.
+
+    Determinism: counts are integers; mean/variance derive from exact
+    integer sums with the identical expression shape in both engines, and
+    the 3-sigma test compares (x-mean)^2 > 9*var — no square root, no
+    rounding step. Scale shape: one tumbling aggregate (map-side partials)
+    then a per-key window over #hours rows, never raw events.
+    """
+    e = read_table(spark, sf, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("_hb"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("_hb")
+        .rangeBetween(-24, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "_hb",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("_k"),
+        F.sum("n_events").over(w).alias("_s"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("_ss"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_k")
+    var = F.col("_ss").cast("double") / F.col("_k") - mean * mean
+    dev = F.col("n_events") - mean
+    return stats.select(
+        "event_type",
+        F.date_format(F.timestamp_seconds(F.col("_hb") * 3600), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_start"
+        ),
+        "n_events",
+        F.col("_k").alias("n_lookback_hours"),
+        F.when((F.col("_k") >= 12) & (dev * dev > 9 * var), True)
+        .otherwise(False)
+        .alias("is_anomaly"),
+    )
+
+
+ORACLE_HOURLY_ANOMALIES = """
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, hb, n,
+         count(*) OVER tw AS k,
+         sum(n) OVER tw AS s,
+         sum(n * n) OVER tw AS ss
+  FROM hourly
+  WINDOW tw AS (PARTITION BY event_type ORDER BY hb
+                RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type,
+       strftime(to_timestamp(hb * 3600), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(k AS BIGINT) AS n_lookback_hours,
+       CASE WHEN k >= 12
+             AND (n - CAST(s AS DOUBLE) / k) * (n - CAST(s AS DOUBLE) / k)
+                 > 9 * (CAST(ss AS DOUBLE) / k
+                        - (CAST(s AS DOUBLE) / k) * (CAST(s AS DOUBLE) / k))
+            THEN TRUE ELSE FALSE END AS is_anomaly
+FROM stats
+"""
+
+
 def q_nations_covering_all_segments(spark: SparkSession, sf: str) -> DataFrame:
     """Relational DIVISION (the one classic operator the rest of the
     surface lacks): nations whose customers span EVERY market segment,
@@ -5282,6 +5357,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_event_multi_agg": q_pivot_event_multi_agg,
     "vocab_top_terms": q_vocab_top_terms,
     "nations_covering_all_segments": q_nations_covering_all_segments,
+    "hourly_anomalies": q_hourly_anomalies,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
@@ -5442,6 +5518,7 @@ ORACLES: dict[str, str] = {
     "pivot_event_multi_agg": ORACLE_PIVOT_EVENT_MULTI_AGG,
     "vocab_top_terms": ORACLE_VOCAB_TOP_TERMS,
     "nations_covering_all_segments": ORACLE_NATIONS_COVERING_ALL_SEGMENTS,
+    "hourly_anomalies": ORACLE_HOURLY_ANOMALIES,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT_DOCS,
