@@ -795,6 +795,57 @@ GROUP BY user_id, sid
 """
 
 
+def q_calibrated_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source score calibration: map each document's heuristic
+    quality score to its percent-rank WITHIN its source, so thresholds
+    mean the same thing across heterogeneously-scored sources (the
+    standard fix before mixing corpora with one global quality cutoff).
+
+    percent_rank = (rank-1)/(n-1) is exact integer arithmetic into one
+    double divide; the rank ties on the raw score exactly like the oracle
+    (rank(), not row_number(), so equal scores calibrate equally).
+    Scale shape: one shuffle on source, one within-source sort — and the
+    emitted score itself is scaled-integer to dodge decimal-tie rounding.
+    """
+    d = read_table(spark, sf, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        # scaled-integer quality score (exact in both engines; see
+        # functions.text.quality_score for the raw expression)
+        (
+            F.floor(quality_score("text") * 10000 + F.lit(0.5)) / 10000
+        ).alias("q"),
+    )
+    w = Window.partitionBy("source").orderBy("q")
+    return scored.select(
+        "doc_id",
+        "source",
+        "q",
+        F.percent_rank().over(w).alias("calibrated"),
+    )
+
+
+ORACLE_CALIBRATED_QUALITY_SCORES = """
+WITH t AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, source,
+         floor((0.5 * (CAST(len(list_filter(toks, x -> lower(x) IN
+                  ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+                / len(toks))
+           + 0.5 * (CASE WHEN len(toks) BETWEEN 20 AND 1000
+                         THEN 1.0 ELSE 0.0 END))
+             * 10000 + 0.5) / 10000 AS q
+  FROM t
+)
+SELECT doc_id, source, q,
+       percent_rank() OVER (PARTITION BY source ORDER BY q) AS calibrated
+FROM scored
+"""
+
+
 def q_hourly_anomalies(spark: SparkSession, sf: str) -> DataFrame:
     """Time-series anomaly detection: flag hours whose event count deviates
     from the trailing-24h mean by more than 3 sigma, per event type — the
@@ -5358,6 +5409,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_top_terms": q_vocab_top_terms,
     "nations_covering_all_segments": q_nations_covering_all_segments,
     "hourly_anomalies": q_hourly_anomalies,
+    "calibrated_quality_scores": q_calibrated_quality_scores,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
@@ -5519,6 +5571,7 @@ ORACLES: dict[str, str] = {
     "vocab_top_terms": ORACLE_VOCAB_TOP_TERMS,
     "nations_covering_all_segments": ORACLE_NATIONS_COVERING_ALL_SEGMENTS,
     "hourly_anomalies": ORACLE_HOURLY_ANOMALIES,
+    "calibrated_quality_scores": ORACLE_CALIBRATED_QUALITY_SCORES,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT_DOCS,
