@@ -795,6 +795,56 @@ GROUP BY user_id, sid
 """
 
 
+def q_bitext_mining(spark: SparkSession, sf: str) -> DataFrame:
+    """Parallel-corpus mining: for every German document, the single
+    nearest English document by embedding cosine — the LASER/CCMatrix-style
+    bitext alignment step, composed from the documents⋈embeddings join and
+    the exact ANN operator. Exact top-1 here (queries broadcast, corpus
+    never shuffles); at 100 TB the discovery pass routes through the
+    IVF/LSH paths with identical output semantics and this exact form
+    becomes the per-bucket verifier.
+    """
+    d = read_table(spark, sf, "documents").select("doc_id", "lang")
+    e = read_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    de = (
+        d.filter(F.col("lang") == "de")
+        .join(e, F.col("doc_id") == F.col("vec_id"))
+        .select(F.col("doc_id").alias("q_id"), "embedding")
+    )
+    en = (
+        d.filter(F.col("lang") == "en")
+        .join(e, F.col("doc_id") == F.col("vec_id"))
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+    )
+    return similarity.ann_cosine_topk(en, de, k=1).select(
+        F.col("q_id").alias("de_doc"),
+        F.col("neighbor_id").alias("en_doc"),
+        "sim",
+    )
+
+
+ORACLE_BITEXT_MINING = """
+WITH de AS (
+  SELECT d.doc_id AS q_id, CAST(e.embedding AS DOUBLE[]) AS qv
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.lang = 'de'
+), en AS (
+  SELECT d.doc_id AS nid, CAST(e.embedding AS DOUBLE[]) AS cv
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.lang = 'en'
+), s AS (
+  SELECT de.q_id, en.nid,
+         list_cosine_similarity(en.cv, de.qv) AS sim_raw,
+         row_number() OVER (PARTITION BY de.q_id
+                            ORDER BY list_cosine_similarity(en.cv, de.qv)
+                                     DESC, en.nid) AS rn
+  FROM de CROSS JOIN en
+)
+SELECT q_id AS de_doc, nid AS en_doc, round(sim_raw, 4) AS sim
+FROM s WHERE rn = 1
+"""
+
+
 def q_calibrated_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-source score calibration: map each document's heuristic
     quality score to its percent-rank WITHIN its source, so thresholds
@@ -5410,6 +5460,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nations_covering_all_segments": q_nations_covering_all_segments,
     "hourly_anomalies": q_hourly_anomalies,
     "calibrated_quality_scores": q_calibrated_quality_scores,
+    "bitext_mining": q_bitext_mining,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
@@ -5572,6 +5623,7 @@ ORACLES: dict[str, str] = {
     "nations_covering_all_segments": ORACLE_NATIONS_COVERING_ALL_SEGMENTS,
     "hourly_anomalies": ORACLE_HOURLY_ANOMALIES,
     "calibrated_quality_scores": ORACLE_CALIBRATED_QUALITY_SCORES,
+    "bitext_mining": ORACLE_BITEXT_MINING,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT_DOCS,
