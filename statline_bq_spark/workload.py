@@ -795,6 +795,73 @@ GROUP BY user_id, sid
 """
 
 
+def q_price_trend_per_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-wise least-squares trend: the OLS slope and intercept of order
+    value over order date (epoch days), per market segment — closed-form
+    regression from five exact sums, no ML library and no iteration.
+
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx); all five accumulators are
+    exact DECIMAL aggregates over integers/decimals (order-independent),
+    cast to double once, so both engines evaluate the identical
+    double-arithmetic expression — emitted through scaled-integer rounding.
+    One shuffle (the groupBy); this is the map-side-combinable form every
+    'per-key regression' at 100 TB reduces to.
+    """
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment",
+        F.floor(F.unix_timestamp("o_orderdate") / 86400)
+        .cast("decimal(20,0)")
+        .alias("_x"),
+        F.col("o_totalprice").cast("decimal(20,6)").alias("_y"),
+    )
+    agg = j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").cast("double").alias("_sx"),
+        F.sum("_y").cast("double").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("double").alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).cast("double").alias("_sxy"),
+    )
+    n = F.col("_n").cast("double")
+    slope = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+        n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    )
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / n
+    fr = lambda c_: F.floor(c_ * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return agg.select(
+        "c_mktsegment",
+        "_n",
+        fr(slope).alias("slope_per_day"),
+        fr(intercept).alias("intercept"),
+    ).withColumnRenamed("_n", "n_orders")
+
+
+ORACLE_PRICE_TREND_PER_SEGMENT = """
+WITH j AS (
+  SELECT c_mktsegment,
+         CAST(floor(epoch(o_orderdate) / 86400) AS DECIMAL(20,0)) AS x,
+         CAST(o_totalprice AS DECIMAL(20,6)) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), agg AS (
+  SELECT c_mktsegment, count(*) AS n,
+         CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(sum(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(sum(x * y) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM j GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n AS n_orders,
+       floor((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx) * 10000 + 0.5) / 10000
+         AS slope_per_day,
+       floor((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+             / CAST(n AS DOUBLE) * 10000 + 0.5) / 10000 AS intercept
+FROM agg
+"""
+
+
 def q_bitext_mining(spark: SparkSession, sf: str) -> DataFrame:
     """Parallel-corpus mining: for every German document, the single
     nearest English document by embedding cosine — the LASER/CCMatrix-style
@@ -5461,6 +5528,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hourly_anomalies": q_hourly_anomalies,
     "calibrated_quality_scores": q_calibrated_quality_scores,
     "bitext_mining": q_bitext_mining,
+    "price_trend_per_segment": q_price_trend_per_segment,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
@@ -5624,6 +5692,7 @@ ORACLES: dict[str, str] = {
     "hourly_anomalies": ORACLE_HOURLY_ANOMALIES,
     "calibrated_quality_scores": ORACLE_CALIBRATED_QUALITY_SCORES,
     "bitext_mining": ORACLE_BITEXT_MINING,
+    "price_trend_per_segment": ORACLE_PRICE_TREND_PER_SEGMENT,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT_DOCS,
