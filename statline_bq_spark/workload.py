@@ -795,6 +795,93 @@ GROUP BY user_id, sid
 """
 
 
+def q_embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding drift monitor: squared-L2 distance between the per-label
+    centroids of two deterministic halves of the corpus (md5-split by
+    vec_id — a stand-in for 'last week vs this week') — the model/data
+    drift check an embedding pipeline runs per batch.
+
+    Determinism chain: per-(label, half, dim) component sums are exact
+    DECIMAL; means divide by integer counts (identical doubles); each
+    squared mean-difference is quantized to an INTEGER (floor(d²·1e8+0.5))
+    before the cross-dimension sum, so the final reduction is exact integer
+    math — no double summation order anywhere. Scale shape: one explode +
+    hash-agg on (label, dim) — the same map-side-combinable form as
+    embedding_centroids — then a #labels×#dims-row join and a tiny final
+    aggregate.
+    """
+    emb = read_table(spark, sf, "embeddings")
+    half = F.when(
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1), 16, 10)
+        .cast("int")
+        % 2
+        == 0,
+        "a",
+    ).otherwise("b")
+    exploded = emb.select(
+        "label",
+        half.alias("_h"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    )
+    sums = exploded.groupBy("label", "_h", "pos").agg(
+        F.sum(F.col("val").cast("decimal(20,6)")).cast("double").alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    a = sums.filter(F.col("_h") == "a").select(
+        "label", "pos", (F.col("_s") / F.col("_n")).alias("_ma"),
+        F.col("_n").alias("_na"),
+    )
+    b = sums.filter(F.col("_h") == "b").select(
+        "label", "pos", (F.col("_s") / F.col("_n")).alias("_mb"),
+        F.col("_n").alias("_nb"),
+    )
+    d2 = a.join(b, ["label", "pos"]).select(
+        "label",
+        "_na",
+        "_nb",
+        F.floor(
+            (F.col("_ma") - F.col("_mb")) * (F.col("_ma") - F.col("_mb"))
+            * 100000000
+            + F.lit(0.5)
+        ).cast("bigint").alias("_d2s"),
+    )
+    return d2.groupBy("label").agg(
+        F.first("_na").alias("n_half_a"),
+        F.first("_nb").alias("n_half_b"),
+        (F.sum("_d2s").cast("double") / 100000000).alias("l2sq_drift"),
+    )
+
+
+ORACLE_EMBEDDING_DRIFT = """
+WITH e AS (
+  SELECT label,
+         CASE WHEN (strpos('0123456789abcdef',
+                    substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+              THEN 'a' ELSE 'b' END AS h,
+         CAST(embedding[i + 1] AS DOUBLE) AS val,
+         i AS pos
+  FROM embeddings, range(0, 64) t(i)
+), sums AS (
+  SELECT label, h, pos,
+         CAST(sum(CAST(val AS DECIMAL(20,6))) AS DOUBLE) AS s,
+         count(*) AS n
+  FROM e GROUP BY label, h, pos
+), m AS (
+  SELECT a.label, a.pos, a.s / a.n AS ma, b.s / b.n AS mb,
+         a.n AS na, b.n AS nb
+  FROM sums a JOIN sums b ON a.label = b.label AND a.pos = b.pos
+  WHERE a.h = 'a' AND b.h = 'b'
+)
+SELECT label, CAST(min(na) AS BIGINT) AS n_half_a,
+       CAST(min(nb) AS BIGINT) AS n_half_b,
+       CAST(sum(CAST(floor((ma - mb) * (ma - mb) * 100000000 + 0.5)
+                     AS BIGINT)) AS DOUBLE) / 100000000 AS l2sq_drift
+FROM m GROUP BY label
+"""
+
+
 def q_price_trend_per_segment(spark: SparkSession, sf: str) -> DataFrame:
     """Group-wise least-squares trend: the OLS slope and intercept of order
     value over order date (epoch days), per market segment — closed-form
@@ -5529,6 +5616,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "calibrated_quality_scores": q_calibrated_quality_scores,
     "bitext_mining": q_bitext_mining,
     "price_trend_per_segment": q_price_trend_per_segment,
+    "embedding_drift": q_embedding_drift,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
@@ -5693,6 +5781,7 @@ ORACLES: dict[str, str] = {
     "calibrated_quality_scores": ORACLE_CALIBRATED_QUALITY_SCORES,
     "bitext_mining": ORACLE_BITEXT_MINING,
     "price_trend_per_segment": ORACLE_PRICE_TREND_PER_SEGMENT,
+    "embedding_drift": ORACLE_EMBEDDING_DRIFT,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT_DOCS,
