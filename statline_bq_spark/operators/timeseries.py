@@ -186,6 +186,78 @@ def sliding_agg(
     )
 
 
+def hourly_counts(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    *,
+    bucket_alias: str = "_hb",
+    count_alias: str = "n_events",
+) -> DataFrame:
+    """Per-(keys, epoch-hour) event counts — the mergeable partial every
+    monitoring pipeline accumulates (integer counts sum associatively, so
+    micro-batch partials re-aggregate losslessly: ``groupBy.sum`` over
+    appended partials equals one batch pass)."""
+    return df.groupBy(
+        *keys,
+        F.floor(F.unix_timestamp(F.col(ts_col)) / 3600)
+        .cast("bigint")
+        .alias(bucket_alias),
+    ).agg(F.count(F.lit(1)).alias(count_alias))
+
+
+def anomaly_flags(
+    hourly: DataFrame,
+    keys: Sequence[str],
+    *,
+    bucket_col: str = "_hb",
+    count_col: str = "n_events",
+    lookback_hours: int = 24,
+    min_lookback: int = 12,
+    sigmas: int = 3,
+) -> DataFrame:
+    """Trailing-window z-score flags over per-key hourly counts.
+
+    RANGE frame on the integer hour index (ROWS frames silently shrink the
+    lookback across gaps), current hour excluded, ``min_lookback`` observed
+    hours required before judging. The k-sigma test compares
+    (x-mean)² > k²·var — no square root, no rounding step, so the flag is
+    bit-deterministic given integer counts. Shared by the batch query and
+    the streaming monitor (``streaming.monitors``), which is what makes
+    the batch oracle meaningful for the stream.
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rangeBetween(-lookback_hours, -1)
+    )
+    stats = hourly.select(
+        *keys,
+        bucket_col,
+        count_col,
+        F.count(F.lit(1)).over(w).alias("_k"),
+        F.sum(count_col).over(w).alias("_s"),
+        F.sum(F.col(count_col) * F.col(count_col)).over(w).alias("_ss"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_k")
+    var = F.col("_ss").cast("double") / F.col("_k") - mean * mean
+    dev = F.col(count_col) - mean
+    return stats.select(
+        *keys,
+        F.date_format(
+            F.timestamp_seconds(F.col(bucket_col) * 3600), TS_FMT
+        ).alias("hour_start"),
+        count_col,
+        F.col("_k").alias("n_lookback_hours"),
+        F.when(
+            (F.col("_k") >= min_lookback) & (dev * dev > sigmas * sigmas * var),
+            True,
+        )
+        .otherwise(False)
+        .alias("is_anomaly"),
+    )
+
+
 def gap_fill_linear(
     df: DataFrame,
     ts_col: str,

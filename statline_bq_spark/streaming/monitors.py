@@ -1,0 +1,82 @@
+"""Streaming operational monitors: the anomaly detector as an incremental
+pipeline.
+
+The batch form (`operators.timeseries.anomaly_flags` over
+`hourly_counts`) needs the full history per key; a stream can't window
+over its own aggregates. The standard two-stage shape splits the work by
+algebra:
+
+1. **Incremental stage** (per micro-batch, tiny state): each batch emits
+   its per-(key, hour) partial counts, appended to a counts store.
+   Integer counts are associative, so partials from any batch slicing
+   re-aggregate to exactly the one-pass result — hours split across
+   micro-batches merge losslessly.
+2. **Finalize stage** (on demand / per trigger): re-aggregate the counts
+   store and run the SAME `anomaly_flags` the batch query uses. Sharing
+   the flag operator is what makes the batch DuckDB oracle meaningful for
+   the streaming pipeline — the stream is checked by construction, not by
+   a parallel implementation.
+
+At scale the counts store is partitioned by hour-range and compacted like
+any dated snapshot (plans/layout.py); the finalize pass reads #keys×#hours
+rows, never raw events.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from statline_bq_spark.operators import timeseries
+
+
+def hourly_anomaly_monitor(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    counts_dir: str,
+    checkpoint_dir: str,
+    *,
+    ts_col: str = "ts",
+    keys: Sequence[str] = ("event_type",),
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stage 1: watch ``source_dir`` for event drops and append per-batch
+    partial hourly counts to ``counts_dir`` (checkpoint-tracked, so each
+    input file contributes exactly once)."""
+    keys = list(keys)
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        timeseries.hourly_counts(batch, ts_col, keys).write.mode(
+            "append"
+        ).parquet(counts_dir)
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def finalize_anomalies(
+    spark: SparkSession,
+    counts_dir: str,
+    *,
+    keys: Sequence[str] = ("event_type",),
+    **flag_kwargs,
+) -> DataFrame:
+    """Stage 2: merge the partial counts (associative integer sum) and run
+    the shared batch flag operator."""
+    keys = list(keys)
+    merged = (
+        spark.read.parquet(counts_dir)
+        .groupBy(*keys, "_hb")
+        .agg(F.sum("n_events").cast("bigint").alias("n_events"))
+    )
+    return timeseries.anomaly_flags(merged, keys, **flag_kwargs)

