@@ -107,6 +107,13 @@ NOTES = {
         "md5 keep/drop decision is a map-side filter, so the corpus is "
         "never exchanged before the final per-source summary."
     ),
+    "hourly_anomalies": (
+        "Trailing-window anomaly flags: one tumbling hash-aggregate "
+        "collapses events to #hours rows per key (map-side partials), "
+        "then the RANGE-frame window runs over that aggregate only — raw "
+        "events never enter a window. The same flag operator serves the "
+        "streaming monitor over micro-batch partial counts."
+    ),
     "event_funnel": (
         "Ordered funnel: three conditional min-aggregates chained by "
         "user-keyed joins — each stage's shuffle carries #users rows, the "
