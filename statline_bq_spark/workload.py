@@ -795,6 +795,126 @@ GROUP BY user_id, sid
 """
 
 
+def q_nation_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's customer order
+    revenue — the windowed contribution analysis pattern (partition-total
+    window over an aggregate, never over raw facts). Revenue accumulates
+    as exact DECIMAL through BOTH the per-nation aggregate and the window
+    total, so the share is one double divide of identical operands.
+    """
+    o = read_table(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    c = read_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = F.broadcast(
+        read_table(spark, sf, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+    )
+    r = F.broadcast(read_table(spark, sf, "region"))
+    per_nation = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(20,6)")).alias("_rev_d")
+        )
+    )
+    w = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        F.col("_rev_d").cast("double").alias("revenue"),
+        (
+            F.floor(
+                (
+                    F.col("_rev_d").cast("double")
+                    / F.sum("_rev_d").over(w).cast("double")
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("region_share"),
+    )
+
+
+ORACLE_NATION_REVENUE_SHARE = """
+WITH per_nation AS (
+  SELECT r_name, n_name,
+         sum(CAST(o_totalprice AS DECIMAL(20,6))) AS rev_d
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name,
+       CAST(CAST(rev_d AS VARCHAR) AS DOUBLE) AS revenue,
+       floor(CAST(CAST(rev_d AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(sum(rev_d) OVER (PARTITION BY r_name) AS VARCHAR)
+                    AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS region_share
+FROM per_nation
+"""
+
+
+def q_weekly_revenue_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Week-over-week growth: weekly order revenue with the previous week's
+    revenue and the growth ratio — the calendar-lag reporting pattern.
+    Weeks are integer epoch-weeks; lag runs over the (tiny) weekly
+    aggregate ordered by that integer, so a missing week yields NULL
+    growth (lag is positional over observed weeks ONLY when weeks are
+    dense — the epoch-week integer makes gaps explicit via the emitted
+    week number). Growth is one double divide of exact-decimal-derived
+    operands through scaled-integer rounding.
+    """
+    o = read_table(spark, sf, "orders")
+    weekly = o.groupBy(
+        F.floor(F.unix_timestamp("o_orderdate") / 604800)
+        .cast("bigint")
+        .alias("epoch_week")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(20,6)")).alias("_rev_d"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("epoch_week")
+    prev = F.lag("_rev_d").over(w)
+    prev_week = F.lag("epoch_week").over(w)
+    growth = F.when(
+        prev_week == F.col("epoch_week") - 1,
+        F.floor(
+            F.col("_rev_d").cast("double") / prev.cast("double") * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000,
+    )
+    return weekly.select(
+        "epoch_week",
+        "n_orders",
+        F.col("_rev_d").cast("double").alias("revenue"),
+        growth.alias("wow_growth"),
+    )
+
+
+ORACLE_WEEKLY_REVENUE_GROWTH = """
+WITH weekly AS (
+  SELECT CAST(floor(epoch(o_orderdate) / 604800) AS BIGINT) AS epoch_week,
+         sum(CAST(o_totalprice AS DECIMAL(20,6))) AS rev_d,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT epoch_week, n_orders,
+       CAST(CAST(rev_d AS VARCHAR) AS DOUBLE) AS revenue,
+       CASE WHEN lag(epoch_week) OVER (ORDER BY epoch_week) = epoch_week - 1
+            THEN floor(CAST(CAST(rev_d AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(lag(rev_d) OVER (ORDER BY epoch_week)
+                                   AS VARCHAR) AS DOUBLE)
+                       * 1000000 + 0.5) / 1000000
+       END AS wow_growth
+FROM weekly
+"""
+
+
 def q_embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding drift monitor: squared-L2 distance between the per-label
     centroids of two deterministic halves of the corpus (md5-split by
@@ -5588,6 +5708,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bitext_mining": q_bitext_mining,
     "price_trend_per_segment": q_price_trend_per_segment,
     "embedding_drift": q_embedding_drift,
+    "nation_revenue_share": q_nation_revenue_share,
+    "weekly_revenue_growth": q_weekly_revenue_growth,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
@@ -5753,6 +5875,8 @@ ORACLES: dict[str, str] = {
     "bitext_mining": ORACLE_BITEXT_MINING,
     "price_trend_per_segment": ORACLE_PRICE_TREND_PER_SEGMENT,
     "embedding_drift": ORACLE_EMBEDDING_DRIFT,
+    "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,
+    "weekly_revenue_growth": ORACLE_WEEKLY_REVENUE_GROWTH,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT_DOCS,
