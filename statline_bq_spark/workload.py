@@ -795,6 +795,92 @@ GROUP BY user_id, sid
 """
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish subword tokens per
+    whitespace word, and characters per subword token — the multilingual
+    tokenizer-efficiency metrics that drive per-language cost estimates
+    and vocabulary decisions. Exact integer sums into one double divide
+    each (scaled-integer rounded); zero shuffle beyond the per-language
+    aggregate."""
+    d = read_table(spark, sf, "documents")
+    per_doc = d.select(
+        "lang",
+        token_count("text").cast("bigint").alias("_words"),
+        bpe_ish_token_count("text").cast("bigint").alias("_subwords"),
+        F.length("text").cast("bigint").alias("_chars"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_words").alias("_w"),
+        F.sum("_subwords").alias("_s"),
+        F.sum("_chars").alias("_c"),
+    )
+    fr = lambda c_: F.floor(c_ * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return agg.select(
+        "lang",
+        "n_docs",
+        fr(F.col("_s").cast("double") / F.col("_w")).alias("fertility"),
+        fr(F.col("_c").cast("double") / F.col("_s")).alias("chars_per_token"),
+    )
+
+
+ORACLE_TOKENIZER_FERTILITY = """
+WITH per_doc AS (
+  SELECT lang,
+         len(string_split_regex(trim(text), '\\s+')) AS words,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
+           AS subwords,
+         length(text) AS chars
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       floor(CAST(sum(subwords) AS DOUBLE) / sum(words) * 10000 + 0.5)
+         / 10000 AS fertility,
+       floor(CAST(sum(chars) AS DOUBLE) / sum(subwords) * 10000 + 0.5)
+         / 10000 AS chars_per_token
+FROM per_doc GROUP BY lang
+"""
+
+
+def q_dedup_rates_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source duplication report over a doubled corpus (simulated
+    re-crawl): total docs, distinct contents, and the duplication rate —
+    the per-source health metric a crawl pipeline tracks release over
+    release. Contents group on md5(text) (fixed-width shuffle keys); the
+    rate is one exact-int divide, scaled-integer rounded."""
+    d = read_table(spark, sf, "documents")
+    doubled = d.unionByName(d)
+    agg = doubled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_distinct",
+        (
+            F.floor(
+                (1 - F.col("n_distinct").cast("double") / F.col("n_docs"))
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("dup_rate"),
+    )
+
+
+ORACLE_DEDUP_RATES_BY_SOURCE = """
+WITH doubled AS (
+  SELECT * FROM documents UNION ALL SELECT * FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+       floor((1 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*))
+             * 10000 + 0.5) / 10000 AS dup_rate
+FROM doubled GROUP BY source
+"""
+
+
 def q_nation_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
     """Ratio-to-report: each nation's share of its region's customer order
     revenue — the windowed contribution analysis pattern (partition-total
@@ -5710,6 +5796,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_drift": q_embedding_drift,
     "nation_revenue_share": q_nation_revenue_share,
     "weekly_revenue_growth": q_weekly_revenue_growth,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "dedup_rates_by_source": q_dedup_rates_by_source,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
@@ -5877,6 +5965,8 @@ ORACLES: dict[str, str] = {
     "embedding_drift": ORACLE_EMBEDDING_DRIFT,
     "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,
     "weekly_revenue_growth": ORACLE_WEEKLY_REVENUE_GROWTH,
+    "tokenizer_fertility": ORACLE_TOKENIZER_FERTILITY,
+    "dedup_rates_by_source": ORACLE_DEDUP_RATES_BY_SOURCE,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT_DOCS,
