@@ -171,6 +171,53 @@ def read_latest_snapshot(
     ).withColumn("load_date", F.lit(date))
 
 
+def snapshot_date_asof(
+    root: str,
+    source: str,
+    odata_version: str,
+    dataset_id: str,
+    asof: str,
+) -> str | None:
+    """Latest snapshot date ≤ ``asof`` (YYYYMMDD) — time travel over the
+    dated folder layout: the newest snapshot that already existed at the
+    given date. Plain string comparison is correct for zero-padded
+    YYYYMMDD."""
+    if not re.fullmatch(r"\d{8}", asof):
+        raise ValueError(f"asof must be YYYYMMDD, got {asof!r}")
+    dates = [
+        d
+        for d in list_snapshot_dates(root, source, odata_version, dataset_id)
+        if d <= asof
+    ]
+    return dates[-1] if dates else None
+
+
+def read_snapshot_asof(
+    spark: SparkSession,
+    root: str,
+    source: str,
+    odata_version: str,
+    dataset_id: str,
+    table: str,
+    asof: str,
+) -> DataFrame:
+    """Read a table AS OF a date: the newest snapshot ≤ ``asof``. The
+    dated-folder resolution happens driver-side on directory names — no
+    data is listed or read for newer or older snapshots (the same pruning
+    economics as ``read_latest_snapshot``)."""
+    date = snapshot_date_asof(root, source, odata_version, dataset_id, asof)
+    if date is None:
+        raise FileNotFoundError(
+            f"no snapshot at or before {asof} under "
+            f"{dataset_root(root, source, odata_version, dataset_id)}"
+        )
+    return spark.read.parquet(
+        os.path.join(
+            snapshot_dir(root, source, odata_version, dataset_id, date), table
+        )
+    ).withColumn("load_date", F.lit(date))
+
+
 def write_clustered(
     df,
     path: str,

@@ -302,3 +302,30 @@ def test_write_clustered_produces_prunable_row_groups(spark, tmp_path):
         assert hi1 <= lo2, f"overlapping row-group ranges {(lo1, hi1)} {(lo2, hi2)}"
     # round-trip integrity
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_snapshot_asof_time_travel(spark, tmp_path):
+    """read_snapshot_asof resolves the newest snapshot <= the given date
+    (time travel over the dated folders), errors before the first one, and
+    never reads newer data."""
+    import pytest as _pytest
+
+    root = str(tmp_path)
+    for d, n in (("20240101", 3), ("20240215", 5), ("20240301", 7)):
+        layout.write_snapshot(
+            spark.range(n), root, "cbs", "v3", "D1", "t", load_date=d
+        )
+    assert layout.snapshot_date_asof(root, "cbs", "v3", "D1", "20240220") == "20240215"
+    assert layout.snapshot_date_asof(root, "cbs", "v3", "D1", "20240215") == "20240215"
+    assert layout.snapshot_date_asof(root, "cbs", "v3", "D1", "20231231") is None
+    asof = layout.read_snapshot_asof(
+        spark, root, "cbs", "v3", "D1", "t", "20240220"
+    )
+    assert asof.count() == 5
+    assert asof.select("load_date").distinct().collect()[0][0] == "20240215"
+    with _pytest.raises(FileNotFoundError):
+        layout.read_snapshot_asof(
+            spark, root, "cbs", "v3", "D1", "t", "20231230"
+        )
+    with _pytest.raises(ValueError):
+        layout.snapshot_date_asof(root, "cbs", "v3", "D1", "2024-02-20")
