@@ -329,3 +329,35 @@ def test_snapshot_asof_time_travel(spark, tmp_path):
         )
     with _pytest.raises(ValueError):
         layout.snapshot_date_asof(root, "cbs", "v3", "D1", "2024-02-20")
+
+
+def test_evolve_union_widening_and_nullfill(spark):
+    """Schema drift across snapshots: added columns null-fill, int widens
+    to long, long+double widen to double, long+float widen to double,
+    type conflicts (int vs string) fall back to string (the reference's
+    unmapped-type policy extended to conflicts)."""
+    from statline_bq_spark.sources import evolution
+
+    a = spark.createDataFrame(
+        [(1, 10, 15, "x", 7)], "id int, n int, v long, s string, c int"
+    )
+    b = spark.createDataFrame(
+        [(2, 20, 2.5, "y", "oops", True)],
+        "id long, n long, v double, s string, c string, added boolean",
+    )
+    out = evolution.evolve_union(a, b)
+    got = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert got == {
+        "id": "bigint", "n": "bigint", "v": "double", "s": "string",
+        "c": "string", "added": "boolean",
+    }
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].added is None and rows[1].c == "7"
+    assert rows[2].added is True and rows[2].v == 2.5
+    # long + float -> double (neither side losslessly holds the other)
+    f1 = spark.createDataFrame([(1.5,)], "x float")
+    f2 = spark.createDataFrame([(2,)], "x long")
+    assert (
+        evolution.evolve_union(f1, f2).schema["x"].dataType.simpleString()
+        == "double"
+    )
