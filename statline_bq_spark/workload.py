@@ -795,6 +795,68 @@ GROUP BY user_id, sid
 """
 
 
+def q_event_weekday_chisq(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square independence test: is event type independent of weekday?
+    One contingency-table aggregate (5 types × 7 days — bounded), then the
+    statistic Σ(O-E)²/E computed per cell from integer marginals and
+    summed after scaled-integer quantization, so no double summation
+    order exists. Emits the statistic and the cell count (df = (r-1)(c-1)
+    is derivable); the p-value lookup is a client-side table, not engine
+    work. Scale shape: one hash-agg over events, everything after runs on
+    35 rows.
+    """
+    e = read_table(spark, sf, "events")
+    cells = e.groupBy(
+        "event_type",
+        F.dayofweek(F.col("ts")).alias("_dow"),
+    ).agg(F.count(F.lit(1)).alias("_o"))
+    rows = cells.groupBy("event_type").agg(F.sum("_o").alias("_rt"))
+    colsum = cells.groupBy("_dow").agg(F.sum("_o").alias("_ct"))
+    total = cells.agg(F.sum("_o").alias("_n"))
+    scored = (
+        cells.join(F.broadcast(rows), "event_type")
+        .join(F.broadcast(colsum), "_dow")
+        .crossJoin(F.broadcast(total))
+    )
+    expected = (
+        F.col("_rt").cast("double")
+        * F.col("_ct").cast("double")
+        / F.col("_n").cast("double")
+    )
+    term = (F.col("_o") - expected) * (F.col("_o") - expected) / expected
+    quantized = F.floor(term * 1000000 + F.lit(0.5)).cast("bigint")
+    return scored.agg(
+        (F.sum(quantized).cast("double") / 1000000).alias("chi_square"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.first("_n").cast("bigint").alias("n_events"),
+    )
+
+
+ORACLE_EVENT_WEEKDAY_CHISQ = """
+WITH cells AS (
+  SELECT event_type, dayofweek(ts) + 1 AS dow, count(*) AS o
+  FROM events GROUP BY 1, 2
+), rows_ AS (
+  SELECT event_type, sum(o) AS rt FROM cells GROUP BY event_type
+), cols_ AS (
+  SELECT dow, sum(o) AS ct FROM cells GROUP BY dow
+), tot AS (
+  SELECT sum(o) AS n FROM cells
+)
+SELECT CAST(sum(CAST(floor(
+         (c.o - CAST(r.rt AS DOUBLE) * CAST(k.ct AS DOUBLE) / CAST(t.n AS DOUBLE))
+       * (c.o - CAST(r.rt AS DOUBLE) * CAST(k.ct AS DOUBLE) / CAST(t.n AS DOUBLE))
+       / (CAST(r.rt AS DOUBLE) * CAST(k.ct AS DOUBLE) / CAST(t.n AS DOUBLE))
+       * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS chi_square,
+       count(*) AS n_cells,
+       CAST(min(t.n) AS BIGINT) AS n_events
+FROM cells c
+JOIN rows_ r ON c.event_type = r.event_type
+JOIN cols_ k ON c.dow = k.dow
+CROSS JOIN tot t
+"""
+
+
 def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
     """Tokenizer fertility per language: BPE-ish subword tokens per
     whitespace word, and characters per subword token — the multilingual
@@ -5798,6 +5860,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weekly_revenue_growth": q_weekly_revenue_growth,
     "tokenizer_fertility": q_tokenizer_fertility,
     "dedup_rates_by_source": q_dedup_rates_by_source,
+    "event_weekday_chisq": q_event_weekday_chisq,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
@@ -5967,6 +6030,7 @@ ORACLES: dict[str, str] = {
     "weekly_revenue_growth": ORACLE_WEEKLY_REVENUE_GROWTH,
     "tokenizer_fertility": ORACLE_TOKENIZER_FERTILITY,
     "dedup_rates_by_source": ORACLE_DEDUP_RATES_BY_SOURCE,
+    "event_weekday_chisq": ORACLE_EVENT_WEEKDAY_CHISQ,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT_DOCS,
