@@ -795,6 +795,54 @@ GROUP BY user_id, sid
 """
 
 
+def q_corpus_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-concentration metrics per language: the Herfindahl index
+    (Σ p²) and Gini impurity (1 - Σ p²) of the source mix — the
+    data-governance numbers behind 'is this language dominated by one
+    crawler'. Entropy is avoided on purpose (ln differs in the last ulp
+    across libms); Σ p² is pure arithmetic, with each p² quantized to an
+    integer before the cross-source sum so no double summation order
+    exists. One (lang, source) hash-agg; everything after runs on
+    #langs × #sources rows.
+    """
+    d = read_table(spark, sf, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("_n"))
+    totals = cells.groupBy("lang").agg(F.sum("_n").alias("_t"))
+    p = F.col("_n").cast("double") / F.col("_t").cast("double")
+    quant = F.floor(p * p * 100000000 + F.lit(0.5)).cast("bigint")
+    per_lang = (
+        cells.join(F.broadcast(totals), "lang")
+        .groupBy("lang")
+        .agg(
+            F.first("_t").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_sources"),
+            (F.sum(quant).cast("double") / 100000000).alias("hhi"),
+        )
+    )
+    return per_lang.select(
+        "lang", "n_docs", "n_sources", "hhi",
+        (1 - F.col("hhi")).alias("gini_impurity"),
+    )
+
+
+ORACLE_CORPUS_CONCENTRATION = """
+WITH cells AS (
+  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
+), totals AS (
+  SELECT lang, sum(n) AS t FROM cells GROUP BY lang
+), q AS (
+  SELECT c.lang, t.t,
+         CAST(floor((CAST(c.n AS DOUBLE) / t.t) * (CAST(c.n AS DOUBLE) / t.t)
+                    * 100000000 + 0.5) AS BIGINT) AS p2
+  FROM cells c JOIN totals t ON c.lang = t.lang
+)
+SELECT lang, CAST(min(t) AS BIGINT) AS n_docs, count(*) AS n_sources,
+       CAST(sum(p2) AS DOUBLE) / 100000000 AS hhi,
+       1 - CAST(sum(p2) AS DOUBLE) / 100000000 AS gini_impurity
+FROM q GROUP BY lang
+"""
+
+
 def q_event_weekday_chisq(spark: SparkSession, sf: str) -> DataFrame:
     """Chi-square independence test: is event type independent of weekday?
     One contingency-table aggregate (5 types × 7 days — bounded), then the
@@ -5861,6 +5909,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenizer_fertility": q_tokenizer_fertility,
     "dedup_rates_by_source": q_dedup_rates_by_source,
     "event_weekday_chisq": q_event_weekday_chisq,
+    "corpus_concentration": q_corpus_concentration,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
@@ -6031,6 +6080,7 @@ ORACLES: dict[str, str] = {
     "tokenizer_fertility": ORACLE_TOKENIZER_FERTILITY,
     "dedup_rates_by_source": ORACLE_DEDUP_RATES_BY_SOURCE,
     "event_weekday_chisq": ORACLE_EVENT_WEEKDAY_CHISQ,
+    "corpus_concentration": ORACLE_CORPUS_CONCENTRATION,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT_DOCS,
