@@ -795,6 +795,89 @@ GROUP BY user_id, sid
 """
 
 
+def q_orders_quality_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality constraint report (`functions.constraints`): dbt-style
+    tests over the orders table — not-null, accepted-values, range, a
+    custom expression, key uniqueness, and referential integrity to
+    customer — each emitted as (check, n_violations, passed). All
+    row-level checks share ONE scan/aggregate; uniqueness is a key-count
+    groupBy; the FK check is a left-anti count. Violations are counted,
+    never materialized."""
+    from statline_bq_spark.functions import constraints as cq
+
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer").select("c_custkey")
+    row_checks = cq.validate(
+        o,
+        [
+            cq.not_null("o_custkey"),
+            cq.accepted_values("o_orderstatus", ["F", "O", "P"]),
+            cq.in_range("o_totalprice", 0.0, 10_000_000.0),
+            cq.expression(
+                "orderdate_in_epoch",
+                (F.col("o_orderdate") < F.to_timestamp_ntz(F.lit("1990-01-01")))
+                | (F.col("o_orderdate") >= F.to_timestamp_ntz(F.lit("2010-01-01"))),
+            ),
+        ],
+    )
+    dup_keys = cq.unique_violations(o, ["o_orderkey"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_violations")
+    )
+    unique_row = dup_keys.select(
+        F.lit("unique_o_orderkey").alias("check_name"),
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+    orphans = cq.referential_violations(o, "o_custkey", c, "c_custkey").agg(
+        F.coalesce(F.sum("n_orphans"), F.lit(0)).cast("bigint").alias(
+            "n_violations"
+        )
+    )
+    fk_row = orphans.select(
+        F.lit("fk_o_custkey_customer").alias("check_name"),
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+    return row_checks.unionByName(unique_row).unionByName(fk_row)
+
+
+ORACLE_ORDERS_QUALITY_REPORT = """
+WITH rowchecks AS (
+  SELECT 'not_null_o_custkey' AS check_name,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'accepted_values_o_orderstatus',
+         CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                        OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'in_range_o_totalprice',
+         CAST(sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 10000000
+                        OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orderdate_in_epoch',
+         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                        OR o_orderdate >= TIMESTAMP '2010-01-01'
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'unique_o_orderkey',
+         CAST((SELECT count(*) FROM (
+            SELECT o_orderkey FROM orders GROUP BY o_orderkey
+            HAVING count(*) > 1)) AS BIGINT)
+  UNION ALL
+  SELECT 'fk_o_custkey_customer',
+         CAST((SELECT count(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+)
+SELECT check_name, n_violations, n_violations = 0 AS passed FROM rowchecks
+"""
+
+
 def q_corpus_concentration(spark: SparkSession, sf: str) -> DataFrame:
     """Source-concentration metrics per language: the Herfindahl index
     (Σ p²) and Gini impurity (1 - Σ p²) of the source mix — the
@@ -5910,6 +5993,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_rates_by_source": q_dedup_rates_by_source,
     "event_weekday_chisq": q_event_weekday_chisq,
     "corpus_concentration": q_corpus_concentration,
+    "orders_quality_report": q_orders_quality_report,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
@@ -6081,6 +6165,7 @@ ORACLES: dict[str, str] = {
     "dedup_rates_by_source": ORACLE_DEDUP_RATES_BY_SOURCE,
     "event_weekday_chisq": ORACLE_EVENT_WEEKDAY_CHISQ,
     "corpus_concentration": ORACLE_CORPUS_CONCENTRATION,
+    "orders_quality_report": ORACLE_ORDERS_QUALITY_REPORT,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT_DOCS,

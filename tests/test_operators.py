@@ -808,3 +808,36 @@ def test_script_detection_multilingual(spark):
     assert out[6].dom == "cjk"
     assert out[7].dom == "none"       # digits aren't a script
     assert out[8].dom == "none"
+
+
+# --- constraints ------------------------------------------------------------
+
+def test_constraint_checks_count_violations(spark):
+    from statline_bq_spark.functions import constraints as cq
+
+    df = spark.createDataFrame(
+        [(1, "F", 10.0), (2, None, -5.0), (2, "X", 20.0), (None, "O", 999.0)],
+        "k long, status string, amount double",
+    )
+    report = {
+        r.check_name: (r.n_violations, r.passed)
+        for r in cq.validate(
+            df,
+            [
+                cq.not_null("k"),
+                cq.accepted_values("status", ["F", "O"]),
+                cq.in_range("amount", 0.0, 100.0),
+            ],
+        ).collect()
+    }
+    assert report["not_null_k"] == (1, False)
+    assert report["accepted_values_status"] == (2, False)  # None and 'X'
+    assert report["in_range_amount"] == (2, False)  # -5 and 999
+    dups = cq.unique_violations(df, ["k"]).collect()
+    assert [(r.k, r.n_copies) for r in dups] == [(2, 2)]
+    dim = spark.createDataFrame([(1,)], "k long")
+    orphans = {
+        r.k: r.n_orphans
+        for r in cq.referential_violations(df, "k", dim, "k").collect()
+    }
+    assert orphans == {2: 2, None: 1}
