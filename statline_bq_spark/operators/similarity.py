@@ -703,14 +703,19 @@ def ivf_kmeans_topk(
     seed: int = 42,
     k: int = 5,
     nprobe: int = 2,
+    centroids: list | None = None,
 ) -> DataFrame:
     """IVF top-k with a TRAINED coarse quantizer: k-means codebook instead
     of :func:`ivf_topk`'s label-mean stand-in. Same search path — inverted
     lists keyed by nearest centroid, probe ``nprobe`` lists per query,
     exact cosine re-rank — but the lists now follow the data's own
-    geometry, so recall holds when labels don't align with clusters."""
+    geometry, so recall holds when labels don't align with clusters.
+
+    Pass ``centroids`` (e.g. from :func:`load_codebook`) to reuse a
+    persisted codebook instead of re-training — the 'train once, query
+    many' index lifecycle."""
     spark = corpus.sparkSession
-    codebook = kmeans_fit(
+    codebook = centroids if centroids is not None else kmeans_fit(
         corpus,
         vec_col=vec_col,
         id_col=id_col,
@@ -965,3 +970,25 @@ def quantized_rerank_topk(
             ).alias("sim"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# codebook persistence (index lifecycle: train once, query many)
+# --------------------------------------------------------------------------
+
+def save_codebook(spark, centroids: list, path: str) -> None:
+    """Persist a trained coarse-quantizer codebook as parquet — the IVF
+    index lifecycle's 'build once' half. A codebook is bounded (k×dim
+    floats) so the single-file write is driver-cheap; queries then load it
+    instead of re-running kmeans_fit over the corpus."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(rows, "cid int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_codebook(spark, path: str) -> list:
+    """Load a persisted codebook back into the k×dim list form every
+    IVF/assignment entry point takes."""
+    rows = spark.read.parquet(path).orderBy("cid").collect()
+    return [list(r.centroid) for r in rows]

@@ -841,3 +841,32 @@ def test_constraint_checks_count_violations(spark):
         for r in cq.referential_violations(df, "k", dim, "k").collect()
     }
     assert orphans == {2: 2, None: 1}
+
+
+def test_codebook_persistence_roundtrip(spark, tmp_path):
+    """fit -> save -> load reproduces the codebook exactly, and IVF with a
+    loaded codebook returns the same neighbors as with the fresh one."""
+    from statline_bq_spark.operators import similarity
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    cents = similarity.kmeans_fit(emb, k=4, max_iter=2, seed=42)
+    path = str(tmp_path / "codebook")
+    similarity.save_codebook(spark, cents, path)
+    loaded = similarity.load_codebook(spark, path)
+    assert loaded == cents
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    fresh = sorted(
+        (r.q_id, r.neighbor_id)
+        for r in similarity.ivf_kmeans_topk(
+            emb, queries, centroids=cents, k=3, nprobe=2
+        ).collect()
+    )
+    reloaded = sorted(
+        (r.q_id, r.neighbor_id)
+        for r in similarity.ivf_kmeans_topk(
+            emb, queries, centroids=loaded, k=3, nprobe=2
+        ).collect()
+    )
+    assert fresh == reloaded
