@@ -80,3 +80,49 @@ def finalize_anomalies(
         .agg(F.sum("n_events").cast("bigint").alias("n_events"))
     )
     return timeseries.anomaly_flags(merged, keys, **flag_kwargs)
+
+
+def quality_monitor(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    report_dir: str,
+    checkpoint_dir: str,
+    checks,
+    *,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming data-quality monitor: run the constraint checks
+    (`functions.constraints`) on every micro-batch and append the per-batch
+    violation counts. Counts are associative, so the finalize merge equals
+    one batch pass over all data — same split-by-algebra shape as
+    `hourly_anomaly_monitor`."""
+    from statline_bq_spark.functions import constraints as cq
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        cq.validate(batch, checks).select(
+            "check_name", "n_violations"
+        ).write.mode("append").parquet(report_dir)
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def finalize_quality(spark: SparkSession, report_dir: str) -> DataFrame:
+    """Merge per-batch violation counts into the uniform
+    (check_name, n_violations, passed) report."""
+    merged = (
+        spark.read.parquet(report_dir)
+        .groupBy("check_name")
+        .agg(F.sum("n_violations").cast("bigint").alias("n_violations"))
+    )
+    return merged.select(
+        "check_name",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )

@@ -456,3 +456,32 @@ def test_hourly_anomaly_monitor_matches_batch(spark, events_dir, tmp_path):
     )
     assert got == want
     assert any(r[-1] for r in got) or True  # flags column present & boolean
+
+
+def test_quality_monitor_matches_batch(spark, events_dir, tmp_path):
+    """Per-micro-batch constraint counts merge to exactly the one-pass
+    batch report (conditional sums are associative)."""
+    from statline_bq_spark.functions import constraints as cq
+    from statline_bq_spark.streaming import monitors
+
+    checks = [
+        cq.not_null("user_id"),
+        cq.accepted_values(
+            "event_type", ["click", "view", "purchase", "signup", "error"]
+        ),
+        cq.in_range("value", 0.0, 1000.0),
+    ]
+    schema = spark.read.parquet(events_dir).schema
+    report_dir = str(tmp_path / "report")
+    q = monitors.quality_monitor(
+        spark, events_dir, schema, report_dir, str(tmp_path / "ckpt"), checks
+    )
+    assert q.awaitTermination(600), "quality monitor still running"
+    got = sorted(
+        tuple(r) for r in monitors.finalize_quality(spark, report_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in cq.validate(spark.read.parquet(events_dir), checks).collect()
+    )
+    assert got == want
