@@ -870,3 +870,46 @@ def test_codebook_persistence_roundtrip(spark, tmp_path):
         ).collect()
     )
     assert fresh == reloaded
+
+
+def test_ivf_partitioned_index_prunes_and_matches(spark, tmp_path):
+    """The label-partitioned IVF index must (a) return the same neighbors
+    as the in-memory IVF with the same codebook, and (b) read ONLY the
+    probed partitions — the label filter appears as a partition filter in
+    the scan, not a post-scan predicate."""
+    import contextlib
+    import io
+
+    from statline_bq_spark.operators import similarity
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    cents = similarity.kmeans_fit(emb, k=4, max_iter=2, seed=42)
+    path = str(tmp_path / "ivf_index")
+    similarity.write_ivf_index(emb, cents, path)
+    import os
+    parts = sorted(d for d in os.listdir(path) if d.startswith("label="))
+    assert len(parts) >= 2  # several inverted lists materialized
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = similarity.ivf_index_topk(
+        spark, path, queries, cents, k=3, nprobe=2
+    )
+    got = sorted((r.q_id, r.neighbor_id) for r in out.collect())
+    want = sorted(
+        (r.q_id, r.neighbor_id)
+        for r in similarity.ivf_kmeans_topk(
+            emb, queries, centroids=cents, k=3, nprobe=2
+        ).collect()
+    )
+    assert got == want
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    # the label filter must be IN the partition filters of the index scan
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("label" in ln for ln in pf_lines)
