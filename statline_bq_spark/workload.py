@@ -878,6 +878,32 @@ SELECT check_name, n_violations, n_violations = 0 AS passed FROM rowchecks
 """
 
 
+def q_frame_sample_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-sampling plan (multimodal §2.D): one row per (media, frame
+    timestamp) to decode, expanded purely JVM-side (sequence + explode) —
+    documents stand in as media with a deterministic duration (10ms per
+    char). Separating the plan from the stubbed decode lets Spark
+    repartition the frame workload independently of media file layout;
+    the plan itself is exactly SQL-derivable, so the driver proves the
+    expansion arithmetic (start/step/cap semantics) end-to-end."""
+    d = read_table(spark, sf, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") * 10).cast("bigint").alias("duration_ms"),
+    )
+    return multimodal.frame_sample_plan(media, every_ms=500)
+
+
+ORACLE_FRAME_SAMPLE_PLAN = """
+SELECT doc_id AS media_id, 500 * i AS frame_ts_ms
+FROM documents,
+     LATERAL (SELECT unnest(range(0,
+         CAST(ceil(greatest(n_chars * 10 - 1, 0) / 500.0) AS BIGINT) + 1))
+         AS i)
+WHERE 500 * i <= greatest(n_chars * 10 - 1, 0)
+"""
+
+
 def q_corpus_concentration(spark: SparkSession, sf: str) -> DataFrame:
     """Source-concentration metrics per language: the Herfindahl index
     (Σ p²) and Gini impurity (1 - Σ p²) of the source mix — the
@@ -5994,6 +6020,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_weekday_chisq": q_event_weekday_chisq,
     "corpus_concentration": q_corpus_concentration,
     "orders_quality_report": q_orders_quality_report,
+    "frame_sample_plan": q_frame_sample_plan,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
@@ -6166,6 +6193,7 @@ ORACLES: dict[str, str] = {
     "event_weekday_chisq": ORACLE_EVENT_WEEKDAY_CHISQ,
     "corpus_concentration": ORACLE_CORPUS_CONCENTRATION,
     "orders_quality_report": ORACLE_ORDERS_QUALITY_REPORT,
+    "frame_sample_plan": ORACLE_FRAME_SAMPLE_PLAN,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT_DOCS,
