@@ -878,6 +878,49 @@ SELECT check_name, n_violations, n_violations = 0 AS passed FROM rowchecks
 """
 
 
+def q_json_key_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured profiling: key-frequency census of the events.props
+    JSON column — how often each key appears, with how many distinct
+    values and how many null/missing rows — the discovery pass before
+    declaring a schema over loosely-typed JSON. Pure JVM json parsing
+    (from_json to map + explode); one hash-agg on the key."""
+    e = read_table(spark, sf, "events")
+    total = e.agg(F.count(F.lit(1)).alias("_n"))
+    kv = e.select(
+        F.explode(
+            F.from_json(F.col("props"), "map<string,string>")
+        ).alias("key", "val")
+    )
+    return (
+        kv.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.countDistinct("val").alias("n_distinct_values"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_present",
+            "n_distinct_values",
+            (F.col("_n") - F.col("n_present")).cast("bigint").alias("n_absent"),
+        )
+    )
+
+
+ORACLE_JSON_KEY_PROFILE = """
+WITH kv AS (
+  SELECT unnest(json_keys(props)) AS key,
+         json_extract_string(props, '$.' || unnest(json_keys(props))) AS val
+  FROM events
+), tot AS (SELECT count(*) AS n FROM events)
+SELECT key, count(*) AS n_present,
+       CAST(count(DISTINCT val) AS BIGINT) AS n_distinct_values,
+       CAST(min(tot.n) - count(*) AS BIGINT) AS n_absent
+FROM kv CROSS JOIN tot
+GROUP BY key
+"""
+
+
 def q_frame_sample_plan(spark: SparkSession, sf: str) -> DataFrame:
     """Frame-sampling plan (multimodal §2.D): one row per (media, frame
     timestamp) to decode, expanded purely JVM-side (sequence + explode) —
@@ -6021,6 +6064,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_concentration": q_corpus_concentration,
     "orders_quality_report": q_orders_quality_report,
     "frame_sample_plan": q_frame_sample_plan,
+    "json_key_profile": q_json_key_profile,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
@@ -6194,6 +6238,7 @@ ORACLES: dict[str, str] = {
     "corpus_concentration": ORACLE_CORPUS_CONCENTRATION,
     "orders_quality_report": ORACLE_ORDERS_QUALITY_REPORT,
     "frame_sample_plan": ORACLE_FRAME_SAMPLE_PLAN,
+    "json_key_profile": ORACLE_JSON_KEY_PROFILE,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT_DOCS,
