@@ -878,6 +878,82 @@ SELECT check_name, n_violations, n_violations = 0 AS passed FROM rowchecks
 """
 
 
+def q_event_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over event types WITHIN
+    sessions: counts and probabilities of each (from → to) consecutive
+    pair, with session boundaries from the same interval-compared
+    lag-islands rule as `session_paths` (transitions never cross a 30-min
+    gap). The probability is one exact-int division per row; one
+    user-keyed shuffle serves the islands window, the lead, and feeds the
+    tiny (|types|² ≤ 25-row) transition aggregate."""
+    e = read_table(spark, sf, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = F.when(
+        F.col("ts") - F.lag("ts").over(w) >= F.expr("INTERVAL 30 MINUTES"), 1
+    ).otherwise(0)
+    sid = F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = e.withColumn("_sid", sid)
+    ws = Window.partitionBy("user_id", "_sid").orderBy("ts", "event_id")
+    pairs = (
+        sess.withColumn("_next", F.lead("event_type").over(ws))
+        .filter(F.col("_next").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("_next").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wf = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.floor(
+                F.col("n_transitions").cast("double")
+                / F.sum("n_transitions").over(wf).cast("double")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("p"),
+    )
+
+
+ORACLE_EVENT_TRANSITION_MATRIX = """
+WITH e AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN ts - lag(ts) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id)
+                  >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+), p AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS to_type
+  FROM s
+), c AS (
+  SELECT from_type, to_type, count(*) AS n_transitions
+  FROM p WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+       floor(CAST(n_transitions AS DOUBLE)
+             / CAST(sum(n_transitions) OVER (PARTITION BY from_type)
+                    AS DOUBLE) * 1000000 + 0.5) / 1000000 AS p
+FROM c
+"""
+
+
 def q_json_key_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Semi-structured profiling: key-frequency census of the events.props
     JSON column — how often each key appears, with how many distinct
@@ -6065,6 +6141,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_quality_report": q_orders_quality_report,
     "frame_sample_plan": q_frame_sample_plan,
     "json_key_profile": q_json_key_profile,
+    "event_transition_matrix": q_event_transition_matrix,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
@@ -6239,6 +6316,7 @@ ORACLES: dict[str, str] = {
     "orders_quality_report": ORACLE_ORDERS_QUALITY_REPORT,
     "frame_sample_plan": ORACLE_FRAME_SAMPLE_PLAN,
     "json_key_profile": ORACLE_JSON_KEY_PROFILE,
+    "event_transition_matrix": ORACLE_EVENT_TRANSITION_MATRIX,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT_DOCS,
