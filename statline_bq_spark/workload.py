@@ -878,6 +878,63 @@ SELECT check_name, n_violations, n_violations = 0 AS passed FROM rowchecks
 """
 
 
+def q_token_mass_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus skew curve: documents ranked by token count (descending,
+    doc_id tiebreak) into deciles, with each decile's token mass and the
+    cumulative share — 'the top 10% of documents hold X% of the tokens',
+    the concentration figure that drives dedup/truncation priorities.
+    All integer sums; the two shares are exact-int divisions, scaled-
+    integer rounded. The ranking window is a single global sort of
+    per-doc COUNTS (doc_id + one long — tiny rows, not text)."""
+    d = read_table(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", token_count("text").cast("bigint").alias("_t")
+    )
+    w = Window.orderBy(F.col("_t").desc(), "doc_id")
+    tiled = toks.withColumn("decile", F.ntile(10).over(w))
+    per = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_t").alias("_mass"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = per.agg(F.sum("_mass").alias("_tot"))
+    fr = lambda c_: F.floor(c_ * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        per.withColumn("_cum", F.sum("_mass").over(wc))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_docs",
+            F.col("_mass").cast("bigint").alias("token_mass"),
+            fr(F.col("_mass").cast("double") / F.col("_tot")).alias("share"),
+            fr(F.col("_cum").cast("double") / F.col("_tot")).alias(
+                "cumulative_share"
+            ),
+        )
+    )
+
+
+ORACLE_TOKEN_MASS_DECILES = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS t
+  FROM documents
+), tiled AS (
+  SELECT t, ntile(10) OVER (ORDER BY t DESC, doc_id) AS decile FROM toks
+), per AS (
+  SELECT decile, count(*) AS n_docs, sum(t) AS mass FROM tiled GROUP BY decile
+), tot AS (SELECT sum(mass) AS tm FROM per)
+SELECT decile, n_docs, CAST(mass AS BIGINT) AS token_mass,
+       floor(CAST(mass AS DOUBLE) / tm * 1000000 + 0.5) / 1000000 AS share,
+       floor(CAST(sum(mass) OVER (ORDER BY decile
+                                  ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / tm * 1000000 + 0.5) / 1000000 AS cumulative_share
+FROM per CROSS JOIN tot
+"""
+
+
 def q_event_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
     """First-order Markov transition matrix over event types WITHIN
     sessions: counts and probabilities of each (from → to) consecutive
@@ -6142,6 +6199,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frame_sample_plan": q_frame_sample_plan,
     "json_key_profile": q_json_key_profile,
     "event_transition_matrix": q_event_transition_matrix,
+    "token_mass_deciles": q_token_mass_deciles,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
@@ -6317,6 +6375,7 @@ ORACLES: dict[str, str] = {
     "frame_sample_plan": ORACLE_FRAME_SAMPLE_PLAN,
     "json_key_profile": ORACLE_JSON_KEY_PROFILE,
     "event_transition_matrix": ORACLE_EVENT_TRANSITION_MATRIX,
+    "token_mass_deciles": ORACLE_TOKEN_MASS_DECILES,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT_DOCS,
