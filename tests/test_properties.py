@@ -348,3 +348,47 @@ def test_mixture_sample_matches_python_md5_reference(spark, rows):
         rate = (n_min / counts[s]) ** 0.5
         u = int(hashlib.md5(f"mix{i}".encode()).hexdigest()[:4], 16) / 65536.0
         assert got[i] == (u < rate), (s, i, u, rate)
+
+
+# --- schema widening policy -------------------------------------------------
+
+def test_widen_is_commutative_associative_and_idempotent():
+    """The cross-snapshot widening lattice must behave like a join
+    semilattice: commutative, associative, idempotent — otherwise the
+    resulting union schema would depend on snapshot order."""
+    from itertools import product
+
+    from pyspark.sql.types import (
+        BooleanType, ByteType, DoubleType, FloatType, IntegerType,
+        LongType, ShortType, StringType, TimestampType,
+    )
+
+    from statline_bq_spark.sources.evolution import widen
+
+    types = [ByteType(), ShortType(), IntegerType(), FloatType(),
+             LongType(), DoubleType(), StringType(), BooleanType(),
+             TimestampType()]
+    for a, b in product(types, repeat=2):
+        assert widen(a, b) == widen(b, a), (a, b)
+        assert widen(a, a) == a
+    for a, b, c in product(types, repeat=3):
+        assert widen(widen(a, b), c) == widen(a, widen(b, c)), (a, b, c)
+
+
+def test_widen_is_lossless_on_numeric_chain():
+    """Every numeric pair's widened type must hold both inputs' extremes
+    exactly (float/long meet at double by design — double holds every
+    float, and longs up to 2^53 which is the documented bound)."""
+    from pyspark.sql.types import (
+        ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType,
+    )
+
+    from statline_bq_spark.sources.evolution import widen
+
+    order = [ByteType(), ShortType(), IntegerType(), LongType()]
+    for i, small in enumerate(order):
+        for big in order[i:]:
+            assert widen(small, big) == big
+    assert widen(FloatType(), DoubleType()) == DoubleType()
+    assert widen(FloatType(), LongType()) == DoubleType()
+    assert widen(IntegerType(), FloatType()) == FloatType()
