@@ -878,6 +878,55 @@ SELECT check_name, n_violations, n_violations = 0 AS passed FROM rowchecks
 """
 
 
+def q_lang_source_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus composition matrix: per language, the document count from
+    each source as pivot columns plus each source's share of the language
+    (scaled-integer-rounded exact-int division) — the mixture dashboard
+    behind sampling-weight decisions. Explicit source list (no discovery
+    pass), one hash-agg."""
+    d = read_table(spark, sf, "documents")
+    named = ["src0", "src1", "src2", "src3"]
+    counts = [
+        F.sum(F.when(F.col("source") == s, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"n_{s}")
+        for s in named
+    ] + [
+        F.sum(F.when(~F.col("source").isin(named), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_other")
+    ]
+    agg = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"), *counts)
+    fr = lambda c_: F.floor(c_ * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    cols = [f"n_{s}" for s in named] + ["n_other"]
+    shares = [
+        fr(F.col(c).cast("double") / F.col("n_docs")).alias(
+            c.replace("n_", "share_", 1)
+        )
+        for c in cols
+    ]
+    return agg.select("lang", "n_docs", *[F.col(c) for c in cols], *shares)
+
+
+def _lang_source_mix_oracle() -> str:
+    named = ["src0", "src1", "src2", "src3"]
+    cnt = {
+        s: f"sum(CASE WHEN source = '{s}' THEN 1 ELSE 0 END)" for s in named
+    }
+    in_list = ", ".join(f"'{s}'" for s in named)
+    cnt["other"] = f"sum(CASE WHEN source NOT IN ({in_list}) THEN 1 ELSE 0 END)"
+    cols = ",\n       ".join(
+        f"CAST({e} AS BIGINT) AS n_{k},\n       "
+        f"floor(CAST({e} AS DOUBLE) / count(*) * 10000 + 0.5) / 10000"
+        f" AS share_{k}"
+        for k, e in cnt.items()
+    )
+    return f"SELECT lang, count(*) AS n_docs,\n       {cols}\nFROM documents GROUP BY lang"
+
+
+ORACLE_LANG_SOURCE_MIX = _lang_source_mix_oracle()
+
+
 def q_token_mass_deciles(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus skew curve: documents ranked by token count (descending,
     doc_id tiebreak) into deciles, with each decile's token mass and the
@@ -6200,6 +6249,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_key_profile": q_json_key_profile,
     "event_transition_matrix": q_event_transition_matrix,
     "token_mass_deciles": q_token_mass_deciles,
+    "lang_source_mix": q_lang_source_mix,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
@@ -6376,6 +6426,7 @@ ORACLES: dict[str, str] = {
     "json_key_profile": ORACLE_JSON_KEY_PROFILE,
     "event_transition_matrix": ORACLE_EVENT_TRANSITION_MATRIX,
     "token_mass_deciles": ORACLE_TOKEN_MASS_DECILES,
+    "lang_source_mix": ORACLE_LANG_SOURCE_MIX,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT_DOCS,
