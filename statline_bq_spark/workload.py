@@ -878,6 +878,108 @@ SELECT check_name, n_violations, n_violations = 0 AS passed FROM rowchecks
 """
 
 
+def q_brand_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket pair mining: brand pairs bought together in one order,
+    with pair count and support (share of all orders) — the frequent-
+    itemset 2-ary core. The (order, brand) set is deduped BEFORE the
+    self-join, so the join's blowup is bounded by (distinct brands per
+    order)², never line items²; brands are a bounded dimension, so the
+    pair space is too. Support is one exact-int division."""
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    p = F.broadcast(
+        read_table(spark, sf, "part").select("p_partkey", "p_brand")
+    )
+    ob = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_orders_together"))
+    )
+    total = read_table(spark, sf, "orders").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return pairs.crossJoin(F.broadcast(total)).select(
+        "brand_a",
+        "brand_b",
+        "n_orders_together",
+        (
+            F.floor(
+                F.col("n_orders_together").cast("double")
+                / F.col("_n")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("support"),
+    )
+
+
+ORACLE_BRAND_COOCCURRENCE = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         count(*) AS n_orders_together
+  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+  WHERE a.p_brand < b.p_brand
+  GROUP BY 1, 2
+), tot AS (SELECT count(*) AS n FROM orders)
+SELECT brand_a, brand_b, n_orders_together,
+       floor(CAST(n_orders_together AS DOUBLE) / n * 1000000 + 0.5)
+         / 1000000 AS support
+FROM pairs CROSS JOIN tot
+"""
+
+
+def q_repeat_purchase_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-event time distribution: days between a customer's consecutive
+    orders, bucketed into a week-resolution histogram — the recency model
+    input behind churn/LTV features. The lag runs per customer over
+    (order_date, order_key)-ordered rows; bucket arithmetic is exact
+    integer epoch-day subtraction."""
+    o = read_table(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    day = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("bigint")
+    gaps = (
+        o.withColumn("_d", day)
+        .withColumn("_prev", F.lag("_d").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            F.floor((F.col("_d") - F.col("_prev")) / 7).cast("bigint").alias(
+                "gap_weeks"
+            )
+        )
+    )
+    return gaps.groupBy("gap_weeks").agg(F.count(F.lit(1)).alias("n_gaps"))
+
+
+ORACLE_REPEAT_PURCHASE_INTERVALS = """
+WITH d AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day
+  FROM orders
+), g AS (
+  SELECT CAST(floor((day - lag(day) OVER (
+           PARTITION BY o_custkey ORDER BY day, o_orderkey)) / 7.0) AS BIGINT)
+           AS gap_weeks
+  FROM d
+)
+SELECT gap_weeks, count(*) AS n_gaps
+FROM g WHERE gap_weeks IS NOT NULL
+GROUP BY gap_weeks
+"""
+
+
 def q_lang_source_mix(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus composition matrix: per language, the document count from
     each source as pivot columns plus each source's share of the language
@@ -6250,6 +6352,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_transition_matrix": q_event_transition_matrix,
     "token_mass_deciles": q_token_mass_deciles,
     "lang_source_mix": q_lang_source_mix,
+    "brand_cooccurrence": q_brand_cooccurrence,
+    "repeat_purchase_intervals": q_repeat_purchase_intervals,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "cms_supplier_counts": q_cms_supplier_counts,
@@ -6427,6 +6531,8 @@ ORACLES: dict[str, str] = {
     "event_transition_matrix": ORACLE_EVENT_TRANSITION_MATRIX,
     "token_mass_deciles": ORACLE_TOKEN_MASS_DECILES,
     "lang_source_mix": ORACLE_LANG_SOURCE_MIX,
+    "brand_cooccurrence": ORACLE_BRAND_COOCCURRENCE,
+    "repeat_purchase_intervals": ORACLE_REPEAT_PURCHASE_INTERVALS,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT_DOCS,
