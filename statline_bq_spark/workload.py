@@ -878,6 +878,53 @@ SELECT check_name, n_violations, n_violations = 0 AS passed FROM rowchecks
 """
 
 
+def q_ship_latency_by_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-to-ship latency profile: days between order date and each line
+    item's ship date, summarized per order priority (count, exact-integer
+    mean-days via scaled division, max) plus the share shipped within a
+    week — the SLA dashboard over a fact-fact temporal join. The join keys
+    on orderkey (SF-scaled equi-join, AQE re-plans); all day arithmetic is
+    integer epoch-day subtraction."""
+    o = read_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"
+    )
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    day = lambda c: F.floor(F.unix_timestamp(c) / 86400).cast("bigint")  # noqa: E731
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        (day("l_shipdate") - day("o_orderdate")).alias("_lat"),
+    )
+    fr = lambda c_: F.floor(c_ * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        fr(F.sum("_lat").cast("double") / F.count(F.lit(1))).alias(
+            "mean_latency_days"
+        ),
+        F.max("_lat").cast("bigint").alias("max_latency_days"),
+        fr(
+            F.sum(F.when(F.col("_lat") <= 7, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("within_week_share"),
+    )
+
+
+ORACLE_SHIP_LATENCY_BY_PRIORITY = """
+WITH j AS (
+  SELECT o_orderpriority,
+         CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT)
+           - CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS lat
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority, count(*) AS n_lines,
+       floor(CAST(sum(lat) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000
+         AS mean_latency_days,
+       CAST(max(lat) AS BIGINT) AS max_latency_days,
+       floor(CAST(sum(CASE WHEN lat <= 7 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 10000 + 0.5) / 10000 AS within_week_share
+FROM j GROUP BY o_orderpriority
+"""
+
+
 def q_brand_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
     """Market-basket pair mining: brand pairs bought together in one order,
     with pair count and support (share of all orders) — the frequent-
@@ -6353,6 +6400,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_mass_deciles": q_token_mass_deciles,
     "lang_source_mix": q_lang_source_mix,
     "brand_cooccurrence": q_brand_cooccurrence,
+    "ship_latency_by_priority": q_ship_latency_by_priority,
     "repeat_purchase_intervals": q_repeat_purchase_intervals,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
@@ -6532,6 +6580,7 @@ ORACLES: dict[str, str] = {
     "token_mass_deciles": ORACLE_TOKEN_MASS_DECILES,
     "lang_source_mix": ORACLE_LANG_SOURCE_MIX,
     "brand_cooccurrence": ORACLE_BRAND_COOCCURRENCE,
+    "ship_latency_by_priority": ORACLE_SHIP_LATENCY_BY_PRIORITY,
     "repeat_purchase_intervals": ORACLE_REPEAT_PURCHASE_INTERVALS,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
