@@ -878,6 +878,64 @@ SELECT check_name, n_violations, n_violations = 0 AS passed FROM rowchecks
 """
 
 
+def q_discount_quantity_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson correlation of discount vs quantity per return flag — does
+    discounting move volume? Computed from the five exact-DECIMAL moment
+    sums (the same map-side-combinable shape as the OLS trend): corr =
+    (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)·(n·Syy − Sy²)). Every operand is
+    a decimal-exact sum cast to double once; sqrt is IEEE-exact, so the
+    whole expression is bit-deterministic — emitted through scaled-integer
+    rounding anyway for belt-and-braces."""
+    li = read_table(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.col("l_discount").cast("decimal(20,6)").alias("_x"),
+        F.col("l_quantity").cast("decimal(20,6)").alias("_y"),
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").cast("double").alias("_sx"),
+        F.sum("_y").cast("double").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("double").alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast("double").alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("double").alias("_sxy"),
+    )
+    n = F.col("_n").cast("double")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.sqrt(
+        (n * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+        * (n * F.col("_syy") - F.col("_sy") * F.col("_sy"))
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("_n").alias("n_lines"),
+        (F.floor(num / den * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "pearson_r"
+        ),
+    )
+
+
+ORACLE_DISCOUNT_QUANTITY_CORRELATION = """
+WITH agg AS (
+  SELECT l_returnflag, count(*) AS n,
+         CAST(CAST(sum(CAST(l_discount AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(sum(CAST(l_discount AS DECIMAL(20,6))
+                       * CAST(l_discount AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))
+                       * CAST(l_quantity AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS syy,
+         CAST(CAST(sum(CAST(l_discount AS DECIMAL(20,6))
+                       * CAST(l_quantity AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n AS n_lines,
+       floor((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * syy - sy * sy))
+             * 1000000 + 0.5) / 1000000 AS pearson_r
+FROM agg
+"""
+
+
 def q_ship_latency_by_priority(spark: SparkSession, sf: str) -> DataFrame:
     """Order-to-ship latency profile: days between order date and each line
     item's ship date, summarized per order priority (count, exact-integer
@@ -6401,6 +6459,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_source_mix": q_lang_source_mix,
     "brand_cooccurrence": q_brand_cooccurrence,
     "ship_latency_by_priority": q_ship_latency_by_priority,
+    "discount_quantity_correlation": q_discount_quantity_correlation,
     "repeat_purchase_intervals": q_repeat_purchase_intervals,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
@@ -6581,6 +6640,7 @@ ORACLES: dict[str, str] = {
     "lang_source_mix": ORACLE_LANG_SOURCE_MIX,
     "brand_cooccurrence": ORACLE_BRAND_COOCCURRENCE,
     "ship_latency_by_priority": ORACLE_SHIP_LATENCY_BY_PRIORITY,
+    "discount_quantity_correlation": ORACLE_DISCOUNT_QUANTITY_CORRELATION,
     "repeat_purchase_intervals": ORACLE_REPEAT_PURCHASE_INTERVALS,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
