@@ -878,6 +878,73 @@ SELECT check_name, n_violations, n_violations = 0 AS passed FROM rowchecks
 """
 
 
+def q_customer_spend_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of customer order spend per nation — the inequality
+    measure behind 'is revenue concentrated in a few accounts'. Uses the
+    rank formulation G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over customers ranked
+    ascending by spend (custkey tiebreak). Every accumulator stays exact:
+    per-customer totals are DECIMAL sums, i·xᵢ is int×decimal (exact), and
+    both Σ terms are decimal sums — only the final ratio casts to double,
+    scaled-integer rounded. One shuffle for the per-customer totals, one
+    per-nation ranking window over #customers rows."""
+    o = read_table(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    c = read_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = F.broadcast(
+        read_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    )
+    per_cust = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(20,6)")).alias("_x")
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("_x", "c_custkey")
+    ranked = per_cust.withColumn("_i", F.row_number().over(w))
+    agg = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.col("_i") * F.col("_x")).alias("_six"),
+    )
+    nn = F.col("_n").cast("double")
+    gini = (
+        F.lit(2.0)
+        * F.col("_six").cast("double")
+        / (nn * F.col("_sx").cast("double"))
+        - (nn + 1) / nn
+    )
+    return agg.join(n, F.col("c_nationkey") == F.col("n_nationkey")).select(
+        "n_name",
+        F.col("_n").alias("n_customers"),
+        (F.floor(gini * 1000000 + F.lit(0.5)) / 1000000).alias("gini"),
+    )
+
+
+ORACLE_CUSTOMER_SPEND_GINI = """
+WITH per_cust AS (
+  SELECT c_nationkey, c_custkey,
+         sum(CAST(o_totalprice AS DECIMAL(20,6))) AS x
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey, c_custkey
+), ranked AS (
+  SELECT c_nationkey, x,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY x, c_custkey) AS i
+  FROM per_cust
+), agg AS (
+  SELECT c_nationkey, count(*) AS n,
+         CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(sum(i * x) AS VARCHAR) AS DOUBLE) AS six
+  FROM ranked GROUP BY c_nationkey
+)
+SELECT n_name, n AS n_customers,
+       floor((2.0 * six / (CAST(n AS DOUBLE) * sx)
+              - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS gini
+FROM agg JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
 def q_discount_quantity_correlation(spark: SparkSession, sf: str) -> DataFrame:
     """Pearson correlation of discount vs quantity per return flag — does
     discounting move volume? Computed from the five exact-DECIMAL moment
@@ -6460,6 +6527,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brand_cooccurrence": q_brand_cooccurrence,
     "ship_latency_by_priority": q_ship_latency_by_priority,
     "discount_quantity_correlation": q_discount_quantity_correlation,
+    "customer_spend_gini": q_customer_spend_gini,
     "repeat_purchase_intervals": q_repeat_purchase_intervals,
     "semantic_decontaminated": q_semantic_decontaminated,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
@@ -6641,6 +6709,7 @@ ORACLES: dict[str, str] = {
     "brand_cooccurrence": ORACLE_BRAND_COOCCURRENCE,
     "ship_latency_by_priority": ORACLE_SHIP_LATENCY_BY_PRIORITY,
     "discount_quantity_correlation": ORACLE_DISCOUNT_QUANTITY_CORRELATION,
+    "customer_spend_gini": ORACLE_CUSTOMER_SPEND_GINI,
     "repeat_purchase_intervals": ORACLE_REPEAT_PURCHASE_INTERVALS,
     "tumbling_hourly_stats": ORACLE_TUMBLING_HOURLY_STATS,
     "session_windows": ORACLE_SESSION_WINDOWS,
