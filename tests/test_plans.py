@@ -392,3 +392,31 @@ def test_mixture_sample_rates_broadcast_corpus_never_shuffles(spark):
     plan = explain_str(packing.mixture_sample(d, "source", "doc_id"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_round2_queries_have_no_cartesian_products(spark):
+    """Blanket gate over the round-2 additions: scalar one-row broadcasts
+    (totals/maxima) legitimately compile to BroadcastNestedLoopJoin, but a
+    CartesianProduct anywhere means an unconstrained pair blowup."""
+    names = [
+        "local_supplier_volume", "forecast_revenue", "top_supplier",
+        "packed_sequences", "mixture_sampled_docs", "passage_dup_docs",
+        "next_purchase_after_click", "dynamic_session_windows",
+        "script_stats", "matryoshka_embeddings", "event_funnel",
+        "retention_cohorts", "session_paths", "robust_price_stats",
+        "snapshot_diff_orders", "pivot_event_multi_agg", "vocab_top_terms",
+        "nations_covering_all_segments", "hourly_anomalies",
+        "calibrated_quality_scores", "bitext_mining",
+        "price_trend_per_segment", "embedding_drift",
+        "nation_revenue_share", "weekly_revenue_growth",
+        "tokenizer_fertility", "dedup_rates_by_source",
+        "event_weekday_chisq", "corpus_concentration",
+        "orders_quality_report", "frame_sample_plan", "json_key_profile",
+        "event_transition_matrix", "token_mass_deciles", "lang_source_mix",
+        "brand_cooccurrence", "repeat_purchase_intervals",
+        "ship_latency_by_priority", "discount_quantity_correlation",
+        "customer_spend_gini",
+    ]
+    for name in names:
+        plan = explain_str(workload.QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
