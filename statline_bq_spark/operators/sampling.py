@@ -89,6 +89,64 @@ def stratified_sample(
     return df.sampleBy(stratum_col, fr, seed=seed)
 
 
+def kfold_assign(
+    df: DataFrame,
+    key: str | Column,
+    k: int,
+    *,
+    salt: str = "",
+    out_col: str = "fold",
+) -> DataFrame:
+    """K-fold cross-validation fold assignment by content hash: fold =
+    (first 4 md5 hex chars of the key) mod k.
+
+    Same stability contract as :func:`hash_split` — a row's fold never
+    changes under repartitioning, re-runs, or appends, so fold i's
+    train/validate complement is reproducible years later from the data
+    alone. 16 bits of hash keep the mod-k bias below 2^-12 for any k ≤ 16;
+    md5 (not xxhash64) so any engine can re-derive the assignment — the
+    oracle re-computes every fold id, not just the per-fold counts.
+    """
+    if not 2 <= k <= 16:
+        raise ValueError("k must be in [2, 16]")
+    key_col = F.col(key) if isinstance(key, str) else key
+    bucket = hash_bucket(key_col, n_buckets=65536, salt=salt)
+    return df.withColumn(out_col, F.pmod(bucket, F.lit(k)).cast("int"))
+
+
+def token_budget_fill(
+    df: DataFrame,
+    group: str,
+    tokens: Column,
+    budget: int,
+    *,
+    order_by: Sequence[Column],
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Greedy per-group token-budget fill: order each group's rows by
+    ``order_by`` (must be a total order — include a unique id as the final
+    tie-break) and keep rows while the RUNNING token total stays within
+    ``budget``. The standard "fill each source's quota with its best
+    documents" step when composing a training mixture under a fixed token
+    budget.
+
+    One shuffle on ``group``; the running sum is a per-group window over
+    rows already co-located by that shuffle. Skew note: a group's rows sort
+    within a single task — at 100 TB cap per-group candidate counts
+    upstream (e.g. ``reservoir_per_key``) before the fill, or pre-filter
+    with an approximate per-group quantile of the priority so only
+    ~budget-sized candidate sets reach the window.
+    """
+    w = (
+        Window.partitionBy(group)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(cum_col, F.sum(tokens).over(w)).filter(
+        F.col(cum_col) <= budget
+    )
+
+
 def reservoir_per_key(
     df: DataFrame,
     key: str,

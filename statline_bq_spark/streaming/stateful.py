@@ -44,12 +44,24 @@ RUNNING_TOTALS_SCHEMA = StructType(
 _STATE_SCHEMA = "n_events bigint, total_value double"
 
 
-def running_user_totals(events: DataFrame) -> DataFrame:
-    """Streaming per-user running (count, sum(value)) with 1h idle expiry.
+def running_user_totals(
+    events: DataFrame, *, ttl_ms: int | None = 60 * 60 * 1000
+) -> DataFrame:
+    """Streaming per-user running (count, sum(value)) with idle expiry.
 
     ``events`` must be a *streaming* DataFrame with (user_id, value).
     Output mode must be ``update`` (one refreshed row per active user per
     trigger).
+
+    ``ttl_ms`` is the inactivity expiry for abandoned keys (the state-size
+    bound for a long-lived continuous query). Pass ``None`` for NoTimeout —
+    REQUIRED for ``trigger(availableNow=True)`` replay/backfill runs:
+    a pending processing-time timeout keeps the query triggering empty
+    micro-batches until the timer fires (observed on Spark 4.1: a 1h TTL
+    spins ~1h of empty batches after the last file is consumed), so an
+    availableNow run with a TTL never terminates in bounded time. Timeouts
+    can't fire mid-run in a single-pass backfill anyway — expiry is a
+    continuous-stream concern.
 
     The update function is defined as a closure on purpose: cloudpickle
     serializes closures BY VALUE, so executors' Python workers don't need
@@ -73,7 +85,8 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             n += len(pdf)
             total += float(pdf["value"].sum())
         state.update((n, total))
-        state.setTimeoutDuration(60 * 60 * 1000)  # 1h inactivity expiry
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
         )
@@ -86,7 +99,11 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             outputStructType=RUNNING_TOTALS_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if ttl_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 
@@ -101,14 +118,19 @@ TYPE_COUNTS_SCHEMA = StructType(
 )
 
 
-def user_type_counts(events: DataFrame, *, ttl_ms: int = 60 * 60 * 1000) -> DataFrame:
+def user_type_counts(
+    events: DataFrame, *, ttl_ms: int | None = 60 * 60 * 1000
+) -> DataFrame:
     """Streaming per-(user, event_type) running counts via
     ``applyInPandasWithState`` with a MAP-typed state column.
 
     Per-user state is a ``map<string,bigint>`` of event_type → running
     count; each trigger folds the arriving Arrow batches into the map and
     emits refreshed (user_id, event_type, n) rows for the types it touched
-    (output mode ``update``). An inactivity timeout evicts abandoned users.
+    (output mode ``update``). An inactivity timeout evicts abandoned users;
+    pass ``ttl_ms=None`` (NoTimeout) for availableNow backfill runs — see
+    :func:`running_user_totals` for why a pending processing-time timer
+    keeps an availableNow query spinning empty batches until it fires.
 
     Scale: state partitioned by user in the executor-side state store
     (RocksDB in production), map size bounded by the event-type cardinality
@@ -132,7 +154,8 @@ def user_type_counts(events: DataFrame, *, ttl_ms: int = 60 * 60 * 1000) -> Data
                 counts[et] = counts.get(et, 0) + int(cnt)
                 touched.add(et)
         state.update((counts,))
-        state.setTimeoutDuration(ttl_ms)
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         out = sorted(touched)
         yield pd.DataFrame(
             {
@@ -150,7 +173,11 @@ def user_type_counts(events: DataFrame, *, ttl_ms: int = 60 * 60 * 1000) -> Data
             outputStructType=TYPE_COUNTS_SCHEMA,
             stateStructType="counts map<string,bigint>",
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if ttl_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 

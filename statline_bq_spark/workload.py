@@ -6483,6 +6483,363 @@ FROM c
 
 
 # ---------------------------------------------------------------------------
+# round 3: training-mixture composition, modern SQL surface, ops advisories
+# ---------------------------------------------------------------------------
+
+
+def q_token_budget_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source token-budget fill (`sampling.token_budget_fill`): each
+    source's quota (2,000 tokens) is filled greedily with its longest
+    documents — the mixture-composition step that turns "weights per
+    source" into an actual training set under a fixed token budget. The
+    kept rows THEMSELVES are oracle-checked (which docs made the cut and
+    their running totals), not just per-source counts."""
+    d = read_table(spark, sf, "documents")
+    feat = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    filled = sampling.token_budget_fill(
+        feat,
+        "source",
+        F.col("n_tokens"),
+        2000,
+        order_by=[F.col("n_chars").desc(), F.col("doc_id")],
+    )
+    return filled.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+ORACLE_TOKEN_BUDGET_DOCS = """
+WITH t AS (
+  SELECT doc_id, source, n_chars,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (
+            PARTITION BY source ORDER BY n_chars DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 2000
+"""
+
+
+def q_kfold_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """5-fold cross-validation assignment (`sampling.kfold_assign`):
+    fold = md5-hash bucket mod 5, stable under repartitioning/re-runs/
+    appends. Every per-row fold id is oracle-re-derived (md5 exists in both
+    engines), so the assignment rule itself is the checked artifact."""
+    d = read_table(spark, sf, "documents")
+    return sampling.kfold_assign(d, "doc_id", 5).select("doc_id", "lang", "fold")
+
+
+ORACLE_KFOLD_DOCS = """
+WITH h AS (
+  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+)
+SELECT doc_id, lang,
+       CAST((  (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 5 AS INT)
+         AS fold
+FROM h
+"""
+
+
+def q_variant_events_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type:
+    ``parse_json`` once, then typed ``variant_get`` extraction — the
+    shredding-friendly path for JSON at scale (binary variant encoding,
+    no per-access string re-parse, Parquet variant shredding upstream).
+    Contrast with ``json_props_sum`` (get_json_object string path)."""
+    e = read_table(spark, sf, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("k_total"),
+            F.min("k").cast("int").alias("k_min"),
+            F.max("k").cast("int").alias("k_max"),
+        )
+    )
+
+
+ORACLE_VARIANT_EVENTS_STATS = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_total,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS INT)
+         AS k_min,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS INT)
+         AS k_max
+FROM events GROUP BY event_type
+"""
+
+
+def q_listagg_region_nations(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered string aggregation via Spark 4 ``listagg(...) WITHIN GROUP``
+    — the SQL:2016 surface for "roll members up into a delimited label"
+    (the reference publishes code→label dictionaries; this is the inverse
+    presentation direction). WITHIN GROUP ordering makes the result
+    deterministic — never emit an unordered concat from a distributed
+    engine."""
+    register_views(spark, sf, ("region", "nation"))
+    return spark.sql(
+        """
+        SELECT r_name,
+               count(*) AS n_nations,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+        FROM region JOIN nation ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    )
+
+
+ORACLE_LISTAGG_REGION_NATIONS = """
+SELECT r_name, count(*) AS n_nations,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM region JOIN nation ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_equi_depth_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram of order totals via ``ntile``
+    over a TOTAL order (price, orderkey) — tie-proof bucket boundaries.
+    Equi-depth beats equi-width for skewed money distributions and is the
+    shape optimizers use for selectivity stats; the global sort is one
+    ``RangePartitioning`` exchange (sampled range bounds, no single-task
+    sort) and the bucket agg is partial-before-exchange."""
+    o = read_table(spark, sf, "orders")
+    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.select("o_totalprice", "o_orderkey")
+        .withColumn("bucket", F.ntile(10).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo_price"),
+            F.round(F.max("o_totalprice"), 2).alias("hi_price"),
+        )
+    )
+
+
+ORACLE_EQUI_DEPTH_HISTOGRAM = """
+WITH b AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+SELECT bucket, count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS lo_price,
+       round(max(o_totalprice), 2) AS hi_price
+FROM b GROUP BY bucket
+"""
+
+
+def q_rolling_7d_active_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day. Sliding-window
+    COUNT(DISTINCT) has no incremental form (distinct doesn't subtract),
+    so the scale-safe plan is contribution EXPANSION: each (user, day)
+    pair contributes to days d..d+6 via ``sequence``+``explode`` — shuffle
+    = 7 × |distinct pairs|, bounded and linear, instead of a range
+    self-join that rescans the window per day. Days past the observed
+    range are clipped semi-join-style against the real day set."""
+    e = read_table(spark, sf, "events")
+    ud = e.select(
+        F.col("user_id"), F.to_date("ts").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("as_of_day"),
+    )
+    return (
+        contrib.join(
+            F.broadcast(days),
+            contrib["as_of_day"] == days["day"],
+        )
+        .groupBy("as_of_day")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+    )
+
+
+ORACLE_ROLLING_7D_ACTIVE_USERS = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), days AS (SELECT DISTINCT day FROM ud)
+SELECT d.day AS as_of_day, count(DISTINCT u.user_id) AS active_7d
+FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+"""
+
+
+def q_incremental_agg_state(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized-view maintenance: per-priority order stats
+    kept as MERGEABLE partials (count, sum, min, max over integer cents).
+    The view is maintained by merging yesterday's state with the delta's
+    partials — never rescanning history — and this query PROVES the merge:
+    it computes base(<1997) ⊎ delta(≥1997) and the full recompute in one
+    plan and pins their equality per group. Money is integer cents so the
+    merged sums are bit-identical across engines and merge orders."""
+    o = read_table(spark, sf, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = o.filter(F.year("o_orderdate") < 1997)
+    delta = o.filter(F.year("o_orderdate") >= 1997)
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("s"),
+            F.min(cents).alias("mn"),
+            F.max(cents).alias("mx"),
+        )
+
+    merged = (
+        partials(base)
+        .unionByName(partials(delta))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.sum("s").alias("sum_cents"),
+            F.min("mn").alias("min_cents"),
+            F.max("mx").alias("max_cents"),
+        )
+    )
+    full = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("f_n"),
+        F.sum(cents).alias("f_s"),
+        F.min(cents).alias("f_mn"),
+        F.max(cents).alias("f_mx"),
+    )
+    return merged.join(full, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_orders",
+        "sum_cents",
+        "min_cents",
+        "max_cents",
+        (
+            (F.col("n_orders") == F.col("f_n"))
+            & (F.col("sum_cents") == F.col("f_s"))
+            & (F.col("min_cents") == F.col("f_mn"))
+            & (F.col("max_cents") == F.col("f_mx"))
+        ).alias("merge_equals_full"),
+    )
+
+
+ORACLE_INCREMENTAL_AGG_STATE = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS min_cents,
+       CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS max_cents,
+       TRUE AS merge_equals_full
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_join_skew_advisor(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-key skew advisory: per candidate join key, row count, distinct
+    keys, the heaviest key's row count, and its share of all rows — the
+    diagnostic that decides between a plain shuffle join, AQE skew
+    splitting, and explicit salting (`operators/skew.salted_join`). One
+    two-level hash-agg per key column (key counts, then bounded stats);
+    nothing is collected."""
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders")
+
+    def profile(df: DataFrame, col: str) -> DataFrame:
+        counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("_c"))
+        return counts.agg(
+            F.lit(col).alias("join_key"),
+            F.sum("_c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("_c").cast("bigint").alias("max_key_rows"),
+            F.round(
+                F.max("_c") / F.sum("_c"), 6
+            ).alias("top_key_share"),
+        )
+    return (
+        profile(li, "l_orderkey")
+        .unionByName(profile(li, "l_suppkey"))
+        .unionByName(profile(o, "o_custkey"))
+    )
+
+
+ORACLE_JOIN_SKEW_ADVISOR = """
+WITH p1 AS (
+  SELECT count(*) AS _c FROM lineitem GROUP BY l_orderkey
+), p2 AS (
+  SELECT count(*) AS _c FROM lineitem GROUP BY l_suppkey
+), p3 AS (
+  SELECT count(*) AS _c FROM orders GROUP BY o_custkey
+)
+SELECT 'l_orderkey' AS join_key, CAST(sum(_c) AS BIGINT) AS n_rows,
+       count(*) AS n_keys, CAST(max(_c) AS BIGINT) AS max_key_rows,
+       round(CAST(max(_c) AS DOUBLE) / sum(_c), 6) AS top_key_share
+FROM p1
+UNION ALL
+SELECT 'l_suppkey', CAST(sum(_c) AS BIGINT), count(*),
+       CAST(max(_c) AS BIGINT), round(CAST(max(_c) AS DOUBLE) / sum(_c), 6)
+FROM p2
+UNION ALL
+SELECT 'o_custkey', CAST(sum(_c) AS BIGINT), count(*),
+       CAST(max(_c) AS BIGINT), round(CAST(max(_c) AS DOUBLE) / sum(_c), 6)
+FROM p3
+"""
+
+
+def q_dict_encode_brands(spark: SparkSession, sf: str) -> DataFrame:
+    """Dictionary encoding of a low-cardinality string column: build a
+    deterministic code table (dense codes by sorted value — the inverse of
+    the reference's code→label decode, Q3) and encode the fact side by
+    broadcast join. The dictionary is bounded (distinct brands), so the
+    global row_number window sorts a tiny aggregate, never the fact table;
+    the encode itself is a broadcast hash join — zero fact shuffle."""
+    p = read_table(spark, sf, "part")
+    codes = (
+        p.select("p_brand")
+        .distinct()
+        .withColumn(
+            "brand_code",
+            F.row_number().over(Window.orderBy("p_brand")),
+        )
+    )
+    return (
+        p.join(F.broadcast(codes), "p_brand")
+        .groupBy("p_brand", "brand_code")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+ORACLE_DICT_ENCODE_BRANDS = """
+WITH codes AS (
+  SELECT p_brand, row_number() OVER (ORDER BY p_brand) AS brand_code
+  FROM (SELECT DISTINCT p_brand FROM part)
+)
+SELECT p.p_brand, c.brand_code, count(*) AS n_parts,
+       round(avg(p_retailprice), 2) AS avg_price
+FROM part p JOIN codes c USING (p_brand)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -6645,6 +7002,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_fingerprints": q_simhash_fingerprints,
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
+    "token_budget_docs": q_token_budget_docs,
+    "kfold_docs": q_kfold_docs,
+    "variant_events_stats": q_variant_events_stats,
+    "listagg_region_nations": q_listagg_region_nations,
+    "equi_depth_histogram": q_equi_depth_histogram,
+    "rolling_7d_active_users": q_rolling_7d_active_users,
+    "incremental_agg_state": q_incremental_agg_state,
+    "join_skew_advisor": q_join_skew_advisor,
+    "dict_encode_brands": q_dict_encode_brands,
 }
 
 ORACLES: dict[str, str] = {
@@ -6803,4 +7169,13 @@ ORACLES: dict[str, str] = {
     "busy_interval_stats": ORACLE_BUSY_INTERVAL_STATS,
     "hll_user_sketches": ORACLE_HLL_USER_SKETCHES,
     "embedding_quantization": ORACLE_EMBEDDING_QUANTIZATION,
+    "token_budget_docs": ORACLE_TOKEN_BUDGET_DOCS,
+    "kfold_docs": ORACLE_KFOLD_DOCS,
+    "variant_events_stats": ORACLE_VARIANT_EVENTS_STATS,
+    "listagg_region_nations": ORACLE_LISTAGG_REGION_NATIONS,
+    "equi_depth_histogram": ORACLE_EQUI_DEPTH_HISTOGRAM,
+    "rolling_7d_active_users": ORACLE_ROLLING_7D_ACTIVE_USERS,
+    "incremental_agg_state": ORACLE_INCREMENTAL_AGG_STATE,
+    "join_skew_advisor": ORACLE_JOIN_SKEW_ADVISOR,
+    "dict_encode_brands": ORACLE_DICT_ENCODE_BRANDS,
 }

@@ -208,9 +208,12 @@ def test_stateful_running_user_totals(spark, events_dir):
 
     schema = spark.read.parquet(events_dir).schema
     stream = windows.read_event_stream(spark, events_dir, schema)
+    # ttl_ms=None: a pending processing-time timer keeps an availableNow
+    # query spinning empty batches until it fires (Spark 4.1) — NoTimeout
+    # is the correct mode for single-pass backfill runs.
     out = _run_stream(
         spark,
-        stateful.running_user_totals(stream),
+        stateful.running_user_totals(stream, ttl_ms=None),
         "stateful_totals",
         out_mode="update",
     )
@@ -243,7 +246,7 @@ def test_stateful_user_type_counts(spark, events_dir):
     stream = windows.read_event_stream(spark, events_dir, schema)
     out = _run_stream(
         spark,
-        stateful.user_type_counts(stream),
+        stateful.user_type_counts(stream, ttl_ms=None),
         "type_counts",
         out_mode="update",
     )
