@@ -6839,6 +6839,45 @@ GROUP BY 1, 2
 """
 
 
+def q_order_value_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-rank window-function coverage in one pass:
+    percent_rank / cume_dist / lag / lead / first_value / nth_value over a
+    TOTAL order (price, orderkey) per priority — ties impossible, so the
+    default RANGE frame equals ROWS and every engine agrees bit-for-bit.
+    One shuffle on the partition key; all six functions share a single
+    window spec, so Catalyst evaluates them in one Window operator."""
+    o = read_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    return o.filter(F.year("o_orderdate") == 1995).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.round(F.first_value("o_totalprice").over(w), 2).alias("min_price"),
+        F.round(F.nth_value("o_totalprice", 10).over(w), 2).alias("p10th_price"),
+    )
+
+
+ORACLE_ORDER_VALUE_DISTRIBUTION = """
+WITH y AS (
+  SELECT * FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+)
+SELECT o_orderkey, o_orderpriority,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       round(lag(o_totalprice) OVER w, 2) AS prev_price,
+       round(lead(o_totalprice) OVER w, 2) AS next_price,
+       round(first_value(o_totalprice) OVER w, 2) AS min_price,
+       round(nth_value(o_totalprice, 10) OVER w, 2) AS p10th_price
+FROM y
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7011,6 +7050,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_agg_state": q_incremental_agg_state,
     "join_skew_advisor": q_join_skew_advisor,
     "dict_encode_brands": q_dict_encode_brands,
+    "order_value_distribution": q_order_value_distribution,
 }
 
 ORACLES: dict[str, str] = {
@@ -7178,4 +7218,5 @@ ORACLES: dict[str, str] = {
     "incremental_agg_state": ORACLE_INCREMENTAL_AGG_STATE,
     "join_skew_advisor": ORACLE_JOIN_SKEW_ADVISOR,
     "dict_encode_brands": ORACLE_DICT_ENCODE_BRANDS,
+    "order_value_distribution": ORACLE_ORDER_VALUE_DISTRIBUTION,
 }

@@ -396,3 +396,65 @@ def test_ndjson_sink_python_datasource_writer(spark, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == sorted(
         tuple(r) for r in df.collect()
     )
+
+
+# --- incremental view maintenance (plans/incremental) -----------------------
+
+def test_incremental_view_merge_equals_full(spark, tmp_path):
+    """Three successive refreshes over disjoint deltas must equal one
+    aggregation of the union — the mergeable-monoid contract
+    (plans/incremental.py); state is snapshot-versioned, not in-place."""
+    from statline_bq_spark.plans import incremental as inc
+
+    specs = [
+        inc.AggSpec("count", None, "n"),
+        inc.AggSpec("sum", "v", "total"),
+        inc.AggSpec("min", "v", "lo"),
+        inc.AggSpec("max", "v", "hi"),
+    ]
+    view = inc.IncrementalView(str(tmp_path), "sales_by_k", ["k"], specs)
+    deltas = [
+        [("a", 10), ("b", 1)],
+        [("a", 5), ("c", 7)],
+        [("b", 2), ("a", -3)],
+    ]
+    rows = []
+    for i, d in enumerate(deltas):
+        rows += d
+        view.refresh(
+            spark,
+            spark.createDataFrame(d, "k string, v long"),
+            load_date=f"2024010{i + 1}",
+        )
+    got = {
+        r["k"]: (r["n"], r["total"], r["lo"], r["hi"])
+        for r in view.read(spark).collect()
+    }
+    full = (
+        spark.createDataFrame(rows, "k string, v long")
+        .groupBy("k")
+        .agg(
+            __import__("pyspark").sql.functions.count("*").alias("n"),
+            __import__("pyspark").sql.functions.sum("v").alias("total"),
+            __import__("pyspark").sql.functions.min("v").alias("lo"),
+            __import__("pyspark").sql.functions.max("v").alias("hi"),
+        )
+    )
+    want = {r["k"]: (r["n"], r["total"], r["lo"], r["hi"]) for r in full.collect()}
+    assert got == want
+    # three dated snapshots exist — time travel preserved, nothing in-place
+    assert layout.list_snapshot_dates(str(tmp_path), "views", "v1", "sales_by_k") == [
+        "20240101",
+        "20240102",
+        "20240103",
+    ]
+    # avg derives at read time from maintained sum+count
+    avg = inc.with_avg(view.read(spark), sum_col="total", count_col="n", out="mean")
+    assert {r["k"]: r["mean"] for r in avg.collect()}["a"] == (10 + 5 - 3) / 3
+
+
+def test_incremental_view_rejects_nonmergeable():
+    from statline_bq_spark.plans import incremental as inc
+
+    with pytest.raises(ValueError, match="not incrementally maintainable"):
+        inc.AggSpec("count_distinct", "v", "nd")
