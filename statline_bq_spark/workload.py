@@ -6878,6 +6878,209 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
 """
 
 
+def q_gopher_quality_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style quality-filter CASCADE with a per-rule funnel report:
+    five sequential rules (too short, mean word length out of [3,10] low/
+    high, low alphabetic-token share, too few stopwords), each row showing
+    docs entering the stage, dropped by it, and surviving. The funnel is
+    what a pipeline operator actually ships — per-rule drop counts are the
+    observability that tells you WHICH rule ate the corpus.
+
+    Determinism: every rule compares integers or exact integer-division
+    doubles (alpha share is a cross-multiplied integer compare — no
+    floats at all), so both engines agree bit-for-bit. One scan, one
+    single-row aggregate, then a bounded literal unpivot — no shuffle of
+    document rows at any scale."""
+    from statline_bq_spark.functions.text import tokens as _tokens
+
+    d = read_table(spark, sf, "documents")
+    toks = _tokens("text")
+    feat = d.select(
+        F.size(toks).alias("n_tok"),
+        F.length(F.regexp_replace("text", r"\s", "")).alias("n_chr"),
+        F.size(
+            F.filter(toks, lambda t: t.rlike("^[A-Za-z]+[.,!?;:]?$"))
+        ).alias("n_alpha"),
+        F.size(
+            F.filter(toks, lambda t: F.lower(t).isin("the", "a", "of", "and", "to", "in"))
+        ).alias("n_stop"),
+    )
+    mean_wl = F.col("n_chr") / F.col("n_tok")
+    f1 = F.col("n_tok") < 15
+    f2 = mean_wl < 3.0
+    f3 = mean_wl > 10.0
+    f4 = F.col("n_alpha") * 10 < F.col("n_tok") * 8
+    f5 = F.col("n_stop") < 2
+    flags = [f1, f2, f3, f4, f5]
+    names = ("too_short", "mean_word_len_lo", "mean_word_len_hi",
+             "low_alpha_share", "few_stopwords")
+    # survivors entering stage i = rows failing none of rules 1..i-1
+    aggs = [F.count(F.lit(1)).alias("s0")]
+    alive = F.lit(True)
+    for i, f in enumerate(flags, start=1):
+        aggs.append(F.sum((alive & f).cast("bigint")).alias(f"d{i}"))
+        alive = alive & ~f
+        aggs.append(F.sum(alive.cast("bigint")).alias(f"s{i}"))
+    one = feat.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}, '{names[i - 1]}', s{i - 1}, d{i}, s{i}" for i in range(1, 6)
+    )
+    return one.selectExpr(
+        f"stack(5, {stack_args}) AS (stage, rule, n_in, n_dropped, n_out)"
+    )
+
+
+ORACLE_GOPHER_QUALITY_FUNNEL = """
+WITH t AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS toks,
+         length(regexp_replace(text, '\\s', '', 'g')) AS n_chr
+  FROM documents
+), f AS (
+  SELECT len(toks) AS n_tok, n_chr,
+         len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]+[.,!?;:]?$')))
+           AS n_alpha,
+         len(list_filter(toks, x -> lower(x) IN
+             ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop
+  FROM t
+), r AS (
+  SELECT n_tok < 15 AS f1,
+         CAST(n_chr AS DOUBLE) / n_tok < 3.0 AS f2,
+         CAST(n_chr AS DOUBLE) / n_tok > 10.0 AS f3,
+         n_alpha * 10 < n_tok * 8 AS f4,
+         n_stop < 2 AS f5
+  FROM f
+), agg AS (
+  SELECT count(*) AS s0,
+         CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         CAST(sum(CASE WHEN NOT f1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN NOT f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+         CAST(sum(CASE WHEN NOT f1 AND NOT f2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         CAST(sum(CASE WHEN NOT f1 AND NOT f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+         CAST(sum(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+         CAST(sum(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+         CAST(sum(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND NOT f4 THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+         CAST(sum(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND NOT f4 AND f5 THEN 1 ELSE 0 END) AS BIGINT) AS d5,
+         CAST(sum(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND NOT f4 AND NOT f5 THEN 1 ELSE 0 END) AS BIGINT) AS s5
+  FROM r
+)
+SELECT u.stage, u.rule, u.n_in, u.n_dropped, u.n_out
+FROM agg, LATERAL (VALUES
+  (1, 'too_short',        s0, d1, s1),
+  (2, 'mean_word_len_lo', s1, d2, s2),
+  (3, 'mean_word_len_hi', s2, d3, s3),
+  (4, 'low_alpha_share',  s3, d4, s4),
+  (5, 'few_stopwords',    s4, d5, s5)
+) AS u(stage, rule, n_in, n_dropped, n_out)
+"""
+
+
+def q_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each query vector,
+    the most similar corpus vector with a DIFFERENT label — maximal
+    similarity across the label boundary is exactly what makes a negative
+    "hard". Same scale shape as `ann_cosine_topk`: bounded query set
+    broadcast, corpus never shuffles, per-query top-1 window; the label
+    mismatch is one more predicate on the broadcast join."""
+    from statline_bq_spark.functions.vectors import cosine_similarity
+
+    e = read_table(spark, sf, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("_q_vec"),
+        )
+    )
+    scored = (
+        e.select(
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.col("embedding").alias("_c_vec"),
+        )
+        .join(q, F.col("neg_label") != F.col("q_label"), "inner")
+        .withColumn("_sim", cosine_similarity(F.col("_c_vec"), F.col("_q_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col("neg_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "q_id",
+            "q_label",
+            "neg_id",
+            "neg_label",
+            F.round("_sim", 4).alias("sim"),
+        )
+    )
+
+
+ORACLE_HARD_NEGATIVE_MINING = """
+WITH q AS (
+  SELECT vec_id AS q_id, label AS q_label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 20
+), c AS (
+  SELECT vec_id AS neg_id, label AS neg_label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+), s AS (
+  SELECT q.q_id, q.q_label, c.neg_id, c.neg_label,
+         list_cosine_similarity(c.cv, q.qv) AS sim_raw,
+         row_number() OVER (PARTITION BY q.q_id
+                            ORDER BY list_cosine_similarity(c.cv, q.qv) DESC,
+                                     c.neg_id) AS rn
+  FROM q JOIN c ON c.neg_label <> q.q_label
+)
+SELECT q_id, q_label, neg_id, neg_label, round(sim_raw, 4) AS sim
+FROM s WHERE rn = 1
+"""
+
+
+def q_epoch_shuffle_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global training shuffle, two epochs: each epoch seeds
+    an md5 permutation key; a doc's position is (shard, pos) where shard =
+    first hash nibble and pos = rank within the shard — the composite
+    (epoch, shard, pos) IS the global order. This is how you shuffle a
+    100 TB corpus: no global row_number (single-task sort), just a
+    range-partitionable sort key + per-shard windows; the physical write
+    would be `write_clustered` on (shard, pos). md5 keys make every
+    epoch's permutation reproducible years later, and different seeds give
+    independent permutations per epoch — both oracle-checked per row."""
+    d = read_table(spark, sf, "documents").select("doc_id")
+    epochs = []
+    for ep in (0, 1):
+        h = F.md5(F.concat(F.lit(f"epoch{ep}:"), F.col("doc_id").cast("string")))
+        shard = (
+            F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
+        )
+        df = d.select(
+            "doc_id",
+            F.lit(ep).alias("epoch"),
+            shard.alias("shard"),
+            h.alias("_h"),
+        )
+        w = Window.partitionBy("shard").orderBy("_h", "doc_id")
+        epochs.append(
+            df.withColumn("pos", F.row_number().over(w)).drop("_h")
+        )
+    return epochs[0].unionByName(epochs[1])
+
+
+ORACLE_EPOCH_SHUFFLE_ORDER = """
+WITH e AS (
+  SELECT doc_id, ep AS epoch,
+         md5('epoch' || ep || ':' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents, LATERAL (VALUES (0), (1)) AS t(ep)
+)
+SELECT doc_id, epoch,
+       CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS INT) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY epoch, substr(h, 1, 1) ORDER BY h, doc_id
+       ) AS INT) AS pos
+FROM e
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7051,6 +7254,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_skew_advisor": q_join_skew_advisor,
     "dict_encode_brands": q_dict_encode_brands,
     "order_value_distribution": q_order_value_distribution,
+    "gopher_quality_funnel": q_gopher_quality_funnel,
+    "hard_negative_mining": q_hard_negative_mining,
+    "epoch_shuffle_order": q_epoch_shuffle_order,
 }
 
 ORACLES: dict[str, str] = {
@@ -7219,4 +7425,7 @@ ORACLES: dict[str, str] = {
     "join_skew_advisor": ORACLE_JOIN_SKEW_ADVISOR,
     "dict_encode_brands": ORACLE_DICT_ENCODE_BRANDS,
     "order_value_distribution": ORACLE_ORDER_VALUE_DISTRIBUTION,
+    "gopher_quality_funnel": ORACLE_GOPHER_QUALITY_FUNNEL,
+    "hard_negative_mining": ORACLE_HARD_NEGATIVE_MINING,
+    "epoch_shuffle_order": ORACLE_EPOCH_SHUFFLE_ORDER,
 }

@@ -420,3 +420,45 @@ def test_round2_queries_have_no_cartesian_products(spark):
     for name in names:
         plan = explain_str(workload.QUERIES[name](spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, name
+
+
+def test_round3_queries_have_no_cartesian_products(spark):
+    """Blanket gate over the round-3 additions (same contract as the
+    round-2 gate: bounded broadcast BNLJ is allowed, CartesianProduct is
+    not)."""
+    names = [
+        "token_budget_docs", "kfold_docs", "variant_events_stats",
+        "listagg_region_nations", "equi_depth_histogram",
+        "rolling_7d_active_users", "incremental_agg_state",
+        "join_skew_advisor", "dict_encode_brands",
+        "order_value_distribution", "gopher_quality_funnel",
+        "hard_negative_mining", "epoch_shuffle_order",
+    ]
+    for name in names:
+        plan = explain_str(workload.QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_round3_scale_shapes(spark):
+    """Key physical properties of the round-3 operators:
+    - dict encode: fact side joins the bounded dictionary by BROADCAST
+      hash join (zero fact shuffle);
+    - rolling 7d actives: the day-clip join is broadcast (days are
+      bounded), contributions shuffle once into the count-distinct agg;
+    - token budget fill: the running sum partitions by source — no
+      unpartitioned window over the corpus;
+    - epoch shuffle: both windows partition by shard — a global
+      row_number would be a single-task sort at 100 TB."""
+    plan = explain_str(workload.q_dict_encode_brands(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+    plan = explain_str(workload.q_rolling_7d_active_users(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+    plan = explain_str(
+        workload.q_token_budget_docs(spark, SF_SMOKE), "extended"
+    )
+    assert "windowspecdefinition(source" in plan
+
+    plan = explain_str(workload.q_epoch_shuffle_order(spark, SF_SMOKE), "extended")
+    assert "windowspecdefinition(shard" in plan
