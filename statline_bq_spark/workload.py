@@ -7081,6 +7081,189 @@ FROM e
 """
 
 
+def q_user_event_timeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Nested-type surface in one pipeline: per-user first-3 events
+    assembled into an ARRAY OF STRUCTS (collect_list), deterministically
+    ordered (array_sort on the rank-first struct — collect_list order is
+    partition-dependent, NEVER trust it), reshaped with a higher-order
+    ``transform``, and re-flattened with explode. The assembled timeline
+    is what a feature store ships to a model; the flatten-back makes every
+    array element oracle-checkable as a plain row."""
+    e = read_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "rn", "event_type")
+    )
+    timeline = ranked.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("rn"), F.col("event_type")))
+        ).alias("tl")
+    )
+    return timeline.select(
+        "user_id",
+        F.explode(
+            F.transform(
+                "tl",
+                lambda s: F.concat_ws(
+                    ":", s["rn"].cast("string"), s["event_type"]
+                ),
+            )
+        ).alias("step"),
+    )
+
+
+ORACLE_USER_EVENT_TIMELINE = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, CAST(rn AS VARCHAR) || ':' || event_type AS step
+FROM r WHERE rn <= 3
+"""
+
+
+def q_fingerprint_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-fingerprint change detection: each side of the diff is reduced
+    to (key, md5 fingerprint over the canonicalized payload) BEFORE the
+    full outer join, so the compare ships and matches 16-byte hashes
+    instead of every column — at 100 TB the fingerprint is computed at
+    write time and the diff never rereads payloads. Money canonicalizes to
+    integer cents inside the fingerprint (double→string formatting is
+    engine-specific; integers are not). Same derived 'new' snapshot rule
+    as ``snapshot_diff_orders`` (md5 bucket 0 removed, bucket 1 repriced,
+    one synthetic key added), so every class count is oracle-derivable."""
+    o = read_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2), 16, 10)
+        .cast("int"),
+        F.lit(10),
+    )
+    new = (
+        o.withColumn("_b", bucket)
+        .filter(F.col("_b") != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("_b") == 1, F.col("o_totalprice") * 2).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .drop("_b")
+        .unionByName(
+            spark.createDataFrame(
+                [(-1, "F", 1.0)],
+                "o_orderkey long, o_orderstatus string, o_totalprice double",
+            )
+        )
+    )
+
+    def fp(df: DataFrame) -> DataFrame:
+        cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        return df.select(
+            F.col("o_orderkey").alias("k"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    cents.cast("string"),
+                )
+            ).alias("fp"),
+        )
+
+    old_fp = fp(o)
+    new_fp = fp(new)
+    joined = old_fp.withColumnRenamed("fp", "fp_old").join(
+        new_fp.withColumnRenamed("fp", "fp_new"), "k", "full_outer"
+    )
+    cls = (
+        F.when(F.col("fp_old").isNull(), "added")
+        .when(F.col("fp_new").isNull(), "removed")
+        .when(F.col("fp_old") == F.col("fp_new"), "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select(cls.alias("change")).groupBy("change").agg(
+        F.count(F.lit(1)).alias("n_keys")
+    )
+
+
+ORACLE_FINGERPRINT_SNAPSHOT_DIFF = """
+WITH b AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         (  (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1)) % 10
+           AS bkt
+  FROM orders
+), new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN bkt = 1 THEN o_totalprice * 2 ELSE o_totalprice END
+           AS o_totalprice
+  FROM b WHERE bkt <> 0
+  UNION ALL SELECT -1, 'F', 1.0
+), old_fp AS (
+  SELECT o_orderkey AS k,
+         md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+             CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR))
+           AS fp
+  FROM orders
+), new_fp AS (
+  SELECT o_orderkey AS k,
+         md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+             CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR))
+           AS fp
+  FROM new
+)
+SELECT CASE WHEN o.fp IS NULL THEN 'added'
+            WHEN n.fp IS NULL THEN 'removed'
+            WHEN o.fp = n.fp THEN 'unchanged'
+            ELSE 'changed' END AS change,
+       count(*) AS n_keys
+FROM old_fp o FULL OUTER JOIN new_fp n USING (k)
+GROUP BY 1
+"""
+
+
+def q_join_cardinality_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Plan-time join-cardinality profiling: |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k)
+    computed from per-key count profiles — the shuffle is |distinct keys|
+    rows on each side instead of the full tables, which is how you cost a
+    100 TB join BEFORE running it (on full profiles here; on sampled or
+    sketched profiles when even the key sets are huge). The query pins the
+    profile-derived prediction against the executed join's row count."""
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders")
+    a = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    b = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    predicted = a.join(b, "k").agg(
+        F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("predicted_rows")
+    )
+    actual = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(F.count(F.lit(1)).alias("actual_rows"))
+    )
+    return predicted.crossJoin(actual).select(
+        "predicted_rows",
+        "actual_rows",
+        (F.col("predicted_rows") == F.col("actual_rows")).alias("prediction_exact"),
+    )
+
+
+ORACLE_JOIN_CARDINALITY_ESTIMATE = """
+WITH j AS (
+  SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT n AS predicted_rows, n AS actual_rows, TRUE AS prediction_exact FROM j
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7257,6 +7440,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality_funnel": q_gopher_quality_funnel,
     "hard_negative_mining": q_hard_negative_mining,
     "epoch_shuffle_order": q_epoch_shuffle_order,
+    "user_event_timeline": q_user_event_timeline,
+    "fingerprint_snapshot_diff": q_fingerprint_snapshot_diff,
+    "join_cardinality_estimate": q_join_cardinality_estimate,
 }
 
 ORACLES: dict[str, str] = {
@@ -7428,4 +7614,7 @@ ORACLES: dict[str, str] = {
     "gopher_quality_funnel": ORACLE_GOPHER_QUALITY_FUNNEL,
     "hard_negative_mining": ORACLE_HARD_NEGATIVE_MINING,
     "epoch_shuffle_order": ORACLE_EPOCH_SHUFFLE_ORDER,
+    "user_event_timeline": ORACLE_USER_EVENT_TIMELINE,
+    "fingerprint_snapshot_diff": ORACLE_FINGERPRINT_SNAPSHOT_DIFF,
+    "join_cardinality_estimate": ORACLE_JOIN_CARDINALITY_ESTIMATE,
 }

@@ -433,6 +433,8 @@ def test_round3_queries_have_no_cartesian_products(spark):
         "join_skew_advisor", "dict_encode_brands",
         "order_value_distribution", "gopher_quality_funnel",
         "hard_negative_mining", "epoch_shuffle_order",
+        "user_event_timeline", "fingerprint_snapshot_diff",
+        "join_cardinality_estimate",
     ]
     for name in names:
         plan = explain_str(workload.QUERIES[name](spark, SF_SMOKE))
