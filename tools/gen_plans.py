@@ -150,6 +150,39 @@ NOTES = {
         "(the only SinglePartition exchange), and the ranking window "
         "partitions by doc_id — no global window anywhere."
     ),
+    "epoch_shuffle_order": (
+        "Deterministic training shuffle (round 3): the permutation key is "
+        "md5(seed || id), the shard is its first nibble, and the position "
+        "window partitions by shard — the sort is range-partitionable "
+        "per shard, never a single-task global row_number. Two epochs = "
+        "two narrow branches over one scan, unioned."
+    ),
+    "fingerprint_snapshot_diff": (
+        "Row-fingerprint diff (round 3): each side collapses to "
+        "(key, md5-of-canonical-payload) BEFORE the full outer join, so "
+        "the wide stage ships 16-byte hashes, not payload columns; class "
+        "counting is a bounded 4-row aggregate after a row-level CASE."
+    ),
+    "rolling_7d_active_users": (
+        "Sliding distinct actives (round 3): contribution expansion "
+        "(sequence+explode, 7 rows per distinct user-day) replaces the "
+        "range self-join that rescans a 7-day window per day; the day "
+        "clip is a broadcast join against the bounded day set, and the "
+        "only wide stage is the count-distinct aggregate."
+    ),
+    "token_budget_docs": (
+        "Per-source token-budget fill (round 3): one shuffle co-locates "
+        "each source, the running sum is a source-partitioned window "
+        "(no global window), and the budget filter is a row-level "
+        "predicate on the cumulative column."
+    ),
+    "incremental_agg_state": (
+        "Mergeable-partials view maintenance (round 3): base and delta "
+        "partials are two branches of one scan; the merge re-aggregates "
+        "one row per group — at steady state the delta side is the only "
+        "scan and the merge shuffles |groups| rows, never history. The "
+        "query's full-recompute branch exists only to pin equality."
+    ),
 }
 
 
