@@ -7264,6 +7264,111 @@ SELECT n AS predicted_rows, n AS actual_rows, TRUE AS prediction_exact FROM j
 """
 
 
+def q_latest_event_agg_only(spark: SparkSession, sf: str) -> DataFrame:
+    """Latest-row selection WITHOUT a window: ``max_by`` keyed on the
+    composite (ts, event_id) ordering struct. Unlike the row_number
+    formulation (`latest_event_per_user`) this is partial-aggregatable —
+    each map task pre-reduces to one candidate per key before the
+    exchange, so the shuffle carries |keys| rows and there is NO per-key
+    sort. The window twin stays registered: same semantics, two physical
+    strategies, both oracle-checked against the same SQL."""
+    e = read_table(spark, sf, "events")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return e.groupBy("user_id").agg(
+        F.max_by("event_id", ordk).alias("event_id"),
+        F.max_by("event_type", ordk).alias("event_type"),
+        F.max_by("value", ordk).alias("value"),
+    )
+
+
+ORACLE_LATEST_EVENT_AGG_ONLY = """
+SELECT user_id, event_id, event_type, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def q_bitmap_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT mergeable count-distinct via Spark 4 bitmap aggregates: ids
+    bucket into 32k-bit bitmaps (bitmap_bucket_number/bit_position), each
+    bucket ORs positions into one binary (bitmap_construct_agg), and the
+    distinct count is the sum of bitmap popcounts. Unlike countDistinct's
+    expand-shuffle this state MERGES (union = OR) — the same
+    partial-rollup property HLL sketches buy, but exact, for bounded-int
+    key domains. Pinned equal to the plain countDistinct in-plan."""
+    e = read_table(spark, sf, "events")
+    per_bucket = (
+        e.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    via_bitmap = per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_users")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("_n_exact")
+    )
+    return via_bitmap.join(exact, "event_type").select(
+        "event_type",
+        "n_users",
+        (F.col("n_users") == F.col("_n_exact")).alias("bitmap_equals_exact"),
+    )
+
+
+ORACLE_BITMAP_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users,
+       TRUE AS bitmap_equals_exact
+FROM events GROUP BY event_type
+"""
+
+
+def q_ann_topk_arrow(spark: SparkSession, sf: str) -> DataFrame:
+    """The ``mapInArrow`` rendition of brute-force ANN
+    (`similarity.ann_cosine_topk_arrow`): RecordBatch-level Python with
+    zero-copy matrix rebuild — the lowest-overhead UDF surface. Contract
+    query: neighbor sets must equal the exact JVM fold (pinned TRUE);
+    blocked BLAS sims aren't bit-stable, so sets, not hashes."""
+    emb = read_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = similarity.ann_cosine_topk(emb, queries, k=5).select(
+        "q_id", "neighbor_id"
+    )
+    arrow = similarity.ann_cosine_topk_arrow(emb, queries, k=5).select(
+        "q_id", "neighbor_id"
+    )
+    hits = arrow.join(exact, ["q_id", "neighbor_id"])
+    return (
+        exact.agg(
+            F.countDistinct("q_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_exact_pairs"),
+        )
+        .crossJoin(arrow.agg(F.count(F.lit(1)).alias("_n_arrow")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("_n_hit")))
+        .select(
+            "n_queries",
+            "n_exact_pairs",
+            (
+                (F.col("_n_hit") == F.col("n_exact_pairs"))
+                & (F.col("_n_arrow") == F.col("n_exact_pairs"))
+            ).alias("same_neighbor_sets"),
+        )
+    )
+
+
+ORACLE_ANN_TOPK_ARROW = """
+SELECT count(*) AS n_queries,
+       count(*) * 5 AS n_exact_pairs,
+       TRUE AS same_neighbor_sets
+FROM embeddings WHERE vec_id < 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7443,6 +7548,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_event_timeline": q_user_event_timeline,
     "fingerprint_snapshot_diff": q_fingerprint_snapshot_diff,
     "join_cardinality_estimate": q_join_cardinality_estimate,
+    "latest_event_agg_only": q_latest_event_agg_only,
+    "bitmap_distinct_users": q_bitmap_distinct_users,
+    "ann_topk_arrow": q_ann_topk_arrow,
 }
 
 ORACLES: dict[str, str] = {
@@ -7617,4 +7725,7 @@ ORACLES: dict[str, str] = {
     "user_event_timeline": ORACLE_USER_EVENT_TIMELINE,
     "fingerprint_snapshot_diff": ORACLE_FINGERPRINT_SNAPSHOT_DIFF,
     "join_cardinality_estimate": ORACLE_JOIN_CARDINALITY_ESTIMATE,
+    "latest_event_agg_only": ORACLE_LATEST_EVENT_AGG_ONLY,
+    "bitmap_distinct_users": ORACLE_BITMAP_DISTINCT_USERS,
+    "ann_topk_arrow": ORACLE_ANN_TOPK_ARROW,
 }

@@ -434,7 +434,8 @@ def test_round3_queries_have_no_cartesian_products(spark):
         "order_value_distribution", "gopher_quality_funnel",
         "hard_negative_mining", "epoch_shuffle_order",
         "user_event_timeline", "fingerprint_snapshot_diff",
-        "join_cardinality_estimate",
+        "join_cardinality_estimate", "latest_event_agg_only",
+        "bitmap_distinct_users", "ann_topk_arrow",
     ]
     for name in names:
         plan = explain_str(workload.QUERIES[name](spark, SF_SMOKE))
@@ -464,3 +465,12 @@ def test_round3_scale_shapes(spark):
 
     plan = explain_str(workload.q_epoch_shuffle_order(spark, SF_SMOKE), "extended")
     assert "windowspecdefinition(shard" in plan
+
+
+def test_latest_event_agg_only_has_no_window_sort(spark):
+    """The max_by formulation must compile to a (partial-aggregatable)
+    aggregate — no Window operator, no per-key sort: that is its whole
+    advantage over the row_number twin at 100 TB."""
+    plan = explain_str(workload.q_latest_event_agg_only(spark, SF_SMOKE))
+    assert "max_by" in plan
+    assert "Window" not in plan
