@@ -7369,6 +7369,197 @@ FROM embeddings WHERE vec_id < 10
 """
 
 
+def q_brand_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed triangle counting over the brand co-occurrence graph
+    (edges = brand pairs sharing ≥ 324 orders — the pair-weight median at sf0.01, so the
+    graph is genuinely sparse, not complete): the canonical two-join
+    wedge-close — e(a,b) ⋈ e(b,c) builds wedges, ⋈ e(a,c) closes them;
+    a<b<c orientation counts each triangle exactly once. At 100 TB-scale
+    graphs the orientation should be by DEGREE (low→high) so wedge counts
+    are bounded by arboricity, not by the max degree — ordering by name
+    here because the brand graph is bounded. Vertices/edges/triangles in
+    one row, fully oracle-checked."""
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    p = F.broadcast(
+        read_table(spark, sf, "part").select("p_partkey", "p_brand")
+    )
+    ob = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select("l_orderkey", F.col("p_brand").alias("u"))
+    b = ob.select("l_orderkey", F.col("p_brand").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 324)
+        .select("u", "v")
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    wedges = e1.join(e2, "b")
+    tri = wedges.join(e3, ["a", "c"])
+    verts = edges.select(F.col("u").alias("x")).unionByName(
+        edges.select(F.col("v").alias("x"))
+    ).distinct()
+    return (
+        verts.agg(F.count(F.lit(1)).alias("n_vertices"))
+        .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )
+
+
+ORACLE_BRAND_TRIANGLE_COUNT = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), e AS (
+  SELECT a.p_brand AS u, b.p_brand AS v
+  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2 HAVING count(*) >= 324
+), tri AS (
+  SELECT count(*) AS n
+  FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3
+    ON e3.u = e1.u AND e3.v = e2.v
+), verts AS (
+  SELECT count(DISTINCT x) AS n FROM (
+    SELECT u AS x FROM e UNION ALL SELECT v FROM e
+  )
+)
+SELECT verts.n AS n_vertices,
+       (SELECT count(*) FROM e) AS n_edges,
+       tri.n AS n_triangles
+FROM verts, tri
+"""
+
+
+def q_cdc_log_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC log replay: an ordered change log (INSERT/UPDATE/DELETE with
+    sequence numbers) collapses to final table state by keeping the
+    highest-sequence op per key and dropping keys whose last op is a
+    DELETE — the log-compaction half of the MERGE family (`scd1` applies
+    two-table diffs; this applies an op STREAM). One shuffle on the key;
+    the last-op pick is the same agg-only max_by shape as
+    `latest_event_agg_only` — no per-key sort. The log is derived
+    deterministically from orders (md5 bucket 0 → deleted, 1 → updated)
+    so final state is oracle-derivable."""
+    o = read_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2), 16, 10)
+        .cast("int"),
+        F.lit(10),
+    )
+    ob = o.withColumn("_b", bucket)
+    ins = ob.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.lit(1).alias("seq"), F.lit("I").alias("op"),
+    )
+    upd = (
+        ob.filter(F.col("_b") == 1)
+        .select(
+            "o_orderkey", "o_orderstatus",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            F.lit(2).alias("seq"), F.lit("U").alias("op"),
+        )
+    )
+    dele = ob.filter(F.col("_b") == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.lit(3).alias("seq"), F.lit("D").alias("op"),
+    )
+    log = ins.unionByName(upd).unionByName(dele)
+    last = log.groupBy("o_orderkey").agg(
+        F.max_by("op", F.col("seq")).alias("op"),
+        F.max_by("o_orderstatus", F.col("seq")).alias("o_orderstatus"),
+        F.max_by("o_totalprice", F.col("seq")).alias("o_totalprice"),
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        last.filter(F.col("op") != "D")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(cents).cast("bigint").alias("sum_cents"),
+        )
+    )
+
+
+ORACLE_CDC_LOG_REPLAY = """
+WITH b AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         (  (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1)) % 10
+           AS bkt
+  FROM orders
+), final AS (
+  SELECT o_orderstatus,
+         CASE WHEN bkt = 1 THEN o_totalprice * 2 ELSE o_totalprice END
+           AS o_totalprice
+  FROM b WHERE bkt <> 0
+)
+SELECT o_orderstatus, count(*) AS n_rows,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM final GROUP BY o_orderstatus
+"""
+
+
+def q_seasonal_residuals(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal profile + residual anomaly surface: hourly event counts
+    minus their (iso-weekday, hour) seasonal mean — the detrending step
+    before thresholding (the trailing-sigma monitor `hourly_anomalies`
+    flags spikes; this one removes the weekly rhythm first so Monday 9am
+    isn't an 'anomaly' every week). The seasonal profile is a bounded
+    7×24 aggregate joined back by broadcast; means are single exact
+    int-sum/count divisions, so residuals are engine-deterministic."""
+    e = read_table(spark, sf, "events")
+    hourly = (
+        e.select(F.to_date("ts").alias("d"), F.hour("ts").alias("h"))
+        .groupBy("d", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("dow", F.weekday("d") + F.lit(1))
+    )
+    prof = hourly.groupBy("dow", "h").agg(
+        F.sum("n").alias("_s"), F.count(F.lit(1)).alias("n_days")
+    )
+    mean = F.col("_s").cast("double") / F.col("n_days")
+    prof = prof.select("dow", "h", "n_days", mean.alias("_mean"))
+    joined = hourly.join(F.broadcast(prof), ["dow", "h"])
+    return (
+        joined.groupBy("dow", "h", "n_days")
+        .agg(
+            F.round(F.first("_mean"), 4).alias("seasonal_mean"),
+            F.round(F.max(F.abs(F.col("n") - F.col("_mean"))), 4).alias(
+                "max_abs_residual"
+            ),
+        )
+    )
+
+
+ORACLE_SEASONAL_RESIDUALS = """
+WITH hourly AS (
+  SELECT CAST(ts AS DATE) AS d, EXTRACT(hour FROM ts) AS h, count(*) AS n
+  FROM events GROUP BY 1, 2
+), hd AS (
+  SELECT d, h, n, isodow(d) AS dow FROM hourly
+), prof AS (
+  SELECT dow, h, count(*) AS n_days,
+         CAST(sum(n) AS DOUBLE) / count(*) AS m
+  FROM hd GROUP BY 1, 2
+)
+SELECT hd.dow, hd.h, prof.n_days,
+       round(prof.m, 4) AS seasonal_mean,
+       round(max(abs(hd.n - prof.m)), 4) AS max_abs_residual
+FROM hd JOIN prof ON hd.dow = prof.dow AND hd.h = prof.h
+GROUP BY hd.dow, hd.h, prof.n_days, prof.m
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7551,6 +7742,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_event_agg_only": q_latest_event_agg_only,
     "bitmap_distinct_users": q_bitmap_distinct_users,
     "ann_topk_arrow": q_ann_topk_arrow,
+    "brand_triangle_count": q_brand_triangle_count,
+    "cdc_log_replay": q_cdc_log_replay,
+    "seasonal_residuals": q_seasonal_residuals,
 }
 
 ORACLES: dict[str, str] = {
@@ -7728,4 +7922,7 @@ ORACLES: dict[str, str] = {
     "latest_event_agg_only": ORACLE_LATEST_EVENT_AGG_ONLY,
     "bitmap_distinct_users": ORACLE_BITMAP_DISTINCT_USERS,
     "ann_topk_arrow": ORACLE_ANN_TOPK_ARROW,
+    "brand_triangle_count": ORACLE_BRAND_TRIANGLE_COUNT,
+    "cdc_log_replay": ORACLE_CDC_LOG_REPLAY,
+    "seasonal_residuals": ORACLE_SEASONAL_RESIDUALS,
 }

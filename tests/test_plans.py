@@ -436,6 +436,7 @@ def test_round3_queries_have_no_cartesian_products(spark):
         "user_event_timeline", "fingerprint_snapshot_diff",
         "join_cardinality_estimate", "latest_event_agg_only",
         "bitmap_distinct_users", "ann_topk_arrow",
+        "brand_triangle_count", "cdc_log_replay", "seasonal_residuals",
     ]
     for name in names:
         plan = explain_str(workload.QUERIES[name](spark, SF_SMOKE))
