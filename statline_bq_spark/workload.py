@@ -7560,6 +7560,69 @@ GROUP BY hd.dow, hd.h, prof.n_days, prof.m
 """
 
 
+def q_json_quarantine(spark: SparkSession, sf: str) -> DataFrame:
+    """Malformed-record quarantine at the JSON parse boundary: rows whose
+    payload fails the declared schema land in a quarantine class instead
+    of killing the job or silently nulling through — the row-level
+    rendition of the reference's schema-once-enforce-everywhere policy
+    (reference ``utils.py:123-129``). Corruption is injected
+    deterministically (md5 bucket 0 gets a trailing garbage byte), parse
+    is ``from_json`` (null result = unparseable), and the report is
+    per-event-type parsed/quarantined counts plus the parsed-payload sum
+    — all oracle-derivable. (Corruption is a LEADING garbage byte:
+    Jackson accepts trailing junk after a complete JSON value, so only
+    prefix damage reliably quarantines.)"""
+    e = read_table(spark, sf, "events")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 2), 16, 10)
+        .cast("int"),
+        F.lit(10),
+    )
+    raw = e.select(
+        "event_id",
+        "event_type",
+        F.when(bucket == 0, F.concat(F.lit("x"), F.col("props")))
+        .otherwise(F.col("props"))
+        .alias("payload"),
+    )
+    # PERMISSIVE from_json with an explicit corrupt-record column: failed
+    # payloads land whole in _corrupt_record (the quarantine), parsed rows
+    # leave it null — the job always survives.
+    parsed = raw.withColumn(
+        "rec",
+        F.from_json(
+            "payload",
+            "k bigint, _corrupt_record string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    )
+    bad = F.col("rec._corrupt_record").isNotNull()
+    return parsed.groupBy("event_type").agg(
+        F.sum((~bad).cast("bigint")).alias("n_parsed"),
+        F.sum(bad.cast("bigint")).alias("n_quarantined"),
+        F.sum(F.when(~bad, F.col("rec.k"))).cast("bigint").alias("k_sum_parsed"),
+    )
+
+
+ORACLE_JSON_QUARANTINE = """
+WITH b AS (
+  SELECT event_id, event_type, props,
+         (  (strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 2, 1)) - 1)) % 10
+           AS bkt
+  FROM events
+)
+SELECT event_type,
+       CAST(sum(CASE WHEN bkt <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+       CAST(sum(CASE WHEN bkt = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quarantined,
+       CAST(sum(CASE WHEN bkt <> 0
+                THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                END) AS BIGINT) AS k_sum_parsed
+FROM b GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7745,6 +7808,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brand_triangle_count": q_brand_triangle_count,
     "cdc_log_replay": q_cdc_log_replay,
     "seasonal_residuals": q_seasonal_residuals,
+    "json_quarantine": q_json_quarantine,
 }
 
 ORACLES: dict[str, str] = {
@@ -7925,4 +7989,5 @@ ORACLES: dict[str, str] = {
     "brand_triangle_count": ORACLE_BRAND_TRIANGLE_COUNT,
     "cdc_log_replay": ORACLE_CDC_LOG_REPLAY,
     "seasonal_residuals": ORACLE_SEASONAL_RESIDUALS,
+    "json_quarantine": ORACLE_JSON_QUARANTINE,
 }

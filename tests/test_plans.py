@@ -475,3 +475,12 @@ def test_latest_event_agg_only_has_no_window_sort(spark):
     plan = explain_str(workload.q_latest_event_agg_only(spark, SF_SMOKE))
     assert "max_by" in plan
     assert "Window" not in plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    """Spark's WindowGroupLimit pushdown must fire for rank<=k filters:
+    each map task keeps only k candidates per group BEFORE the exchange —
+    at 100 TB the difference between shuffling every row and shuffling
+    k·|groups|."""
+    plan = explain_str(workload.q_top_orders_per_customer(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
