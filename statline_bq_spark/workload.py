@@ -7623,6 +7623,149 @@ FROM b GROUP BY event_type
 """
 
 
+def q_winsorized_price_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorized robust aggregation: per market segment, clamp order
+    totals to the discrete [P05, P95] rank-selected bounds and aggregate
+    the clamped cents — outlier-robust means without dropping rows. Rank
+    selection (row_number vs ceil(q·n)) avoids interpolation, so the
+    bounds are engine-exact; the clamp+sum runs on integer cents. Two
+    passes over the group: one windowed rank to find bounds (bounded
+    output), one broadcast join-back + clamp — the fact side never sorts
+    twice."""
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer")
+    oc = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o["o_custkey"] == F.col("c_custkey"),
+    ).select("c_mktsegment", "o_totalprice", "o_orderkey")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    t = oc.select("c_mktsegment", "o_orderkey", cents.alias("cents"))
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "o_orderkey")
+    ranked = t.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment"))
+    )
+    bounds = (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.min(
+                F.when(F.col("rn") == F.ceil(F.col("n") * 0.05), F.col("cents"))
+            ).alias("lo"),
+            F.min(
+                F.when(F.col("rn") == F.ceil(F.col("n") * 0.95), F.col("cents"))
+            ).alias("hi"),
+        )
+    )
+    clamped = t.join(F.broadcast(bounds), "c_mktsegment").select(
+        "c_mktsegment",
+        F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("cents"))).alias(
+            "wcents"
+        ),
+    )
+    return clamped.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("wcents").cast("bigint").alias("winsorized_sum_cents"),
+        F.min("wcents").alias("clamp_lo_cents"),
+        F.max("wcents").alias("clamp_hi_cents"),
+    )
+
+
+ORACLE_WINSORIZED_PRICE_STATS = """
+WITH t AS (
+  SELECT c.c_mktsegment, o.o_orderkey,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), r AS (
+  SELECT c_mktsegment, cents,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY cents, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM t
+), b AS (
+  SELECT c_mktsegment,
+         min(CASE WHEN rn = CAST(ceil(n * 0.05) AS BIGINT) THEN cents END) AS lo,
+         min(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN cents END) AS hi
+  FROM r GROUP BY c_mktsegment
+)
+SELECT t.c_mktsegment, count(*) AS n_orders,
+       CAST(sum(greatest(b.lo, least(b.hi, t.cents))) AS BIGINT)
+         AS winsorized_sum_cents,
+       min(greatest(b.lo, least(b.hi, t.cents))) AS clamp_lo_cents,
+       max(greatest(b.lo, least(b.hi, t.cents))) AS clamp_hi_cents
+FROM t JOIN b USING (c_mktsegment)
+GROUP BY t.c_mktsegment
+"""
+
+
+def q_price_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width histogram via ``width_bucket`` over a literal range —
+    the equi-WIDTH complement of `equi_depth_histogram` (ntile). Literal
+    bounds mean zero extra passes (no min/max pre-scan) and buckets that
+    stay comparable across snapshots; one hash-agg, partial before the
+    exchange."""
+    o = read_table(spark, sf, "orders")
+    return (
+        o.select(
+            F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(20))
+            .cast("int")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+ORACLE_PRICE_HISTOGRAM = """
+-- DuckDB has no width_bucket; this mirrors Spark's arithmetic exactly:
+-- floor((v - lo) / ((hi - lo) / n)) + 1, clamped to 0 / n+1 outside.
+SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+                 WHEN o_totalprice >= 600000.0 THEN 21
+                 ELSE floor(o_totalprice / (600000.0 / 20)) + 1
+            END AS INT) AS bucket,
+       count(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
+def q_cumulative_new_users(spark: SparkSession, sf: str) -> DataFrame:
+    """User-growth curve: per day, first-time users (first-seen-day
+    aggregation — one shuffle keyed on user) and the running total of
+    distinct users ever seen (a cumulative sum over the bounded day
+    series — the window sorts days, never events). Cumulative-distinct
+    expressed as cumsum-of-firsts is exact and incremental; a naive
+    'count distinct over unbounded preceding' would rescan history per
+    day."""
+    e = read_table(spark, sf, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily_new = first_seen.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = (
+        Window.orderBy("first_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily_new.select(
+        F.col("first_day").alias("day"),
+        "n_new",
+        F.sum("n_new").over(w).cast("bigint").alias("cum_users"),
+    )
+
+
+ORACLE_CUMULATIVE_NEW_USERS = """
+WITH fs AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+), dn AS (
+  SELECT first_day, count(*) AS n_new FROM fs GROUP BY first_day
+)
+SELECT first_day AS day, n_new,
+       CAST(sum(n_new) OVER (ORDER BY first_day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM dn
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7809,6 +7952,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_log_replay": q_cdc_log_replay,
     "seasonal_residuals": q_seasonal_residuals,
     "json_quarantine": q_json_quarantine,
+    "winsorized_price_stats": q_winsorized_price_stats,
+    "price_histogram": q_price_histogram,
+    "cumulative_new_users": q_cumulative_new_users,
 }
 
 ORACLES: dict[str, str] = {
@@ -7990,4 +8136,7 @@ ORACLES: dict[str, str] = {
     "cdc_log_replay": ORACLE_CDC_LOG_REPLAY,
     "seasonal_residuals": ORACLE_SEASONAL_RESIDUALS,
     "json_quarantine": ORACLE_JSON_QUARANTINE,
+    "winsorized_price_stats": ORACLE_WINSORIZED_PRICE_STATS,
+    "price_histogram": ORACLE_PRICE_HISTOGRAM,
+    "cumulative_new_users": ORACLE_CUMULATIVE_NEW_USERS,
 }

@@ -437,6 +437,8 @@ def test_round3_queries_have_no_cartesian_products(spark):
         "join_cardinality_estimate", "latest_event_agg_only",
         "bitmap_distinct_users", "ann_topk_arrow",
         "brand_triangle_count", "cdc_log_replay", "seasonal_residuals",
+        "json_quarantine", "winsorized_price_stats", "price_histogram",
+        "cumulative_new_users",
     ]
     for name in names:
         plan = explain_str(workload.QUERIES[name](spark, SF_SMOKE))
