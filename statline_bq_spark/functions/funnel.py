@@ -1,0 +1,84 @@
+"""Gopher-style quality-filter cascade with a per-rule funnel report.
+
+Shared core for the batch query (``workload.q_gopher_quality_funnel``) and
+the streaming monitor (``streaming.monitors.funnel_monitor``): the funnel
+is split by algebra like the other monitors — every rule outcome is a
+per-ROW flag, so the stage counters (docs entering / dropped / surviving
+each rule) are plain conditional sums, and per-micro-batch counter rows
+merge by addition to exactly the one-pass result.
+
+Determinism: every rule compares integers or exact integer-division
+doubles (the alpha-share rule is a cross-multiplied integer compare), so
+Spark and DuckDB agree bit-for-bit — the funnel is fully oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from statline_bq_spark.functions.text import tokens as _tokens
+
+#: Rule names in cascade order (rule i only sees rule i-1's survivors).
+RULES = (
+    "too_short",
+    "mean_word_len_lo",
+    "mean_word_len_hi",
+    "low_alpha_share",
+    "few_stopwords",
+)
+
+
+def funnel_counters(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """ONE-ROW DataFrame of additive stage counters: s0 (docs in), then
+    per rule i: d{i} (dropped by rule i) and s{i} (survivors after it).
+    Counter rows from any slicing of the input sum to the whole-corpus
+    counters — the associativity the streaming monitor rides on."""
+    toks = _tokens(text_col)
+    feat = df.select(
+        F.size(toks).alias("n_tok"),
+        F.length(F.regexp_replace(text_col, r"\s", "")).alias("n_chr"),
+        F.size(
+            F.filter(toks, lambda t: t.rlike("^[A-Za-z]+[.,!?;:]?$"))
+        ).alias("n_alpha"),
+        F.size(
+            F.filter(
+                toks, lambda t: F.lower(t).isin("the", "a", "of", "and", "to", "in")
+            )
+        ).alias("n_stop"),
+    )
+    mean_wl = F.col("n_chr") / F.col("n_tok")
+    flags = [
+        F.col("n_tok") < 15,
+        mean_wl < 3.0,
+        mean_wl > 10.0,
+        F.col("n_alpha") * 10 < F.col("n_tok") * 8,
+        F.col("n_stop") < 2,
+    ]
+    aggs = [F.count(F.lit(1)).alias("s0")]
+    alive = F.lit(True)
+    for i, f in enumerate(flags, start=1):
+        aggs.append(F.sum((alive & f).cast("bigint")).alias(f"d{i}"))
+        alive = alive & ~f
+        aggs.append(F.sum(alive.cast("bigint")).alias(f"s{i}"))
+    return feat.agg(*aggs)
+
+
+def report_from_counters(counters: DataFrame) -> DataFrame:
+    """Merge counter rows (sum — associative) and unpivot into the 5-row
+    (stage, rule, n_in, n_dropped, n_out) funnel report."""
+    cols = ["s0"] + [c for i in range(1, 6) for c in (f"d{i}", f"s{i}")]
+    merged = counters.agg(
+        *[F.coalesce(F.sum(c), F.lit(0)).cast("bigint").alias(c) for c in cols]
+    )
+    stack_args = ", ".join(
+        f"{i}, '{RULES[i - 1]}', s{i - 1}, d{i}, s{i}" for i in range(1, 6)
+    )
+    return merged.selectExpr(
+        f"stack(5, {stack_args}) AS (stage, rule, n_in, n_dropped, n_out)"
+    )
+
+
+def funnel_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass funnel report over a batch DataFrame."""
+    return report_from_counters(funnel_counters(df, text_col))

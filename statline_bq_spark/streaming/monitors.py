@@ -126,3 +126,42 @@ def finalize_quality(spark: SparkSession, report_dir: str) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def funnel_monitor(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    counters_dir: str,
+    checkpoint_dir: str,
+    *,
+    text_col: str = "text",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming quality-funnel monitor: run the Gopher-style rule cascade
+    (`functions.funnel`) on every document micro-batch and append the
+    batch's ONE-ROW stage counters. Rule outcomes are per-row flags, so
+    counter rows merge by addition — same split-by-algebra shape as the
+    other monitors, and the finalize report equals the batch query
+    (`workload.q_gopher_quality_funnel`) by construction."""
+    from statline_bq_spark.functions import funnel
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        funnel.funnel_counters(batch, text_col).write.mode("append").parquet(
+            counters_dir
+        )
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def finalize_funnel(spark: SparkSession, counters_dir: str) -> DataFrame:
+    """Merge per-batch funnel counters into the 5-row funnel report."""
+    from statline_bq_spark.functions import funnel
+
+    return funnel.report_from_counters(spark.read.parquet(counters_dir))

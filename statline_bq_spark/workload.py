@@ -6890,44 +6890,13 @@ def q_gopher_quality_funnel(spark: SparkSession, sf: str) -> DataFrame:
     doubles (alpha share is a cross-multiplied integer compare — no
     floats at all), so both engines agree bit-for-bit. One scan, one
     single-row aggregate, then a bounded literal unpivot — no shuffle of
-    document rows at any scale."""
-    from statline_bq_spark.functions.text import tokens as _tokens
+    document rows at any scale. Core shared with the streaming monitor
+    (`functions.funnel`, `streaming.monitors.funnel_monitor`): per-batch
+    counter rows merge by addition to this exact report."""
+    from statline_bq_spark.functions import funnel
 
     d = read_table(spark, sf, "documents")
-    toks = _tokens("text")
-    feat = d.select(
-        F.size(toks).alias("n_tok"),
-        F.length(F.regexp_replace("text", r"\s", "")).alias("n_chr"),
-        F.size(
-            F.filter(toks, lambda t: t.rlike("^[A-Za-z]+[.,!?;:]?$"))
-        ).alias("n_alpha"),
-        F.size(
-            F.filter(toks, lambda t: F.lower(t).isin("the", "a", "of", "and", "to", "in"))
-        ).alias("n_stop"),
-    )
-    mean_wl = F.col("n_chr") / F.col("n_tok")
-    f1 = F.col("n_tok") < 15
-    f2 = mean_wl < 3.0
-    f3 = mean_wl > 10.0
-    f4 = F.col("n_alpha") * 10 < F.col("n_tok") * 8
-    f5 = F.col("n_stop") < 2
-    flags = [f1, f2, f3, f4, f5]
-    names = ("too_short", "mean_word_len_lo", "mean_word_len_hi",
-             "low_alpha_share", "few_stopwords")
-    # survivors entering stage i = rows failing none of rules 1..i-1
-    aggs = [F.count(F.lit(1)).alias("s0")]
-    alive = F.lit(True)
-    for i, f in enumerate(flags, start=1):
-        aggs.append(F.sum((alive & f).cast("bigint")).alias(f"d{i}"))
-        alive = alive & ~f
-        aggs.append(F.sum(alive.cast("bigint")).alias(f"s{i}"))
-    one = feat.agg(*aggs)
-    stack_args = ", ".join(
-        f"{i}, '{names[i - 1]}', s{i - 1}, d{i}, s{i}" for i in range(1, 6)
-    )
-    return one.selectExpr(
-        f"stack(5, {stack_args}) AS (stage, rule, n_in, n_dropped, n_out)"
-    )
+    return funnel.funnel_report(d, "text")
 
 
 ORACLE_GOPHER_QUALITY_FUNNEL = """

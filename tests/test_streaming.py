@@ -488,3 +488,27 @@ def test_quality_monitor_matches_batch(spark, events_dir, tmp_path):
         for r in cq.validate(spark.read.parquet(events_dir), checks).collect()
     )
     assert got == want
+
+
+def test_funnel_monitor_matches_batch(spark, tmp_path):
+    """Per-micro-batch funnel counters merge to exactly the one-pass
+    batch funnel report (stage counters are conditional sums —
+    associative)."""
+    from statline_bq_spark.functions import funnel
+    from statline_bq_spark.streaming import monitors
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    src = str(tmp_path / "docs")
+    # several files so availableNow slices into multiple batches
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    counters_dir = str(tmp_path / "counters")
+    q = monitors.funnel_monitor(
+        spark, src, schema, counters_dir, str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(600), "funnel monitor still running"
+    got = sorted(
+        tuple(r) for r in monitors.finalize_funnel(spark, counters_dir).collect()
+    )
+    want = sorted(tuple(r) for r in funnel.funnel_report(docs).collect())
+    assert got == want
