@@ -7735,6 +7735,155 @@ FROM dn
 """
 
 
+def q_conjunctive_term_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Mini search engine over the corpus: build token posting lists
+    (term → doc, tf) and answer a conjunctive query ('data' AND 'join')
+    by INTERSECTING posting lists — the join keys on doc_id and each side
+    is only that term's postings, so query cost scales with posting-list
+    length, not corpus size (the inverted-index property). Ranking is
+    combined term frequency with doc_id tiebreak; scores are integer
+    counts, so ranks are engine-exact."""
+    from statline_bq_spark.functions.text import tokens as _tokens
+
+    d = read_table(spark, sf, "documents")
+    postings = (
+        d.select("doc_id", F.explode(_tokens("text")).alias("tok"))
+        .withColumn("term", F.lower(F.regexp_replace("tok", r"[^A-Za-z0-9]", "")))
+        .filter(F.col("term").isin("data", "join"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    a = postings.filter(F.col("term") == "data").select(
+        "doc_id", F.col("tf").alias("tf_data")
+    )
+    b = postings.filter(F.col("term") == "join").select(
+        "doc_id", F.col("tf").alias("tf_join")
+    )
+    hits = a.join(b, "doc_id")
+    w = Window.orderBy(
+        (F.col("tf_data") + F.col("tf_join")).desc(), F.col("doc_id")
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "doc_id", "tf_data", "tf_join")
+    )
+
+
+ORACLE_CONJUNCTIVE_TERM_SEARCH = """
+WITH toks AS (
+  SELECT doc_id,
+         lower(regexp_replace(t.tok, '[^A-Za-z0-9]', '', 'g')) AS term
+  FROM documents, LATERAL unnest(string_split_regex(trim(text), '\\s+')) AS t(tok)
+), p AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE term IN ('data', 'join') GROUP BY 1, 2
+), a AS (SELECT doc_id, tf AS tf_data  FROM p WHERE term = 'data'),
+     b AS (SELECT doc_id, tf AS tf_join FROM p WHERE term = 'join')
+SELECT CAST(row_number() OVER (ORDER BY a.tf_data + b.tf_join DESC, a.doc_id)
+            AS INT) AS rank,
+       a.doc_id, a.tf_data, b.tf_join
+FROM a JOIN b USING (doc_id)
+QUALIFY rank <= 20
+"""
+
+
+def q_event_type_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """User-set similarity between event types: for every type pair, the
+    intersection size and Jaccard of their user sets — "do people who
+    sign up also purchase?". The (user, type) set is deduped first, the
+    pair join keys on user_id (each user contributes its own type-pair
+    cross, bounded by the type cardinality squared), and per-type set
+    sizes broadcast back — at any corpus scale the shuffled unit is the
+    deduped pair set, never raw events. Jaccard is an exact integer
+    ratio rounded at 6."""
+    e = read_table(spark, sf, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = F.broadcast(sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b")))
+    return (
+        inter.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+ORACLE_EVENT_TYPE_OVERLAP = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), sizes AS (
+  SELECT event_type, count(*) AS n FROM ut GROUP BY event_type
+), inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b, i.n_both,
+       round(CAST(i.n_both AS DOUBLE) / (sa.n + sb.n - i.n_both), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.type_a
+JOIN sizes sb ON sb.event_type = i.type_b
+"""
+
+
+def q_longest_user_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, reported as a
+    streak-length distribution — the gaps-and-islands idiom with the
+    day_number − row_number island key (consecutive days share one key,
+    any gap starts a new one). Both windows partition by user; nothing
+    global. All integers end-to-end."""
+    e = read_table(spark, sf, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = ud.withColumn(
+        "island",
+        F.datediff(F.col("day"), F.lit("1970-01-01"))
+        - F.row_number().over(w),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    longest = streaks.groupBy("user_id").agg(F.max("len").alias("max_streak"))
+    return longest.groupBy("max_streak").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+ORACLE_LONGEST_USER_STREAKS = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), isl AS (
+  SELECT user_id,
+         CAST(day - DATE '1970-01-01' AS BIGINT)
+         - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+  FROM ud
+), s AS (
+  SELECT user_id, island, count(*) AS len FROM isl GROUP BY 1, 2
+), l AS (
+  SELECT user_id, max(len) AS max_streak FROM s GROUP BY user_id
+)
+SELECT max_streak, count(*) AS n_users FROM l GROUP BY max_streak
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7924,6 +8073,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorized_price_stats": q_winsorized_price_stats,
     "price_histogram": q_price_histogram,
     "cumulative_new_users": q_cumulative_new_users,
+    "conjunctive_term_search": q_conjunctive_term_search,
+    "event_type_overlap": q_event_type_overlap,
+    "longest_user_streaks": q_longest_user_streaks,
 }
 
 ORACLES: dict[str, str] = {
@@ -8108,4 +8260,7 @@ ORACLES: dict[str, str] = {
     "winsorized_price_stats": ORACLE_WINSORIZED_PRICE_STATS,
     "price_histogram": ORACLE_PRICE_HISTOGRAM,
     "cumulative_new_users": ORACLE_CUMULATIVE_NEW_USERS,
+    "conjunctive_term_search": ORACLE_CONJUNCTIVE_TERM_SEARCH,
+    "event_type_overlap": ORACLE_EVENT_TYPE_OVERLAP,
+    "longest_user_streaks": ORACLE_LONGEST_USER_STREAKS,
 }

@@ -438,7 +438,8 @@ def test_round3_queries_have_no_cartesian_products(spark):
         "bitmap_distinct_users", "ann_topk_arrow",
         "brand_triangle_count", "cdc_log_replay", "seasonal_residuals",
         "json_quarantine", "winsorized_price_stats", "price_histogram",
-        "cumulative_new_users",
+        "cumulative_new_users", "conjunctive_term_search",
+        "event_type_overlap", "longest_user_streaks",
     ]
     for name in names:
         plan = explain_str(workload.QUERIES[name](spark, SF_SMOKE))
