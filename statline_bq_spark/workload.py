@@ -7884,6 +7884,186 @@ SELECT max_streak, count(*) AS n_users FROM l GROUP BY max_streak
 """
 
 
+def q_lang_confusion_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Classifier-evaluation surface: confusion matrix of the rule-based
+    language-ID (`functions.text.lang_id`) against the corpus's labeled
+    lang column, plus per-cell share of the true-label row — the standard
+    eval artifact for any heuristic you're about to run on 100 TB. One
+    scan, one bounded (|langs|²) aggregate; row shares are exact integer
+    ratios rounded at 6."""
+    d = read_table(spark, sf, "documents")
+    cm = (
+        d.select("lang", lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("lang")
+    return cm.select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6
+        ).alias("row_share"),
+    )
+
+
+ORACLE_LANG_CONFUSION_MATRIX = """
+WITH pred AS (
+  SELECT lang,
+         CASE
+           WHEN strpos(t, ' der ') > 0 OR strpos(t, ' und ') > 0
+             OR strpos(t, ' die ') > 0 OR strpos(t, ' nicht ') > 0 THEN 'de'
+           WHEN strpos(t, ' el ') > 0 OR strpos(t, ' los ') > 0
+             OR strpos(t, ' una ') > 0 OR strpos(t, ' que ') > 0 THEN 'es'
+           WHEN strpos(t, ' le ') > 0 OR strpos(t, ' les ') > 0
+             OR strpos(t, ' une ') > 0 OR strpos(t, ' est ') > 0 THEN 'fr'
+           WHEN strpos(t, ' het ') > 0 OR strpos(t, ' een ') > 0
+             OR strpos(t, ' niet ') > 0 OR strpos(t, ' van ') > 0 THEN 'nl'
+           ELSE 'en'
+         END AS lang_pred
+  FROM (SELECT lang, ' ' || lower(text) || ' ' AS t FROM documents)
+), cm AS (
+  SELECT lang, lang_pred, count(*) AS n_docs FROM pred GROUP BY 1, 2
+)
+SELECT lang, lang_pred, n_docs,
+       round(CAST(n_docs AS DOUBLE)
+             / sum(n_docs) OVER (PARTITION BY lang), 6) AS row_share
+FROM cm
+"""
+
+
+def q_revenue_share_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
+    """Percent-of-parent at two hierarchy levels: each nation's revenue
+    share WITHIN its region, and each region's share of the total — the
+    drill-down ratio pair every BI rollup ships. Revenue is summed as
+    integer cents (one hash-agg at the nation grain), then the region and
+    grand totals derive from window sums over the BOUNDED nation-level
+    aggregate — the fact table is scanned once."""
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer")
+    n = read_table(spark, sf, "nation")
+    r = read_table(spark, sf, "region")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    nat = joined.groupBy("r_name", "n_name").agg(
+        F.sum(cents).alias("rev_cents")
+    )
+    wr = Window.partitionBy("r_name")
+    wall = Window.partitionBy()
+    return nat.select(
+        "r_name",
+        "n_name",
+        F.col("rev_cents").cast("bigint").alias("rev_cents"),
+        F.round(
+            F.col("rev_cents").cast("double") / F.sum("rev_cents").over(wr), 6
+        ).alias("share_of_region"),
+        F.round(
+            F.sum("rev_cents").over(wr).cast("double")
+            / F.sum("rev_cents").over(wall),
+            6,
+        ).alias("region_share_of_total"),
+    )
+
+
+ORACLE_REVENUE_SHARE_HIERARCHY = """
+WITH nat AS (
+  SELECT r.r_name, n.n_name,
+         CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                             + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name, rev_cents,
+       round(CAST(rev_cents AS DOUBLE)
+             / sum(rev_cents) OVER (PARTITION BY r_name), 6)
+         AS share_of_region,
+       round(CAST(sum(rev_cents) OVER (PARTITION BY r_name) AS DOUBLE)
+             / sum(rev_cents) OVER (), 6) AS region_share_of_total
+FROM nat
+"""
+
+
+def q_embedding_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension z-score outlier screen over the embedding matrix,
+    fully integer-quantized so both engines agree bit-for-bit: values
+    quantize to 1e-5 steps (bigint), per-dimension mean and variance derive
+    from EXACT integer sums (sum, sum-of-squares, n), and a cell is an
+    outlier when (x−μ)² > 9σ² — computed cross-multiplied on integers
+    scaled back by n², no sqrt, no float accumulation anywhere. Output is
+    the distribution of per-vector outlier-dimension counts. Per-dim
+    stats are a bounded (n_dims) aggregate broadcast back onto the
+    posexploded cells."""
+    emb = read_table(spark, sf, "embeddings")
+    cells = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("x").cast("double") * 100000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("xq"),
+    )
+    stats = cells.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("s"),
+        F.sum(F.col("xq") * F.col("xq")).alias("ss"),
+    )
+    # outlier iff n²·(x−μ)² > 9·n²·σ²  ⇔  (n·x − s)² > 9·(n·ss − s²)
+    flagged = cells.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        (
+            (F.col("n") * F.col("xq") - F.col("s"))
+            * (F.col("n") * F.col("xq") - F.col("s"))
+            > 9 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        ).cast("bigint").alias("is_outlier"),
+    )
+    per_vec = flagged.groupBy("vec_id").agg(
+        F.sum("is_outlier").cast("bigint").alias("n_outlier_dims")
+    )
+    return per_vec.groupBy("n_outlier_dims").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+
+
+ORACLE_EMBEDDING_OUTLIERS = """
+WITH cells AS (
+  SELECT vec_id, d.dim,
+         CAST(floor(CAST(e.embedding[d.dim + 1] AS DOUBLE) * 100000 + 0.5)
+              AS BIGINT) AS xq
+  FROM embeddings e,
+       LATERAL (SELECT unnest(range(len(e.embedding))) AS dim) d
+), stats AS (
+  SELECT dim, count(*) AS n,
+         CAST(sum(xq) AS BIGINT) AS s,
+         CAST(sum(xq * xq) AS BIGINT) AS ss
+  FROM cells GROUP BY dim
+), flagged AS (
+  SELECT c.vec_id,
+         CASE WHEN (st.n * c.xq - st.s) * (st.n * c.xq - st.s)
+                   > 9 * (st.n * st.ss - st.s * st.s)
+              THEN 1 ELSE 0 END AS is_outlier
+  FROM cells c JOIN stats st USING (dim)
+), per_vec AS (
+  SELECT vec_id, CAST(sum(is_outlier) AS BIGINT) AS n_outlier_dims
+  FROM flagged GROUP BY vec_id
+)
+SELECT n_outlier_dims, count(*) AS n_vectors FROM per_vec GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8076,6 +8256,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conjunctive_term_search": q_conjunctive_term_search,
     "event_type_overlap": q_event_type_overlap,
     "longest_user_streaks": q_longest_user_streaks,
+    "lang_confusion_matrix": q_lang_confusion_matrix,
+    "revenue_share_hierarchy": q_revenue_share_hierarchy,
+    "embedding_outliers": q_embedding_outliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -8263,4 +8446,7 @@ ORACLES: dict[str, str] = {
     "conjunctive_term_search": ORACLE_CONJUNCTIVE_TERM_SEARCH,
     "event_type_overlap": ORACLE_EVENT_TYPE_OVERLAP,
     "longest_user_streaks": ORACLE_LONGEST_USER_STREAKS,
+    "lang_confusion_matrix": ORACLE_LANG_CONFUSION_MATRIX,
+    "revenue_share_hierarchy": ORACLE_REVENUE_SHARE_HIERARCHY,
+    "embedding_outliers": ORACLE_EMBEDDING_OUTLIERS,
 }

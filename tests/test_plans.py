@@ -440,6 +440,8 @@ def test_round3_queries_have_no_cartesian_products(spark):
         "json_quarantine", "winsorized_price_stats", "price_histogram",
         "cumulative_new_users", "conjunctive_term_search",
         "event_type_overlap", "longest_user_streaks",
+        "lang_confusion_matrix", "revenue_share_hierarchy",
+        "embedding_outliers",
     ]
     for name in names:
         plan = explain_str(workload.QUERIES[name](spark, SF_SMOKE))
