@@ -8064,6 +8064,103 @@ SELECT n_outlier_dims, count(*) AS n_vectors FROM per_vec GROUP BY 1
 """
 
 
+def q_null_safe_dim_join(spark: SparkSession, sf: str) -> DataFrame:
+    """The 'unknown member' dimension pattern with null-safe equality:
+    facts with a missing dimension key (md5 bucket 0 of customers, nulled
+    deterministically) match a single synthetic NULL dim row via ``<=>``
+    instead of silently dropping out of an equi-join — the classic BI fix
+    for unattributable rows. Null keys map to ONE dim row, so there is no
+    null-cross-product; the join stays a hash join on the null-safe key.
+    Counts per (region label) oracle-checked with IS NOT DISTINCT FROM."""
+    c = read_table(spark, sf, "customer")
+    n = read_table(spark, sf, "nation")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 2), 16, 10)
+        .cast("int"),
+        F.lit(10),
+    )
+    fact = c.select(
+        "c_custkey",
+        F.when(bucket == 0, F.lit(None)).otherwise(F.col("c_nationkey")).alias(
+            "nk"
+        ),
+    )
+    dim = n.select(
+        F.col("n_nationkey").alias("dk"), F.col("n_name").alias("member")
+    ).unionByName(
+        spark.createDataFrame([(None, "UNKNOWN")], "dk int, member string")
+    )
+    joined = fact.join(F.broadcast(dim), F.col("nk").eqNullSafe(F.col("dk")))
+    return joined.groupBy("member").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+ORACLE_NULL_SAFE_DIM_JOIN = """
+WITH f AS (
+  SELECT c_custkey,
+         CASE WHEN (
+             (strpos('0123456789abcdef', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(CAST(c_custkey AS VARCHAR)), 2, 1)) - 1)) % 10 = 0
+              THEN NULL ELSE c_nationkey END AS nk
+  FROM customer
+), d AS (
+  SELECT n_nationkey AS dk, n_name AS member FROM nation
+  UNION ALL SELECT NULL, 'UNKNOWN'
+)
+SELECT d.member, count(*) AS n_customers
+FROM f JOIN d ON f.nk IS NOT DISTINCT FROM d.dk
+GROUP BY d.member
+"""
+
+
+def q_doc_length_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus length profile: discrete median / p90 / max
+    token counts and doc counts — the first chart on any corpus-intake
+    dashboard, and the robust-stats pattern (rank selection over a total
+    order, no interpolation) applied to text. One shuffle on source; the
+    quantile picks are conditional mins over the ranked rows."""
+    d = read_table(spark, sf, "documents")
+    t = d.select(
+        "source", "doc_id", token_count("text").cast("bigint").alias("n_tok")
+    )
+    w = Window.partitionBy("source").orderBy("n_tok", "doc_id")
+    ranked = t.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("source"))
+    )
+    return ranked.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        F.min(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col("n_tok"))
+        ).alias("median_tokens"),
+        F.min(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.9), F.col("n_tok"))
+        ).alias("p90_tokens"),
+        F.max("n_tok").alias("max_tokens"),
+    )
+
+
+ORACLE_DOC_LENGTH_PROFILE = """
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+), r AS (
+  SELECT source, n_tok,
+         row_number() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM t
+)
+SELECT source, max(n) AS n_docs,
+       min(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN n_tok END)
+         AS median_tokens,
+       min(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN n_tok END)
+         AS p90_tokens,
+       max(n_tok) AS max_tokens
+FROM r GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8259,6 +8356,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_confusion_matrix": q_lang_confusion_matrix,
     "revenue_share_hierarchy": q_revenue_share_hierarchy,
     "embedding_outliers": q_embedding_outliers,
+    "null_safe_dim_join": q_null_safe_dim_join,
+    "doc_length_profile": q_doc_length_profile,
 }
 
 ORACLES: dict[str, str] = {
@@ -8449,4 +8548,6 @@ ORACLES: dict[str, str] = {
     "lang_confusion_matrix": ORACLE_LANG_CONFUSION_MATRIX,
     "revenue_share_hierarchy": ORACLE_REVENUE_SHARE_HIERARCHY,
     "embedding_outliers": ORACLE_EMBEDDING_OUTLIERS,
+    "null_safe_dim_join": ORACLE_NULL_SAFE_DIM_JOIN,
+    "doc_length_profile": ORACLE_DOC_LENGTH_PROFILE,
 }
