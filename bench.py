@@ -55,7 +55,9 @@ class StageMetrics:
 #: operator family (agg, window, pivot, sessionization, dedup, similarity,
 #: text). Full coverage runs in tests; bench tracks throughput.
 #:
-#: NOTE comparing totals across rounds: round 2 ADDED headliners
+#: NOTE comparing totals across rounds: round 3 ADDED four more headliners
+#: (gopher_quality_funnel, epoch_shuffle_order, hard_negative_mining,
+#: latest_event_agg_only); round 2 ADDED headliners
 #: (semantic_decontaminated, fuzzy_supplier_names, then passage_dup_docs,
 #: packed_sequences, script_stats) and made ivf_topk_raw probe 6 of 10
 #: lists instead of 2 (recall 0.36 -> 0.80) — compare per-query times, not
@@ -94,6 +96,11 @@ BENCH_QUERIES = (
     "passage_dup_docs",
     "packed_sequences",
     "script_stats",
+    # round-3 additions (NOTE above: compare per-query, not totals):
+    "gopher_quality_funnel",
+    "epoch_shuffle_order",
+    "hard_negative_mining",
+    "latest_event_agg_only",
 )
 
 
