@@ -8161,6 +8161,75 @@ FROM r GROUP BY source
 """
 
 
+def q_table_checksums(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-insensitive table checksums for replication/migration
+    verification: per table, row count plus the SUM of a 32-bit integer
+    derived from each row's md5 fingerprint (canonical projection, money
+    as integer cents). Addition commutes, so the checksum is independent
+    of partitioning and row order — two systems agree iff the data agrees
+    (modulo the 32-bit-per-row collision bound), and the check ships one
+    number per table, not the data. The per-row hash work is one scan per
+    table with a partial sum before each exchange."""
+
+    def cks(df: DataFrame, cols: list, name: str) -> DataFrame:
+        fp = F.md5(F.concat_ws("|", *[c.cast("string") for c in cols]))
+        word = F.conv(F.substring(fp, 1, 8), 16, 10).cast("bigint")
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(word).cast("bigint").alias("checksum"),
+        )
+
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer")
+    li = read_table(spark, sf, "lineitem")
+    cents = lambda col: F.floor(F.col(col) * 100 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    return (
+        cks(o, [F.col("o_orderkey"), F.col("o_orderstatus"), cents("o_totalprice")], "orders")
+        .unionByName(
+            cks(c, [F.col("c_custkey"), F.col("c_nationkey"), F.col("c_mktsegment")], "customer")
+        )
+        .unionByName(
+            cks(
+                li,
+                [F.col("l_orderkey"), F.col("l_partkey"), F.col("l_suppkey"), cents("l_extendedprice")],
+                "lineitem",
+            )
+        )
+    )
+
+
+ORACLE_TABLE_CHECKSUMS = """
+WITH o AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(concat('0x', substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+             CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+         ), 1, 8)) AS BIGINT)) AS BIGINT) AS cks
+  FROM orders
+), c AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(concat('0x', substr(md5(
+             CAST(c_custkey AS VARCHAR) || '|' ||
+             CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment
+         ), 1, 8)) AS BIGINT)) AS BIGINT) AS cks
+  FROM customer
+), l AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(concat('0x', substr(md5(
+             CAST(l_orderkey AS VARCHAR) || '|' ||
+             CAST(l_partkey AS VARCHAR) || '|' ||
+             CAST(l_suppkey AS VARCHAR) || '|' ||
+             CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+         ), 1, 8)) AS BIGINT)) AS BIGINT) AS cks
+  FROM lineitem
+)
+SELECT 'orders' AS table_name, n AS n_rows, cks AS checksum FROM o
+UNION ALL SELECT 'customer', n, cks FROM c
+UNION ALL SELECT 'lineitem', n, cks FROM l
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8358,6 +8427,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_outliers": q_embedding_outliers,
     "null_safe_dim_join": q_null_safe_dim_join,
     "doc_length_profile": q_doc_length_profile,
+    "table_checksums": q_table_checksums,
 }
 
 ORACLES: dict[str, str] = {
@@ -8550,4 +8620,5 @@ ORACLES: dict[str, str] = {
     "embedding_outliers": ORACLE_EMBEDDING_OUTLIERS,
     "null_safe_dim_join": ORACLE_NULL_SAFE_DIM_JOIN,
     "doc_length_profile": ORACLE_DOC_LENGTH_PROFILE,
+    "table_checksums": ORACLE_TABLE_CHECKSUMS,
 }
