@@ -6611,18 +6611,26 @@ GROUP BY r_name
 
 
 def q_equi_depth_histogram(spark: SparkSession, sf: str) -> DataFrame:
-    """Equi-depth (equal-count) histogram of order totals via ``ntile``
-    over a TOTAL order (price, orderkey) — tie-proof bucket boundaries.
-    Equi-depth beats equi-width for skewed money distributions and is the
-    shape optimizers use for selectivity stats; the global sort is one
-    ``RangePartitioning`` exchange (sampled range bounds, no single-task
-    sort) and the bucket agg is partial-before-exchange."""
+    """Per-priority equi-depth (equal-count) histogram of order totals via
+    ``ntile`` over a TOTAL order (price, orderkey) — tie-proof bucket
+    boundaries. Equi-depth beats equi-width for skewed money
+    distributions and is the shape optimizers use for selectivity stats.
+
+    The window PARTITIONS by the grouping key: an unpartitioned ntile
+    compiles to an Exchange SinglePartition of every row — the one
+    window shape that can never ship (checked the hard way in round 3;
+    `tests/test_plans.py` now gates it). For one GLOBAL histogram at
+    extreme scale, use approximate boundaries (``percentile_approx``) +
+    ``width_bucket``-style assignment instead — exact global ntile is
+    inherently a total sort."""
     o = read_table(spark, sf, "orders")
-    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
     return (
-        o.select("o_totalprice", "o_orderkey")
+        o.select("o_orderpriority", "o_totalprice", "o_orderkey")
         .withColumn("bucket", F.ntile(10).over(w))
-        .groupBy("bucket")
+        .groupBy("o_orderpriority", "bucket")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.min("o_totalprice"), 2).alias("lo_price"),
@@ -6633,14 +6641,15 @@ def q_equi_depth_histogram(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_EQUI_DEPTH_HISTOGRAM = """
 WITH b AS (
-  SELECT o_totalprice,
-         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  SELECT o_orderpriority, o_totalprice,
+         ntile(10) OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey) AS bucket
   FROM orders
 )
-SELECT bucket, count(*) AS n_orders,
+SELECT o_orderpriority, bucket, count(*) AS n_orders,
        round(min(o_totalprice), 2) AS lo_price,
        round(max(o_totalprice), 2) AS hi_price
-FROM b GROUP BY bucket
+FROM b GROUP BY o_orderpriority, bucket
 """
 
 

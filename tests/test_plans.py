@@ -490,3 +490,11 @@ def test_topk_per_group_uses_window_group_limit(spark):
     k·|groups|."""
     plan = explain_str(workload.q_top_orders_per_customer(spark, SF_SMOKE))
     assert "WindowGroupLimit" in plan
+
+
+def test_equi_depth_histogram_has_no_single_partition_exchange(spark):
+    """An unpartitioned ntile compiles to Exchange SinglePartition of
+    EVERY row — the window shape that can never ship at 100 TB. The
+    histogram must partition by its grouping key."""
+    plan = explain_str(workload.q_equi_depth_histogram(spark, SF_SMOKE))
+    assert "SinglePartition" not in plan
