@@ -8239,6 +8239,118 @@ UNION ALL SELECT 'lineitem', n, cks FROM l
 """
 
 
+def q_approx_global_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """The scale path for a GLOBAL equi-depth histogram (exact global
+    ntile is inherently a total sort — see `equi_depth_histogram`):
+    approximate decile boundaries from one `percentile_approx` aggregate
+    (mergeable sketch, partial-before-exchange), then bucket assignment
+    as a row-level CASE against the broadcast boundary array. Registered
+    as a QUALITY CONTRACT: boundary values are sketch-dependent and not
+    reproducible in DuckDB, so the query emits sketch-independent facts —
+    bucket count, total rows, and a pinned bound that no bucket exceeds
+    2× the ideal equi-depth share."""
+    o = read_table(spark, sf, "orders")
+    bounds = o.agg(
+        F.percentile_approx(
+            "o_totalprice", [i / 10.0 for i in range(1, 10)], 10000
+        ).alias("bs")
+    )
+    assigned = o.crossJoin(F.broadcast(bounds)).select(
+        (
+            F.aggregate(
+                "bs",
+                F.lit(1),
+                lambda acc, b: acc
+                + F.when(F.col("o_totalprice") > b, 1).otherwise(0),
+            )
+        ).alias("bucket")
+    )
+    counts = assigned.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    return counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("n").cast("bigint").alias("n_orders"),
+        (F.max("n") * 10 <= F.sum("n") * 2).alias("max_bucket_le_2x_ideal"),
+    )
+
+
+ORACLE_APPROX_GLOBAL_HISTOGRAM = """
+SELECT 10 AS n_buckets, count(*) AS n_orders,
+       TRUE AS max_bucket_le_2x_ideal
+FROM orders
+"""
+
+
+def q_grouped_map_mad(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-map Pandas UDF (``applyInPandas``) — the per-group
+    whole-partition escape hatch, completing the Python-surface matrix
+    (pandas UDF, UDTF, grouped-agg UDAF, mapInPandas, mapInArrow,
+    applyInPandasWithState). Each language group's token counts arrive as
+    ONE Arrow batch and numpy computes the discrete lower median and MAD
+    — all integers, so the result is oracle-checked exactly against the
+    rank-selection SQL (the same stats `robust_price_stats` derives with
+    windows; here the point is the API surface and its per-group memory
+    contract: a group must fit one executor's frame)."""
+    import pandas as pd
+
+    d = read_table(spark, sf, "documents")
+    feat = d.select("lang", token_count("text").cast("bigint").alias("n_tok"))
+
+    def mad(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = pdf["n_tok"].sort_values().to_numpy()
+        n = len(xs)
+        med = int(xs[(n + 1) // 2 - 1])  # lower median, rank ceil(n/2)
+        dev = abs(pdf["n_tok"].to_numpy() - med)
+        dev.sort()
+        dmed = int(dev[(n + 1) // 2 - 1])
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [n],
+                "median_tokens": [med],
+                "mad_tokens": [dmed],
+            }
+        )
+
+    return feat.groupBy("lang").applyInPandas(
+        mad, "lang string, n_docs long, median_tokens long, mad_tokens long"
+    )
+
+
+ORACLE_GROUPED_MAP_MAD = """
+WITH t AS (
+  SELECT lang,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+         doc_id
+  FROM documents
+), r AS (
+  SELECT lang, n_tok,
+         row_number() OVER (PARTITION BY lang ORDER BY n_tok, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM t
+), med AS (
+  SELECT lang, max(n) AS n_docs,
+         min(CASE WHEN rn = CAST(ceil(n / 2.0) AS BIGINT) THEN n_tok END)
+           AS median_tokens
+  FROM r GROUP BY lang
+), dev AS (
+  SELECT t.lang, abs(t.n_tok - m.median_tokens) AS d, t.doc_id
+  FROM t JOIN med m USING (lang)
+), rd AS (
+  SELECT lang, d,
+         row_number() OVER (PARTITION BY lang ORDER BY d, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM dev
+), mad AS (
+  SELECT lang,
+         min(CASE WHEN rn = CAST(ceil(n / 2.0) AS BIGINT) THEN d END)
+           AS mad_tokens
+  FROM rd GROUP BY lang
+)
+SELECT med.lang, med.n_docs, med.median_tokens, mad.mad_tokens
+FROM med JOIN mad USING (lang)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8437,6 +8549,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "null_safe_dim_join": q_null_safe_dim_join,
     "doc_length_profile": q_doc_length_profile,
     "table_checksums": q_table_checksums,
+    "approx_global_histogram": q_approx_global_histogram,
+    "grouped_map_mad": q_grouped_map_mad,
 }
 
 ORACLES: dict[str, str] = {
@@ -8630,4 +8744,6 @@ ORACLES: dict[str, str] = {
     "null_safe_dim_join": ORACLE_NULL_SAFE_DIM_JOIN,
     "doc_length_profile": ORACLE_DOC_LENGTH_PROFILE,
     "table_checksums": ORACLE_TABLE_CHECKSUMS,
+    "approx_global_histogram": ORACLE_APPROX_GLOBAL_HISTOGRAM,
+    "grouped_map_mad": ORACLE_GROUPED_MAP_MAD,
 }
