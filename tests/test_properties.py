@@ -392,3 +392,162 @@ def test_widen_is_lossless_on_numeric_chain():
     assert widen(FloatType(), DoubleType()) == DoubleType()
     assert widen(FloatType(), LongType()) == DoubleType()
     assert widen(IntegerType(), FloatType()) == FloatType()
+
+
+# --- round-3 operators ------------------------------------------------------
+
+budget_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),   # group
+        st.integers(0, 1000),               # id (deduped below)
+        st.integers(1, 40),                 # tokens
+        st.integers(0, 100),                # priority
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda r: r[1],
+)
+
+
+@given(rows=budget_rows, budget=st.integers(1, 200))
+@settings(**SETTINGS)
+def test_token_budget_fill_matches_greedy_reference(spark, rows, budget):
+    """token_budget_fill == the pure-Python greedy prefix fill: order by
+    (priority desc, id), keep while the running token total stays within
+    budget — and the kept set is always a PREFIX of that order."""
+    from statline_bq_spark.operators.sampling import token_budget_fill
+
+    df = spark.createDataFrame(
+        rows, "grp string, id long, toks long, prio long"
+    )
+    got = {
+        r.id: r.cum_tokens
+        for r in token_budget_fill(
+            df,
+            "grp",
+            F.col("toks"),
+            budget,
+            order_by=[F.col("prio").desc(), F.col("id")],
+        ).collect()
+    }
+    want = {}
+    by_grp: dict = {}
+    for g, i, t, p in rows:
+        by_grp.setdefault(g, []).append((i, t, p))
+    for g, members in by_grp.items():
+        members.sort(key=lambda m: (-m[2], m[0]))
+        cum = 0
+        for i, t, _ in members:
+            cum += t
+            if cum > budget:
+                break
+            want[i] = cum
+    assert got == want
+
+
+@given(
+    keys=st.lists(st.integers(0, 10_000), min_size=1, max_size=50, unique=True),
+    k=st.integers(2, 16),
+)
+@settings(**SETTINGS)
+def test_kfold_assign_is_stable_partition(spark, keys, k):
+    """Folds are in [0, k), derived from md5 alone (stable under
+    repartitioning), and identical across two runs."""
+    from statline_bq_spark.operators.sampling import kfold_assign
+
+    df = spark.createDataFrame([(x,) for x in keys], "id long")
+    a = {r.id: r.fold for r in kfold_assign(df, "id", k).collect()}
+    b = {
+        r.id: r.fold
+        for r in kfold_assign(df.repartition(7), "id", k).collect()
+    }
+    assert a == b
+    assert set(a) == set(keys)
+    assert all(0 <= f < k for f in a.values())
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab .the of", min_size=0, max_size=60
+        ).filter(lambda t: t.strip()),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_funnel_counters_telescope(spark, texts):
+    """Funnel algebra on arbitrary text: survivors are monotone
+    non-increasing and every stage satisfies n_in − n_dropped = n_out;
+    stage 1 sees every doc. Also: counters computed on two halves SUM to
+    the whole-input counters (the streaming-monitor merge property)."""
+    from statline_bq_spark.functions import funnel
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rep = {
+        r.stage: (r.n_in, r.n_dropped, r.n_out)
+        for r in funnel.funnel_report(df).collect()
+    }
+    assert rep[1][0] == len(texts)
+    for stage in range(1, 6):
+        n_in, dropped, n_out = rep[stage]
+        assert n_in - dropped == n_out
+        if stage > 1:
+            assert n_in == rep[stage - 1][2]
+
+    half = len(texts) // 2
+    parts = [texts[:half], texts[half:]]
+    counters = [
+        funnel.funnel_counters(
+            spark.createDataFrame([(t,) for t in p], "text string")
+        )
+        for p in parts
+        if p
+    ]
+    merged = counters[0]
+    for c in counters[1:]:
+        merged = merged.unionByName(c)
+    got = {
+        r.stage: (r.n_in, r.n_dropped, r.n_out)
+        for r in funnel.report_from_counters(merged).collect()
+    }
+    assert got == rep
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["x", "y"]), st.integers(-50, 50)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_incremental_merge_equals_full_on_any_split(spark, rows):
+    """merge(partial(A), partial(B)) == partial(A ∪ B) for every split
+    point — the mergeable-monoid contract on random data."""
+    from statline_bq_spark.plans import incremental as inc
+
+    specs = [
+        inc.AggSpec("count", None, "n"),
+        inc.AggSpec("sum", "v", "s"),
+        inc.AggSpec("min", "v", "mn"),
+        inc.AggSpec("max", "v", "mx"),
+    ]
+    full_df = spark.createDataFrame(rows, "k string, v long")
+    want = {
+        r.k: (r.n, r.s, r.mn, r.mx)
+        for r in inc.partial_state(full_df, ["k"], specs).collect()
+    }
+    cut = len(rows) // 2
+    parts = [
+        inc.partial_state(
+            spark.createDataFrame(p, "k string, v long"), ["k"], specs
+        )
+        for p in (rows[:cut], rows[cut:])
+        if p
+    ]
+    got = {
+        r.k: (r.n, r.s, r.mn, r.mx)
+        for r in inc.merge_states(parts, ["k"], specs).collect()
+    }
+    assert got == want
