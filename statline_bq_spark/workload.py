@@ -8351,6 +8351,135 @@ FROM med JOIN mad USING (lang)
 """
 
 
+def q_map_merge_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher-order MAP functions end-to-end: per-user event-type count
+    maps built for each half of the observed time range
+    (map_from_entries over sorted struct arrays), merged with
+    ``map_zip_with`` (null-safe sum — a key may exist in only one half),
+    then exploded back to rows so every merged entry is oracle-checked.
+    The map column is the feature-store shape; the explode is the check."""
+    e = read_table(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    mid = e.agg(F.expr("(min(us) + max(us)) div 2").alias("mid_us"))
+    tagged = e.crossJoin(F.broadcast(mid)).select(
+        "user_id",
+        "event_type",
+        (F.col("us") <= F.col("mid_us")).alias("first_half"),
+    )
+
+    def half_map(flag: bool) -> DataFrame:
+        return (
+            tagged.filter(F.col("first_half") == flag)
+            .groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("user_id")
+            .agg(
+                F.map_from_entries(
+                    F.array_sort(
+                        F.collect_list(F.struct("event_type", "n"))
+                    )
+                ).alias("m")
+            )
+        )
+
+    a = half_map(True).withColumnRenamed("m", "m1")
+    b = half_map(False).withColumnRenamed("m", "m2")
+    merged = a.join(b, "user_id", "full_outer").select(
+        "user_id",
+        F.map_zip_with(
+            F.coalesce("m1", F.expr("map()")),
+            F.coalesce("m2", F.expr("map()")),
+            lambda k, v1, v2: F.coalesce(v1, F.lit(0))
+            + F.coalesce(v2, F.lit(0)),
+        ).alias("mm"),
+    )
+    return merged.select(
+        "user_id", F.explode("mm").alias("event_type", "n_events")
+    )
+
+
+ORACLE_MAP_MERGE_COUNTS = """
+WITH m AS (
+  SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us FROM events
+)
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM events, m
+GROUP BY user_id, event_type
+"""
+
+
+def q_user_type_arrays(spark: SparkSession, sf: str) -> DataFrame:
+    """Array set algebra: per user, the SORTED sets of event types seen in
+    each half of the time range (collect_set is order-nondeterministic —
+    always array_sort before comparing), with array_intersect /
+    array_except / array_union sizes — 'which behaviors persisted,
+    appeared, or lapsed'. Sizes are integers; the oracle re-derives them
+    from distinct membership counts."""
+    e = read_table(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    mid = e.agg(F.expr("(min(us) + max(us)) div 2").alias("mid_us"))
+    tagged = e.crossJoin(F.broadcast(mid)).select(
+        "user_id",
+        "event_type",
+        (F.col("us") <= F.col("mid_us")).alias("fh"),
+    )
+    sets = tagged.groupBy("user_id").agg(
+        F.array_sort(
+            F.array_distinct(
+                F.collect_list(F.when(F.col("fh"), F.col("event_type")))
+            )
+        ).alias("h1"),
+        F.array_sort(
+            F.array_distinct(
+                F.collect_list(F.when(~F.col("fh"), F.col("event_type")))
+            )
+        ).alias("h2"),
+    )
+    return sets.select(
+        "user_id",
+        F.size("h1").alias("n_h1"),
+        F.size("h2").alias("n_h2"),
+        F.size(F.array_intersect("h1", "h2")).alias("n_persisted"),
+        F.size(F.array_except("h2", "h1")).alias("n_new"),
+        F.size(F.array_except("h1", "h2")).alias("n_lapsed"),
+        F.size(F.array_union("h1", "h2")).alias("n_total"),
+    )
+
+
+ORACLE_USER_TYPE_ARRAYS = """
+WITH m AS (
+  SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us FROM events
+), ut AS (
+  SELECT DISTINCT user_id, event_type, (epoch_us(ts) <= m.mid_us) AS fh
+  FROM events, m
+), per AS (
+  SELECT user_id,
+         count(DISTINCT CASE WHEN fh THEN event_type END) AS n_h1,
+         count(DISTINCT CASE WHEN NOT fh THEN event_type END) AS n_h2,
+         count(DISTINCT event_type) AS n_total
+  FROM ut GROUP BY user_id
+), inter AS (
+  SELECT a.user_id, count(*) AS n_persisted
+  FROM (SELECT DISTINCT user_id, event_type FROM ut WHERE fh) a
+  JOIN (SELECT DISTINCT user_id, event_type FROM ut WHERE NOT fh) b
+    ON a.user_id = b.user_id AND a.event_type = b.event_type
+  GROUP BY a.user_id
+)
+SELECT p.user_id, p.n_h1, p.n_h2,
+       COALESCE(i.n_persisted, 0) AS n_persisted,
+       p.n_h2 - COALESCE(i.n_persisted, 0) AS n_new,
+       p.n_h1 - COALESCE(i.n_persisted, 0) AS n_lapsed,
+       p.n_total
+FROM per p LEFT JOIN inter i USING (user_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8551,6 +8680,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_checksums": q_table_checksums,
     "approx_global_histogram": q_approx_global_histogram,
     "grouped_map_mad": q_grouped_map_mad,
+    "map_merge_counts": q_map_merge_counts,
+    "user_type_arrays": q_user_type_arrays,
 }
 
 ORACLES: dict[str, str] = {
@@ -8746,4 +8877,6 @@ ORACLES: dict[str, str] = {
     "table_checksums": ORACLE_TABLE_CHECKSUMS,
     "approx_global_histogram": ORACLE_APPROX_GLOBAL_HISTOGRAM,
     "grouped_map_mad": ORACLE_GROUPED_MAP_MAD,
+    "map_merge_counts": ORACLE_MAP_MERGE_COUNTS,
+    "user_type_arrays": ORACLE_USER_TYPE_ARRAYS,
 }
