@@ -8480,6 +8480,46 @@ FROM per p LEFT JOIN inter i USING (user_id)
 """
 
 
+def q_sql_udf_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL-defined functions (Spark 4 ``CREATE FUNCTION … RETURN``): a
+    scalar SQL UDF for the discounted-price formula and a SQL TABLE
+    function for the status dimension, composed in one query. SQL UDFs
+    inline into the Catalyst plan — they are macros, not black boxes, so
+    whole-stage codegen and pushdown see through them (unlike any Python
+    UDF). The per-status revenue is oracle-checked with the formula
+    expanded."""
+    register_views(spark, sf, ("lineitem",))
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION line_statuses() "
+        "RETURNS TABLE(status STRING) "
+        "RETURN SELECT * FROM VALUES ('F'), ('O') t(status)"
+    )
+    return spark.sql(
+        """
+        SELECT s.status,
+               count(*) AS n_lines,
+               round(sum(disc_price(l_extendedprice, l_discount)), 2)
+                 AS revenue
+        FROM line_statuses() s
+        JOIN lineitem ON l_linestatus = s.status
+        GROUP BY s.status
+        """
+    )
+
+
+ORACLE_SQL_UDF_REVENUE = """
+SELECT l_linestatus AS status, count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_linestatus IN ('F', 'O')
+GROUP BY l_linestatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8682,6 +8722,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouped_map_mad": q_grouped_map_mad,
     "map_merge_counts": q_map_merge_counts,
     "user_type_arrays": q_user_type_arrays,
+    "sql_udf_revenue": q_sql_udf_revenue,
 }
 
 ORACLES: dict[str, str] = {
@@ -8879,4 +8920,5 @@ ORACLES: dict[str, str] = {
     "grouped_map_mad": ORACLE_GROUPED_MAP_MAD,
     "map_merge_counts": ORACLE_MAP_MERGE_COUNTS,
     "user_type_arrays": ORACLE_USER_TYPE_ARRAYS,
+    "sql_udf_revenue": ORACLE_SQL_UDF_REVENUE,
 }
