@@ -8520,6 +8520,43 @@ GROUP BY l_linestatus
 """
 
 
+def q_exact_percentiles_builtin(spark: SparkSession, sf: str) -> DataFrame:
+    """The EXACT percentile built-in (``percentile``), completing the
+    quantile triptych: exact-interpolated here, discrete rank-selection
+    (`robust_price_stats`), and sketch-approximate (`approx_price_sketch`).
+    Interpolation ((1−g)·a + g·b) is only cross-engine-safe on INTEGER
+    inputs — on cents the interpolated values are exact doubles, so this
+    hash-matches DuckDB's quantile_cont; on raw doubles it would not be.
+    Exact percentile sorts within each group: fine for bounded groups,
+    use the sketch path for a global quantile at scale."""
+    o = read_table(spark, sf, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    t = o.select("o_orderpriority", cents.alias("cents"))
+    pct = t.groupBy("o_orderpriority").agg(
+        F.percentile("cents", F.lit([0.25, 0.5, 0.75])).alias("qs"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return pct.select(
+        "o_orderpriority",
+        "n_orders",
+        F.round(F.col("qs")[0], 2).alias("p25_cents"),
+        F.round(F.col("qs")[1], 2).alias("p50_cents"),
+        F.round(F.col("qs")[2], 2).alias("p75_cents"),
+    )
+
+
+ORACLE_EXACT_PERCENTILES_BUILTIN = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(quantile_cont(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+                           0.25), 2) AS p25_cents,
+       round(quantile_cont(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+                           0.5), 2) AS p50_cents,
+       round(quantile_cont(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+                           0.75), 2) AS p75_cents
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8723,6 +8760,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "map_merge_counts": q_map_merge_counts,
     "user_type_arrays": q_user_type_arrays,
     "sql_udf_revenue": q_sql_udf_revenue,
+    "exact_percentiles_builtin": q_exact_percentiles_builtin,
 }
 
 ORACLES: dict[str, str] = {
@@ -8921,4 +8959,5 @@ ORACLES: dict[str, str] = {
     "map_merge_counts": ORACLE_MAP_MERGE_COUNTS,
     "user_type_arrays": ORACLE_USER_TYPE_ARRAYS,
     "sql_udf_revenue": ORACLE_SQL_UDF_REVENUE,
+    "exact_percentiles_builtin": ORACLE_EXACT_PERCENTILES_BUILTIN,
 }
