@@ -8557,6 +8557,78 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_trailing_24h_event_load(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-interval window frame (``RANGE BETWEEN INTERVAL … PRECEDING``):
+    per event, the count of same-type events in the trailing 24 hours —
+    the event-time sliding load metric, with the frame defined on REAL
+    time, not row counts (row frames break under irregular arrival).
+    Reported as the per-type maximum so the output is bounded. Frames are
+    integer counts → engine-exact; window partitions by type."""
+    register_views(spark, sf, ("events",))
+    return spark.sql(
+        """
+        WITH loads AS (
+          SELECT event_type,
+                 count(*) OVER (
+                   PARTITION BY event_type ORDER BY CAST(ts AS TIMESTAMP)
+                   RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW
+                 ) AS trailing_24h
+          FROM events
+        )
+        SELECT event_type, max(trailing_24h) AS peak_trailing_24h,
+               count(*) AS n_events
+        FROM loads GROUP BY event_type
+        """
+    )
+
+
+ORACLE_TRAILING_24H_EVENT_LOAD = """
+WITH loads AS (
+  SELECT event_type,
+         count(*) OVER (
+           PARTITION BY event_type ORDER BY ts
+           RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW
+         ) AS trailing_24h
+  FROM events
+)
+SELECT event_type, max(trailing_24h) AS peak_trailing_24h,
+       count(*) AS n_events
+FROM loads GROUP BY event_type
+"""
+
+
+def q_filtered_agg_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional aggregation via the SQL:2003 ``FILTER`` clause (one
+    scan, one hash-agg — the declarative alternative to CASE-WHEN
+    pyramids) plus ``GROUP BY ALL``. Money sums on integer cents."""
+    register_views(spark, sf, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               count(*) FILTER (WHERE o_totalprice > 200000) AS n_large,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+                 AS open_cents
+        FROM orders
+        GROUP BY ALL
+        """
+    )
+
+
+ORACLE_FILTERED_AGG_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       count(*) FILTER (WHERE o_totalprice > 200000) AS n_large,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS open_cents
+FROM orders
+GROUP BY ALL
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8761,6 +8833,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_type_arrays": q_user_type_arrays,
     "sql_udf_revenue": q_sql_udf_revenue,
     "exact_percentiles_builtin": q_exact_percentiles_builtin,
+    "trailing_24h_event_load": q_trailing_24h_event_load,
+    "filtered_agg_sql": q_filtered_agg_sql,
 }
 
 ORACLES: dict[str, str] = {
@@ -8960,4 +9034,6 @@ ORACLES: dict[str, str] = {
     "user_type_arrays": ORACLE_USER_TYPE_ARRAYS,
     "sql_udf_revenue": ORACLE_SQL_UDF_REVENUE,
     "exact_percentiles_builtin": ORACLE_EXACT_PERCENTILES_BUILTIN,
+    "trailing_24h_event_load": ORACLE_TRAILING_24H_EVENT_LOAD,
+    "filtered_agg_sql": ORACLE_FILTERED_AGG_SQL,
 }
