@@ -226,3 +226,47 @@ def neardup_filter_stream(
         .dropDuplicatesWithinWatermark(["_fp"])
         .drop("_fp")
     )
+
+
+def chained_hourly_daily(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    watermark: str = "0 seconds",
+    keys: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """CHAINED stateful aggregations in ONE streaming query (Spark 3.4+
+    multiple-stateful-operator support): hourly tumbling counts roll up
+    into daily totals without an intermediate sink — the second groupBy
+    keys on ``window_time()`` of the first aggregate's window, which
+    carries the event-time column the engine needs to watermark the
+    downstream operator.
+
+    Pre-3.4 this required two queries with a materialized hourly table
+    between them (the shape `monitors.hourly_anomaly_monitor` still uses
+    deliberately, for restart-isolation of the stages); in-query chaining
+    halves the end-to-end latency and removes the intermediate storage.
+    State scale: hourly state is (keys × open hours), daily state
+    (keys × open days) — both watermark-bounded.
+    """
+    keys = list(keys)
+    hourly = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), "1 hour").alias("hw"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.window(F.window_time("hw"), "1 day").alias("dw"), *keys
+        )
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        )
+    )
+    return daily.select(
+        F.col("dw.start").alias("day_start"),
+        *keys,
+        "n_events",
+        "n_hours",
+    )

@@ -512,3 +512,43 @@ def test_funnel_monitor_matches_batch(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in funnel.funnel_report(docs).collect())
     assert got == want
+
+
+def test_chained_hourly_daily_matches_batch(spark, events_dir):
+    """Two stateful windowed aggregations chained in ONE streaming query
+    (hourly -> daily) must equal the batch double-aggregation for every
+    day the final watermark closed."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = windows.read_event_stream(spark, events_dir, schema)
+    out = _run_stream(
+        spark,
+        windows.chained_hourly_daily(stream),
+        "t_chained",
+    )
+    src = spark.read.parquet(events_dir)
+    max_ts = src.agg(F.max("ts")).collect()[0][0]
+    hourly = src.groupBy(
+        F.window("ts", "1 hour").alias("hw"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    daily = (
+        hourly.groupBy(
+            F.window(F.expr("window_time(hw)"), "1 day").alias("dw"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        )
+        # append mode emits only days whose end the final watermark passed
+        .filter(F.col("dw.end") <= F.lit(max_ts))
+        .select(
+            F.col("dw.start").alias("day_start"),
+            "event_type",
+            "n_events",
+            "n_hours",
+        )
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(tuple(r) for r in daily.collect())
+    assert len(want) > 0
+    assert got == want
