@@ -8629,6 +8629,52 @@ GROUP BY ALL
 """
 
 
+#: Declared pipeline (plans/compose.py): a config-native spec — this dict
+#: could live verbatim in TOML/JSON. Filters/projections declared as late
+#: steps still reach the parquet scan (plan-gated): Catalyst sees the whole
+#: compiled chain.
+DECLARED_REVENUE_SPEC = (
+    {"op": "read", "table": "lineitem"},
+    {"op": "join", "table": "orders", "on": "l_orderkey = o_orderkey",
+     "how": "inner"},
+    {"op": "join", "table": "customer", "on": "o_custkey = c_custkey",
+     "how": "inner"},
+    {"op": "join", "table": "nation", "on": "c_nationkey = n_nationkey",
+     "how": "inner", "broadcast": True},
+    {"op": "filter", "where": "l_shipdate >= DATE '1995-01-01'"},
+    {"op": "with_column", "name": "rev_cents",
+     "expr": "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+             " AS BIGINT)"},
+    {"op": "group_agg", "keys": ["n_name"],
+     "aggs": {"n_lines": "count(*)",
+              "revenue_cents": "CAST(sum(rev_cents) AS BIGINT)"}},
+)
+
+
+def q_declared_pipeline_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """The declarative-pipeline surface (`plans.compose.compile_pipeline`):
+    a dbt-style spec of plain dicts compiled into ONE DataFrame chain, so
+    Catalyst optimizes across every declared step (the late filter pushes
+    down to the lineitem scan — plan-gated in tests). Same revenue
+    semantics as the imperative star queries; the spec is the API."""
+    from statline_bq_spark.plans.compose import compile_pipeline
+
+    return compile_pipeline(spark, sf, DECLARED_REVENUE_SPEC)
+
+
+ORACLE_DECLARED_PIPELINE_REVENUE = """
+SELECT n_name, count(*) AS n_lines,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_shipdate >= DATE '1995-01-01'
+GROUP BY n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8835,6 +8881,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_percentiles_builtin": q_exact_percentiles_builtin,
     "trailing_24h_event_load": q_trailing_24h_event_load,
     "filtered_agg_sql": q_filtered_agg_sql,
+    "declared_pipeline_revenue": q_declared_pipeline_revenue,
 }
 
 ORACLES: dict[str, str] = {
@@ -9036,4 +9083,5 @@ ORACLES: dict[str, str] = {
     "exact_percentiles_builtin": ORACLE_EXACT_PERCENTILES_BUILTIN,
     "trailing_24h_event_load": ORACLE_TRAILING_24H_EVENT_LOAD,
     "filtered_agg_sql": ORACLE_FILTERED_AGG_SQL,
+    "declared_pipeline_revenue": ORACLE_DECLARED_PIPELINE_REVENUE,
 }

@@ -913,3 +913,37 @@ def test_ivf_partitioned_index_prunes_and_matches(spark, tmp_path):
     # the label filter must be IN the partition filters of the index scan
     pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("label" in ln for ln in pf_lines)
+
+
+def test_compile_pipeline_ops_and_errors(spark):
+    """Composer op coverage beyond the oracle query: top_per_group,
+    select, distinct, limit — plus clear errors for bad specs."""
+    import pytest as _pytest
+
+    from statline_bq_spark.plans import compose
+    from tests.conftest import SF_SMOKE
+
+    top = compose.compile_pipeline(
+        spark,
+        SF_SMOKE,
+        (
+            {"op": "read", "table": "orders"},
+            {"op": "select", "cols": ["o_custkey", "o_totalprice", "o_orderkey"]},
+            {"op": "top_per_group", "keys": ["o_custkey"],
+             "order": ["o_totalprice DESC", "o_orderkey"], "k": 2},
+            {"op": "with_column", "name": "is_big",
+             "expr": "o_totalprice > 100000"},
+            {"op": "distinct"},
+            {"op": "limit", "n": 10000},
+        ),
+    )
+    rows = top.groupBy("o_custkey").count().agg({"count": "max"}).collect()
+    assert rows[0][0] <= 2  # never more than k per group
+
+    with _pytest.raises(ValueError, match="must start with a 'read'"):
+        compose.compile_pipeline(spark, SF_SMOKE, ({"op": "filter", "where": "1=1"},))
+    with _pytest.raises(ValueError, match="unknown op"):
+        compose.compile_pipeline(
+            spark, SF_SMOKE,
+            ({"op": "read", "table": "orders"}, {"op": "explode_all"}),
+        )

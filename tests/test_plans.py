@@ -501,3 +501,13 @@ def test_equi_depth_histogram_has_no_single_partition_exchange(spark):
     histogram must partition by its grouping key."""
     plan = explain_str(workload.q_equi_depth_histogram(spark, SF_SMOKE))
     assert "SinglePartition" not in plan
+
+
+def test_declared_pipeline_pushes_late_filter_to_scan(spark):
+    """The composed pipeline is ONE Catalyst plan: the filter declared
+    AFTER three joins must still reach the lineitem parquet scan as a
+    pushed filter, and the nation join must honor the spec's broadcast."""
+    plan = explain_str(workload.q_declared_pipeline_revenue(spark, SF_SMOKE))
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
