@@ -8675,6 +8675,31 @@ GROUP BY n_name
 """
 
 
+def q_session_window_builtin(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark's NATIVE ``session_window`` aggregation in batch — the twin
+    of `session_windows` (gaps-and-islands windows) against the same
+    oracle: same 30-minute gap rule, two physical strategies. The native
+    form is a session-merging hash aggregate (no per-user sort window)
+    and is the one that also runs unchanged under Structured Streaming."""
+    e = read_table(spark, sf, "events")
+    sw = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
+    return (
+        e.groupBy(sw.alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8882,6 +8907,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trailing_24h_event_load": q_trailing_24h_event_load,
     "filtered_agg_sql": q_filtered_agg_sql,
     "declared_pipeline_revenue": q_declared_pipeline_revenue,
+    "session_window_builtin": q_session_window_builtin,
 }
 
 ORACLES: dict[str, str] = {
@@ -9084,4 +9110,5 @@ ORACLES: dict[str, str] = {
     "trailing_24h_event_load": ORACLE_TRAILING_24H_EVENT_LOAD,
     "filtered_agg_sql": ORACLE_FILTERED_AGG_SQL,
     "declared_pipeline_revenue": ORACLE_DECLARED_PIPELINE_REVENUE,
+    "session_window_builtin": ORACLE_SESSION_WINDOWS,
 }
