@@ -8700,6 +8700,43 @@ def q_session_window_builtin(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ignore_nulls_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """IGNORE NULLS window semantics: carry each user's most recent
+    PURCHASE value forward across their other events
+    (``last(..., ignorenulls=True)`` over a running frame) — the
+    observation-carried-forward idiom on a sparse signal, per row. NULL
+    until the user's first purchase; user-partitioned window, total
+    order (ts, event_id)."""
+    e = read_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(
+        F.col("event_type") == "purchase", F.col("value")
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round(
+            F.last(purchase_val, ignorenulls=True).over(w), 2
+        ).alias("last_purchase_value"),
+    )
+
+
+ORACLE_IGNORE_NULLS_FILL = """
+SELECT user_id, event_id, event_type,
+       round(last_value(CASE WHEN event_type = 'purchase' THEN value END
+                        IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS last_purchase_value
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8908,6 +8945,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filtered_agg_sql": q_filtered_agg_sql,
     "declared_pipeline_revenue": q_declared_pipeline_revenue,
     "session_window_builtin": q_session_window_builtin,
+    "ignore_nulls_fill": q_ignore_nulls_fill,
 }
 
 ORACLES: dict[str, str] = {
@@ -9111,4 +9149,5 @@ ORACLES: dict[str, str] = {
     "filtered_agg_sql": ORACLE_FILTERED_AGG_SQL,
     "declared_pipeline_revenue": ORACLE_DECLARED_PIPELINE_REVENUE,
     "session_window_builtin": ORACLE_SESSION_WINDOWS,
+    "ignore_nulls_fill": ORACLE_IGNORE_NULLS_FILL,
 }

@@ -446,7 +446,7 @@ def test_round3_queries_have_no_cartesian_products(spark):
         "map_merge_counts", "user_type_arrays", "sql_udf_revenue",
         "exact_percentiles_builtin", "trailing_24h_event_load",
         "filtered_agg_sql", "declared_pipeline_revenue",
-        "session_window_builtin",
+        "session_window_builtin", "ignore_nulls_fill",
     ]
     for name in names:
         plan = explain_str(workload.QUERIES[name](spark, SF_SMOKE))
