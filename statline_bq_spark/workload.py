@@ -8737,6 +8737,124 @@ FROM events
 """
 
 
+def q_minhash_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-family dedup evaluation: MinHash-LSH's candidate recall
+    measured against the EXACT inverted-index Jaccard pairs at the SAME
+    shingle size and threshold — the measurement that justifies running
+    the probabilistic pipeline at 100 TB where the exact one can't. The
+    minhash operator exact-verifies its candidates, so every emitted pair
+    is true; the question this query pins is what fraction of the true
+    pair set the banding FINDS (recall ≥ 80% pinned). The exact pair
+    count is SQL-derivable; hash-dependent counts stay out of the output."""
+    d = read_table(spark, sf, "documents")
+    exact = dedup.ngram_jaccard_pairs(d, shingle_n=3, threshold=0.3).select(
+        "a", "b"
+    )
+    mh = dedup.minhash_lsh_pairs(
+        d, shingle_n=3, jaccard_threshold=0.3
+    ).select("a", "b")
+    hits = mh.join(exact, ["a", "b"])
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("_n_hits")))
+        .select(
+            "n_exact_pairs",
+            (F.col("_n_hits") * 10 >= F.col("n_exact_pairs") * 8).alias(
+                "recall_ge_80pct"
+            ),
+        )
+    )
+
+
+ORACLE_MINHASH_RECALL_EVAL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), idx AS (
+  SELECT doc_id, t, unnest(range(0, greatest(len(t) - 2, 0))) AS i FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS g
+  FROM idx
+), gok AS (
+  SELECT g FROM sh GROUP BY g HAVING count(*) <= 128
+), shc AS (
+  SELECT sh.doc_id, sh.g FROM sh JOIN gok USING (g)
+), sz AS (
+  SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id
+), pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+  FROM shc x JOIN shc y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT count(*) AS n_exact_pairs, TRUE AS recall_ge_80pct
+FROM pairs
+JOIN sz sa ON sa.doc_id = a
+JOIN sz sb ON sb.doc_id = b
+WHERE round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 4) >= 0.3
+"""
+
+
+def q_incremental_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup against a historical corpus — the production
+    shape: never re-dedup 100 TB of history, only screen the NEW batch
+    (md5 bucket 0 of doc ids here) against (a) the historical content-key
+    set and (b) itself. Content keys are md5(text), so the history side
+    ships 16-byte keys, not text; the new side is the small one (the
+    left-semi probe side). Verdict counts: duplicates of history,
+    extra copies within the new batch, and unique survivors."""
+    d = read_table(spark, sf, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("int"),
+        F.lit(10),
+    )
+    t = d.withColumn("_b", bucket).withColumn("h", F.md5("text"))
+    new = t.filter(F.col("_b") == 0).select("doc_id", "h")
+    hist_keys = t.filter(F.col("_b") != 0).select("h").distinct()
+    dup_hist = new.join(hist_keys, "h", "left_semi")
+    fresh = new.join(hist_keys, "h", "left_anti")
+    fresh_groups = fresh.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        new.agg(F.count(F.lit(1)).alias("n_new"))
+        .crossJoin(
+            dup_hist.agg(F.count(F.lit(1)).alias("n_dup_of_history"))
+        )
+        .crossJoin(
+            fresh_groups.agg(
+                F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
+                .cast("bigint")
+                .alias("n_dup_within_new"),
+                F.count(F.lit(1)).alias("n_unique_survivors"),
+            )
+        )
+    )
+
+
+ORACLE_INCREMENTAL_EXACT_DEDUP = """
+WITH b AS (
+  SELECT doc_id, text,
+         (  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 10
+           AS bkt
+  FROM documents
+), new AS (
+  SELECT doc_id, text FROM b WHERE bkt = 0
+), hist AS (
+  SELECT DISTINCT text FROM b WHERE bkt <> 0
+), dup_hist AS (
+  SELECT count(*) AS n FROM new WHERE text IN (SELECT text FROM hist)
+), fresh AS (
+  SELECT text, count(*) AS n FROM new
+  WHERE text NOT IN (SELECT text FROM hist)
+  GROUP BY text
+)
+SELECT (SELECT count(*) FROM new) AS n_new,
+       (SELECT n FROM dup_hist) AS n_dup_of_history,
+       CAST(COALESCE((SELECT sum(n - 1) FROM fresh), 0) AS BIGINT)
+         AS n_dup_within_new,
+       (SELECT count(*) FROM fresh) AS n_unique_survivors
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8946,6 +9064,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "declared_pipeline_revenue": q_declared_pipeline_revenue,
     "session_window_builtin": q_session_window_builtin,
     "ignore_nulls_fill": q_ignore_nulls_fill,
+    "minhash_recall_eval": q_minhash_recall_eval,
+    "incremental_exact_dedup": q_incremental_exact_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -9150,4 +9270,6 @@ ORACLES: dict[str, str] = {
     "declared_pipeline_revenue": ORACLE_DECLARED_PIPELINE_REVENUE,
     "session_window_builtin": ORACLE_SESSION_WINDOWS,
     "ignore_nulls_fill": ORACLE_IGNORE_NULLS_FILL,
+    "minhash_recall_eval": ORACLE_MINHASH_RECALL_EVAL,
+    "incremental_exact_dedup": ORACLE_INCREMENTAL_EXACT_DEDUP,
 }

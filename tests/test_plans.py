@@ -447,6 +447,7 @@ def test_round3_queries_have_no_cartesian_products(spark):
         "exact_percentiles_builtin", "trailing_24h_event_load",
         "filtered_agg_sql", "declared_pipeline_revenue",
         "session_window_builtin", "ignore_nulls_fill",
+        "minhash_recall_eval", "incremental_exact_dedup",
     ]
     for name in names:
         plan = explain_str(workload.QUERIES[name](spark, SF_SMOKE))
