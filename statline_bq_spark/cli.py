@@ -180,3 +180,47 @@ def upload_datasets(
 
 if __name__ == "__main__":
     upload_datasets()
+
+
+@click.command()
+@click.argument("name")
+@click.option(
+    "--sf-dir",
+    default="/root/testdata/sf0.01",
+    show_default=True,
+    help="Directory with the parquet tables to query.",
+)
+@click.option(
+    "--limit", default=20, show_default=True, help="Rows to print."
+)
+@click.option(
+    "--count-only",
+    is_flag=True,
+    help="Print only the result row count (no table).",
+)
+def run_query(name: str, sf_dir: str, limit: int, count_only: bool) -> None:
+    """Run one named query from the engine's workload surface.
+
+    NAME is a key of ``workload.QUERIES`` (the same registry the driver
+    and the oracle suite use) — `list` prints every name. The engine
+    session applies the same confs the tests run with (AQE, UTC).
+    """
+    import difflib
+
+    from statline_bq_spark import workload
+
+    if name == "list":
+        for qname in workload.QUERIES:
+            mark = "" if qname in workload.ORACLES else "  [rows-only]"
+            click.echo(f"{qname}{mark}")
+        return
+    if name not in workload.QUERIES:
+        close = difflib.get_close_matches(name, workload.QUERIES, n=5)
+        hint = f" Did you mean: {', '.join(close)}?" if close else ""
+        raise click.BadParameter(f"unknown query {name!r}.{hint}")
+    spark = get_spark("statline-bq-spark-query")
+    df = workload.QUERIES[name](spark, sf_dir)
+    if count_only:
+        click.echo(str(df.count()))
+    else:
+        df.show(limit, truncate=False)

@@ -191,3 +191,26 @@ def test_cli_catalog_endpoint_registers_tables(spark, tmp_path):
     tables = [t.name for t in spark.catalog.listTables(ns)]
     assert any(t.endswith("regio") for t in tables), tables
     spark.sql(f"DROP DATABASE IF EXISTS {ns} CASCADE")
+
+
+def test_cli_run_query_count_and_errors(spark):
+    """The query runner CLI resolves workload names, runs on the smoke
+    tables, and suggests near-misses for typos."""
+    from click.testing import CliRunner
+
+    from statline_bq_spark import cli
+    from tests.conftest import SF_SMOKE
+
+    r = CliRunner().invoke(
+        cli.run_query, ["pricing_summary", "--sf-dir", SF_SMOKE, "--count-only"]
+    )
+    assert r.exit_code == 0, r.output
+    assert int(r.output.strip().splitlines()[-1]) > 0
+
+    r = CliRunner().invoke(cli.run_query, ["list"])
+    assert r.exit_code == 0
+    assert "pricing_summary" in r.output
+
+    r = CliRunner().invoke(cli.run_query, ["pricing_sumary"])
+    assert r.exit_code != 0
+    assert "Did you mean" in r.output
