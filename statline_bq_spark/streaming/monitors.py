@@ -165,3 +165,55 @@ def finalize_funnel(spark: SparkSession, counters_dir: str) -> DataFrame:
     from statline_bq_spark.functions import funnel
 
     return funnel.report_from_counters(spark.read.parquet(counters_dir))
+
+
+def distinct_monitor(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    *,
+    keys: Sequence[str] = ("event_type",),
+    value_col: str = "user_id",
+    lg_k: int = 14,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming distinct-count monitor on MERGEABLE HLL sketches: each
+    micro-batch appends its per-key partial sketch binaries; the sketch
+    union is associative and order-insensitive (per-register max), so the
+    finalized estimate is IDENTICAL to a single batch pass over all data
+    — not merely close. This is the streaming rendition of the
+    `hll_user_sketches` rollup: state per key is a fixed 2^lg_k-register
+    binary, so a day of appends costs |keys| × sketch bytes, never raw
+    events."""
+    keys = list(keys)
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        batch.groupBy(*keys).agg(
+            F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sk")
+        ).write.mode("append").parquet(sketch_dir)
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def finalize_distinct(
+    spark: SparkSession, sketch_dir: str, *, keys: Sequence[str] = ("event_type",)
+) -> DataFrame:
+    """Union-merge the per-batch sketches and estimate per key."""
+    keys = list(keys)
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy(*keys)
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("bigint")
+            .alias("n_distinct_est")
+        )
+    )

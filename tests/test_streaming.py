@@ -552,3 +552,43 @@ def test_chained_hourly_daily_matches_batch(spark, events_dir):
     want = sorted(tuple(r) for r in daily.collect())
     assert len(want) > 0
     assert got == want
+
+
+def test_distinct_monitor_equals_batch_sketch(spark, events_dir, tmp_path):
+    """Per-micro-batch HLL partials union to EXACTLY the single-pass
+    sketch estimate (register-max merge is associative and
+    order-insensitive) — identical, not merely close."""
+    from statline_bq_spark.streaming import monitors
+
+    schema = spark.read.parquet(events_dir).schema
+    sketch_dir = str(tmp_path / "sk")
+    q = monitors.distinct_monitor(
+        spark, events_dir, schema, sketch_dir, str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(600), "distinct monitor still running"
+    got = {
+        r.event_type: r.n_distinct_est
+        for r in monitors.finalize_distinct(spark, sketch_dir).collect()
+    }
+    batch = {
+        r.event_type: r.est
+        for r in spark.read.parquet(events_dir)
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(14))
+            ).cast("bigint").alias("est")
+        )
+        .collect()
+    }
+    assert got == batch
+    # and the estimate is sane vs the exact count (within 5%)
+    exact = {
+        r.event_type: r.n
+        for r in spark.read.parquet(events_dir)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, est in got.items():
+        assert abs(est - exact[k]) * 20 <= exact[k]
