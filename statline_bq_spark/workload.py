@@ -8855,6 +8855,87 @@ SELECT (SELECT count(*) FROM new) AS n_new,
 """
 
 
+def q_lateral_top_line(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: for each 1995
+    urgent order, its heaviest line item — the 'top-1 detail per master
+    row' idiom written as the SQL standard's lateral join instead of a
+    window. Catalyst decorrelates the subquery into a join + per-key
+    aggregate, so the physical plan is the same shuffle shape as the
+    row_number form — lateral is surface, not a nested loop."""
+    register_views(spark, sf, ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderdate, t.top_part, t.top_qty
+        FROM orders, LATERAL (
+          SELECT l_partkey AS top_part,
+                 CAST(l_quantity AS BIGINT) AS top_qty
+          FROM lineitem
+          WHERE l_orderkey = o_orderkey
+          ORDER BY l_quantity DESC, l_partkey
+          LIMIT 1
+        ) t
+        WHERE o_orderpriority = '1-URGENT'
+          AND year(o_orderdate) = 1995
+        """
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("string"))
+
+
+ORACLE_LATERAL_TOP_LINE = """
+SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       t.top_part, t.top_qty
+FROM orders, LATERAL (
+  SELECT l_partkey AS top_part, CAST(l_quantity AS BIGINT) AS top_qty
+  FROM lineitem
+  WHERE l_orderkey = o_orderkey
+  ORDER BY l_quantity DESC, l_partkey
+  LIMIT 1
+) t
+WHERE o_orderpriority = '1-URGENT'
+  AND EXTRACT(year FROM o_orderdate) = 1995
+"""
+
+
+def q_safe_ratio_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Error-safe arithmetic (``try_divide``): per-line price-per-
+    additional-unit with a denominator that is legitimately zero for
+    single-unit lines — try_divide yields NULL instead of either failing
+    (ANSI mode) or silently producing garbage, and the aggregate reports
+    how many rows hit the guard. The null-vs-error policy is the row-level
+    counterpart of the corrupt-record quarantine."""
+    li = read_table(spark, sf, "lineitem")
+    ratio = F.try_divide(
+        F.col("l_extendedprice"), F.col("l_quantity") - F.lit(1)
+    )
+    # quantize each ratio to cents BEFORE summing: per-element floor of a
+    # single division is engine-exact; a raw double sum is order-unstable
+    r_cents = F.floor(ratio * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        li.select("l_returnflag", r_cents.alias("rc"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("rc").isNull().cast("bigint")).alias("n_guarded"),
+            F.sum("rc").cast("bigint").alias("ratio_sum_cents"),
+        )
+    )
+
+
+ORACLE_SAFE_RATIO_STATS = """
+WITH t AS (
+  SELECT l_returnflag,
+         CASE WHEN l_quantity = 1 THEN NULL
+              ELSE CAST(floor(l_extendedprice / (l_quantity - 1) * 100 + 0.5)
+                        AS BIGINT) END AS rc
+  FROM lineitem
+)
+SELECT l_returnflag, count(*) AS n_lines,
+       CAST(sum(CASE WHEN rc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_guarded,
+       CAST(sum(rc) AS BIGINT) AS ratio_sum_cents
+FROM t GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9066,6 +9147,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ignore_nulls_fill": q_ignore_nulls_fill,
     "minhash_recall_eval": q_minhash_recall_eval,
     "incremental_exact_dedup": q_incremental_exact_dedup,
+    "lateral_top_line": q_lateral_top_line,
+    "safe_ratio_stats": q_safe_ratio_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -9272,4 +9355,6 @@ ORACLES: dict[str, str] = {
     "ignore_nulls_fill": ORACLE_IGNORE_NULLS_FILL,
     "minhash_recall_eval": ORACLE_MINHASH_RECALL_EVAL,
     "incremental_exact_dedup": ORACLE_INCREMENTAL_EXACT_DEDUP,
+    "lateral_top_line": ORACLE_LATERAL_TOP_LINE,
+    "safe_ratio_stats": ORACLE_SAFE_RATIO_STATS,
 }
