@@ -8936,6 +8936,45 @@ FROM t GROUP BY l_returnflag
 """
 
 
+def q_xml_event_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """XML ingest surface (``to_xml``/``from_xml``, Spark 4) — the
+    row-level rendition of the reference's EDM CSDL metadata path
+    (reference ``statline.py:240-308`` parses XML schemas driver-side;
+    here XML payloads parse inside the plan). Events serialize to XML,
+    parse back against a declared schema, and the round-tripped values
+    aggregate per type — proving the parse is lossless on the declared
+    fields. The oracle reads the original columns: round-trip equality
+    IS the check."""
+    e = read_table(spark, sf, "events")
+    xml = F.to_xml(
+        F.struct(
+            F.col("event_id"),
+            F.col("event_type"),
+            F.col("value"),
+        )
+    )
+    parsed = e.select(xml.alias("payload")).select(
+        F.from_xml(
+            "payload", "event_id BIGINT, event_type STRING, value DOUBLE"
+        ).alias("r")
+    )
+    cents = F.floor(F.col("r.value") * 100 + F.lit(0.5)).cast("bigint")
+    return parsed.groupBy(F.col("r.event_type").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("r.event_id").alias("max_event_id"),
+        F.sum(cents).cast("bigint").alias("value_cents"),
+    )
+
+
+ORACLE_XML_EVENT_ROUNDTRIP = """
+SELECT event_type, count(*) AS n_events,
+       max(event_id) AS max_event_id,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9149,6 +9188,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_exact_dedup": q_incremental_exact_dedup,
     "lateral_top_line": q_lateral_top_line,
     "safe_ratio_stats": q_safe_ratio_stats,
+    "xml_event_roundtrip": q_xml_event_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
@@ -9357,4 +9397,5 @@ ORACLES: dict[str, str] = {
     "incremental_exact_dedup": ORACLE_INCREMENTAL_EXACT_DEDUP,
     "lateral_top_line": ORACLE_LATERAL_TOP_LINE,
     "safe_ratio_stats": ORACLE_SAFE_RATIO_STATS,
+    "xml_event_roundtrip": ORACLE_XML_EVENT_ROUNDTRIP,
 }

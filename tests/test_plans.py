@@ -448,7 +448,7 @@ def test_round3_queries_have_no_cartesian_products(spark):
         "filtered_agg_sql", "declared_pipeline_revenue",
         "session_window_builtin", "ignore_nulls_fill",
         "minhash_recall_eval", "incremental_exact_dedup",
-        "lateral_top_line", "safe_ratio_stats",
+        "lateral_top_line", "safe_ratio_stats", "xml_event_roundtrip",
     ]
     for name in names:
         plan = explain_str(workload.QUERIES[name](spark, SF_SMOKE))
