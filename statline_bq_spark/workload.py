@@ -8975,6 +8975,75 @@ FROM events GROUP BY event_type
 """
 
 
+def q_pivot_sql_clause(spark: SparkSession, sf: str) -> DataFrame:
+    """The SQL PIVOT clause (vs the DataFrame ``groupBy().pivot()`` in
+    `pivot_event_values`) with the value list declared inline — same
+    explicit-list policy (SURVEY §7: never let pivot discover values with
+    an extra pass), same one-hash-agg plan, different surface."""
+    register_views(spark, sf, ("events",))
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT user_id, event_type FROM events
+        )
+        PIVOT (
+          count(*) FOR event_type IN
+          ('click' AS click, 'error' AS error, 'purchase' AS purchase,
+           'signup' AS signup, 'view' AS view)
+        )
+        """
+    )
+
+
+ORACLE_PIVOT_SQL_CLAUSE = """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       sum(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events GROUP BY user_id
+"""
+
+
+def q_unpivot_sql_clause(spark: SparkSession, sf: str) -> DataFrame:
+    """The SQL UNPIVOT clause (vs the DataFrame ``unpivot``/``stack`` in
+    `unpivot_lineitem`): wide lineitem measures back to long EAV form —
+    the v3-wide → v4-long statline direction as standard SQL. Measures
+    ride as integer-scaled longs (quantity is integral; price carries
+    cents) so every unpivoted cell hash-matches."""
+    register_views(spark, sf, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, measure,
+               CAST(val AS BIGINT) AS val
+        FROM (
+          SELECT l_orderkey, l_linenumber,
+                 CAST(l_quantity AS BIGINT) AS qty,
+                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   AS price_cents
+          FROM lineitem
+        )
+        UNPIVOT (
+          val FOR measure IN (qty, price_cents)
+        )
+        """
+    )
+
+
+ORACLE_UNPIVOT_SQL_CLAUSE = """
+WITH w AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, 'qty' AS measure, qty AS val FROM w
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'price_cents', price_cents FROM w
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9189,6 +9258,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lateral_top_line": q_lateral_top_line,
     "safe_ratio_stats": q_safe_ratio_stats,
     "xml_event_roundtrip": q_xml_event_roundtrip,
+    "pivot_sql_clause": q_pivot_sql_clause,
+    "unpivot_sql_clause": q_unpivot_sql_clause,
 }
 
 ORACLES: dict[str, str] = {
@@ -9398,4 +9469,6 @@ ORACLES: dict[str, str] = {
     "lateral_top_line": ORACLE_LATERAL_TOP_LINE,
     "safe_ratio_stats": ORACLE_SAFE_RATIO_STATS,
     "xml_event_roundtrip": ORACLE_XML_EVENT_ROUNDTRIP,
+    "pivot_sql_clause": ORACLE_PIVOT_SQL_CLAUSE,
+    "unpivot_sql_clause": ORACLE_UNPIVOT_SQL_CLAUSE,
 }
