@@ -9044,6 +9044,84 @@ SELECT l_orderkey, l_linenumber, 'price_cents', price_cents FROM w
 """
 
 
+def q_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/test split: near-duplicate CLUSTERS are the
+    split unit, not documents — hashing doc ids would strand near-copies
+    of one text on both sides of the split (the classic eval-contamination
+    bug). Composition of three oracle-checked pieces: exact Jaccard pairs
+    → connected components → md5 hash-split keyed on the cluster
+    REPRESENTATIVE (singletons represent themselves), so membership stays
+    re-run- and append-stable. The oracle re-derives the closure with a
+    recursive CTE and every split decision from the rep's md5; the
+    no-cluster-spans-splits invariant holds by construction on both
+    sides."""
+    d = read_table(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, shingle_n=3, threshold=0.2)
+    comp = graph.connected_components(pairs, "a", "b")
+    rep = (
+        d.select("doc_id")
+        .join(comp, d["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("rep"),
+        )
+    )
+    split = sampling.hash_split(rep, "rep", {"train": 0.8, "test": 0.2})
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("rep").alias("n_clusters"),
+        F.lit(True).alias("no_cluster_spans_splits"),
+    )
+
+
+ORACLE_LEAKAGE_SAFE_SPLIT = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), idx AS (
+  SELECT doc_id, t, unnest(range(0, greatest(len(t) - 2, 0))) AS i FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS g
+  FROM idx
+), gok AS (
+  SELECT g FROM sh GROUP BY g HAVING count(*) <= 128
+), shc AS (
+  SELECT sh.doc_id, sh.g FROM sh JOIN gok USING (g)
+), sz AS (
+  SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id
+), pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+  FROM shc x JOIN shc y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), p AS (
+  SELECT a, b FROM pairs
+  JOIN sz sa ON sa.doc_id = a
+  JOIN sz sb ON sb.doc_id = b
+  WHERE round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 4) >= 0.2
+), e AS (
+  SELECT a, b FROM p UNION SELECT b, a FROM p
+), reach(n, m) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT r.n, e2.b FROM reach r JOIN e e2 ON r.m = e2.a
+), labels AS (
+  SELECT n AS node, min(m) AS component FROM reach GROUP BY n
+), rep AS (
+  SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS rep
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+), assigned AS (
+  SELECT doc_id, rep,
+         CASE WHEN (
+             (strpos('0123456789abcdef', substr(md5(CAST(rep AS VARCHAR)), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(CAST(rep AS VARCHAR)), 2, 1)) - 1)) < 205
+              THEN 'train' ELSE 'test' END AS split
+  FROM rep
+)
+SELECT split, count(*) AS n_docs, count(DISTINCT rep) AS n_clusters,
+       TRUE AS no_cluster_spans_splits
+FROM assigned GROUP BY split
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9260,6 +9338,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "xml_event_roundtrip": q_xml_event_roundtrip,
     "pivot_sql_clause": q_pivot_sql_clause,
     "unpivot_sql_clause": q_unpivot_sql_clause,
+    "leakage_safe_split": q_leakage_safe_split,
 }
 
 ORACLES: dict[str, str] = {
@@ -9471,4 +9550,5 @@ ORACLES: dict[str, str] = {
     "xml_event_roundtrip": ORACLE_XML_EVENT_ROUNDTRIP,
     "pivot_sql_clause": ORACLE_PIVOT_SQL_CLAUSE,
     "unpivot_sql_clause": ORACLE_UNPIVOT_SQL_CLAUSE,
+    "leakage_safe_split": ORACLE_LEAKAGE_SAFE_SPLIT,
 }

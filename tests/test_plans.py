@@ -449,7 +449,7 @@ def test_round3_queries_have_no_cartesian_products(spark):
         "session_window_builtin", "ignore_nulls_fill",
         "minhash_recall_eval", "incremental_exact_dedup",
         "lateral_top_line", "safe_ratio_stats", "xml_event_roundtrip",
-        "pivot_sql_clause", "unpivot_sql_clause",
+        "pivot_sql_clause", "unpivot_sql_clause", "leakage_safe_split",
     ]
     for name in names:
         plan = explain_str(workload.QUERIES[name](spark, SF_SMOKE))
