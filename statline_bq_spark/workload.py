@@ -9122,6 +9122,58 @@ FROM assigned GROUP BY split
 """
 
 
+def q_quantile_normalized_lengths(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile normalization onto a reference distribution (the ML
+    preprocessing step that makes heterogeneous sources comparable
+    without assuming a parametric form): each document's length is
+    replaced by the REFERENCE source's (src0) value at the same rank
+    quantile — rank mapping is pure integer arithmetic
+    (ceil(rank·n_ref / n) via div), so every normalized value is
+    engine-exact. All windows partition by source and the reference
+    lookup is a rank-keyed equi join — no global sort anywhere
+    (`calibrated_quality_scores` maps to percent ranks; this maps to
+    reference VALUES)."""
+    d = read_table(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = (
+        d.select("doc_id", "source", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("source")))
+    )
+    ref = ranked.filter(F.col("source") == "src0").select(
+        F.col("rn").alias("ref_rn"), F.col("n_chars").alias("ref_chars")
+    )
+    n_ref = ranked.filter(F.col("source") == "src0").groupBy().agg(
+        F.max("n").alias("n_ref")
+    )
+    target = ranked.crossJoin(F.broadcast(n_ref)).withColumn(
+        "ref_rank",
+        F.expr("CAST((rn * n_ref + n - 1) DIV n AS INT)"),
+    )
+    return (
+        target.join(F.broadcast(ref), target["ref_rank"] == ref["ref_rn"])
+        .select("doc_id", "source", "n_chars", F.col("ref_chars").alias("norm_chars"))
+    )
+
+
+ORACLE_QUANTILE_NORMALIZED_LENGTHS = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+           AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+), ref AS (
+  SELECT rn AS ref_rn, n_chars AS ref_chars FROM ranked WHERE source = 'src0'
+), nref AS (
+  SELECT count(*) AS n_ref FROM ranked WHERE source = 'src0'
+)
+SELECT r.doc_id, r.source, r.n_chars, ref.ref_chars AS norm_chars
+FROM ranked r, nref
+JOIN ref ON ref.ref_rn = (r.rn * nref.n_ref + r.n - 1) // r.n
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9339,6 +9391,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_sql_clause": q_pivot_sql_clause,
     "unpivot_sql_clause": q_unpivot_sql_clause,
     "leakage_safe_split": q_leakage_safe_split,
+    "quantile_normalized_lengths": q_quantile_normalized_lengths,
 }
 
 ORACLES: dict[str, str] = {
@@ -9551,4 +9604,5 @@ ORACLES: dict[str, str] = {
     "pivot_sql_clause": ORACLE_PIVOT_SQL_CLAUSE,
     "unpivot_sql_clause": ORACLE_UNPIVOT_SQL_CLAUSE,
     "leakage_safe_split": ORACLE_LEAKAGE_SAFE_SPLIT,
+    "quantile_normalized_lengths": ORACLE_QUANTILE_NORMALIZED_LENGTHS,
 }
