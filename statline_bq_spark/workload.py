@@ -9174,6 +9174,114 @@ JOIN ref ON ref.ref_rn = (r.rn * nref.n_ref + r.n - 1) // r.n
 """
 
 
+def q_inter_event_gap_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Latency-distribution histogram of per-user inter-event gaps:
+    consecutive-event deltas (lag over a user-partitioned total order, in
+    integer seconds) bucketed into fixed log-spaced bins (<10s, <1m, <10m,
+    <1h, <1d, ≥1d) — the ops view of user activity rhythm. All integer
+    arithmetic; one shuffle on user for the lag, one bounded histogram
+    aggregate."""
+    e = read_table(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = (
+        e.select("user_id", "ts", "event_id", us.alias("us"))
+        .withColumn("gap_s", F.expr("(us - lag(us) OVER "
+                                    "(PARTITION BY user_id ORDER BY ts, event_id))"
+                                    " DIV 1000000"))
+        .filter(F.col("gap_s").isNotNull())
+    )
+    bucket = (
+        F.when(F.col("gap_s") < 10, "a_lt_10s")
+        .when(F.col("gap_s") < 60, "b_lt_1m")
+        .when(F.col("gap_s") < 600, "c_lt_10m")
+        .when(F.col("gap_s") < 3600, "d_lt_1h")
+        .when(F.col("gap_s") < 86400, "e_lt_1d")
+        .otherwise("f_ge_1d")
+    )
+    return gaps.select(bucket.alias("gap_bucket")).groupBy("gap_bucket").agg(
+        F.count(F.lit(1)).alias("n_gaps")
+    )
+
+
+ORACLE_INTER_EVENT_GAP_HISTOGRAM = """
+WITH g AS (
+  SELECT (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap_s
+  FROM events
+)
+SELECT CASE WHEN gap_s < 10 THEN 'a_lt_10s'
+            WHEN gap_s < 60 THEN 'b_lt_1m'
+            WHEN gap_s < 600 THEN 'c_lt_10m'
+            WHEN gap_s < 3600 THEN 'd_lt_1h'
+            WHEN gap_s < 86400 THEN 'e_lt_1d'
+            ELSE 'f_ge_1d' END AS gap_bucket,
+       count(*) AS n_gaps
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_bucket_checksums_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Merkle-style replica reconciliation: rows hash into 256 key-range
+    buckets, each bucket keeps an order-insensitive checksum, and two
+    replicas compare 256 numbers to LOCATE divergence instead of shipping
+    data (`table_checksums` says WHETHER tables differ; this says WHERE).
+    The 'replica' mutates exactly one row (min order key repriced), so
+    exactly one bucket must diverge — count pinned. Bucketing is the md5
+    first byte of the key: stable under partitioning, derivable by any
+    engine."""
+    o = read_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    min_key = o.agg(F.min("o_orderkey").alias("mk"))
+    replica = o.crossJoin(F.broadcast(min_key)).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") == F.col("mk"), F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+
+    def bucket_cks(df: DataFrame, out: str) -> DataFrame:
+        cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        fp = F.md5(
+            F.concat_ws("|", F.col("o_orderkey").cast("string"), cents.cast("string"))
+        )
+        bkt = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2), 16, 10).cast("int")
+        word = F.conv(F.substring(fp, 1, 8), 16, 10).cast("bigint")
+        return df.select(bkt.alias("bucket"), word.alias("w")).groupBy(
+            "bucket"
+        ).agg(F.sum("w").cast("bigint").alias(out))
+
+    a = bucket_cks(o, "cks_a")
+    b = bucket_cks(replica, "cks_b")
+    joined = a.join(b, "bucket", "full_outer")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(
+            (
+                ~F.coalesce(F.col("cks_a") == F.col("cks_b"), F.lit(False))
+            ).cast("bigint")
+        ).alias("n_diverged"),
+    ).select(
+        "n_buckets",
+        "n_diverged",
+        (F.col("n_diverged") == 1).alias("exactly_one_bucket_diverged"),
+    )
+
+
+ORACLE_BUCKET_CHECKSUMS_DIFF = """
+WITH b AS (
+  SELECT (  (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1))
+           AS bucket
+  FROM orders GROUP BY 1
+)
+SELECT count(*) AS n_buckets, CAST(1 AS BIGINT) AS n_diverged,
+       TRUE AS exactly_one_bucket_diverged
+FROM b
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9392,6 +9500,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unpivot_sql_clause": q_unpivot_sql_clause,
     "leakage_safe_split": q_leakage_safe_split,
     "quantile_normalized_lengths": q_quantile_normalized_lengths,
+    "inter_event_gap_histogram": q_inter_event_gap_histogram,
+    "bucket_checksums_diff": q_bucket_checksums_diff,
 }
 
 ORACLES: dict[str, str] = {
@@ -9605,4 +9715,6 @@ ORACLES: dict[str, str] = {
     "unpivot_sql_clause": ORACLE_UNPIVOT_SQL_CLAUSE,
     "leakage_safe_split": ORACLE_LEAKAGE_SAFE_SPLIT,
     "quantile_normalized_lengths": ORACLE_QUANTILE_NORMALIZED_LENGTHS,
+    "inter_event_gap_histogram": ORACLE_INTER_EVENT_GAP_HISTOGRAM,
+    "bucket_checksums_diff": ORACLE_BUCKET_CHECKSUMS_DIFF,
 }
