@@ -9282,6 +9282,46 @@ FROM b
 """
 
 
+def q_string_format_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """String formatting/extraction round-trip: order keys render to
+    display labels (``ORD-``+zero-padded id via lpad/concat) and parse
+    back via ``regexp_extract`` — the label-codec pair every export/import
+    boundary needs, with the round-trip equality pinned per status so a
+    formatting change can't silently corrupt re-imported ids. Patterns
+    stay in the Java∩RE2 subset (same policy as the PII redactors)."""
+    o = read_table(spark, sf, "orders")
+    label = F.concat(
+        F.lit("ORD-"), F.lpad(F.col("o_orderkey").cast("string"), 12, "0")
+    )
+    parsed = F.regexp_extract(label, "^ORD-0*([0-9]+)$", 1).cast("bigint")
+    t = o.select(
+        "o_orderstatus",
+        label.alias("label"),
+        (parsed == F.col("o_orderkey")).alias("ok"),
+        F.length(label).alias("label_len"),
+    )
+    return t.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("label").alias("first_label"),
+        F.max("label_len").alias("label_len"),
+        F.min("ok").alias("all_roundtrip_ok"),
+    )
+
+
+ORACLE_STRING_FORMAT_ROUNDTRIP = """
+WITH t AS (
+  SELECT o_orderstatus,
+         'ORD-' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS label
+  FROM orders
+)
+SELECT o_orderstatus, count(*) AS n_orders,
+       min(label) AS first_label,
+       CAST(max(length(label)) AS INT) AS label_len,
+       TRUE AS all_roundtrip_ok
+FROM t GROUP BY o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9502,6 +9542,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_normalized_lengths": q_quantile_normalized_lengths,
     "inter_event_gap_histogram": q_inter_event_gap_histogram,
     "bucket_checksums_diff": q_bucket_checksums_diff,
+    "string_format_roundtrip": q_string_format_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
@@ -9717,4 +9758,5 @@ ORACLES: dict[str, str] = {
     "quantile_normalized_lengths": ORACLE_QUANTILE_NORMALIZED_LENGTHS,
     "inter_event_gap_histogram": ORACLE_INTER_EVENT_GAP_HISTOGRAM,
     "bucket_checksums_diff": ORACLE_BUCKET_CHECKSUMS_DIFF,
+    "string_format_roundtrip": ORACLE_STRING_FORMAT_ROUNDTRIP,
 }

@@ -451,7 +451,7 @@ def test_round3_queries_have_no_cartesian_products(spark):
         "lateral_top_line", "safe_ratio_stats", "xml_event_roundtrip",
         "pivot_sql_clause", "unpivot_sql_clause", "leakage_safe_split",
         "quantile_normalized_lengths", "inter_event_gap_histogram",
-        "bucket_checksums_diff",
+        "bucket_checksums_diff", "string_format_roundtrip",
     ]
     for name in names:
         plan = explain_str(workload.QUERIES[name](spark, SF_SMOKE))
