@@ -1207,14 +1207,24 @@ def q_token_mass_deciles(spark: SparkSession, sf: str) -> DataFrame:
     cumulative share — 'the top 10% of documents hold X% of the tokens',
     the concentration figure that drives dedup/truncation priorities.
     All integer sums; the two shares are exact-int divisions, scaled-
-    integer rounded. The ranking window is a single global sort of
-    per-doc COUNTS (doc_id + one long — tiny rows, not text)."""
+    integer rounded. The ranking is DISTRIBUTED (`analytic.global_rank`:
+    range-partitioned parallel sort + per-partition offsets — no
+    Exchange SinglePartition of the corpus; round 3 replaced the global
+    ntile window, which single-tasked the sort) and the decile comes from
+    the exact integer ntile formula, so the output is bit-identical to
+    the window form the oracle uses."""
     d = read_table(spark, sf, "documents")
     toks = d.select(
         "doc_id", token_count("text").cast("bigint").alias("_t")
     )
-    w = Window.orderBy(F.col("_t").desc(), "doc_id")
-    tiled = toks.withColumn("decile", F.ntile(10).over(w))
+    ranked = analytic.global_rank(
+        toks, [F.col("_t").desc(), F.col("doc_id")], out_col="_rn"
+    )
+    total_n = ranked.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    tiled = ranked.crossJoin(F.broadcast(total_n)).withColumn(
+        "decile",
+        analytic.exact_ntile_from_rank(F.col("_rn"), F.col("_n"), 10),
+    )
     per = tiled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("_t").alias("_mass"),

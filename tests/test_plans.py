@@ -517,3 +517,26 @@ def test_declared_pipeline_pushes_late_filter_to_scan(spark):
     assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_global_rank_is_distributed(spark):
+    """The global ranking must be range-partitioned (parallel sort) with
+    a partition-local window — never an Exchange SinglePartition of every
+    row feeding an unpartitioned window (the shape `global_rank` exists
+    to avoid; round 3 replaced token_mass_deciles' global ntile window
+    with it). Inspected with materialize=False (the production
+    localCheckpoint hides the subplan from explain)."""
+    from pyspark.sql import functions as F
+
+    from statline_bq_spark.io import read_table
+    from statline_bq_spark.operators import analytic
+
+    docs = read_table(spark, SF_SMOKE, "documents").selectExpr(
+        "doc_id", "n_chars AS v"
+    )
+    ranked = analytic.global_rank(
+        docs, [F.col("v").desc(), F.col("doc_id")], materialize=False
+    )
+    plan = explain_str(ranked, "extended")
+    assert "rangepartitioning(v" in plan
+    assert "windowspecdefinition(_gr_pid" in plan

@@ -551,3 +551,49 @@ def test_incremental_merge_equals_full_on_any_split(spark, rows):
         for r in inc.merge_states(parts, ["k"], specs).collect()
     }
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda r: r[1],
+    ),
+    buckets=st.integers(2, 10),
+)
+@settings(**SETTINGS)
+def test_global_rank_and_exact_ntile_match_window_reference(
+    spark, rows, buckets
+):
+    """global_rank == unpartitioned row_number, and exact_ntile_from_rank
+    == ntile, on random data with ties in the primary key (the unique id
+    breaks them)."""
+    from statline_bq_spark.operators import analytic
+
+    df = spark.createDataFrame(rows, "v long, id long")
+    ranked = analytic.global_rank(
+        df, [F.col("v").desc(), F.col("id")], num_partitions=4, out_col="rn"
+    )
+    n_total = len(rows)
+    got = {
+        r.id: (r.rn, r.tile)
+        for r in ranked.withColumn(
+            "tile",
+            analytic.exact_ntile_from_rank(
+                F.col("rn"), F.lit(n_total), buckets
+            ),
+        ).collect()
+    }
+    ordered = sorted(rows, key=lambda r: (-r[0], r[1]))
+    q, rem = divmod(n_total, buckets)
+    want = {}
+    for i, (_, rid) in enumerate(ordered, start=1):
+        if q == 0:
+            tile = i
+        elif i <= rem * (q + 1):
+            tile = (i - 1) // (q + 1) + 1
+        else:
+            tile = rem + (i - rem * (q + 1) - 1) // q + 1
+        want[rid] = (i, tile)
+    assert got == want
