@@ -9332,6 +9332,99 @@ FROM t GROUP BY o_orderstatus
 """
 
 
+def q_global_top_share_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """The truncation-priority list: the global top-5% of documents by
+    token mass, with each doc's exact global rank and its share of the
+    whole corpus's tokens — the concrete artifact `token_mass_deciles`'
+    skew curve argues for. Second consumer of `analytic.global_rank`
+    (distributed ranking, no single-partition window); the 5% cut and
+    shares are integer arithmetic against broadcast scalars."""
+    d = read_table(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    ranked = analytic.global_rank(
+        toks, [F.col("n_tokens").desc(), F.col("doc_id")], out_col="rank"
+    )
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("n_tokens").alias("_mass"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .filter(F.col("rank") * 20 <= F.col("_n"))
+        .select(
+            "rank",
+            "doc_id",
+            "n_tokens",
+            (
+                F.floor(
+                    F.col("n_tokens") * 1000000 / F.col("_mass")
+                )
+            ).cast("bigint").alias("share_ppm"),
+        )
+    )
+
+
+ORACLE_GLOBAL_TOP_SHARE_DOCS = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), ranked AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rank
+  FROM toks
+), t AS (
+  SELECT count(*) AS n, sum(n_tokens) AS mass FROM toks
+)
+SELECT rank, doc_id, n_tokens,
+       CAST(floor(n_tokens * 1000000 / t.mass) AS BIGINT) AS share_ppm
+FROM ranked, t
+WHERE rank * 20 <= t.n
+"""
+
+
+def q_masked_customer_export(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-masking policy for a governed export: stable pseudonym for
+    the name (sha2 over a salted key — joinable across exports, not
+    reversible), account balance coarsened to a band, the true key
+    dropped — the row stays analytically useful (segment, nation) while
+    the identifying columns are gone. Masks are deterministic
+    expressions, so the governed output itself is oracle-checked, not
+    just its row count."""
+    c = read_table(spark, sf, "customer")
+    pseudo = F.sha2(
+        F.concat(F.lit("export-v1|"), F.col("c_custkey").cast("string")), 256
+    )
+    band = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 2500, "low")
+        .when(F.col("c_acctbal") < 7500, "mid")
+        .otherwise("high")
+    )
+    return c.select(
+        pseudo.alias("customer_pseudonym"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("int").alias("nation"),
+        band.alias("balance_band"),
+    )
+
+
+ORACLE_MASKED_CUSTOMER_EXPORT = """
+SELECT sha256('export-v1|' || CAST(c_custkey AS VARCHAR))
+         AS customer_pseudonym,
+       c_mktsegment AS segment,
+       CAST(c_nationkey AS INT) AS nation,
+       CASE WHEN c_acctbal < 0 THEN 'negative'
+            WHEN c_acctbal < 2500 THEN 'low'
+            WHEN c_acctbal < 7500 THEN 'mid'
+            ELSE 'high' END AS balance_band
+FROM customer
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9553,6 +9646,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inter_event_gap_histogram": q_inter_event_gap_histogram,
     "bucket_checksums_diff": q_bucket_checksums_diff,
     "string_format_roundtrip": q_string_format_roundtrip,
+    "global_top_share_docs": q_global_top_share_docs,
+    "masked_customer_export": q_masked_customer_export,
 }
 
 ORACLES: dict[str, str] = {
@@ -9769,4 +9864,6 @@ ORACLES: dict[str, str] = {
     "inter_event_gap_histogram": ORACLE_INTER_EVENT_GAP_HISTOGRAM,
     "bucket_checksums_diff": ORACLE_BUCKET_CHECKSUMS_DIFF,
     "string_format_roundtrip": ORACLE_STRING_FORMAT_ROUNDTRIP,
+    "global_top_share_docs": ORACLE_GLOBAL_TOP_SHARE_DOCS,
+    "masked_customer_export": ORACLE_MASKED_CUSTOMER_EXPORT,
 }
