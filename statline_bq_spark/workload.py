@@ -9425,6 +9425,111 @@ FROM customer
 """
 
 
+def q_ab_test_2x2(spark: SparkSession, sf: str) -> DataFrame:
+    """A/B experiment readout: users split into arms by content hash
+    (md5 — the same stable assignment `hash_split` gives real
+    experiments), conversion = the user ever purchased, and the 2×2
+    chi-square statistic with the same scaled-integer quantization as
+    `event_weekday_chisq` (no double summation order). Per-arm
+    conversion rates are exact integer ratios; everything after the
+    per-user aggregate runs on 4 cells."""
+    e = read_table(spark, sf, "events")
+    users = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    arm = F.when(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10
+            ).cast("int"),
+            F.lit(2),
+        )
+        == 0,
+        "A",
+    ).otherwise("B")
+    cells = users.withColumn("arm", arm).groupBy("arm", "conv").agg(
+        F.count(F.lit(1)).alias("_o")
+    )
+    arms = cells.groupBy("arm").agg(F.sum("_o").alias("_at"))
+    convs = cells.groupBy("conv").agg(F.sum("_o").alias("_ct"))
+    total = cells.agg(F.sum("_o").alias("_n"))
+    scored = (
+        cells.join(F.broadcast(arms), "arm")
+        .join(F.broadcast(convs), "conv")
+        .crossJoin(F.broadcast(total))
+    )
+    expected = (
+        F.col("_at").cast("double")
+        * F.col("_ct").cast("double")
+        / F.col("_n").cast("double")
+    )
+    term = (F.col("_o") - expected) * (F.col("_o") - expected) / expected
+    quantized = F.floor(term * 1000000 + F.lit(0.5)).cast("bigint")
+    rates = cells.filter(F.col("conv") == 1).join(F.broadcast(arms), "arm")
+    rate_wide = rates.groupBy().agg(
+        F.round(
+            F.sum(F.when(F.col("arm") == "A", F.col("_o"))).cast("double")
+            / F.sum(F.when(F.col("arm") == "A", F.col("_at"))),
+            6,
+        ).alias("conv_rate_a"),
+        F.round(
+            F.sum(F.when(F.col("arm") == "B", F.col("_o"))).cast("double")
+            / F.sum(F.when(F.col("arm") == "B", F.col("_at"))),
+            6,
+        ).alias("conv_rate_b"),
+    )
+    return (
+        scored.agg(
+            (F.sum(quantized).cast("double") / 1000000).alias("chi_square"),
+            F.first("_n").cast("bigint").alias("n_users"),
+        )
+        .crossJoin(F.broadcast(rate_wide))
+        .select("n_users", "conv_rate_a", "conv_rate_b", "chi_square")
+    )
+
+
+ORACLE_AB_TEST_2X2 = """
+WITH users AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), armed AS (
+  SELECT CASE WHEN (
+           (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1)) % 2 = 0
+         THEN 'A' ELSE 'B' END AS arm,
+         conv
+  FROM users
+), cells AS (
+  SELECT arm, conv, count(*) AS o FROM armed GROUP BY 1, 2
+), arms AS (
+  SELECT arm, sum(o) AS at FROM cells GROUP BY arm
+), convs AS (
+  SELECT conv, sum(o) AS ct FROM cells GROUP BY conv
+), t AS (
+  SELECT sum(o) AS n FROM cells
+), scored AS (
+  SELECT c.o, a.at, cv.ct, t.n,
+         CAST(a.at AS DOUBLE) * cv.ct / t.n AS e
+  FROM cells c JOIN arms a USING (arm) JOIN convs cv USING (conv), t
+), stat AS (
+  SELECT CAST(sum(CAST(floor((o - e) * (o - e) / e * 1000000 + 0.5)
+                       AS BIGINT)) AS DOUBLE) / 1000000 AS chi_square,
+         first(n) AS n_users
+  FROM scored
+), rates AS (
+  SELECT round(CAST(sum(CASE WHEN arm = 'A' THEN o END) AS DOUBLE)
+               / sum(CASE WHEN arm = 'A' THEN at END), 6) AS conv_rate_a,
+         round(CAST(sum(CASE WHEN arm = 'B' THEN o END) AS DOUBLE)
+               / sum(CASE WHEN arm = 'B' THEN at END), 6) AS conv_rate_b
+  FROM cells JOIN arms USING (arm) WHERE conv = 1
+)
+SELECT CAST(stat.n_users AS BIGINT) AS n_users,
+       rates.conv_rate_a, rates.conv_rate_b, stat.chi_square
+FROM stat, rates
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9648,6 +9753,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_format_roundtrip": q_string_format_roundtrip,
     "global_top_share_docs": q_global_top_share_docs,
     "masked_customer_export": q_masked_customer_export,
+    "ab_test_2x2": q_ab_test_2x2,
 }
 
 ORACLES: dict[str, str] = {
@@ -9866,4 +9972,5 @@ ORACLES: dict[str, str] = {
     "string_format_roundtrip": ORACLE_STRING_FORMAT_ROUNDTRIP,
     "global_top_share_docs": ORACLE_GLOBAL_TOP_SHARE_DOCS,
     "masked_customer_export": ORACLE_MASKED_CUSTOMER_EXPORT,
+    "ab_test_2x2": ORACLE_AB_TEST_2X2,
 }
