@@ -20,6 +20,8 @@ Spec grammar (each step is ``{"op": ..., **params}``):
 - ``{"op": "group_agg", "keys": [...], "aggs": {out: sql_agg_expr}}``
 - ``{"op": "top_per_group", "keys": [...], "order": [sql_expr, ...],
      "k": int}``                               — rank<=k (WindowGroupLimit)
+- ``{"op": "running_sum", "keys": [...], "order": [sql_expr, ...],
+     "value": sql_expr, "out": name}``         — per-key cumulative sum
 - ``{"op": "distinct"}``
 - ``{"op": "limit", "n": int}``
 
@@ -79,6 +81,13 @@ def compile_pipeline(
                 .filter(F.col("_rn") <= int(step["k"]))
                 .drop("_rn")
             )
+        elif op == "running_sum":
+            w = (
+                Window.partitionBy(*step["keys"])
+                .orderBy(*[F.expr(e) for e in step["order"]])
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            df = df.withColumn(step["out"], F.sum(F.expr(step["value"])).over(w))
         elif op == "distinct":
             df = df.distinct()
         elif op == "limit":

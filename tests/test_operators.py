@@ -942,6 +942,24 @@ def test_compile_pipeline_ops_and_errors(spark):
 
     with _pytest.raises(ValueError, match="must start with a 'read'"):
         compose.compile_pipeline(spark, SF_SMOKE, ({"op": "filter", "where": "1=1"},))
+    run = compose.compile_pipeline(
+        spark,
+        SF_SMOKE,
+        (
+            {"op": "read", "table": "orders"},
+            {"op": "select", "cols": ["o_custkey", "o_orderdate", "o_orderkey",
+                                      "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents"]},
+            {"op": "running_sum", "keys": ["o_custkey"],
+             "order": ["o_orderdate", "o_orderkey"],
+             "value": "cents", "out": "cum_cents"},
+        ),
+    )
+    import pyspark.sql.functions as _F
+    last = run.groupBy("o_custkey").agg(
+        _F.max("cum_cents").alias("cum"), _F.sum("cents").alias("tot")
+    )
+    assert last.filter("cum <> tot").count() == 0  # final cumsum == total
+
     with _pytest.raises(ValueError, match="unknown op"):
         compose.compile_pipeline(
             spark, SF_SMOKE,
