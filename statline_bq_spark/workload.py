@@ -9530,6 +9530,53 @@ FROM stat, rates
 """
 
 
+def q_decayed_engagement(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-decayed engagement scoring with EXACT arithmetic: each event
+    contributes 2^-(age in weeks, capped at 30) — a half-life-per-week
+    decay built from bit shifts (1.0 / (1 << k)), not exp()/pow()
+    (libm implementations diverge across engines; dyadic rationals don't,
+    and with terms ≥ 2^-30 and totals < 2^14 the double sum is exact in
+    ANY order — no quantization needed, the score itself hash-matches).
+    One shuffle on user; the reference timestamp is a broadcast scalar."""
+    e = read_table(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mx = e.agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("mx_us")
+    )
+    week_us = 7 * 86400 * 1000000
+    return (
+        e.select("user_id", us.alias("us"))
+        .crossJoin(F.broadcast(mx))
+        .withColumn(
+            "_k",
+            F.least(
+                F.expr(f"(mx_us - us) DIV {week_us}").cast("int"), F.lit(30)
+            ),
+        )
+        .select("user_id", F.expr("1.0 / shiftleft(1, _k)").alias("t"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("t").alias("engagement"),
+        )
+    )
+
+
+ORACLE_DECAYED_ENGAGEMENT = """
+WITH m AS (
+  SELECT max(epoch_us(ts)) AS mx_us FROM events
+), aged AS (
+  SELECT user_id,
+         least(CAST((m.mx_us - epoch_us(ts)) // 604800000000 AS INT), 30)
+           AS k
+  FROM events, m
+)
+SELECT user_id, count(*) AS n_events,
+       sum(1.0 / (1 << k)) AS engagement
+FROM aged GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9754,6 +9801,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "global_top_share_docs": q_global_top_share_docs,
     "masked_customer_export": q_masked_customer_export,
     "ab_test_2x2": q_ab_test_2x2,
+    "decayed_engagement": q_decayed_engagement,
 }
 
 ORACLES: dict[str, str] = {
@@ -9973,4 +10021,5 @@ ORACLES: dict[str, str] = {
     "global_top_share_docs": ORACLE_GLOBAL_TOP_SHARE_DOCS,
     "masked_customer_export": ORACLE_MASKED_CUSTOMER_EXPORT,
     "ab_test_2x2": ORACLE_AB_TEST_2X2,
+    "decayed_engagement": ORACLE_DECAYED_ENGAGEMENT,
 }
