@@ -9577,6 +9577,127 @@ FROM aged GROUP BY user_id
 """
 
 
+def q_receivables_aging(spark: SparkSession, sf: str) -> DataFrame:
+    """Accounts-receivable-style aging report: open orders bucketed by
+    age against the ledger's latest date (current / 31-60 / 61-90 / 90+
+    days) with per-bucket order counts and totals in integer cents — the
+    classic finance rollup, on the as-of-date pattern (the reference
+    snapshot date generalized to row age). One scan, a broadcast scalar
+    for the as-of date, a bounded bucket aggregate."""
+    o = read_table(spark, sf, "orders")
+    asof = o.agg(F.max("o_orderdate").alias("asof"))
+    aged = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(asof))
+        .withColumn("age_d", F.datediff(F.col("asof"), F.col("o_orderdate")))
+    )
+    bucket = (
+        F.when(F.col("age_d") <= 30, "a_current")
+        .when(F.col("age_d") <= 60, "b_31_60")
+        .when(F.col("age_d") <= 90, "c_61_90")
+        .otherwise("d_over_90")
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        aged.select(bucket.alias("age_bucket"), cents.alias("cents"))
+        .groupBy("age_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("open_cents"),
+        )
+    )
+
+
+ORACLE_RECEIVABLES_AGING = """
+WITH m AS (SELECT max(o_orderdate) AS asof FROM orders),
+aged AS (
+  SELECT date_diff('day', o_orderdate, m.asof) AS age_d, o_totalprice
+  FROM orders, m WHERE o_orderstatus = 'O'
+)
+SELECT CASE WHEN age_d <= 30 THEN 'a_current'
+            WHEN age_d <= 60 THEN 'b_31_60'
+            WHEN age_d <= 90 THEN 'c_61_90'
+            ELSE 'd_over_90' END AS age_bucket,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS open_cents
+FROM aged GROUP BY 1
+"""
+
+
+def q_price_index_monthly(spark: SparkSession, sf: str) -> DataFrame:
+    """Laspeyres-style price index: monthly average part prices weighted
+    by each part's BASE-month quantity, indexed to the base month — the
+    economics rendition of 'metadata-driven measure semantics'. Entirely
+    exact integers: monthly per-part unit price = total cents DIV total
+    qty (truncating — identical in both engines), basket sums are integer
+    products, and
+    the index is one final scaled division — no float accumulation. Base
+    basket broadcast; one shuffle at the (part, month) grain."""
+    li = read_table(spark, sf, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    qty = F.col("l_quantity").cast("bigint")
+    pm = (
+        li.select(
+            "l_partkey",
+            F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+            cents.alias("cents"),
+            qty.alias("qty"),
+        )
+        .groupBy("l_partkey", "month")
+        .agg(F.sum("cents").alias("c"), F.sum("qty").alias("q"))
+        .withColumn("unit_cents", F.expr("c DIV q"))
+    )
+    base_month = pm.agg(F.min("month").alias("bm"))
+    base = (
+        pm.crossJoin(F.broadcast(base_month))
+        .filter(F.col("month") == F.col("bm"))
+        .select(
+            F.col("l_partkey").alias("bk"),
+            F.col("unit_cents").alias("p0"),
+            F.col("q").alias("q0"),
+        )
+    )
+    joined = pm.join(F.broadcast(base), pm["l_partkey"] == F.col("bk"))
+    return (
+        joined.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("unit_cents") * F.col("q0")).alias("_num"),
+            F.sum(F.col("p0") * F.col("q0")).alias("_den"),
+        )
+        .select(
+            "month",
+            "n_parts",
+            F.expr("(_num * 10000) DIV _den").cast("bigint").alias(
+                "index_bp"
+            ),
+        )
+    )
+
+
+ORACLE_PRICE_INDEX_MONTHLY = """
+WITH pm AS (
+  SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS month,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS c,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+), pp AS (
+  SELECT l_partkey, month, c // q AS unit_cents, q FROM pm
+), bm AS (SELECT min(month) AS m FROM pp),
+base AS (
+  SELECT l_partkey, unit_cents AS p0, q AS q0
+  FROM pp, bm WHERE month = bm.m
+)
+SELECT pp.month, count(*) AS n_parts,
+       CAST((sum(pp.unit_cents * base.q0) * 10000)
+            // sum(base.p0 * base.q0) AS BIGINT) AS index_bp
+FROM pp JOIN base USING (l_partkey)
+GROUP BY pp.month
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9802,6 +9923,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "masked_customer_export": q_masked_customer_export,
     "ab_test_2x2": q_ab_test_2x2,
     "decayed_engagement": q_decayed_engagement,
+    "receivables_aging": q_receivables_aging,
+    "price_index_monthly": q_price_index_monthly,
 }
 
 ORACLES: dict[str, str] = {
@@ -10022,4 +10145,6 @@ ORACLES: dict[str, str] = {
     "masked_customer_export": ORACLE_MASKED_CUSTOMER_EXPORT,
     "ab_test_2x2": ORACLE_AB_TEST_2X2,
     "decayed_engagement": ORACLE_DECAYED_ENGAGEMENT,
+    "receivables_aging": ORACLE_RECEIVABLES_AGING,
+    "price_index_monthly": ORACLE_PRICE_INDEX_MONTHLY,
 }

@@ -453,7 +453,7 @@ def test_round3_queries_have_no_cartesian_products(spark):
         "quantile_normalized_lengths", "inter_event_gap_histogram",
         "bucket_checksums_diff", "string_format_roundtrip",
         "global_top_share_docs", "masked_customer_export", "ab_test_2x2",
-        "decayed_engagement",
+        "decayed_engagement", "receivables_aging", "price_index_monthly",
     ]
     for name in names:
         plan = explain_str(workload.QUERIES[name](spark, SF_SMOKE))
