@@ -9698,6 +9698,36 @@ GROUP BY pp.month
 """
 
 
+def q_pipe_syntax_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4's ``|>`` operators — the linear,
+    dataflow-ordered SQL the GoogleSQL pipe proposal standardized):
+    scan |> filter |> join |> aggregate, reading in execution order
+    instead of inside-out. Same Catalyst plan as the nested form; the
+    oracle is the classic formulation."""
+    register_views(spark, sf, ("orders", "customer"))
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> JOIN customer ON o_custkey = c_custkey
+        |> AGGREGATE count(*) AS n_orders,
+                     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS cents
+           GROUP BY c_mktsegment
+        """
+    )
+
+
+ORACLE_PIPE_SYNTAX_REVENUE = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'F'
+GROUP BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9925,6 +9955,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decayed_engagement": q_decayed_engagement,
     "receivables_aging": q_receivables_aging,
     "price_index_monthly": q_price_index_monthly,
+    "pipe_syntax_revenue": q_pipe_syntax_revenue,
 }
 
 ORACLES: dict[str, str] = {
@@ -10147,4 +10178,5 @@ ORACLES: dict[str, str] = {
     "decayed_engagement": ORACLE_DECAYED_ENGAGEMENT,
     "receivables_aging": ORACLE_RECEIVABLES_AGING,
     "price_index_monthly": ORACLE_PRICE_INDEX_MONTHLY,
+    "pipe_syntax_revenue": ORACLE_PIPE_SYNTAX_REVENUE,
 }
