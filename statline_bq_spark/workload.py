@@ -9728,6 +9728,51 @@ GROUP BY c_mktsegment
 """
 
 
+def q_revenue_pareto(spark: SparkSession, sf: str) -> DataFrame:
+    """The 80/20 check: what share of total order value sits in the top
+    20% of orders — the Pareto concentration figure on the money side
+    (the token-mass decile curve's revenue sibling). Global ranking via
+    the distributed `analytic.global_rank` (no single-partition window);
+    the share is an exact integer ratio in ppm over integer cents."""
+    o = read_table(spark, sf, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    t = o.select("o_orderkey", cents.alias("cents"))
+    ranked = analytic.global_rank(
+        t, [F.col("cents").desc(), F.col("o_orderkey")], out_col="rank"
+    )
+    totals = t.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("cents").alias("_total")
+    )
+    top = ranked.crossJoin(F.broadcast(totals)).filter(
+        F.col("rank") * 5 <= F.col("_n")
+    )
+    return top.agg(
+        F.count(F.lit(1)).alias("n_top_orders"),
+        F.first("_n").cast("bigint").alias("n_orders"),
+        F.expr("CAST((sum(cents) * 1000000) DIV first(_total) AS BIGINT)")
+        .alias("top20_share_ppm"),
+    )
+
+
+ORACLE_REVENUE_PARETO = """
+WITH t AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), ranked AS (
+  SELECT cents, row_number() OVER (ORDER BY cents DESC, o_orderkey) AS rank
+  FROM t
+), tot AS (SELECT count(*) AS n, sum(cents) AS total FROM t)
+SELECT count(*) AS n_top_orders,
+       CAST(tot.n AS BIGINT) AS n_orders,
+       CAST((sum(ranked.cents) * 1000000) // tot.total AS BIGINT)
+         AS top20_share_ppm
+FROM ranked, tot
+WHERE ranked.rank * 5 <= tot.n
+GROUP BY tot.n, tot.total
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9956,6 +10001,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "receivables_aging": q_receivables_aging,
     "price_index_monthly": q_price_index_monthly,
     "pipe_syntax_revenue": q_pipe_syntax_revenue,
+    "revenue_pareto": q_revenue_pareto,
 }
 
 ORACLES: dict[str, str] = {
@@ -10179,4 +10225,5 @@ ORACLES: dict[str, str] = {
     "receivables_aging": ORACLE_RECEIVABLES_AGING,
     "price_index_monthly": ORACLE_PRICE_INDEX_MONTHLY,
     "pipe_syntax_revenue": ORACLE_PIPE_SYNTAX_REVENUE,
+    "revenue_pareto": ORACLE_REVENUE_PARETO,
 }

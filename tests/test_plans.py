@@ -454,7 +454,7 @@ def test_round3_queries_have_no_cartesian_products(spark):
         "bucket_checksums_diff", "string_format_roundtrip",
         "global_top_share_docs", "masked_customer_export", "ab_test_2x2",
         "decayed_engagement", "receivables_aging", "price_index_monthly",
-        "pipe_syntax_revenue",
+        "pipe_syntax_revenue", "revenue_pareto",
     ]
     for name in names:
         plan = explain_str(workload.QUERIES[name](spark, SF_SMOKE))
