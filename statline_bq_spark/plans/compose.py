@@ -22,6 +22,9 @@ Spec grammar (each step is ``{"op": ..., **params}``):
      "k": int}``                               — rank<=k (WindowGroupLimit)
 - ``{"op": "running_sum", "keys": [...], "order": [sql_expr, ...],
      "value": sql_expr, "out": name}``         — per-key cumulative sum
+- ``{"op": "top_n", "order": [sql_expr, ...], "n": int}`` — global top-N
+     (compiles to TakeOrderedAndProject — per-partition top-N then merge,
+     never a global sort)
 - ``{"op": "distinct"}``
 - ``{"op": "limit", "n": int}``
 
@@ -88,6 +91,10 @@ def compile_pipeline(
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             )
             df = df.withColumn(step["out"], F.sum(F.expr(step["value"])).over(w))
+        elif op == "top_n":
+            df = df.orderBy(*[F.expr(e) for e in step["order"]]).limit(
+                int(step["n"])
+            )
         elif op == "distinct":
             df = df.distinct()
         elif op == "limit":

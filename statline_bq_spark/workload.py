@@ -9773,6 +9773,143 @@ GROUP BY tot.n, tot.total
 """
 
 
+def q_customer_reactivation(spark: SparkSession, sf: str) -> DataFrame:
+    """Churn-and-return analytics: a reactivation = a user gap of more
+    than 2 days between consecutive active DAYS; the report is the
+    distribution of per-user reactivation counts ('how many users lapsed
+    and came back k times'). Built on the deduped (user, day) set — one
+    user-partitioned lag over days, never raw events; all integers."""
+    e = read_table(spark, sf, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    gaps = ud.withColumn(
+        "gap_d", F.datediff(F.col("day"), F.lag("day").over(w))
+    )
+    per_user = gaps.groupBy("user_id").agg(
+        F.sum((F.col("gap_d") > 2).cast("bigint")).alias("n_reactivations")
+    )
+    return per_user.groupBy("n_reactivations").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+ORACLE_CUSTOMER_REACTIVATION = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), g AS (
+  SELECT user_id,
+         day - lag(day) OVER (PARTITION BY user_id ORDER BY day) AS gap_d
+  FROM ud
+), per AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN gap_d > 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_reactivations
+  FROM g GROUP BY user_id
+)
+SELECT n_reactivations, count(*) AS n_users FROM per GROUP BY 1
+"""
+
+
+def q_session_conversion_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Funnel latency at the session grain: for every 30-minute-gap
+    session that converts (contains a purchase), the seconds from session
+    start to the FIRST purchase — reported as rank-selected discrete
+    median and p90 across sessions plus the conversion counts. Sessions
+    via the day-number−row_number island idiom on integer minutes; every
+    latency is an integer second difference, percentiles by rank
+    selection — no interpolation anywhere."""
+    e = read_table(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    marked = (
+        e.select("user_id", "event_id", "event_type", us.alias("us"))
+        .withColumn(
+            "new_s",
+            (
+                F.coalesce(
+                    F.col("us") - F.lag("us").over(w),
+                    F.lit(0),
+                )
+                >= 30 * 60 * 1000000
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    sessions = marked.groupBy("user_id", "sid").agg(
+        F.min("us").alias("start_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("us"))
+        ).alias("first_purchase_us"),
+    )
+    conv = sessions.filter(F.col("first_purchase_us").isNotNull()).select(
+        "user_id",
+        "sid",
+        F.expr("(first_purchase_us - start_us) DIV 1000000").alias("lat_s"),
+    )
+    wr = Window.orderBy("lat_s", "user_id", "sid")
+    ranked = conv.withColumn("rn", F.row_number().over(wr)).crossJoin(
+        F.broadcast(conv.agg(F.count(F.lit(1)).alias("n")))
+    )
+    stats = ranked.agg(
+        F.min(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col("lat_s"))
+        ).alias("median_latency_s"),
+        F.min(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.9), F.col("lat_s"))
+        ).alias("p90_latency_s"),
+        F.first("n").cast("bigint").alias("n_converting_sessions"),
+    )
+    totals = sessions.agg(F.count(F.lit(1)).alias("n_sessions"))
+    return stats.crossJoin(F.broadcast(totals)).select(
+        "n_sessions",
+        "n_converting_sessions",
+        "median_latency_s",
+        "p90_latency_s",
+    )
+
+
+ORACLE_SESSION_CONVERSION_LATENCY = """
+WITH m AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         CASE WHEN COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY epoch_us(ts), event_id), 0)
+                >= 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                             ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+), sess AS (
+  SELECT user_id, sid, min(us) AS start_us,
+         min(CASE WHEN event_type = 'purchase' THEN us END)
+           AS first_purchase_us
+  FROM s GROUP BY user_id, sid
+), conv AS (
+  SELECT user_id, sid,
+         (first_purchase_us - start_us) // 1000000 AS lat_s
+  FROM sess WHERE first_purchase_us IS NOT NULL
+), ranked AS (
+  SELECT lat_s,
+         row_number() OVER (ORDER BY lat_s, user_id, sid) AS rn,
+         count(*) OVER () AS n
+  FROM conv
+)
+SELECT (SELECT count(*) FROM sess) AS n_sessions,
+       CAST(max(n) AS BIGINT) AS n_converting_sessions,
+       min(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN lat_s END)
+         AS median_latency_s,
+       min(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN lat_s END)
+         AS p90_latency_s
+FROM ranked
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10002,6 +10139,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "price_index_monthly": q_price_index_monthly,
     "pipe_syntax_revenue": q_pipe_syntax_revenue,
     "revenue_pareto": q_revenue_pareto,
+    "customer_reactivation": q_customer_reactivation,
+    "session_conversion_latency": q_session_conversion_latency,
 }
 
 ORACLES: dict[str, str] = {
@@ -10226,4 +10365,6 @@ ORACLES: dict[str, str] = {
     "price_index_monthly": ORACLE_PRICE_INDEX_MONTHLY,
     "pipe_syntax_revenue": ORACLE_PIPE_SYNTAX_REVENUE,
     "revenue_pareto": ORACLE_REVENUE_PARETO,
+    "customer_reactivation": ORACLE_CUSTOMER_REACTIVATION,
+    "session_conversion_latency": ORACLE_SESSION_CONVERSION_LATENCY,
 }

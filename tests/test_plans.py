@@ -454,7 +454,8 @@ def test_round3_queries_have_no_cartesian_products(spark):
         "bucket_checksums_diff", "string_format_roundtrip",
         "global_top_share_docs", "masked_customer_export", "ab_test_2x2",
         "decayed_engagement", "receivables_aging", "price_index_monthly",
-        "pipe_syntax_revenue", "revenue_pareto",
+        "pipe_syntax_revenue", "revenue_pareto", "customer_reactivation",
+        "session_conversion_latency",
     ]
     for name in names:
         plan = explain_str(workload.QUERIES[name](spark, SF_SMOKE))
@@ -543,3 +544,20 @@ def test_global_rank_is_distributed(spark):
     plan = explain_str(ranked, "extended")
     assert "rangepartitioning(v" in plan
     assert "windowspecdefinition(_gr_pid" in plan
+
+
+def test_compose_top_n_compiles_to_take_ordered(spark):
+    """The composer's global top-N must compile to TakeOrderedAndProject
+    (per-partition top-N, merge of N·partitions rows) — not a full sort."""
+    from statline_bq_spark.plans import compose
+
+    df = compose.compile_pipeline(
+        spark,
+        SF_SMOKE,
+        (
+            {"op": "read", "table": "orders"},
+            {"op": "top_n", "order": ["o_totalprice DESC", "o_orderkey"],
+             "n": 25},
+        ),
+    )
+    assert "TakeOrderedAndProject" in explain_str(df)
