@@ -9910,6 +9910,123 @@ FROM ranked
 """
 
 
+def q_brand_two_hop_reach(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-hop neighborhood size per vertex on the (sparse, thresholded)
+    brand co-occurrence graph: |{w : u—v—w, w ≠ u, u̸—w excluded? no —
+    reach INCLUDES direct neighbors}| — the friends-of-friends breadth
+    metric. One edge self-join on the middle vertex, then a distinct
+    count per source; undirected edges are symmetrized first. Scale: the
+    join keys on the shared vertex, so cost is Σ deg² — bounded by the
+    same threshold that keeps the graph sparse."""
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    p = F.broadcast(
+        read_table(spark, sf, "part").select("p_partkey", "p_brand")
+    )
+    ob = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select("l_orderkey", F.col("p_brand").alias("u"))
+    b = ob.select("l_orderkey", F.col("p_brand").alias("v"))
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 324)
+        .select("u", "v")
+    )
+    edges = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    two_hop = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .select(F.col("e1.u").alias("src"), F.col("e2.v").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .unionByName(edges.select(F.col("u").alias("src"), F.col("v").alias("dst")))
+        .distinct()
+    )
+    return two_hop.groupBy("src").agg(
+        F.count(F.lit(1)).alias("reach_2hop")
+    )
+
+
+ORACLE_BRAND_TWO_HOP_REACH = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), und AS (
+  SELECT a.p_brand AS u, b.p_brand AS v
+  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2 HAVING count(*) >= 324
+), e AS (
+  SELECT u, v FROM und UNION ALL SELECT v, u FROM und
+), reach AS (
+  SELECT e1.u AS src, e2.v AS dst
+  FROM e e1 JOIN e e2 ON e1.v = e2.u
+  WHERE e1.u <> e2.v
+  UNION
+  SELECT u, v FROM e
+)
+SELECT src, count(*) AS reach_2hop FROM reach GROUP BY src
+"""
+
+
+def q_keyword_in_context(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyword-in-context (KWIC) extraction: every occurrence of a term
+    with its ±1-token window — the concordance view search/annotation
+    tools build. Pure higher-order array work: tokenize once, index with
+    the two-argument ``transform`` lambda, filter hits, explode — no
+    UDF, no re-scan per occurrence; the context assembly is
+    try_element_at arithmetic on the SAME array (ANSI mode errors on
+    out-of-bounds element_at; try_ yields NULL and concat_ws skips it)."""
+    from statline_bq_spark.functions.text import tokens as _tokens
+
+    d = read_table(spark, sf, "documents")
+    toks = d.select("doc_id", _tokens("text").alias("tk"))
+    hits = toks.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.transform("tk", lambda x, i: F.when(x == "spark", i)),
+                lambda v: v.isNotNull(),
+            )
+        ).alias("pos"),
+    )
+    ctx = hits.join(toks, "doc_id").select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.concat_ws(
+            " ",
+            F.when(F.col("pos") > 0, F.try_element_at("tk", F.col("pos"))),
+            F.try_element_at("tk", F.col("pos") + 1),
+            F.try_element_at("tk", F.col("pos") + 2),
+        ).alias("context"),
+    )
+    return ctx
+
+
+ORACLE_KEYWORD_IN_CONTEXT = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+), hits AS (
+  SELECT doc_id, tk, i.i AS pos
+  FROM toks, LATERAL (SELECT unnest(range(len(tk))) AS i) i
+  WHERE tk[i.i + 1] = 'spark'
+)
+SELECT doc_id, CAST(pos AS INT) AS pos,
+       CASE WHEN pos > 0
+            THEN tk[pos] || ' ' || tk[pos + 1] ||
+                 CASE WHEN pos + 2 <= len(tk)
+                      THEN ' ' || tk[pos + 2] ELSE '' END
+            ELSE tk[pos + 1] ||
+                 CASE WHEN pos + 2 <= len(tk)
+                      THEN ' ' || tk[pos + 2] ELSE '' END
+       END AS context
+FROM hits
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10141,6 +10258,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_pareto": q_revenue_pareto,
     "customer_reactivation": q_customer_reactivation,
     "session_conversion_latency": q_session_conversion_latency,
+    "brand_two_hop_reach": q_brand_two_hop_reach,
+    "keyword_in_context": q_keyword_in_context,
 }
 
 ORACLES: dict[str, str] = {
@@ -10367,4 +10486,6 @@ ORACLES: dict[str, str] = {
     "revenue_pareto": ORACLE_REVENUE_PARETO,
     "customer_reactivation": ORACLE_CUSTOMER_REACTIVATION,
     "session_conversion_latency": ORACLE_SESSION_CONVERSION_LATENCY,
+    "brand_two_hop_reach": ORACLE_BRAND_TWO_HOP_REACH,
+    "keyword_in_context": ORACLE_KEYWORD_IN_CONTEXT,
 }

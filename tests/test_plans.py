@@ -455,7 +455,8 @@ def test_round3_queries_have_no_cartesian_products(spark):
         "global_top_share_docs", "masked_customer_export", "ab_test_2x2",
         "decayed_engagement", "receivables_aging", "price_index_monthly",
         "pipe_syntax_revenue", "revenue_pareto", "customer_reactivation",
-        "session_conversion_latency",
+        "session_conversion_latency", "brand_two_hop_reach",
+        "keyword_in_context",
     ]
     for name in names:
         plan = explain_str(workload.QUERIES[name](spark, SF_SMOKE))
