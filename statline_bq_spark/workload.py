@@ -10027,6 +10027,49 @@ FROM hits
 """
 
 
+def q_score_percentile_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Reverse quantile lookup: for fixed price points, the percentile
+    each one sits at WITHIN each market segment — 'where would a 150k
+    order rank among BUILDING customers?'. The inverse of the percentile
+    queries: one conditional-count aggregate per segment (no sort at
+    all), percentile = exact integer ratio in ppm. Price points ride as
+    an exploded literal array, so adding points never adds scans."""
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer")
+    oc = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o["o_custkey"] == F.col("c_custkey"),
+    ).select("c_mktsegment", "o_totalprice")
+    points = F.explode(
+        F.array(F.lit(50000.0), F.lit(150000.0), F.lit(300000.0))
+    )
+    t = oc.select("c_mktsegment", "o_totalprice", points.alias("price_point"))
+    return t.groupBy("c_mktsegment", "price_point").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(
+            "CAST((sum(CASE WHEN o_totalprice <= price_point THEN 1 ELSE 0 END)"
+            " * 1000000) DIV count(*) AS BIGINT)"
+        ).alias("percentile_ppm"),
+    )
+
+
+ORACLE_SCORE_PERCENTILE_LOOKUP = """
+WITH oc AS (
+  SELECT c.c_mktsegment, o.o_totalprice
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), t AS (
+  SELECT c_mktsegment, o_totalprice, p.price_point
+  FROM oc, LATERAL (VALUES (50000.0), (150000.0), (300000.0))
+       AS p(price_point)
+)
+SELECT c_mktsegment, CAST(price_point AS DOUBLE) AS price_point,
+       count(*) AS n_orders,
+       CAST((sum(CASE WHEN o_totalprice <= price_point THEN 1 ELSE 0 END)
+             * 1000000) // count(*) AS BIGINT) AS percentile_ppm
+FROM t GROUP BY c_mktsegment, price_point
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10260,6 +10303,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_conversion_latency": q_session_conversion_latency,
     "brand_two_hop_reach": q_brand_two_hop_reach,
     "keyword_in_context": q_keyword_in_context,
+    "score_percentile_lookup": q_score_percentile_lookup,
 }
 
 ORACLES: dict[str, str] = {
@@ -10488,4 +10532,5 @@ ORACLES: dict[str, str] = {
     "session_conversion_latency": ORACLE_SESSION_CONVERSION_LATENCY,
     "brand_two_hop_reach": ORACLE_BRAND_TWO_HOP_REACH,
     "keyword_in_context": ORACLE_KEYWORD_IN_CONTEXT,
+    "score_percentile_lookup": ORACLE_SCORE_PERCENTILE_LOOKUP,
 }

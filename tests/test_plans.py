@@ -456,7 +456,7 @@ def test_round3_queries_have_no_cartesian_products(spark):
         "decayed_engagement", "receivables_aging", "price_index_monthly",
         "pipe_syntax_revenue", "revenue_pareto", "customer_reactivation",
         "session_conversion_latency", "brand_two_hop_reach",
-        "keyword_in_context",
+        "keyword_in_context", "score_percentile_lookup",
     ]
     for name in names:
         plan = explain_str(workload.QUERIES[name](spark, SF_SMOKE))
