@@ -10070,6 +10070,43 @@ FROM t GROUP BY c_mktsegment, price_point
 """
 
 
+def q_running_purchase_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional running aggregate: each event row carries the user's
+    cumulative PURCHASE spend so far (CASE inside the running sum — the
+    'lifetime value as of this moment' column feature stores attach to
+    every interaction). Quantized to cents per element before the window
+    sum, so the cumulative values are exact; one user-partitioned window
+    over a total order."""
+    e = read_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spend_cents = F.when(
+        F.col("event_type") == "purchase",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
+    ).otherwise(F.lit(0))
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.sum(spend_cents).over(w).cast("bigint").alias("ltv_cents"),
+    )
+
+
+ORACLE_RUNNING_PURCHASE_TOTALS = """
+SELECT user_id, event_id, event_type,
+       CAST(sum(CASE WHEN event_type = 'purchase'
+                     THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                     ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS ltv_cents
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10304,6 +10341,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brand_two_hop_reach": q_brand_two_hop_reach,
     "keyword_in_context": q_keyword_in_context,
     "score_percentile_lookup": q_score_percentile_lookup,
+    "running_purchase_totals": q_running_purchase_totals,
 }
 
 ORACLES: dict[str, str] = {
@@ -10533,4 +10571,5 @@ ORACLES: dict[str, str] = {
     "brand_two_hop_reach": ORACLE_BRAND_TWO_HOP_REACH,
     "keyword_in_context": ORACLE_KEYWORD_IN_CONTEXT,
     "score_percentile_lookup": ORACLE_SCORE_PERCENTILE_LOOKUP,
+    "running_purchase_totals": ORACLE_RUNNING_PURCHASE_TOTALS,
 }
