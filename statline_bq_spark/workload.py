@@ -10107,6 +10107,62 @@ FROM events
 """
 
 
+def q_late_supplier_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Supplier reliability scorecard: per supplier, line counts, late
+    deliveries (receipt after commit), the late ratio in ppm (exact
+    integer division) and the worst delay in days — top-20 worst
+    suppliers by ratio with a total tiebreak order, compiled to
+    TakeOrderedAndProject (per-partition top-k merge, no global sort).
+    The Q12/Q21 lateness predicate promoted to an operational profile."""
+    li = read_table(spark, sf, "lineitem")
+    s = read_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    prof = (
+        li.select(
+            "l_suppkey",
+            (F.col("l_receiptdate") > F.col("l_commitdate")).cast("bigint").alias(
+                "late"
+            ),
+            F.datediff("l_receiptdate", "l_commitdate").alias("delay_d"),
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("late").alias("n_late"),
+            F.max("delay_d").alias("max_delay_days"),
+        )
+        .withColumn(
+            "late_ratio_ppm",
+            F.expr("CAST((n_late * 1000000) DIV n_lines AS BIGINT)"),
+        )
+    )
+    return (
+        prof.join(F.broadcast(s), prof["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "s_name", "n_lines", "n_late", "late_ratio_ppm", "max_delay_days"
+        )
+        .orderBy(F.col("late_ratio_ppm").desc(), "s_name")
+        .limit(20)
+    )
+
+
+ORACLE_LATE_SUPPLIER_PROFILE = """
+WITH prof AS (
+  SELECT l_suppkey, count(*) AS n_lines,
+         CAST(sum(CASE WHEN l_receiptdate > l_commitdate THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_late,
+         max(date_diff('day', l_commitdate, l_receiptdate))
+           AS max_delay_days
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s.s_name, p.n_lines, p.n_late,
+       CAST((p.n_late * 1000000) // p.n_lines AS BIGINT) AS late_ratio_ppm,
+       p.max_delay_days
+FROM prof p JOIN supplier s ON p.l_suppkey = s.s_suppkey
+ORDER BY late_ratio_ppm DESC, s.s_name
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10342,6 +10398,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "keyword_in_context": q_keyword_in_context,
     "score_percentile_lookup": q_score_percentile_lookup,
     "running_purchase_totals": q_running_purchase_totals,
+    "late_supplier_profile": q_late_supplier_profile,
 }
 
 ORACLES: dict[str, str] = {
@@ -10572,4 +10629,5 @@ ORACLES: dict[str, str] = {
     "keyword_in_context": ORACLE_KEYWORD_IN_CONTEXT,
     "score_percentile_lookup": ORACLE_SCORE_PERCENTILE_LOOKUP,
     "running_purchase_totals": ORACLE_RUNNING_PURCHASE_TOTALS,
+    "late_supplier_profile": ORACLE_LATE_SUPPLIER_PROFILE,
 }
