@@ -10109,20 +10109,22 @@ FROM events
 
 def q_late_supplier_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Supplier reliability scorecard: per supplier, line counts, late
-    deliveries (receipt after commit), the late ratio in ppm (exact
+    shipments (shipped more than 90 days after the order date — the
+    lateness proxy this schema supports), the late ratio in ppm (exact
     integer division) and the worst delay in days — top-20 worst
     suppliers by ratio with a total tiebreak order, compiled to
-    TakeOrderedAndProject (per-partition top-k merge, no global sort).
-    The Q12/Q21 lateness predicate promoted to an operational profile."""
+    TakeOrderedAndProject (per-partition top-k merge, no global sort)."""
     li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
     s = read_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    lo = li.join(o, li["l_orderkey"] == o["o_orderkey"])
     prof = (
-        li.select(
+        lo.select(
             "l_suppkey",
-            (F.col("l_receiptdate") > F.col("l_commitdate")).cast("bigint").alias(
-                "late"
-            ),
-            F.datediff("l_receiptdate", "l_commitdate").alias("delay_d"),
+            (
+                F.datediff("l_shipdate", "o_orderdate") > 90
+            ).cast("bigint").alias("late"),
+            F.datediff("l_shipdate", "o_orderdate").alias("delay_d"),
         )
         .groupBy("l_suppkey")
         .agg(
@@ -10148,11 +10150,11 @@ def q_late_supplier_profile(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_LATE_SUPPLIER_PROFILE = """
 WITH prof AS (
   SELECT l_suppkey, count(*) AS n_lines,
-         CAST(sum(CASE WHEN l_receiptdate > l_commitdate THEN 1 ELSE 0 END)
-              AS BIGINT) AS n_late,
-         max(date_diff('day', l_commitdate, l_receiptdate))
-           AS max_delay_days
-  FROM lineitem GROUP BY l_suppkey
+         CAST(sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+         max(date_diff('day', o_orderdate, l_shipdate)) AS max_delay_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_suppkey
 )
 SELECT s.s_name, p.n_lines, p.n_late,
        CAST((p.n_late * 1000000) // p.n_lines AS BIGINT) AS late_ratio_ppm,
