@@ -10165,6 +10165,51 @@ LIMIT 20
 """
 
 
+def q_rollup_grain_proof(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal grain re-aggregation proof: monthly revenue derived from
+    DAILY partials equals the direct monthly aggregate — the property
+    that lets a warehouse keep one day-grain table and serve every
+    coarser grain by re-aggregation instead of re-scanning facts
+    (the time-axis sibling of `incremental_agg_state`'s base∪delta
+    merge). Integer cents throughout; equality pinned per month."""
+    o = read_table(spark, sf, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents).alias("c")
+    )
+    from_daily = daily.groupBy(
+        F.date_format("d", "yyyy-MM").alias("month")
+    ).agg(
+        F.sum("n").alias("n_orders"),
+        F.sum("c").cast("bigint").alias("cents"),
+    )
+    direct = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(cents).alias("_c"),
+    )
+    return from_daily.join(direct, "month").select(
+        "month",
+        "n_orders",
+        "cents",
+        (
+            (F.col("n_orders") == F.col("_n"))
+            & (F.col("cents") == F.col("_c"))
+        ).alias("daily_rollup_equals_direct"),
+    )
+
+
+ORACLE_ROLLUP_GRAIN_PROOF = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents,
+       TRUE AS daily_rollup_equals_direct
+FROM orders GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10401,6 +10446,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "score_percentile_lookup": q_score_percentile_lookup,
     "running_purchase_totals": q_running_purchase_totals,
     "late_supplier_profile": q_late_supplier_profile,
+    "rollup_grain_proof": q_rollup_grain_proof,
 }
 
 ORACLES: dict[str, str] = {
@@ -10632,4 +10678,5 @@ ORACLES: dict[str, str] = {
     "score_percentile_lookup": ORACLE_SCORE_PERCENTILE_LOOKUP,
     "running_purchase_totals": ORACLE_RUNNING_PURCHASE_TOTALS,
     "late_supplier_profile": ORACLE_LATE_SUPPLIER_PROFILE,
+    "rollup_grain_proof": ORACLE_ROLLUP_GRAIN_PROOF,
 }
