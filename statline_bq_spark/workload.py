@@ -10210,6 +10210,79 @@ FROM orders GROUP BY 1
 """
 
 
+def q_session_bounce_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounce analytics on 30-minute-gap sessions: sessions with exactly
+    one event, overall and per entry event type (what people bounce FROM)
+    — entry type = the session's first event by (time, id). Same island
+    sessionization as the latency query; rates are exact ppm integer
+    ratios; output is bounded by the event-type cardinality."""
+    e = read_table(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    marked = (
+        e.select("user_id", "event_id", "event_type", us.alias("us"))
+        .withColumn(
+            "new_s",
+            (
+                F.coalesce(F.col("us") - F.lag("us").over(w), F.lit(0))
+                >= 30 * 60 * 1000000
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    we = Window.partitionBy("user_id", "sid").orderBy("us", "event_id")
+    sessions = (
+        marked.withColumn("entry_type", F.first("event_type").over(we))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("entry_type").alias("entry_type"),
+        )
+    )
+    return sessions.groupBy("entry_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("bigint")).alias("n_bounces"),
+        F.expr(
+            "CAST((sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000)"
+            " DIV count(*) AS BIGINT)"
+        ).alias("bounce_ppm"),
+    )
+
+
+ORACLE_SESSION_BOUNCE_RATE = """
+WITH m AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         CASE WHEN COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY epoch_us(ts), event_id), 0)
+                >= 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                             ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+), entry AS (
+  SELECT *, first_value(event_type) OVER (
+      PARTITION BY user_id, sid ORDER BY us, event_id) AS entry_type
+  FROM s
+), sess AS (
+  SELECT user_id, sid, count(*) AS n_events, min(entry_type) AS entry_type
+  FROM entry GROUP BY user_id, sid
+)
+SELECT entry_type, count(*) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST((sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS bounce_ppm
+FROM sess GROUP BY entry_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10447,6 +10520,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "running_purchase_totals": q_running_purchase_totals,
     "late_supplier_profile": q_late_supplier_profile,
     "rollup_grain_proof": q_rollup_grain_proof,
+    "session_bounce_rate": q_session_bounce_rate,
 }
 
 ORACLES: dict[str, str] = {
@@ -10679,4 +10753,5 @@ ORACLES: dict[str, str] = {
     "running_purchase_totals": ORACLE_RUNNING_PURCHASE_TOTALS,
     "late_supplier_profile": ORACLE_LATE_SUPPLIER_PROFILE,
     "rollup_grain_proof": ORACLE_ROLLUP_GRAIN_PROOF,
+    "session_bounce_rate": ORACLE_SESSION_BOUNCE_RATE,
 }

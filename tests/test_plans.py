@@ -458,7 +458,7 @@ def test_round3_queries_have_no_cartesian_products(spark):
         "session_conversion_latency", "brand_two_hop_reach",
         "keyword_in_context", "score_percentile_lookup",
         "running_purchase_totals", "late_supplier_profile",
-        "rollup_grain_proof",
+        "rollup_grain_proof", "session_bounce_rate",
     ]
     for name in names:
         plan = explain_str(workload.QUERIES[name](spark, SF_SMOKE))
