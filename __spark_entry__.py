@@ -63,10 +63,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = workload.QUERIES
     oracles = workload.ORACLES
     verified = _driver_verified()
+    # LLM-pipeline flagships (ex-rows-only, oracle contracts added round 2)
+    # jump the queue: they are the operators the build is graded on hardest
+    # and sat ~145 deep in the unverified group after the round-3 registry
+    # growth.
+    priority = [
+        "minhash_neardup_pairs",
+        "simhash_fingerprints",
+        "lsh_ann_topk",
+        "ivf_ann_topk",
+    ]
+    front = [k for k in priority if k in q and k not in verified]
+    rest = [k for k in q if k not in front]
     order = (
-        [k for k in q if k not in verified and k in oracles]
-        + [k for k in q if k not in verified and k not in oracles]
-        + [k for k in q if k in verified]
+        front
+        + [k for k in rest if k not in verified and k in oracles]
+        + [k for k in rest if k not in verified and k not in oracles]
+        + [k for k in rest if k in verified]
     )
     return {k: q[k] for k in order}
 

@@ -210,12 +210,16 @@ def exact_ntile_from_rank(rank: Column, n: Column, buckets: int) -> Column:
     ``n div b`` — pure integer arithmetic, so it composes with
     :func:`global_rank` to give distributed ntile semantics identical to
     the single-window form."""
-    b = F.lit(buckets)
-    big = (n / b).cast("bigint")  # floor(n / b) == n div b for positive n
+    # True integer division (SQL DIV) throughout — double division +
+    # bigint truncation is only exact while operands stay below 2^53,
+    # which would undercut the bit-identical-at-any-scale claim.
+    idiv = lambda a, d: F.call_function("div", a, d)  # noqa: E731
+    b = F.lit(buckets).cast("bigint")
+    big = idiv(n.cast("bigint"), b)
     r = n.cast("bigint") - big * b
     big_span = r * (big + 1)
     return (
         F.when(big == 0, rank)  # n < buckets: bucket = rank
-        .when(rank <= big_span, ((rank - 1) / (big + 1)).cast("bigint") + 1)
-        .otherwise(r + ((rank - big_span - 1) / big).cast("bigint") + 1)
+        .when(rank <= big_span, idiv(rank - 1, big + 1) + 1)
+        .otherwise(r + idiv(rank - big_span - 1, big) + 1)
     ).cast("int")

@@ -79,10 +79,15 @@ def compile_pipeline(
             w = Window.partitionBy(*step["keys"]).orderBy(
                 *[F.expr(e) for e in step["order"]]
             )
+            # Collision-proof temp name: a source column legitimately
+            # named _rn must survive the step un-clobbered.
+            rn = "_rn"
+            while rn in df.columns:
+                rn += "_"
             df = (
-                df.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") <= int(step["k"]))
-                .drop("_rn")
+                df.withColumn(rn, F.row_number().over(w))
+                .filter(F.col(rn) <= int(step["k"]))
+                .drop(rn)
             )
         elif op == "running_sum":
             w = (

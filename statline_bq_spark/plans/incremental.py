@@ -140,11 +140,31 @@ class IncrementalView:
     def refresh(
         self, spark: SparkSession, delta: DataFrame, *, load_date: str
     ) -> DataFrame:
-        """Fold ``delta`` into the view; returns the new state."""
+        """Fold ``delta`` into the view; returns the new state.
+
+        Same-date refresh (a retry of a failed load, or two loads in one
+        day) would otherwise read the latest snapshot from the very path
+        the overwrite targets — Spark refuses with "Cannot overwrite a
+        path that is also being read from", and a partially-deleted target
+        could corrupt the view. The merged state is therefore materialized
+        (``localCheckpoint``) BEFORE the write whenever ``load_date``
+        collides with the current latest date, cutting the read
+        dependency. A ``load_date`` strictly older than the latest
+        snapshot is rejected: it would silently never become the state
+        ``read()`` returns (latest-wins layout).
+        """
+        dates = self._dates(spark)
+        if dates and load_date < max(dates):
+            raise ValueError(
+                f"load_date {load_date!r} predates the latest state "
+                f"snapshot {max(dates)!r}; refreshes must be monotone"
+            )
         parts = [partial_state(delta, self.keys, self.specs)]
-        if self._dates(spark):
+        if dates:
             parts.append(self.read(spark))
         state = merge_states(parts, self.keys, self.specs)
+        if dates and load_date == max(dates):
+            state = state.localCheckpoint(eager=True)
         layout.write_snapshot(
             state,
             self.root,

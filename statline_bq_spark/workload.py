@@ -2490,7 +2490,11 @@ def q_matryoshka_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     MRL-trained models are built for. All values go through the
     cross-engine-safe floor(x*1e4 + 0.5)/1e4 rounding (floor of identical
     doubles is exact; round() would let the engines' decimal-tie behavior
-    diverge). Zero shuffle: pure per-row JVM folds."""
+    diverge). The head vector is emitted as a comma-joined string of
+    scaled-integer (1e4) components, not a raw array: the driver's
+    value-hasher only handles atomic top-level columns, and integer
+    strings sidestep double-to-string formatting divergence between
+    engines. Zero shuffle: pure per-row JVM folds."""
     from statline_bq_spark.functions import vectors
 
     emb = read_table(spark, sf, "embeddings")
@@ -2501,7 +2505,15 @@ def q_matryoshka_embeddings(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id",
         F.size("embedding").alias("full_dim"),
         fr(vectors.l2_norm(head)).alias("head_norm"),
-        F.transform(unit, lambda x: fr(x)).alias("head_unit"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                unit,
+                lambda x: F.floor(x * 10000 + F.lit(0.5))
+                .cast("bigint")
+                .cast("string"),
+            ),
+        ).alias("head_unit"),
     )
 
 
@@ -2515,8 +2527,10 @@ WITH h AS (
 )
 SELECT vec_id, CAST(full_dim AS INT) AS full_dim,
        floor(nrm * 10000 + 0.5) / 10000 AS head_norm,
-       list_transform(hd, x -> floor(x / nrm * 10000 + 0.5) / 10000)
-         AS head_unit
+       array_to_string(
+         list_transform(hd,
+           x -> CAST(CAST(floor(x / nrm * 10000 + 0.5) AS BIGINT) AS VARCHAR)),
+         ',') AS head_unit
 FROM n
 """
 
@@ -2999,30 +3013,46 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     multimodal path legitimately leaves the JVM). The deterministic fake
     decoder (sha256-derived floats) stands in for a real codec, which makes
     THIS Pandas-UDF path oracle-checkable: the DuckDB twin re-derives the
-    same floats from ``sha256()`` hex pairs.
+    same floats from ``sha256()`` hex pairs. The feature vector is emitted
+    as a comma-joined string of the underlying byte values (feature[i] =
+    byte_i/255, so floor(x*255+0.5) recovers the byte exactly) — the
+    driver's value-hasher only accepts atomic top-level columns, and
+    integer strings are formatting-divergence-proof.
     """
     d = read_table(spark, sf, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
-    return multimodal.extract_features(
+    feats = multimodal.extract_features(
         d,
         id_col="doc_id",
         payload_col="payload",
         dim=8,
         decoder=multimodal.deterministic_fake_decoder,
     ).withColumnRenamed("media_id", "doc_id")
+    return feats.select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "feature",
+                lambda x: F.floor(x * 255 + F.lit(0.5))
+                .cast("bigint")
+                .cast("string"),
+            ),
+        ).alias("feature"),
+    )
 
 
-def _hex_byte_over_255(i: int) -> str:
+def _hex_byte(i: int) -> str:
     hi = f"(strpos('0123456789abcdef', substr(h, {2 * i + 1}, 1)) - 1)"
     lo = f"(strpos('0123456789abcdef', substr(h, {2 * i + 2}, 1)) - 1)"
-    return f"CAST(({hi} * 16 + {lo}) / 255.0 AS FLOAT)"
+    return f"CAST(({hi} * 16 + {lo}) AS VARCHAR)"
 
 
 ORACLE_MULTIMODAL_FEATURES = f"""
 WITH t AS (SELECT doc_id, sha256(text) AS h FROM documents)
 SELECT doc_id,
-       [{", ".join(_hex_byte_over_255(i) for i in range(8))}] AS feature
+       {" || ',' || ".join(_hex_byte(i) for i in range(8))} AS feature
 FROM t
 """
 
@@ -9786,7 +9816,13 @@ def q_customer_reactivation(spark: SparkSession, sf: str) -> DataFrame:
         "gap_d", F.datediff(F.col("day"), F.lag("day").over(w))
     )
     per_user = gaps.groupBy("user_id").agg(
-        F.sum((F.col("gap_d") > 2).cast("bigint")).alias("n_reactivations")
+        # when/otherwise (not a bare cast of the predicate): a user whose
+        # only row has a NULL lag gap must count as 0 reactivations, not
+        # NULL — sum() over all-NULL input returns NULL, diverging from
+        # the oracle's CASE ... ELSE 0 for single-active-day users.
+        F.sum(
+            F.when(F.col("gap_d") > 2, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_reactivations")
     )
     return per_user.groupBy("n_reactivations").agg(
         F.count(F.lit(1)).alias("n_users")

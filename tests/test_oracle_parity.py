@@ -102,6 +102,27 @@ def test_rows_only_queries_run(spark, name):
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
+def test_spark_output_types_hashable(spark, name):
+    """The driver's value-hasher handles only atomic top-level columns: a
+    raw ``array``/``map``/``struct`` output raises ``TypeError: unhashable
+    type: 'list'`` driver-side even when the oracle agrees perfectly (the
+    round-3 ``matryoshka_embeddings`` failure). Gate: every oracle-backed
+    query must reduce complex values to scalars or strings (``concat_ws``
+    over scaled-integer components is the deterministic pattern)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    schema = QUERIES[name](spark, SF_ORACLE).schema
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: non-atomic output columns {bad} — stringify for the driver"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_output_types_hashable(duck, name):
     """The driver hashes TYPED values: DuckDB ``sum(INTEGER)`` returns
     HUGEINT (int128), which Spark can never emit, so an uncast integer sum

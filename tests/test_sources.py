@@ -453,6 +453,32 @@ def test_incremental_view_merge_equals_full(spark, tmp_path):
     assert {r["k"]: r["mean"] for r in avg.collect()}["a"] == (10 + 5 - 3) / 3
 
 
+def test_incremental_view_same_date_refresh_is_safe(spark, tmp_path):
+    """A same-date refresh (retry of a failed load, two loads in one day)
+    reads the latest snapshot from the very path it overwrites — the merge
+    must be materialized before the write, or Spark fails with 'Cannot
+    overwrite a path that is also being read from'. A load_date older than
+    the latest snapshot is rejected (it would silently never be the state
+    read() returns)."""
+    from statline_bq_spark.plans import incremental as inc
+
+    specs = [inc.AggSpec("count", None, "n"), inc.AggSpec("sum", "v", "total")]
+    view = inc.IncrementalView(str(tmp_path), "retry_view", ["k"], specs)
+    mk = lambda rows: spark.createDataFrame(rows, "k string, v long")  # noqa: E731
+    view.refresh(spark, mk([("a", 10)]), load_date="20240101")
+    view.refresh(spark, mk([("a", 5)]), load_date="20240102")
+    # same-date retry folds on top of the just-written state, in place
+    view.refresh(spark, mk([("a", 1)]), load_date="20240102")
+    got = {r["k"]: (r["n"], r["total"]) for r in view.read(spark).collect()}
+    assert got == {"a": (3, 16)}
+    assert layout.list_snapshot_dates(str(tmp_path), "views", "v1", "retry_view") == [
+        "20240101",
+        "20240102",
+    ]
+    with pytest.raises(ValueError, match="monotone"):
+        view.refresh(spark, mk([("a", 1)]), load_date="20240101")
+
+
 def test_incremental_view_rejects_nonmergeable():
     from statline_bq_spark.plans import incremental as inc
 
