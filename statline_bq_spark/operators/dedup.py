@@ -336,7 +336,9 @@ def ngram_jaccard_pairs(
     # inverted index itself never shuffles for the cap: the groupBy ships
     # only map-side-combined (gram, count) partials, and the anti-join is
     # map-side. (A window count over _g would instead shuffle AND sort the
-    # whole index; measured 5× slower at sf0.1.)
+    # whole index; measured 5× slower at sf0.1.) The pass also guarantees
+    # the per-gram doc lists below are ≤ df_cap elements — collect_list
+    # memory stays bounded no matter how pathological the corpus.
     heavy = (
         inv.groupBy("_g")
         .agg(F.count(F.lit(1)).alias("_df"))
@@ -344,16 +346,45 @@ def ngram_jaccard_pairs(
         .select("_g")
     )
     capped = inv.join(F.broadcast(heavy), "_g", "left_anti")
+    # Candidate pairs from per-gram doc ARRAYS, not an index self-join:
+    # one groupBy(_g) collects the (≤ df_cap) doc ids sharing each gram,
+    # and a nested transform enumerates the ordered pairs in-place. The
+    # self-join formulation shuffled the full capped index TWICE (both
+    # join sides) plus a sort; this shuffles it once and emits exactly
+    # the Σ k(k-1)/2 candidate pairs from the explode — measured 41.9 MB
+    # → ~8 MB shuffle write and 4.7s → ~2s at sf0.1 (the round-3
+    # regression). Higher-order-function cost is per candidate pair,
+    # the same cardinality the join would have materialized anyway.
+    grouped_all = capped.groupBy("_g").agg(
+        F.array_sort(F.collect_list("_id")).alias("_ids")
+    )
+    grouped = grouped_all.filter(F.size("_ids") >= 2)
+    ids = F.col("_ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     pairs = (
-        capped.select(F.col("_g"), F.col("_id").alias("a"))
-        # merge hint: the capped index is corpus-sized; never let a
-        # borderline estimate driver-broadcast it (see minhash verify).
-        .join(capped.select(F.col("_g"), F.col("_id").alias("b")).hint("merge"), "_g")
-        .filter(F.col("a") < F.col("b"))
+        grouped.select(F.explode(pair_structs).alias("_p"))
+        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    return _jaccard_from_common(pairs, shingle_set_sizes(capped), threshold)
+    # Set sizes from the SAME grouped arrays (pre-pair-filter, so
+    # single-doc grams still count): the sizes branch re-reads the _g
+    # exchange AQE already materialized for the pair branch instead of
+    # recomputing the whole shingle-index window pipeline a third time.
+    sizes = (
+        grouped_all.select(F.explode("_ids").alias("_id"))
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+    )
+    return _jaccard_from_common(pairs, sizes, threshold)
 
 
 # --------------------------------------------------------------------------

@@ -6997,8 +6997,12 @@ def q_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
     the most similar corpus vector with a DIFFERENT label — maximal
     similarity across the label boundary is exactly what makes a negative
     "hard". Same scale shape as `ann_cosine_topk`: bounded query set
-    broadcast, corpus never shuffles, per-query top-1 window; the label
-    mismatch is one more predicate on the broadcast join."""
+    broadcast, corpus never shuffles; the label mismatch is one more
+    predicate on the broadcast join. The per-query top-1 is a `max_by`
+    partial aggregation (tie-break: smallest neg_id), NOT a window — a
+    window would shuffle every scored candidate row into |Q| partitions
+    (a skewed exchange at 100×); `max_by` reduces map-side, so the
+    exchange carries one partial row per (query, input partition)."""
     from statline_bq_spark.functions.vectors import cosine_similarity
 
     e = read_table(spark, sf, "embeddings")
@@ -7018,17 +7022,18 @@ def q_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
         .join(q, F.col("neg_label") != F.col("q_label"), "inner")
         .withColumn("_sim", cosine_similarity(F.col("_c_vec"), F.col("_q_vec")))
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col("neg_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "q_id",
-            "q_label",
-            "neg_id",
-            "neg_label",
-            F.round("_sim", 4).alias("sim"),
-        )
+    best = scored.groupBy("q_id", "q_label").agg(
+        F.max_by(
+            F.struct("neg_id", "neg_label", "_sim"),
+            F.struct(F.col("_sim").alias("_s"), (-F.col("neg_id")).alias("_t")),
+        ).alias("_best")
+    )
+    return best.select(
+        "q_id",
+        "q_label",
+        F.col("_best.neg_id").alias("neg_id"),
+        F.col("_best.neg_label").alias("neg_label"),
+        F.round("_best._sim", 4).alias("sim"),
     )
 
 

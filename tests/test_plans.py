@@ -357,6 +357,17 @@ def test_dedup_caps_are_broadcast_anti_joins_no_barrier(spark):
         assert "Scan ExistingRDD" not in plan
 
 
+def test_hard_negative_mining_top1_is_partial_agg_not_window(spark):
+    """The per-query top-1 must reduce map-side (max_by partial
+    aggregation): a row_number window over q_id would shuffle every scored
+    candidate row into |Q| partitions — a skewed exchange at 100×. The
+    broadcast of the bounded query side must also survive."""
+    plan = explain_str(workload.q_hard_negative_mining(spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "max_by" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
 def test_pack_sequences_has_no_whole_stream_window(spark):
     """The packing prefix sum must never sort a whole stream in one window
     task: every window partitioning in the plan must include the block
