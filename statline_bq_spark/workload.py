@@ -9042,11 +9042,11 @@ def q_pivot_sql_clause(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_PIVOT_SQL_CLAUSE = """
 SELECT user_id,
-       sum(CASE WHEN event_type = 'click' THEN 1 END) AS click,
-       sum(CASE WHEN event_type = 'error' THEN 1 END) AS error,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
-       sum(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
-       sum(CASE WHEN event_type = 'view' THEN 1 END) AS view
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
 FROM events GROUP BY user_id
 """
 
@@ -9588,7 +9588,10 @@ def q_decayed_engagement(spark: SparkSession, sf: str) -> DataFrame:
                 F.expr(f"(mx_us - us) DIV {week_us}").cast("int"), F.lit(30)
             ),
         )
-        .select("user_id", F.expr("1.0 / shiftleft(1, _k)").alias("t"))
+        .select(
+            "user_id",
+            F.expr("cast(1.0 as double) / shiftleft(1, _k)").alias("t"),
+        )
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -122,6 +122,82 @@ def test_spark_output_types_hashable(spark, name):
     )
 
 
+def _duck_output_types(duck, sql):
+    """Real DuckDB output types for a query. The DB-API ``description``
+    collapses every numeric to the useless ``'NUMBER'``; ``DESCRIBE`` is the
+    only way to see HUGEINT vs BIGINT vs DOUBLE vs DECIMAL."""
+    rows = duck.execute(f"DESCRIBE ({sql.rstrip().rstrip(';')})").fetchall()
+    return {r[0]: r[1] for r in rows}
+
+
+def _duck_type_class(type_name: str) -> str:
+    """Canonical comparison class for a DuckDB output type."""
+    t = str(type_name).upper()
+    if t.startswith(("HUGEINT", "INT128", "UHUGEINT")):
+        return "hugeint"  # never driver-safe; dedicated gate below
+    if t.startswith(("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "INT", "UINTEGER", "UBIGINT", "USMALLINT", "UTINYINT", "NUMBER")):
+        return "int"
+    if t.startswith(("DOUBLE", "FLOAT", "REAL")):
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t.startswith(("VARCHAR", "STRING", "TEXT")):
+        return "str"
+    if t.startswith("BOOL"):
+        return "bool"
+    if t.startswith("DATE"):
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    return f"other:{t}"
+
+
+def _spark_type_class(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    return f"other:{dt.simpleString()}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_schema_zips_with_oracle(spark, duck, name):
+    """Driver-hash pre-flight (round-3 directive): the Spark output schema
+    and the DuckDB oracle's result schema must agree column-by-column after
+    type canonicalization (all int widths are driver-equivalent; decimal vs
+    float is NOT — the engines fetch ``decimal.Decimal`` vs ``float``,
+    which hash differently). Value-level parity can pass at sf0.01 while a
+    type split still flips the driver's hash — this catches that without
+    spending a window slot."""
+    scols = {
+        f.name: _spark_type_class(f.dataType)
+        for f in QUERIES[name](spark, SF_ORACLE).schema.fields
+    }
+    dcols = {
+        c: _duck_type_class(t)
+        for c, t in _duck_output_types(duck, ORACLES[name]).items()
+    }
+    assert sorted(scols) == sorted(dcols), (
+        f"{name}: column names {sorted(scols)} vs {sorted(dcols)}"
+    )
+    diffs = {
+        c: (scols[c], dcols[c]) for c in scols if scols[c] != dcols[c]
+    }
+    assert not diffs, f"{name}: type-class mismatches {diffs}"
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_output_types_hashable(duck, name):
     """The driver hashes TYPED values: DuckDB ``sum(INTEGER)`` returns
@@ -129,10 +205,9 @@ def test_oracle_output_types_hashable(duck, name):
     in an oracle's output guarantees a hash mismatch even when every value
     is identical (round-1 ``json_props_sum`` failure). Gate: no oracle
     output column may be HUGEINT — wrap in CAST(... AS BIGINT)."""
-    cur = duck.execute(ORACLES[name])
     bad = [
-        d[0]
-        for d in cur.description
-        if str(d[1]).upper().startswith(("HUGEINT", "INT128", "UHUGEINT"))
+        c
+        for c, t in _duck_output_types(duck, ORACLES[name]).items()
+        if str(t).upper().startswith(("HUGEINT", "INT128", "UHUGEINT"))
     ]
     assert not bad, f"{name}: HUGEINT output columns {bad} — CAST AS BIGINT"
