@@ -65,8 +65,25 @@ def write_snapshot(
 def list_snapshot_dates(
     root: str, source: str, odata_version: str, dataset_id: str
 ) -> list[str]:
-    """Distinct YYYYMMDD snapshot folders (reference S17's blob-list + set)."""
+    """Distinct YYYYMMDD snapshot folders (reference S17's blob-list + set).
+
+    URI storage roots (``file://``, ``gs://``, ``s3://`` — reference S16's
+    GCS bucket, ``gcpl.py:53-97``) are listed through ``pyarrow.fs``, the
+    same scheme resolution ``sources.metadata.write_metadata`` uses for the
+    side files, so one ``storage_root`` value serves parquet, metadata, and
+    snapshot listing alike."""
     base = dataset_root(root, source, odata_version, dataset_id)
+    if "://" in base:
+        import pyarrow.fs as pafs
+
+        fs, dir_p = pafs.FileSystem.from_uri(base)
+        sel = pafs.FileSelector(dir_p, allow_not_found=True)
+        return sorted(
+            info.base_name
+            for info in fs.get_file_info(sel)
+            if info.type == pafs.FileType.Directory
+            and re.fullmatch(r"\d{8}", info.base_name)
+        )
     if not os.path.isdir(base):
         return []
     return sorted(
@@ -146,6 +163,13 @@ def expire_snapshots(
     if older_than is not None:
         victims = [d for d in victims if d < older_than]
     base = dataset_root(root, source, odata_version, dataset_id)
+    if "://" in base:
+        import pyarrow.fs as pafs
+
+        fs, dir_p = pafs.FileSystem.from_uri(base)
+        for d in victims:
+            fs.delete_dir(f"{dir_p}/{d}")
+        return victims
     for d in victims:
         shutil.rmtree(os.path.join(base, d))
     return victims

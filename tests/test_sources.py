@@ -211,6 +211,36 @@ def test_expire_snapshots_keeps_latest(spark, tmp_path):
         layout.expire_snapshots(root, "cbs", "v3", "D1", keep_latest=0)
 
 
+def test_snapshot_uri_storage_root(spark, tmp_path):
+    """S16 smoke path (reference ``gcpl.py:170-229``): the whole snapshot
+    lifecycle — write, list, latest-read, expire, metadata side file —
+    through an absolute ``file://`` URI ``storage_root``. Spark resolves
+    the URI via Hadoop's FileSystem and the listing/side-file code via
+    ``pyarrow.fs``; a ``gs://`` root takes the identical code path once
+    the GCS connector jar is on the Spark classpath and pyarrow's GcsFileSystem
+    has credentials — no sandbox cloud, so ``file://`` documents the claim."""
+    root = f"file://{tmp_path}"
+    df = spark.range(5)
+    for d in ("20240101", "20240301"):
+        p = layout.write_snapshot(df, root, "cbs", "v3", "D1", "t", load_date=d)
+        assert p.startswith("file://")
+    assert layout.list_snapshot_dates(root, "cbs", "v3", "D1") == [
+        "20240101", "20240301",
+    ]
+    latest = layout.read_latest_snapshot(spark, root, "cbs", "v3", "D1", "t")
+    assert latest.count() == 5
+    assert latest.select("load_date").distinct().collect()[0][0] == "20240301"
+    assert layout.snapshot_date_asof(root, "cbs", "v3", "D1", "20240215") == "20240101"
+    gone = layout.expire_snapshots(root, "cbs", "v3", "D1", keep_latest=1)
+    assert gone == ["20240101"]
+    assert layout.list_snapshot_dates(root, "cbs", "v3", "D1") == ["20240301"]
+    # the S14 metadata side file lands next to the parquet via the same root
+    mpath = md.write_metadata(
+        {"Title": "x"}, f"{root}/cbs/v3/D1/20240301", "cbs", "v3", "D1"
+    )
+    assert (tmp_path / "cbs/v3/D1/20240301" / os.path.basename(mpath)).exists()
+
+
 def test_latest_snapshot_missing(spark, tmp_path):
     assert layout.latest_snapshot_date(str(tmp_path), "cbs", "v3", "NOPE") is None
     with pytest.raises(FileNotFoundError):
