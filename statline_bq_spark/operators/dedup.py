@@ -346,45 +346,69 @@ def ngram_jaccard_pairs(
         .select("_g")
     )
     capped = inv.join(F.broadcast(heavy), "_g", "left_anti")
-    # Candidate pairs from per-gram doc ARRAYS, not an index self-join:
-    # one groupBy(_g) collects the (≤ df_cap) doc ids sharing each gram,
-    # and a nested transform enumerates the ordered pairs in-place. The
-    # self-join formulation shuffled the full capped index TWICE (both
-    # join sides) plus a sort; this shuffles it once and emits exactly
-    # the Σ k(k-1)/2 candidate pairs from the explode — measured 41.9 MB
-    # → ~8 MB shuffle write and 4.7s → ~2s at sf0.1 (the round-3
-    # regression). Higher-order-function cost is per candidate pair,
-    # the same cardinality the join would have materialized anyway.
-    grouped_all = capped.groupBy("_g").agg(
-        F.array_sort(F.collect_list("_id")).alias("_ids")
+    # Per-doc CAPPED set sizes ride the _id partitioning the shingle
+    # window already established: an unordered count window over _id adds
+    # no exchange (the anti-join is narrow), where a separate sizes
+    # aggregate + two sort-merge joins against the pair counts — the
+    # round-3 shape — sorted the full candidate-pair relation twice. At
+    # 100 TB the candidate pairs are the largest relation in the query;
+    # never shuffling them again after enumeration is the point.
+    withsz = capped.withColumn(
+        "_sz", F.count(F.lit(1)).over(Window.partitionBy("_id"))
     )
-    grouped = grouped_all.filter(F.size("_ids") >= 2)
+    # Candidate pairs from per-gram doc ARRAYS, not an index self-join:
+    # one groupBy(_g) collects the (≤ df_cap) (doc, set-size) structs
+    # sharing each gram, and a nested transform enumerates the ordered
+    # pairs in-place. The self-join formulation shuffled the full capped
+    # index TWICE (both join sides) plus a sort; this shuffles it once
+    # and emits exactly the Σ k(k-1)/2 candidate pairs from the explode.
+    # array_sort on struct<_id,_sz> orders by _id first, so a < b holds.
+    grouped = (
+        withsz.groupBy("_g")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_id", "_sz"))
+            ).alias("_ids")
+        )
+        .filter(F.size("_ids") >= 2)
+    )
     ids = F.col("_ids")
     pair_structs = F.flatten(
         F.transform(
             ids,
             lambda x, i: F.transform(
                 F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
+                lambda y: F.struct(
+                    x["_id"].alias("a"),
+                    y["_id"].alias("b"),
+                    x["_sz"].alias("_sa"),
+                    y["_sz"].alias("_sb"),
+                ),
             ),
         )
     )
-    pairs = (
+    # Sizes arrived with the pair, so one hash aggregate finishes the
+    # query: group on (a, b) — _sa/_sb are functionally dependent, kept
+    # as grouping cols to stay in the same codegen'd agg — count common
+    # grams, compute Jaccard inline, filter. No join after enumeration.
+    return (
         grouped.select(F.explode(pair_structs).alias("_p"))
-        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
-        .groupBy("a", "b")
+        .select("_p.a", "_p.b", "_p._sa", "_p._sb")
+        .groupBy("a", "b", "_sa", "_sb")
         .agg(F.count(F.lit(1)).alias("common"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("_sa") + F.col("_sb") - F.col("common")).cast(
+                    "double"
+                ),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
     )
-    # Set sizes from the SAME grouped arrays (pre-pair-filter, so
-    # single-doc grams still count): the sizes branch re-reads the _g
-    # exchange AQE already materialized for the pair branch instead of
-    # recomputing the whole shingle-index window pipeline a third time.
-    sizes = (
-        grouped_all.select(F.explode("_ids").alias("_id"))
-        .groupBy("_id")
-        .agg(F.count(F.lit(1)).alias("_sz"))
-    )
-    return _jaccard_from_common(pairs, sizes, threshold)
 
 
 # --------------------------------------------------------------------------
