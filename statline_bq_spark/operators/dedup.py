@@ -258,17 +258,32 @@ def minhash_lsh_pairs(
         F.broadcast(heavy), ["band_id", "band_hash"], "left_anti"
     )
 
-    left = buckets.select(
-        F.col("band_id"), F.col("band_hash"), F.col("_id").alias("a")
+    # Candidate pairs from per-bucket member ARRAYS, not a bucket
+    # self-join: one groupBy collects the (≤ max_bucket_size, enforced by
+    # the anti-join above) members per bucket and a nested transform
+    # enumerates the ordered pairs in place — same cardinality the
+    # self-join would materialize, minus the second shuffle read and the
+    # two sort passes of the sort-merge formulation (same reshape as
+    # ``ngram_jaccard_pairs``). distinct() then dedups pairs that
+    # collide in several bands.
+    members = (
+        buckets.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
     )
-    right = buckets.select(
-        F.col("band_id"), F.col("band_hash"), F.col("_id").alias("b")
+    _ids = F.col("_ids")
+    bucket_pairs = F.flatten(
+        F.transform(
+            _ids,
+            lambda x, i: F.transform(
+                F.slice(_ids, i + 2, F.size(_ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
     candidates = (
-        # merge hint: buckets is corpus-sized (docs x bands rows)
-        left.join(right.hint("merge"), ["band_id", "band_hash"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        members.select(F.explode(bucket_pairs).alias("_p"))
+        .select("_p.a", "_p.b")
         .distinct()
     )
 
@@ -279,15 +294,41 @@ def minhash_lsh_pairs(
     # borderline size estimate dips under the auto-broadcast threshold is
     # both a scale hazard and a measured source of 20x run-to-run variance
     # mid-size; SMJ is what a real cluster picks at scale anyway.
-    inv_a = inv.select(F.col("_id").alias("a"), "_g").hint("merge")
-    inv_b = inv.select(F.col("_id").alias("b"), "_g").hint("merge")
-    common = (
+    #
+    # Per-doc set sizes ride ALONG the index rows (unordered count window
+    # over _id — same exchange shape the signature groupBy(_id) already
+    # created, so it reuses rather than re-aggregates) instead of joining
+    # a separate sizes relation onto the pair counts afterwards: the two
+    # extra sort-merge joins sorted the pair relation twice for values
+    # already known at enumeration time (same reshape as
+    # ``ngram_jaccard_pairs``).
+    invz = inv.withColumn(
+        "_sz", F.count(F.lit(1)).over(Window.partitionBy("_id"))
+    )
+    inv_a = invz.select(
+        F.col("_id").alias("a"), "_g", F.col("_sz").alias("_sa")
+    ).hint("merge")
+    inv_b = invz.select(
+        F.col("_id").alias("b"), "_g", F.col("_sz").alias("_sb")
+    ).hint("merge")
+    return (
         candidates.join(inv_a, "a")
         .join(inv_b, ["b", "_g"])
-        .groupBy("a", "b")
+        .groupBy("a", "b", "_sa", "_sb")
         .agg(F.count(F.lit(1)).alias("common"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("_sa") + F.col("_sb") - F.col("common")).cast(
+                    "double"
+                ),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("a", "b", "jaccard")
     )
-    return _jaccard_from_common(common, shingle_set_sizes(inv), jaccard_threshold)
 
 
 # --------------------------------------------------------------------------
