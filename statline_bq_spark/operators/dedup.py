@@ -625,23 +625,44 @@ def simhash_neardup_pairs(
         F.broadcast(heavy), ["block_id", "block_val"], "left_anti"
     )
 
-    left = buckets.select(
-        "block_id", "block_val", F.col("_id").alias("a"), F.col("simhash").alias("_fa")
+    # Candidate pairs from per-bucket member ARRAYS (same reshape as
+    # ``minhash_lsh_pairs``/``ngram_jaccard_pairs``): one groupBy per
+    # bucket collects struct<_id,simhash> members (bounded by the
+    # max_bucket_size anti-join above), a nested transform enumerates the
+    # ordered pairs with the Hamming distance computed inline, and
+    # distinct() dedups pairs agreeing on several blocks — no bucket
+    # self-join, no sort passes, the fingerprints travel with the pair so
+    # verification needs no further join.
+    members = (
+        buckets.groupBy("block_id", "block_val")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_id", "simhash"))
+            ).alias("_ms")
+        )
+        .filter(F.size("_ms") >= 2)
     )
-    right = buckets.select(
-        "block_id", "block_val", F.col("_id").alias("b"), F.col("simhash").alias("_fb")
+    _ms = F.col("_ms")
+    bucket_pairs = F.flatten(
+        F.transform(
+            _ms,
+            lambda x, i: F.transform(
+                F.slice(_ms, i + 2, F.size(_ms)),
+                lambda y: F.struct(
+                    x["_id"].alias("a"),
+                    y["_id"].alias("b"),
+                    F.bit_count(
+                        x["simhash"].bitwiseXOR(y["simhash"])
+                    ).alias("hamming"),
+                ),
+            ),
+        )
     )
     return (
-        # merge hint: buckets is corpus-sized (docs x blocks rows)
-        left.join(right.hint("merge"), ["block_id", "block_val"])
-        .filter(F.col("a") < F.col("b"))
-        .select(
-            "a",
-            "b",
-            F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).alias("hamming"),
-        )
-        .distinct()
+        members.select(F.explode(bucket_pairs).alias("_p"))
+        .select("_p.a", "_p.b", "_p.hamming")
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

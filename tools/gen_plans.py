@@ -39,12 +39,27 @@ NOTES = {
     ),
     "minhash_pairs_raw": (
         "MinHash-LSH: shingles are 64-bit hashes from the first map stage "
-        "on; every shuffle moves 8-byte keys, never text. Band buckets "
-        "join on (band, bucket-hash) — the candidate join is equi, not "
-        "cross. The degenerate-bucket cap is a broadcast LeftAnti against "
-        "the small heavy-hitter set, so the bucket stream never shuffles "
-        "for the cap; the signature groupBy exchange is identical in all "
-        "three consumers and appears once as a ReusedExchange."
+        "on; every shuffle moves 8-byte keys, never text. Candidate pairs "
+        "come from per-bucket member arrays (one groupBy on (band, "
+        "bucket-hash), ordered pairs enumerated in place) — no bucket "
+        "self-join, no sort passes; the degenerate-bucket cap is a "
+        "broadcast LeftAnti against the small heavy-hitter set enforced "
+        "BEFORE collect_list, so array state is bounded by the cap. The "
+        "exact-Jaccard verify carries per-doc set sizes along the index "
+        "rows (count window over _id), so one hash aggregate finishes the "
+        "query — the pair relation is never re-shuffled after enumeration."
+    ),
+    "simhash_pairs_raw": (
+        "SimHash near-dup pairs: the 64-bit fingerprint is built from 32 "
+        "lane-packed bit-count sums over the exploded token stream (two "
+        "32-bit lanes per bigint — codegen'd hash-agg with map-side "
+        "partials; the 64-bit vote fold happens once per DOC via "
+        "higher-order functions). Block-permutation buckets give exact "
+        "recall for hamming <= max_hamming by pigeonhole; candidate pairs "
+        "are enumerated in place from per-bucket member arrays (bounded "
+        "by the heavy-bucket broadcast-anti cap) with bit_count(a XOR b) "
+        "computed inline — no bucket self-join, and nothing joins after "
+        "enumeration."
     ),
     "market_share": (
         "TPC-H Q8 shape: both nation decode chains and the region filter "
@@ -85,13 +100,17 @@ NOTES = {
         "#buckets rows, never raw events."
     ),
     "ngram_jaccard_pairs": (
-        "Exact Jaccard inverted-index join with a gram document-frequency "
-        "cap: grams seen in >128 docs (the small heavy-hitter set) are "
-        "removed by a broadcast LeftAnti before the self-join, bounding "
-        "the sum-of-bucket-squared blowup a boilerplate shingle would "
-        "cause without ever shuffling the index for the cap; set sizes "
-        "come from the same capped universe so the Jaccard stays exact "
-        "over informative grams (oracle mirrors the cap)."
+        "Exact Jaccard over a capped inverted index: grams seen in >128 "
+        "docs (the small heavy-hitter set) are removed by a broadcast "
+        "LeftAnti, bounding the sum-of-bucket-squared blowup a "
+        "boilerplate shingle would cause without ever shuffling the index "
+        "for the cap; set sizes come from the same capped universe so the "
+        "Jaccard stays exact over informative grams (oracle mirrors the "
+        "cap). Pairs are enumerated in place from per-gram "
+        "struct<doc,size> arrays (bounded by the cap) and finished by a "
+        "single hash aggregate with the Jaccard computed inline — no "
+        "self-join, and the candidate-pair relation (the largest in the "
+        "query at scale) is never sorted or joined after enumeration."
     ),
     "packed_sequences": (
         "Concat-then-chunk sequence packing: the per-stream token prefix "
