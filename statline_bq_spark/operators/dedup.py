@@ -287,42 +287,37 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Exact-Jaccard verify restricted to candidates: count common grams by
-    # joining the index on (doc, gram) for each side of the pair. The index
-    # sides carry a merge (sort-merge) hint: the inverted index is
-    # corpus-sized, and letting the planner driver-broadcast it whenever a
-    # borderline size estimate dips under the auto-broadcast threshold is
-    # both a scale hazard and a measured source of 20x run-to-run variance
-    # mid-size; SMJ is what a real cluster picks at scale anyway.
-    #
-    # Per-doc set sizes ride ALONG the index rows (unordered count window
-    # over _id — same exchange shape the signature groupBy(_id) already
-    # created, so it reuses rather than re-aggregates) instead of joining
-    # a separate sizes relation onto the pair counts afterwards: the two
-    # extra sort-merge joins sorted the pair relation twice for values
-    # already known at enumeration time (same reshape as
-    # ``ngram_jaccard_pairs``).
-    invz = inv.withColumn(
-        "_sz", F.count(F.lit(1)).over(Window.partitionBy("_id"))
+    # Exact-Jaccard verify restricted to candidates, against PER-DOC gram
+    # ARRAYS (one row per doc, bounded by document length) rather than the
+    # exploded index (one row per gram): two doc-level joins bring each
+    # side's gram array to the pair, and the intersection size (hash-set
+    # based, O(|A|+|B|) per candidate) finishes the query with no
+    # aggregate and no further join.
+    # The array relation groups on the same exchange the signature
+    # groupBy(_id) created (ReusedExchange), and the joins carry merge
+    # hints: the gram-array relation is corpus-sized, and letting a
+    # borderline size estimate tempt the planner into driver-broadcasting
+    # it is a scale hazard (and a measured source of 20x run-to-run
+    # variance mid-size); SMJ is what a real cluster picks at scale.
+    docgrams = inv.groupBy("_id").agg(
+        F.collect_list("_g").alias("_grams")
     )
-    inv_a = invz.select(
-        F.col("_id").alias("a"), "_g", F.col("_sz").alias("_sa")
+    ga = docgrams.select(
+        F.col("_id").alias("a"), F.col("_grams").alias("_ga")
     ).hint("merge")
-    inv_b = invz.select(
-        F.col("_id").alias("b"), "_g", F.col("_sz").alias("_sb")
+    gb = docgrams.select(
+        F.col("_id").alias("b"), F.col("_grams").alias("_gb")
     ).hint("merge")
+    common = F.size(F.array_intersect("_ga", "_gb"))
+    sa, sb = F.size("_ga"), F.size("_gb")
     return (
-        candidates.join(inv_a, "a")
-        .join(inv_b, ["b", "_g"])
-        .groupBy("a", "b", "_sa", "_sb")
-        .agg(F.count(F.lit(1)).alias("common"))
+        candidates.join(ga, "a")
+        .join(gb, "b")
         .withColumn(
             "jaccard",
             F.round(
-                F.col("common").cast("double")
-                / (F.col("_sa") + F.col("_sb") - F.col("common")).cast(
-                    "double"
-                ),
+                common.cast("double")
+                / (sa + sb - common).cast("double"),
                 4,
             ),
         )
