@@ -357,6 +357,33 @@ def test_dedup_caps_are_broadcast_anti_joins_no_barrier(spark):
         assert "Scan ExistingRDD" not in plan
 
 
+def test_dedup_pair_enumeration_has_no_self_join(spark):
+    """Candidate pairs in the ngram/minhash/simhash pipelines come from
+    per-bucket member arrays enumerated in place (round 4): the index /
+    bucket stream must never self-join — the self-join formulation
+    shuffled the corpus-sized stream twice and sorted both sides. ngram
+    and simhash finish with no join at all; minhash's only joins are the
+    two doc-level gram-array verify joins (sort-merge, corpus-sized side
+    deliberately hinted) plus broadcasts for the caps."""
+    from statline_bq_spark.io import read_table
+    from statline_bq_spark.operators import dedup
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    for df in (
+        dedup.ngram_jaccard_pairs(d),
+        dedup.simhash_neardup_pairs(d),
+    ):
+        plan = explain_str(df)
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan
+    # simple mode lists each node once (formatted repeats them in the
+    # detail section)
+    mh = explain_str(
+        dedup.minhash_lsh_pairs(d, jaccard_threshold=0.3), "simple"
+    )
+    assert mh.count("SortMergeJoin") == 2  # the two gram-array verify joins
+
+
 def test_hard_negative_mining_top1_is_partial_agg_not_window(spark):
     """The per-query top-1 must reduce map-side (max_by partial
     aggregation): a row_number window over q_id would shuffle every scored
