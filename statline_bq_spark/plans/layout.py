@@ -118,24 +118,49 @@ def compact_snapshot(
     input tail is skewed — the one extra shuffle is the point of the op.
 
     The rewrite goes to a sibling temp dir, then swaps in — Spark cannot
-    safely overwrite a directory it is currently reading.
+    safely overwrite a directory it is currently reading. URI roots
+    (``file://``, ``gs://``, ``s3://``) go through ``pyarrow.fs`` like the
+    rest of the layout module; note the swap is copy-free only on
+    rename-capable stores (local, HDFS) — object stores fake renames, so
+    there the move costs one extra pass, which is inherent to compaction
+    on such stores.
     """
     import shutil
 
-    total = sum(
-        os.path.getsize(os.path.join(dirpath, f))
-        for dirpath, _, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    if "://" in path:
+        import pyarrow.fs as pafs
+
+        fs, dir_p = pafs.FileSystem.from_uri(path)
+        total = sum(
+            info.size
+            for info in fs.get_file_info(
+                pafs.FileSelector(dir_p, recursive=True)
+            )
+            if info.is_file and info.base_name.endswith(".parquet")
+        )
+    else:
+        total = sum(
+            os.path.getsize(os.path.join(dirpath, f))
+            for dirpath, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
     n_files = max(1, -(-total // target_file_bytes))
     tmp = path.rstrip("/") + ".compact.tmp"
     writer = spark.read.parquet(path).repartition(n_files).write.mode("overwrite")
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    if "://" in path:
+        import pyarrow.fs as pafs
+
+        fs, dir_p = pafs.FileSystem.from_uri(path)
+        _, tmp_p = pafs.FileSystem.from_uri(tmp)
+        fs.delete_dir(dir_p)
+        fs.move(tmp_p, dir_p)
+    else:
+        shutil.rmtree(path)
+        os.rename(tmp, path)
     return n_files
 
 

@@ -239,6 +239,16 @@ def test_snapshot_uri_storage_root(spark, tmp_path):
         {"Title": "x"}, f"{root}/cbs/v3/D1/20240301", "cbs", "v3", "D1"
     )
     assert (tmp_path / "cbs/v3/D1/20240301" / os.path.basename(mpath)).exists()
+    # compaction through the URI path: many small files -> one
+    import glob
+
+    many = f"{root}/cbs/v3/D1/20240301/t"
+    spark.range(1000).repartition(16).write.mode("overwrite").parquet(many)
+    n = layout.compact_snapshot(spark, many, target_file_bytes=1 << 30)
+    local_many = str(tmp_path / "cbs/v3/D1/20240301/t")
+    assert n == 1 and len(glob.glob(local_many + "/*.parquet")) == 1
+    assert spark.read.parquet(many).count() == 1000
+    assert not glob.glob(local_many + ".compact.tmp")
 
 
 def test_latest_snapshot_missing(spark, tmp_path):
