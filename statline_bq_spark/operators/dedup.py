@@ -42,10 +42,16 @@ def shingle_index(
     This beats the array-of-shingles formulation by ~5× because higher-order
     array functions (transform/slice/concat_ws) are interpreted per element.
 
-    Scale: the only shuffle is by document id, and per-document state is
-    bounded by document length, so the window sort never spills beyond one
-    doc. Gram identity is a 64-bit hash (collisions ~2⁻⁶⁴), so downstream
-    set math shuffles 8-byte keys.
+    Scale: the ONLY shuffle is by document id (the lead window's), and
+    per-document state is bounded by document length, so the window sort
+    never spills beyond one doc. Per-doc dedup is a ``collect_set``
+    groupBy(_id) that rides the window's existing _id partitioning — a
+    local aggregate, where ``.distinct()`` re-shuffled the whole (doc,
+    gram) index on the composite key. The explode back out is narrow, so
+    the index STAYS partitioned by _id: every downstream per-doc
+    aggregate (minhash signatures, gram arrays, set sizes) is local too.
+    Gram identity is a 64-bit hash (collisions ~2⁻⁶⁴), so downstream set
+    math shuffles 8-byte keys.
     """
     toks = df.select(
         F.col(id_col).alias("_id"),
@@ -55,15 +61,15 @@ def shingle_index(
     )
     w = Window.partitionBy("_id").orderBy("_pos")
     leads = [F.lead("_tok", j).over(w) for j in range(1, n)]
+    grams = toks.select(
+        "_id",
+        F.xxhash64("_tok", *leads).alias("_g"),
+        leads[-1].alias("_lasttok"),
+    ).filter(F.col("_lasttok").isNotNull())
     return (
-        toks.select(
-            "_id",
-            F.xxhash64("_tok", *leads).alias("_g"),
-            leads[-1].alias("_lasttok"),
-        )
-        .filter(F.col("_lasttok").isNotNull())
-        .select("_id", "_g")
-        .distinct()
+        grams.groupBy("_id")
+        .agg(F.collect_set("_g").alias("_gs"))
+        .select("_id", F.explode("_gs").alias("_g"))
     )
 
 
@@ -383,14 +389,18 @@ def ngram_jaccard_pairs(
     )
     capped = inv.join(F.broadcast(heavy), "_g", "left_anti")
     # Per-doc CAPPED set sizes ride the _id partitioning the shingle
-    # window already established: an unordered count window over _id adds
-    # no exchange (the anti-join is narrow), where a separate sizes
-    # aggregate + two sort-merge joins against the pair counts — the
-    # round-3 shape — sorted the full candidate-pair relation twice. At
+    # window already established (the anti-join is narrow): a LOCAL
+    # re-collect per doc — no exchange, no sort — where a separate sizes
+    # aggregate + two sort-merge joins against the pair counts (the
+    # round-3 shape) sorted the full candidate-pair relation twice. At
     # 100 TB the candidate pairs are the largest relation in the query;
     # never shuffling them again after enumeration is the point.
-    withsz = capped.withColumn(
-        "_sz", F.count(F.lit(1)).over(Window.partitionBy("_id"))
+    withsz = (
+        capped.groupBy("_id")
+        .agg(F.collect_list("_g").alias("_cg"))
+        .select(
+            "_id", F.size("_cg").alias("_sz"), F.explode("_cg").alias("_g")
+        )
     )
     # Candidate pairs from per-gram doc ARRAYS, not an index self-join:
     # one groupBy(_g) collects the (≤ df_cap) (doc, set-size) structs
