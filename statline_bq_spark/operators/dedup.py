@@ -73,39 +73,6 @@ def shingle_index(
     )
 
 
-def shingle_set_sizes(inv: DataFrame) -> DataFrame:
-    """(_id, _sz) — distinct-shingle-set size per document, from the index."""
-    return inv.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
-
-
-def _jaccard_from_common(
-    pairs: DataFrame, sizes: DataFrame, threshold: float
-) -> DataFrame:
-    """Attach exact Jaccard to (a, b, common) pair counts and filter.
-
-    |A∪B| = |A| + |B| - common; sizes is one row per doc — SF-scaled —
-    so it joins sort-merge (hinted: a borderline size estimate must not
-    tempt the planner into driver-broadcasting a corpus-sized relation;
-    at real scale SMJ is the only viable choice anyway).
-    """
-    sa = sizes.select(F.col("_id").alias("a"), F.col("_sz").alias("_sa")).hint("merge")
-    sb = sizes.select(F.col("_id").alias("b"), F.col("_sz").alias("_sb")).hint("merge")
-    return (
-        pairs.join(sa, "a")
-        .join(sb, "b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("common").cast("double")
-                / (F.col("_sa") + F.col("_sb") - F.col("common")).cast("double"),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
-    )
-
-
 def token_shingles(text_col: Column | str, n: int = 3) -> Column:
     """Distinct token n-grams of a text column as array<string>.
 
