@@ -27,18 +27,21 @@ def entry(spark: SparkSession) -> DataFrame:
     return workload.q_star_schema_agg(spark, "/root/testdata/sf0.001")
 
 
-def _driver_verified() -> frozenset[str]:
-    """Queries the driver already proved green (rows+schema+hash), read from
-    every per-round CORRECTNESS_r*.json in the repo root. Later rounds
-    override earlier ones, so a regression drops a query back into the
-    unverified (front-of-window) group automatically. The driver only
-    checks the first ~50 entries of queries() in dict order; this is what
-    makes the rotation self-maintaining round over round."""
+def _driver_verified() -> dict[str, int]:
+    """Queries the driver already proved green (rows+schema+hash) → the round
+    that last proved them, read from every per-round CORRECTNESS_r*.json in
+    the repo root. Later rounds override earlier ones, so a regression drops
+    a query back into the unverified (front-of-window) group automatically.
+    The driver only checks the first ~50 entries of queries() in dict order;
+    this is what makes the rotation self-maintaining round over round."""
     import glob
     import json
+    import re
 
-    status: dict[str, bool] = {}
+    status: dict[str, tuple[bool, int]] = {}
     for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -47,12 +50,13 @@ def _driver_verified() -> frozenset[str]:
         for name, row in rows.items():
             if not isinstance(row, dict) or row.get("err") == "no_oracle":
                 continue  # rows-only rows prove nothing; keep prior status
-            status[name] = bool(
+            ok = bool(
                 row.get("rows_match")
                 and row.get("schema_match")
                 and row.get("hash_match")
             )
-    return frozenset(n for n, ok in status.items() if ok)
+            status[name] = (ok, rnd)
+    return {n: rnd for n, (ok, rnd) in status.items() if ok}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -75,11 +79,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ]
     front = [k for k in priority if k in q and k not in verified]
     rest = [k for k in q if k not in front]
+    # Verified entries resweep stalest-proof-first: once the unverified
+    # backlog drains below the window size, the spare slots re-check the
+    # greens whose proof is oldest — the silent-regression net the rotation
+    # otherwise lacks (registry dict order breaks ties, keeping the order
+    # stable within a round).
     order = (
         front
         + [k for k in rest if k not in verified and k in oracles]
         + [k for k in rest if k not in verified and k not in oracles]
-        + [k for k in rest if k in verified]
+        + sorted(
+            (k for k in rest if k in verified),
+            key=lambda k: verified[k],
+        )
     )
     return {k: q[k] for k in order}
 
