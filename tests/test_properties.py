@@ -597,3 +597,50 @@ def test_global_rank_and_exact_ntile_match_window_reference(
             tile = rem + (i - rem * (q + 1) - 1) // q + 1
         want[rid] = (i, tile)
     assert got == want
+
+
+# --- connected_components vs union-find reference ---------------------------
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 11), st.integers(0, 11)),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _uf_components(edges):
+    """Union-find reference: node -> min node id in its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots = {}
+    for n in parent:
+        roots.setdefault(find(n), []).append(n)
+    return {n: min(ns) for r, ns in roots.items() for n in ns}
+
+
+@given(edges=edge_lists)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation == union-find on random graphs, including
+    self-loops, duplicate edges, and reversed duplicates. The 12-node
+    universe keeps worst-case diameters within the iteration budget while
+    still generating multi-component shapes."""
+    from statline_bq_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.component
+        for r in connected_components(df, max_iter=15).collect()
+    }
+    assert got == _uf_components(edges)
