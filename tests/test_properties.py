@@ -644,3 +644,52 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(df, max_iter=15).collect()
     }
     assert got == _uf_components(edges)
+
+
+# --- interval_join vs brute-force containment reference ---------------------
+
+points_st = st.lists(
+    st.tuples(st.integers(0, 1000), st.integers(-80, 80)),  # (pid, value)
+    min_size=1,
+    max_size=30,
+    unique_by=lambda r: r[0],
+)
+intervals_st = st.lists(
+    st.tuples(
+        st.integers(0, 1000),      # iid
+        st.integers(-80, 80),      # lo
+        st.integers(-80, 80),      # hi (may be <= lo: degenerate, dropped)
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(points=points_st, intervals=intervals_st,
+       width=st.sampled_from([1, 2, 7, 32]))
+@settings(**SETTINGS)
+def test_interval_join_matches_containment_reference(
+    spark, points, intervals, width
+):
+    """Bucketized interval_join == brute-force [lo, hi) containment on
+    random data including NEGATIVE coordinates (floor-of-negative bucket
+    math), degenerate hi<=lo intervals, and bucket widths smaller and
+    larger than typical interval lengths."""
+    from statline_bq_spark.operators.relational import interval_join
+
+    p = spark.createDataFrame(points, "pid long, v long")
+    iv = spark.createDataFrame(intervals, "iid long, lo long, hi long")
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(p, iv, "v", "lo", "hi", bucket_width=width)
+        .select("pid", "iid")
+        .collect()
+    }
+    want = {
+        (pid, iid)
+        for pid, v in points
+        for iid, lo, hi in intervals
+        if lo <= v < hi
+    }
+    assert got == want
