@@ -592,3 +592,113 @@ def test_distinct_monitor_equals_batch_sketch(spark, events_dir, tmp_path):
     }
     for k, est in got.items():
         assert abs(est - exact[k]) * 20 <= exact[k]
+
+
+def test_incremental_pipeline_resumes_exactly_once(spark, events_dir, tmp_path):
+    """Restart-resume: new files dropped between runs are ingested exactly
+    once from the same checkpoint — the production crash/redeploy path the
+    single-run idempotence test doesn't cover."""
+    src = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    full = spark.read.parquet(events_dir)
+    schema = full.schema
+    full.filter(F.col("event_id") % 2 == 0).write.parquet(src)
+
+    q = ingest.incremental_parquet_pipeline(
+        spark, src, schema, out_dir, ckpt,
+        transform=lambda df: ingest.snapshot_with_load_date(df, "20240101"),
+        partition_by=("load_date",),
+    )
+    assert q.awaitTermination(600)
+    n_even = full.filter(F.col("event_id") % 2 == 0).count()
+    assert spark.read.parquet(out_dir).count() == n_even
+
+    # second batch of files lands while the pipeline is down
+    full.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+    q2 = ingest.incremental_parquet_pipeline(
+        spark, src, schema, out_dir, ckpt,
+        transform=lambda df: ingest.snapshot_with_load_date(df, "20240102"),
+        partition_by=("load_date",),
+    )
+    assert q2.awaitTermination(600)
+
+    out = spark.read.parquet(out_dir)
+    n_full = full.count()
+    assert out.count() == n_full
+    # exactly-once: no event ingested twice across the restart
+    assert out.select("event_id").distinct().count() == n_full
+    # the restart ingested ONLY the new files, under the new load_date
+    per_date = {
+        str(r.load_date): r.n
+        for r in out.groupBy("load_date").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_date == {"20240101": n_even, "20240102": n_full - n_even}
+
+
+def test_tumbling_agg_state_recovers_across_restart(spark, events_dir, tmp_path):
+    """Windowed-aggregation state survives a stop/restart: windows left
+    open at the end of run 1 must close with CORRECT totals when run 2's
+    later events advance the watermark — counts spanning the restart
+    boundary prove the state store recovered, not just the file log."""
+    from datetime import timedelta
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    full = spark.read.parquet(events_dir)
+    schema = full.schema
+    cut = "2024-01-16 00:00:00"
+    early = full.filter(F.col("ts") < cut)
+    late = full.filter(F.col("ts") >= cut)
+    assert early.count() and late.count()
+    early.write.parquet(src)
+
+    def run():
+        stream = windows.read_event_stream(spark, src, schema)
+        q = (
+            windows.tumbling_counts(stream, watermark="0 seconds")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600)
+
+    run()
+    late.write.mode("append").parquet(src)
+    run()
+
+    # batch truth over ALL data, restricted to windows the final watermark
+    # (max event time, 0s delay) has closed — same rule append mode applies
+    max_ts = full.agg(F.max("ts")).collect()[0][0]
+    batch = (
+        full.groupBy(
+            F.window("ts", "1 hour").alias("window"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("window.end") <= F.lit(max_ts))
+    )
+    want = {
+        (r["window"]["start"], r.event_type): r.n_events
+        for r in batch.collect()
+    }
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == want
+    # run 1's final window (start <= max early ts < end) is held open in
+    # state when run 1 stops — append mode only emits windows the
+    # watermark passed. It must appear in the sink after run 2, which can
+    # only happen if run 2 RECOVERED that window's state and closed it.
+    max_early = early.agg(F.max("ts")).collect()[0][0]
+    open_at_restart = [
+        k for k, _ in want.items()
+        if k[0] <= max_early and max_early < k[0] + timedelta(hours=1)
+    ]
+    assert open_at_restart, "cut must leave a window open across restart"
+    for k in open_at_restart:
+        assert k in got
