@@ -693,3 +693,72 @@ def test_interval_join_matches_containment_reference(
         if lo <= v < hi
     }
     assert got == want
+
+
+# --- gap_fill_linear vs pure-Python interpolation reference -----------------
+
+gap_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),       # key
+        st.integers(0, 30),      # hour offset
+        st.integers(-100, 100),  # value
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda r: (r[0], r[1]),  # one observation per (key, bucket):
+    # the bucket mean is then the value itself, so the reference needs no
+    # decimal-mean rounding emulation
+)
+
+
+def _ref_gap_fill_linear(rows):
+    """Mirrors gap_fill_linear's arithmetic exactly: epoch-second times,
+    1e4-scaled interpolation, one round at integer precision. Interior
+    ties (x.5) are impossible here — they'd need a gap with 2-adic
+    valuation ≥ 2^5 hours, and the spine is only 31 hours wide."""
+    by_key: dict[int, dict[int, int]] = {}
+    for k, h, v in rows:
+        by_key.setdefault(k, {})[h] = v
+    lo = min(h for _, h, _ in rows)
+    hi = max(h for _, h, _ in rows)
+    out = {}
+    for k, obs in by_key.items():
+        hs = sorted(obs)
+        for h in range(lo, hi + 1):
+            if h in obs:
+                out[(k, h)] = float(obs[h])
+                continue
+            prev = max((x for x in hs if x < h), default=None)
+            nxt = min((x for x in hs if x > h), default=None)
+            if prev is None or nxt is None:
+                out[(k, h)] = None
+                continue
+            t, pt, nt = h * 3600.0, prev * 3600.0, nxt * 3600.0
+            pv, nv = float(obs[prev]), float(obs[nxt])
+            num = (pv * 10000.0) * (nt - t) + (nv * 10000.0) * (t - pt)
+            x = num / (nt - pt)
+            r = round(x)  # no ties possible -> banker's == half-up
+            out[(k, h)] = r / 10000.0
+    return out
+
+
+@given(rows=gap_rows)
+@settings(**SETTINGS)
+def test_gap_fill_linear_matches_python_reference(spark, rows):
+    from datetime import datetime, timedelta
+
+    from statline_bq_spark.operators.timeseries import gap_fill_linear
+
+    base = datetime(2024, 1, 1)
+    data = [
+        (k, base + timedelta(hours=h), float(v)) for k, h, v in rows
+    ]
+    df = spark.createDataFrame(data, "k long, ts timestamp, val double")
+    got = {}
+    for r in gap_fill_linear(df, "ts", "1 hour", "k", "val").collect():
+        h = int(
+            (datetime.strptime(r.window_start, "%Y-%m-%d %H:%M:%S") - base)
+            .total_seconds() // 3600
+        )
+        got[(r.k, h)] = r.interp_value
+    assert got == _ref_gap_fill_linear(rows)
