@@ -762,3 +762,58 @@ def test_gap_fill_linear_matches_python_reference(spark, rows):
         )
         got[(r.k, h)] = r.interp_value
     assert got == _ref_gap_fill_linear(rows)
+
+
+# --- hierarchy_closure vs Python BFS reference -------------------------------
+
+forest_edges = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)),  # (child, parent)
+    min_size=1,
+    max_size=20,
+    unique_by=lambda r: r,
+)
+
+
+def _ref_closure(edges, max_depth):
+    """All (child, ancestor, depth) paths by path enumeration — multi-parent
+    nodes (a DAG, legal in parent-pointer tables with duplicate keys) yield
+    one row per distinct (child, ancestor, depth) PATH CLASS, deduped the
+    way unionByName of per-level joins dedupes (not at all within a level:
+    two distinct paths of equal length to the same ancestor emit two rows).
+    The operator keeps duplicates, so the reference counts multiplicity."""
+    parents: dict[int, list[int]] = {}
+    for c, p in edges:
+        parents.setdefault(c, []).append(p)
+    from collections import Counter
+
+    out = Counter()
+    for start in parents:
+        frontier = Counter({start: 1})
+        for depth in range(1, max_depth + 1):
+            nxt = Counter()
+            for node, mult in frontier.items():
+                for p in parents.get(node, ()):
+                    nxt[p] += mult
+            if not nxt:
+                break
+            for anc, mult in nxt.items():
+                out[(start, anc, depth)] += mult
+            frontier = nxt
+    return dict(out)
+
+
+@given(edges=forest_edges, max_depth=st.integers(2, 6))
+@settings(**SETTINGS)
+def test_hierarchy_closure_matches_bfs_reference(spark, edges, max_depth):
+    """Closure == path-multiplicity BFS on random graphs, including cycles
+    (bounded by the depth cap), self-loops, and multi-parent nodes."""
+    from collections import Counter
+
+    from statline_bq_spark.operators.hierarchy import hierarchy_closure
+
+    df = spark.createDataFrame(edges, "child long, parent long")
+    got = Counter(
+        (r.child, r.ancestor, r.depth)
+        for r in hierarchy_closure(df, max_depth=max_depth).collect()
+    )
+    assert dict(got) == _ref_closure(edges, max_depth)
