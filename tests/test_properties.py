@@ -817,3 +817,37 @@ def test_hierarchy_closure_matches_bfs_reference(spark, edges, max_depth):
         for r in hierarchy_closure(df, max_depth=max_depth).collect()
     )
     assert dict(got) == _ref_closure(edges, max_depth)
+
+
+# --- salted_join ≡ plain join -------------------------------------------------
+
+join_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 9)),  # (key, payload)
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(left=join_rows, right=join_rows,
+       parts=st.sampled_from([1, 3, 8]),
+       how=st.sampled_from(["inner", "left"]))
+@settings(**SETTINGS)
+def test_salted_join_equals_plain_join(spark, left, right, parts, how):
+    """salted_join(a, b, on) ≡ a.join(b, on) as a MULTISET (duplicates from
+    many-to-many keys must survive exactly once per pairing, not per salt
+    replica), for inner and left joins, including empty sides and
+    salt_parts=1."""
+    from collections import Counter
+
+    from statline_bq_spark.operators.skew import salted_join
+
+    a = spark.createDataFrame(left, "k long, av long") if left else \
+        spark.createDataFrame([], "k long, av long")
+    b = spark.createDataFrame(right, "k long, bv long") if right else \
+        spark.createDataFrame([], "k long, bv long")
+    got = Counter(
+        (r.k, r.av, r.bv)
+        for r in salted_join(a, b, ["k"], salt_parts=parts, how=how).collect()
+    )
+    want = Counter((r.k, r.av, r.bv) for r in a.join(b, ["k"], how).collect())
+    assert got == want
