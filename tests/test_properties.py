@@ -851,3 +851,52 @@ def test_salted_join_equals_plain_join(spark, left, right, parts, how):
     )
     want = Counter((r.k, r.av, r.bv) for r in a.join(b, ["k"], how).collect())
     assert got == want
+
+
+# --- contamination_counts / decontaminate vs Python n-gram reference --------
+
+texts_st = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=40),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _grams(text, n):
+    toks = [t for t in text.strip().split() if t] if text.strip() else []
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+@given(corpus=texts_st, bench=texts_st, n=st.sampled_from([2, 3]))
+@settings(**SETTINGS)
+def test_contamination_matches_python_ngram_reference(spark, corpus, bench, n):
+    """contamination_counts and decontaminate == a set-based Python
+    reference on adversarial token streams (empty docs, runs of
+    whitespace, docs shorter than n)."""
+    from statline_bq_spark.operators import decontaminate as dc
+
+    cdf = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    bdf = spark.createDataFrame(
+        list(enumerate(bench)), "doc_id long, text string"
+    )
+    bench_grams = set().union(*(_grams(t, n) for t in bench)) if bench else set()
+
+    got_counts = {
+        r.doc_id: (r.n_shared, r.n_grams)
+        for r in dc.contamination_counts(cdf, bdf, n=n).collect()
+    }
+    want_counts = {}
+    for i, t in enumerate(corpus):
+        g = _grams(t, n)
+        shared = len(g & bench_grams)
+        if shared:
+            want_counts[i] = (shared, len(g))
+    assert got_counts == want_counts
+
+    got_clean = {
+        r.doc_id for r in dc.decontaminate(cdf, bdf, n=n).collect()
+    }
+    want_clean = {i for i, t in enumerate(corpus) if not (_grams(t, n) & bench_grams)}
+    assert got_clean == want_clean
