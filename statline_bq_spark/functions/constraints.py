@@ -60,7 +60,10 @@ def validate(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
     agg = df.agg(
         F.count(F.lit(1)).alias("_total"),
         *[
-            F.sum(F.when(c.violated, 1).otherwise(0))
+            # coalesce: sum() over an EMPTY table is NULL, which would make
+            # n_violations/passed NULL — an empty (e.g. truncated-upstream)
+            # table must read as 0 violations, not as an unreadable verdict
+            F.coalesce(F.sum(F.when(c.violated, 1).otherwise(0)), F.lit(0))
             .cast("bigint")
             .alias(f"_v{i}")
             for i, c in enumerate(checks)

@@ -900,3 +900,47 @@ def test_contamination_matches_python_ngram_reference(spark, corpus, bench, n):
     }
     want_clean = {i for i, t in enumerate(corpus) if not (_grams(t, n) & bench_grams)}
     assert got_clean == want_clean
+
+
+# --- constraints.validate vs Python counting reference ----------------------
+
+check_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(-20, 20)),   # v (nullable)
+        st.sampled_from(["a", "b", "c", "d"]),        # cat
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(rows=check_rows, lo=st.integers(-10, 0), hi=st.integers(0, 10))
+@settings(**SETTINGS)
+def test_constraint_counts_match_python_reference(spark, rows, lo, hi):
+    """One-scan validate() == per-row Python counting for not_null,
+    accepted_values, and in_range — including NULL handling (NULL violates
+    accepted_values and in_range, by contract) and EMPTY tables (0
+    violations and passed=True, never a NULL verdict)."""
+    from statline_bq_spark.functions import constraints as cq
+
+    df = spark.createDataFrame(rows, "v long, cat string") if rows else \
+        spark.createDataFrame([], "v long, cat string")
+    out = {
+        r.check_name: (r.n_violations, r.passed)
+        for r in cq.validate(
+            df,
+            [
+                cq.not_null("v"),
+                cq.accepted_values("cat", ["a", "b"]),
+                cq.in_range("v", lo, hi),
+            ],
+        ).collect()
+    }
+    exp = {
+        "not_null_v": sum(1 for v, _ in rows if v is None),
+        "accepted_values_cat": sum(1 for _, c in rows if c not in ("a", "b")),
+        "in_range_v": sum(
+            1 for v, _ in rows if v is None or v < lo or v > hi
+        ),
+    }
+    assert out == {k: (n, n == 0) for k, n in exp.items()}
