@@ -44,7 +44,13 @@ def profile_numeric(
         aggs.extend(
             [
                 F.count(F.lit(1)).alias(f"_rows_{c}"),
-                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                # coalesce: sum() over an EMPTY table is NULL — a count
+                # column must read 0, not an unreadable verdict (min/max/
+                # mean stay honestly NULL on empty input)
+                F.coalesce(
+                    F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)),
+                    F.lit(0),
+                )
                 .cast("bigint")
                 .alias(f"_nulls_{c}"),
                 distinct.alias(f"_nd_{c}"),

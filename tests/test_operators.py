@@ -965,3 +965,16 @@ def test_compile_pipeline_ops_and_errors(spark):
             spark, SF_SMOKE,
             ({"op": "read", "table": "orders"}, {"op": "explode_all"}),
         )
+
+
+def test_profile_numeric_empty_table_counts_are_zero(spark):
+    """Counts must read 0 (not NULL) on an empty table; extrema/mean stay
+    honestly NULL."""
+    from statline_bq_spark.functions.profile import profile_numeric
+
+    df = spark.createDataFrame([], "a long, b double")
+    rows = {r.column: r for r in profile_numeric(df, ["a", "b"]).collect()}
+    assert set(rows) == {"a", "b"}
+    for r in rows.values():
+        assert (r.n_rows, r.n_nulls, r.n_distinct) == (0, 0, 0)
+        assert r.min_v is None and r.max_v is None and r.mean_v is None
