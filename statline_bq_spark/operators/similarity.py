@@ -532,6 +532,8 @@ def _assign_nearest_literal(
     """
     import numpy as np
 
+    if not labeled_centroids:
+        raise ValueError("labeled_centroids is empty — nothing to assign to")
     cmat = np.asarray([c for _, c in labeled_centroids], dtype="float64")
     norms = np.linalg.norm(cmat, axis=1)
     norms[norms == 0.0] = 1.0
@@ -631,7 +633,10 @@ def kmeans_fit(
     import numpy as np
     import pandas as pd
 
-    dim = df.select(F.size(F.col(vec_col).cast("array<double>"))).first()[0]
+    dim_row = df.select(F.size(F.col(vec_col).cast("array<double>"))).first()
+    if dim_row is None:
+        raise ValueError("cannot fit k-means on an empty DataFrame")
+    dim = dim_row[0]
     hashed = df.select(
         F.col(vec_col).cast("array<double>").alias("_v"),
         F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"),
@@ -884,6 +889,19 @@ def ivf_topk(
             corpus, label_col=label_col, vec_col=vec_col
         ).collect()
     )
+    if not labeled:
+        # empty corpus → no inverted lists: searching finds nothing. Keep
+        # the output schema (and q_id/neighbor_id input types) intact.
+        return (
+            queries.select(F.col(query_id_col).alias("q_id"))
+            .crossJoin(corpus.select(F.col(id_col).alias("neighbor_id")))
+            .select(
+                "q_id",
+                "neighbor_id",
+                F.lit(1).cast("int").alias("rn"),
+                F.lit(0.0).alias("sim"),
+            )
+        )
     corpus_lists = _assign_nearest_literal(
         corpus,
         labeled,

@@ -978,3 +978,20 @@ def test_profile_numeric_empty_table_counts_are_zero(spark):
     for r in rows.values():
         assert (r.n_rows, r.n_nulls, r.n_distinct) == (0, 0, 0)
         assert r.min_v is None and r.max_v is None and r.mean_v is None
+
+
+def test_ivf_and_kmeans_empty_corpus_behavior(spark):
+    """Searching an empty IVF corpus returns an empty, correctly-typed
+    result; fitting a codebook on an empty corpus raises a clear error
+    (not a numpy AxisError / NoneType crash)."""
+    import pytest as _pytest
+
+    from statline_bq_spark.operators import similarity
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>, label int")
+    qs = spark.createDataFrame([(1, [1.0, 0.0])], "q_id long, embedding array<double>")
+    out = similarity.ivf_topk(emb, qs, nprobe=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["q_id", "neighbor_id", "rn", "sim"]
+    with _pytest.raises(ValueError, match="empty"):
+        similarity.kmeans_fit(emb, k=2)
