@@ -944,3 +944,48 @@ def test_constraint_counts_match_python_reference(spark, rows, lo, hi):
         ),
     }
     assert out == {k: (n, n == 0) for k, n in exp.items()}
+
+
+# --- PII redaction vs Python re (same common-subset patterns) ----------------
+
+pii_text = st.text(
+    alphabet="ab @.+-0123456789\n",
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(texts=st.lists(pii_text, min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_pii_redaction_matches_python_re(spark, texts):
+    """Java-regex redaction == Python re on adversarial digit/@/dot soup —
+    the patterns are deliberately in the Java ∩ RE2 ∩ Python common subset,
+    and this pins that claim for the third engine."""
+    import re as pyre
+
+    from statline_bq_spark.functions import pii
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "id long, text string"
+    )
+    got = {
+        r.id: (r.red, r.ne, r.ni, r.np)
+        for r in df.select(
+            "id",
+            pii.redact_pii("text").alias("red"),
+            pii.email_count("text").alias("ne"),
+            pii.ipv4_count("text").alias("ni"),
+            pii.phone_count("text").alias("np"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        r1 = pyre.sub(pii.EMAIL_RE, pii.EMAIL_TOKEN, t)
+        r2 = pyre.sub(pii.IPV4_RE, pii.IP_TOKEN, r1)
+        r3 = pyre.sub(pii.PHONE_RE, pii.PHONE_TOKEN, r2)
+        want = (
+            r3,
+            len(pyre.findall(pii.EMAIL_RE, t)),
+            len(pyre.findall(pii.IPV4_RE, r1)),
+            len(pyre.findall(pii.PHONE_RE, r2)),
+        )
+        assert got[i] == want, (i, t, got[i], want)
