@@ -602,3 +602,31 @@ def test_compose_top_n_compiles_to_take_ordered(spark):
         ),
     )
     assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_validate_is_one_scan_one_aggregate(spark):
+    """validate() claims ANY number of checks costs ONE scan + one
+    map-side-combinable aggregate: the plan must contain no Join, exactly
+    one table scan, and only the single-row aggregate's exchange."""
+    from statline_bq_spark.functions import constraints as cq
+    from statline_bq_spark.io import read_table
+
+    o = read_table(spark, SF_SMOKE, "orders")
+    plan = explain_str(
+        cq.validate(
+            o,
+            [
+                cq.not_null("o_custkey"),
+                cq.in_range("o_totalprice", 0, 1_000_000),
+                cq.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            ],
+        )
+    )
+    import re as _re
+
+    # count TREE nodes ("Op (id)"), not the per-node detail sections
+    assert not _re.findall(r"Join \(\d+\)", plan)
+    assert len(_re.findall(r"Scan parquet\s+\(\d+\)", plan)) == 1
+    # the only exchange is the single-partition gather of the 1-row result
+    assert len(_re.findall(r"Exchange \(\d+\)", plan)) == 1
+    assert "HashAggregate" in plan and "partial_sum" in plan
