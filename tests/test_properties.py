@@ -989,3 +989,52 @@ def test_pii_redaction_matches_python_re(spark, texts):
             len(pyre.findall(pii.PHONE_RE, r2)),
         )
         assert got[i] == want, (i, t, got[i], want)
+
+
+# --- text heuristics vs Python references ------------------------------------
+
+lang_text = st.lists(
+    st.lists(
+        st.sampled_from(
+            ["der", "und", "el", "le", "les", "het", "een", "cat", "a", "1",
+             " ", "\t"]
+        ),
+        min_size=0,
+        max_size=15,
+    ).map("".join),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(texts=lang_text)
+@settings(**SETTINGS)
+def test_lang_id_and_bpe_counts_match_python(spark, texts):
+    """lang_id's first-hit-wins CASE chain and the BPE-ish pre-token count
+    == Python on marker-word soup (concatenated marker fragments create
+    adversarial substring hits — ' der ' inside 'derder' must NOT match,
+    only the padded whole word)."""
+    import re as pyre
+
+    from statline_bq_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "id long, text string"
+    )
+    got = {
+        r.id: (r.lang, r.n_bpe)
+        for r in df.select(
+            "id",
+            tx.lang_id("text").alias("lang"),
+            tx.bpe_ish_token_count("text").alias("n_bpe"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        padded = f" {t.lower()} "
+        lang = "en"
+        for cand, markers in tx.LANG_MARKERS.items():
+            if any(m in padded for m in markers):
+                lang = cand
+                break
+        n_bpe = len(pyre.findall(tx.BPE_SPLIT_PATTERN, t))
+        assert got[i] == (lang, n_bpe), (i, repr(t), got[i], (lang, n_bpe))
