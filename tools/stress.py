@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Scaling-slope harness: run the candidate-generation-heavy operators at
+"""Scaling-slope harness: run the candidate-generation-heavy operators (plus
+the no-global-window ranking/packing designs and the ANN search paths) at
 1x/2x/4x/8x replications of the sf0.1 documents corpus and report wall
 time + output size per scale, writing STRESS.md.
 
@@ -27,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from statline_bq_spark.io import read_table  # noqa: E402
-from statline_bq_spark.operators import dedup  # noqa: E402
+from statline_bq_spark.operators import analytic, dedup, packing  # noqa: E402
 from statline_bq_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,6 +66,27 @@ OPS = {
     ),
     "simhash_neardup_pairs": lambda d: dedup.simhash_neardup_pairs(d),
     "passage_dup_stats": lambda d: dedup.passage_dup_stats(d),
+    # the two no-global-window designs: exact total-order rank via
+    # range-repartition + bounded offsets, and packing offsets via a
+    # two-level block prefix sum over ONE stream (the worst case a naive
+    # single-partition window would serialize)
+    "global_rank": lambda d: analytic.global_rank(
+        d.select("doc_id"),
+        [F.col("doc_id").desc()],
+        num_partitions=32,
+        out_col="rn",
+    ),
+    "pack_sequences_1stream": lambda d: packing.pack_sequences(
+        d.select(
+            "doc_id",
+            F.size(F.split(F.trim("text"), "\\s+")).alias("n_tokens"),
+            F.lit(0).alias("stream"),
+        ),
+        "stream",
+        "doc_id",
+        "n_tokens",
+        2048,
+    ),
 }
 
 
@@ -188,7 +210,7 @@ def main() -> None:
     shutil.rmtree(cache_root, ignore_errors=True)
 
     lines = [
-        "# STRESS — scaling slope of the candidate-generation pipelines",
+        "# STRESS — scaling slope of the candidate-generation, ranking and packing pipelines",
         "",
         f"Corpus: sf0.1 documents ({n_base} docs) replicated with",
         "DISJOINT per-replica token vocabularies (every token suffixed",
