@@ -995,3 +995,24 @@ def test_ivf_and_kmeans_empty_corpus_behavior(spark):
     assert [f.name for f in out.schema.fields] == ["q_id", "neighbor_id", "rn", "sim"]
     with _pytest.raises(ValueError, match="empty"):
         similarity.kmeans_fit(emb, k=2)
+
+
+def test_dedup_pipelines_tolerate_null_and_empty_text(spark):
+    """Real corpora carry NULL/empty text rows the synthetic tables never
+    do: NULL text must not crash any dedup pipeline, must not pair with
+    anything (no shingles), and must stay its own exact-dedup group
+    (md5(NULL) group, distinct from the empty string)."""
+    from statline_bq_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, None), (3, "a b c d"), (4, "")],
+        "doc_id long, text string",
+    )
+    exact = {r.doc_id: r.n_copies for r in dedup.exact_dedup(docs).collect()}
+    assert exact == {1: 2, 2: 1, 4: 1}
+    for pairs in (
+        dedup.ngram_jaccard_pairs(docs, threshold=0.1),
+        dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.1),
+        dedup.simhash_neardup_pairs(docs),
+    ):
+        assert {(r[0], r[1]) for r in pairs.collect()} == {(1, 3)}
