@@ -33,6 +33,16 @@ from pyspark.sql import functions as F
 from statline_bq_spark.functions.vectors import cosine_similarity
 
 
+def _drop_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Exclude rows whose embedding is NULL — the uniform contract for
+    every search/fit path here. Real corpora carry NULL vectors (failed
+    encoder calls); letting them through either crashes the numpy paths
+    (a ragged object array) or, worse, lets a NULL similarity sort into a
+    JVM top-k as a NULL-sim row. The filter is a codegen'd IsNotNull that
+    rides the scan for free."""
+    return df.filter(F.col(vec_col).isNotNull())
+
+
 def ann_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -50,12 +60,12 @@ def ann_cosine_topk(
     neighbor id as deterministic tiebreaker; self-matches excluded.
     """
     q = F.broadcast(
-        queries.select(
+        _drop_null_vectors(queries, vec_col).select(
             F.col(query_id_col).alias("q_id"), F.col(vec_col).alias("_q_vec")
         )
     )
     scored = (
-        corpus.select(
+        _drop_null_vectors(corpus, vec_col).select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_c_vec")
         )
         .join(q, F.col("neighbor_id") != F.col("q_id"), "inner")
@@ -106,7 +116,7 @@ def ann_cosine_topk_np(
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_rows = _drop_null_vectors(queries, vec_col).select(query_id_col, vec_col).collect()
     if not q_rows:
         raise ValueError("queries is empty")
     q_ids = np.array([r[0] for r in q_rows], dtype="int64")
@@ -141,7 +151,7 @@ def ann_cosine_topk_np(
                 )
             yield pd.concat(frames, ignore_index=True)
 
-    cand = corpus.select(id_col, vec_col).mapInPandas(
+    cand = _drop_null_vectors(corpus, vec_col).select(id_col, vec_col).mapInPandas(
         score, "q_id bigint, neighbor_id bigint, sim double"
     )
     w = Window.partitionBy("q_id").orderBy(
@@ -187,7 +197,7 @@ def ann_cosine_topk_arrow(
     import numpy as np
     import pyarrow as pa
 
-    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_rows = _drop_null_vectors(queries, vec_col).select(query_id_col, vec_col).collect()
     if not q_rows:
         raise ValueError("queries is empty")
     q_ids = np.array([r[0] for r in q_rows], dtype="int64")
@@ -231,7 +241,7 @@ def ann_cosine_topk_arrow(
                 names=["q_id", "neighbor_id", "sim"],
             )
 
-    cand = corpus.select(id_col, vec_col).mapInArrow(
+    cand = _drop_null_vectors(corpus, vec_col).select(id_col, vec_col).mapInArrow(
         score, "q_id bigint, neighbor_id bigint, sim double"
     )
     w = Window.partitionBy("q_id").orderBy(
@@ -310,6 +320,8 @@ def lsh_bucket_topk(
     all_planes = [
         _hyperplanes(dim, bits, seed + 7919 * t) for t in range(tables)
     ]
+    corpus = _drop_null_vectors(corpus, vec_col)
+    queries = _drop_null_vectors(queries, vec_col)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_c_vec"),
@@ -562,7 +574,7 @@ def _assign_nearest_literal(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
+    return _drop_null_vectors(df, vec_col).select(id_col, vec_col).mapInPandas(
         assign, f"{out_id} {out_type}, {out_vec} {vec_type}, label int"
     )
 
@@ -579,7 +591,8 @@ def _assign_to_centroids(
     (id, vec, label). Centroids are a bounded dimension → broadcast
     nested-loop scoring, then a per-id top-nprobe window."""
     scored = (
-        df.select(F.col(id_col).alias("_aid"), F.col(vec_col).alias("_avec"))
+        _drop_null_vectors(df, vec_col)
+        .select(F.col(id_col).alias("_aid"), F.col(vec_col).alias("_avec"))
         .join(F.broadcast(centroids))
         .withColumn("_csim", cosine_similarity(F.col("_avec"), F.col("_cvec")))
     )
@@ -633,6 +646,7 @@ def kmeans_fit(
     import numpy as np
     import pandas as pd
 
+    df = _drop_null_vectors(df, vec_col)
     dim_row = df.select(F.size(F.col(vec_col).cast("array<double>"))).first()
     if dim_row is None:
         raise ValueError("cannot fit k-means on an empty DataFrame")
@@ -1013,7 +1027,7 @@ def quantized_rerank_topk(
     import pandas as pd
 
     c = candidates if candidates is not None else 4 * k
-    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_rows = _drop_null_vectors(queries, vec_col).select(query_id_col, vec_col).collect()
     if not q_rows:
         raise ValueError("queries is empty")
     q_ids = np.array([r[0] for r in q_rows], dtype="int64")
@@ -1058,7 +1072,7 @@ def quantized_rerank_topk(
                 )
             yield pd.concat(frames, ignore_index=True)
 
-    cand = corpus.select(id_col, vec_col).mapInPandas(
+    cand = _drop_null_vectors(corpus, vec_col).select(id_col, vec_col).mapInPandas(
         score, "q_id bigint, neighbor_id bigint, sim double"
     )
     w = Window.partitionBy("q_id").orderBy(

@@ -1016,3 +1016,30 @@ def test_dedup_pipelines_tolerate_null_and_empty_text(spark):
         dedup.simhash_neardup_pairs(docs),
     ):
         assert {(r[0], r[1]) for r in pairs.collect()} == {(1, 3)}
+
+
+def test_similarity_paths_exclude_null_vectors(spark):
+    """NULL embeddings (failed encoder calls in real corpora) are excluded
+    by contract from every search/fit path: no numpy crashes, no NULL-sim
+    rows in any top-k, NULL query vectors return no rows."""
+    from statline_bq_spark.operators import similarity as s
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, None, 0), (3, [0.9, 0.1], 1), (4, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    qs = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, None)], "q_id long, embedding array<double>"
+    )
+    for fn in (
+        lambda: s.ann_cosine_topk(emb, qs, k=2),
+        lambda: s.ann_cosine_topk_np(emb, qs, k=2),
+        lambda: s.ann_cosine_topk_arrow(emb, qs, k=2),
+        lambda: s.ivf_topk(emb, qs, k=2, nprobe=1),
+        lambda: s.lsh_bucket_topk(emb, qs, dim=2, k=2),
+        lambda: s.quantized_rerank_topk(emb, qs, k=2),
+    ):
+        rows = fn().collect()
+        assert {(r.q_id, r.neighbor_id) for r in rows} == {(10, 1), (10, 3)}
+        assert all(r.sim is not None for r in rows)
+    assert len(s.kmeans_fit(emb, k=2)) == 2
