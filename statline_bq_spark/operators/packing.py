@@ -183,6 +183,14 @@ def mixture_sample(
             F.lit(1.0 - alpha),
         ).alias(rate_alias),
     )
-    return df.join(F.broadcast(rates), source_col).withColumn(
+    # null-safe join: groupBy treats a NULL source as its own group, so the
+    # rates side HAS a NULL-source row — joining on plain equality would
+    # silently drop every NULL-source document instead of sampling that
+    # group like any other
+    joined = df.join(
+        F.broadcast(rates.withColumnRenamed(source_col, "_mx_src")),
+        F.col(source_col).eqNullSafe(F.col("_mx_src")),
+    ).drop("_mx_src")
+    return joined.withColumn(
         keep_alias, _md5_uniform(key_col, salt=salt) < F.col(rate_alias)
     )

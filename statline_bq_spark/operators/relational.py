@@ -93,6 +93,11 @@ def merge_upsert(
     branches shuffle on the same keys, and at 100 TB the anti join is the
     only wide stage touching the big snapshot — the union is
     partition-local. Column sets must match (unionByName).
+
+    NULL keys follow standard SQL MERGE semantics: NULL never equals NULL,
+    so a NULL-key change row INSERTS alongside (never replaces) a NULL-key
+    snapshot row. Dedupe or sentinel NULL keys upstream if they are
+    supposed to be identities.
     """
     keep = snapshot.join(
         changes.select(*keys), list(keys), "left_anti"

@@ -1043,3 +1043,18 @@ def test_similarity_paths_exclude_null_vectors(spark):
         assert {(r.q_id, r.neighbor_id) for r in rows} == {(10, 1), (10, 3)}
         assert all(r.sim is not None for r in rows)
     assert len(s.kmeans_fit(emb, k=2)) == 2
+
+
+def test_mixture_sample_keeps_null_source_group(spark):
+    """A NULL source is a group like any other (groupBy semantics): its
+    rows must be sampled, not silently dropped by a non-null-safe join."""
+    from statline_bq_spark.operators.packing import mixture_sample
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "y"), (4, None)],
+        "doc_id long, source string",
+    )
+    out = mixture_sample(df, "source", "doc_id", alpha=1.0)
+    assert out.count() == 4  # alpha=1 keeps rate 1.0 for every group
+    assert out.filter("source IS NULL").count() == 2
+    assert out.filter("keep").count() == 4
