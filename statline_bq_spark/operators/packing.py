@@ -78,13 +78,23 @@ def _block_prefix_offsets(
         "_pk_blk",
         F.coalesce(F.sum("_pk_tot").over(w_blk), F.lit(0)).alias("_pk_prefix"),
     )
-    out = df.join(F.broadcast(prefix), [stream_key, "_pk_blk"]).withColumn(
+    # null-safe on the stream key: a NULL stream is a stream like any other
+    # (the windows above already treat it as one partition); a plain
+    # equi-join would silently drop its rows here
+    prefix = prefix.withColumnRenamed(stream_key, "_pk_sk").withColumnRenamed(
+        "_pk_blk", "_pk_pblk"
+    )
+    out = df.join(
+        F.broadcast(prefix),
+        F.col(stream_key).eqNullSafe(F.col("_pk_sk"))
+        & (F.col("_pk_blk") == F.col("_pk_pblk")),
+    ).withColumn(
         out_col,
         (F.col("_pk_prefix") + F.col("_pk_within") - F.col(weight_col)).cast(
             "bigint"
         ),
     )
-    return out.drop("_pk_blk", "_pk_within", "_pk_prefix")
+    return out.drop("_pk_blk", "_pk_pblk", "_pk_within", "_pk_prefix", "_pk_sk")
 
 
 def pack_sequences(

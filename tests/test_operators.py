@@ -1058,3 +1058,20 @@ def test_mixture_sample_keeps_null_source_group(spark):
     assert out.count() == 4  # alpha=1 keeps rate 1.0 for every group
     assert out.filter("source IS NULL").count() == 2
     assert out.filter("keep").count() == 4
+
+
+def test_pack_sequences_packs_null_stream_as_own_stream(spark):
+    """A NULL stream key is a stream like any other: its documents must
+    get correct prefix offsets, not silently vanish in the block-prefix
+    join-back."""
+    from statline_bq_spark.operators.packing import pack_sequences
+
+    toks = spark.createDataFrame(
+        [("a", 1, 5), (None, 2, 3), ("a", 3, 4), (None, 4, 2)],
+        "stream string, doc_id long, n_tokens long",
+    )
+    got = {
+        r.doc_id: (r.start_offset, r.seq_id)
+        for r in pack_sequences(toks, "stream", "doc_id", "n_tokens", 8).collect()
+    }
+    assert got == {1: (0, 0), 3: (5, 0), 2: (0, 0), 4: (3, 0)}
