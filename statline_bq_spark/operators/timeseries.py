@@ -146,8 +146,20 @@ def gap_fill_forward(
         .orderBy("_gf_bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # null-safe on the key: a NULL key is a series like any other (groupBy
+    # and the grid both carry it); plain equality would leave its grid rows
+    # permanently unmatched — the series' observations silently read as
+    # all-gaps
+    b = bucketed.withColumnRenamed(key, "_gf_k").withColumnRenamed(
+        "_gf_bucket", "_gf_b"
+    )
     return (
-        grid.join(F.broadcast(bucketed), ["_gf_bucket", key], "left")
+        grid.join(
+            F.broadcast(b),
+            (F.col("_gf_bucket") == F.col("_gf_b"))
+            & F.col(key).eqNullSafe(F.col("_gf_k")),
+            "left",
+        )
         .select(
             key,
             F.date_format("_gf_bucket", TS_FMT).alias(start_alias),
@@ -316,7 +328,16 @@ def gap_fill_linear(
     )
     keys = bucketed.select(key).distinct()
     grid = spine.crossJoin(keys)
-    filled = grid.join(F.broadcast(bucketed), ["_gl_bucket", key], "left")
+    # null-safe on the key — same reasoning as gap_fill_forward's grid join
+    b = bucketed.withColumnRenamed(key, "_gl_k").withColumnRenamed(
+        "_gl_bucket", "_gl_b"
+    )
+    filled = grid.join(
+        F.broadcast(b),
+        (F.col("_gl_bucket") == F.col("_gl_b"))
+        & F.col(key).eqNullSafe(F.col("_gl_k")),
+        "left",
+    ).drop("_gl_k", "_gl_b")
 
     t = F.unix_timestamp("_gl_bucket").cast("double")
     back = (

@@ -1075,3 +1075,37 @@ def test_pack_sequences_packs_null_stream_as_own_stream(spark):
         for r in pack_sequences(toks, "stream", "doc_id", "n_tokens", 8).collect()
     }
     assert got == {1: (0, 0), 3: (5, 0), 2: (0, 0), 4: (3, 0)}
+
+
+def test_gap_fill_treats_null_key_as_a_series(spark):
+    """A NULL series key must fill/interpolate like any other key — the
+    grid join-back is null-safe, so its observations don't silently read
+    as all-gaps."""
+    from datetime import datetime
+
+    from statline_bq_spark.operators.timeseries import (
+        gap_fill_forward,
+        gap_fill_linear,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", datetime(2024, 1, 1, 0, 30), 1.0),
+            (None, datetime(2024, 1, 1, 0, 15), 5.0),
+            (None, datetime(2024, 1, 1, 2, 15), 7.0),
+            ("a", datetime(2024, 1, 1, 2, 45), 3.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    fwd = {
+        (r.k, r.window_start): (r.n_events, r.filled_value)
+        for r in gap_fill_forward(df, "ts", "1 hour", "k", "v").collect()
+    }
+    assert fwd[(None, "2024-01-01 00:00:00")] == (1, 5.0)
+    assert fwd[(None, "2024-01-01 01:00:00")] == (0, 5.0)
+    assert fwd[(None, "2024-01-01 02:00:00")] == (1, 7.0)
+    lin = {
+        (r.k, r.window_start): r.interp_value
+        for r in gap_fill_linear(df, "ts", "1 hour", "k", "v").collect()
+    }
+    assert lin[(None, "2024-01-01 01:00:00")] == 6.0
