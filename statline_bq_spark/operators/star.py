@@ -48,7 +48,13 @@ def decode_codes(
 ) -> DataFrame:
     """Code → label decode (reference Q3): join a code table and project its
     Title-like columns under new names. ``label_cols`` maps dim column →
-    output alias."""
+    output alias.
+
+    With the default ``how='inner'``, fact rows whose code is NULL or
+    absent from the dimension are dropped (classic star-join semantics);
+    pass ``how='left'`` to keep them with NULL labels, or use the
+    eqNullSafe pattern from the ``null_safe_dim_join`` query when NULL is
+    itself a legitimate dimension member."""
     joined = fact.join(F.broadcast(dim), fact[fact_key] == dim[dim_key], how)
     projections = [fact["*"]] + [dim[c].alias(a) for c, a in label_cols.items()]
     return joined.select(*projections)
