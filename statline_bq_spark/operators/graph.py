@@ -11,9 +11,10 @@ Scale design:
 
 - **Min-label propagation**, O(diameter) rounds. Near-dup graphs have tiny
   diameters (dup clusters are dense), so 5-10 rounds cover 100 TB corpora;
-  for adversarial long-chain graphs switch to alternating large-star /
-  small-star (Kiveris et al., "Connected Components in MapReduce"), which
-  converges in O(log n) rounds with the same join primitive.
+  for adversarial long-chain graphs :func:`connected_components_star`
+  implements alternating large-star / small-star (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond"), which converges in
+  O(log n) rounds with the same join primitive.
 - **Lineage cut per round** via ``localCheckpoint`` — without it the plan
   doubles every iteration and planning time, not data, becomes the
   bottleneck.
@@ -76,5 +77,106 @@ def connected_components(
         prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
-        "use star-contraction for long-chain graphs"
+        "use connected_components_star for long-chain graphs"
+    )
+
+
+def _star_round(edges: DataFrame, *, large: bool) -> DataFrame:
+    """One large-star or small-star round (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SOCC'14).
+
+    ``edges`` is an (a, b) pair list treated as undirected. Per node u over
+    its neighborhood Γ(u): m = min(Γ(u) ∪ {u}); large-star re-links the
+    STRICTLY LARGER neighbors (v > u) to m, small-star re-links the
+    smaller-or-equal neighbors and u itself to m. Alternating the two
+    converges to depth-1 stars in O(log n) rounds regardless of diameter.
+
+    Shuffle shape per round: one groupBy(u) min-aggregate (map-side
+    partials) and one equi-join of the edge list back on u — both on
+    8-byte node ids.
+    """
+    if large:
+        # symmetrize: Γ(u) needs both directions
+        adj = edges.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).union(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    else:
+        # orient each edge so u >= v: Γ⁻(u) = smaller neighbors
+        adj = edges.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+    mins = adj.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    linked = adj.join(mins, "u")
+    if large:
+        out = linked.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("a"), F.col("m").alias("b")
+        )
+    else:
+        out = linked.select(
+            F.col("v").alias("a"), F.col("m").alias("b")
+        ).union(
+            mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        )
+    return out.filter(F.col("a") != F.col("b")).distinct()
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node, component) via alternating large-star / small-star — the
+    O(log n)-round variant for graphs whose diameter defeats
+    :func:`connected_components`' min-label propagation (long chains of
+    near-dup pairs, transitive similarity paths).
+
+    Same output contract as :func:`connected_components`: component id =
+    the smallest node id in the component, one row per node appearing in
+    ``edges``. Convergence probe: the (a, b) edge list is a forest of
+    depth-1 stars exactly when a round leaves the edge SET unchanged —
+    detected by (count, XOR-of-edge-hashes) scalars, one cheap aggregate
+    per round instead of a change-count join.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_probe = None
+    for _ in range(max_iter):
+        e = _star_round(e, large=True)
+        e = _star_round(e, large=False).localCheckpoint(eager=True)
+        probe = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # order-insensitive set fingerprint: XOR of per-edge 64-bit
+            # hashes (the edge list is distinct, so set semantics hold;
+            # XOR can't overflow under ANSI the way a hash SUM does).
+            # Coordinate sums alone could collide across distinct edge
+            # sets and exit early.
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).collect()[0]
+        probe = (probe["n"], probe["h"])
+        if probe == prev_probe:
+            break
+        prev_probe = probe
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # stars: every surviving edge is (child, root). Roots and isolated-by-
+    # self-loop nodes label themselves.
+    labels = e.select(F.col("a").alias("node"), F.col("b").alias("component"))
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
     )

@@ -1109,3 +1109,17 @@ def test_gap_fill_treats_null_key_as_a_series(spark):
         for r in gap_fill_linear(df, "ts", "1 hour", "k", "v").collect()
     }
     assert lin[(None, "2024-01-01 01:00:00")] == 6.0
+
+
+def test_star_contraction_handles_long_chains_in_few_rounds(spark):
+    """A 200-node path has diameter 199 — min-label propagation would need
+    ~200 rounds; star contraction must finish well inside its 30-round cap
+    and still label every node with the chain's minimum."""
+    from statline_bq_spark.operators.graph import connected_components_star
+
+    chain = [(i, i + 1) for i in range(200)]
+    chain += [(1000, 1001), (1001, 1002)]  # a second component
+    df = spark.createDataFrame(chain, "src long, dst long")
+    got = {r.node: r.component for r in connected_components_star(df).collect()}
+    assert all(got[i] == 0 for i in range(201))
+    assert all(got[i] == 1000 for i in (1000, 1001, 1002))

@@ -1038,3 +1038,18 @@ def test_lang_id_and_bpe_counts_match_python(spark, texts):
                 break
         n_bpe = len(pyre.findall(tx.BPE_SPLIT_PATTERN, t))
         assert got[i] == (lang, n_bpe), (i, repr(t), got[i], (lang, n_bpe))
+
+
+@given(edges=edge_lists)
+@settings(**SETTINGS)
+def test_star_contraction_matches_union_find(spark, edges):
+    """The O(log n) large-star/small-star variant == union-find on random
+    graphs (self-loops, duplicate and reversed edges included)."""
+    from statline_bq_spark.operators.graph import connected_components_star
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.component
+        for r in connected_components_star(df).collect()
+    }
+    assert got == _uf_components(edges)
