@@ -1053,3 +1053,50 @@ def test_star_contraction_matches_union_find(spark, edges):
         for r in connected_components_star(df).collect()
     }
     assert got == _uf_components(edges)
+
+
+# --- quantize_embeddings vs Python mirror ------------------------------------
+
+vec_lists = st.lists(
+    st.lists(
+        st.integers(-1000, 1000).map(lambda x: x / 16.0),  # exact doubles
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(vecs=vec_lists)
+@settings(**SETTINGS)
+def test_quantize_embeddings_matches_python_mirror(spark, vecs):
+    """int8 quantization facets == an exact Python mirror (dyadic inputs,
+    same floor(x+0.5) half-up, same scale_micros floor) — including the
+    all-zero vector (scale 0, all-zero codes) and single-dim vectors."""
+    import math
+
+    from statline_bq_spark.operators.similarity import quantize_embeddings
+
+    vecs = vecs + [[0.0, 0.0]]  # always exercise the all-zero special case
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<double>"
+    )
+    got = {
+        r.vec_id: (r.n_dims, r.code_sum, r.code_min, r.code_max, r.scale_micros)
+        for r in quantize_embeddings(df).collect()
+    }
+    want = {}
+    for i, v in enumerate(vecs):
+        m = max(abs(x) for x in v)
+        codes = [
+            0 if m == 0.0 else math.floor(x * 127.0 / m + 0.5) for x in v
+        ]
+        want[i] = (
+            len(v),
+            sum(codes),
+            min(codes),
+            max(codes),
+            math.floor(m / 127.0 * 1e6),
+        )
+    assert got == want
