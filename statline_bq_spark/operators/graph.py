@@ -132,7 +132,11 @@ def connected_components_star(
     """(node, component) via alternating large-star / small-star — the
     O(log n)-round variant for graphs whose diameter defeats
     :func:`connected_components`' min-label propagation (long chains of
-    near-dup pairs, transitive similarity paths).
+    near-dup pairs, transitive similarity paths). Not hypothetical: the
+    sf0.1 SIMHASH pair graph already chains past diameter 10 (hamming
+    near-dups are barely transitive), while the Jaccard-threshold graphs
+    stay dense and shallow — pick the variant by how transitive the
+    similarity is.
 
     Same output contract as :func:`connected_components`: component id =
     the smallest node id in the component, one row per node appearing in
