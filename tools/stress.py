@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from statline_bq_spark.io import read_table  # noqa: E402
-from statline_bq_spark.operators import analytic, dedup, packing  # noqa: E402
+from statline_bq_spark.operators import analytic, dedup, graph, packing  # noqa: E402
 from statline_bq_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -86,6 +86,18 @@ OPS = {
         "doc_id",
         "n_tokens",
         2048,
+    ),
+    # the full dedup-clustering pipeline: simhash pair discovery feeding
+    # the iterative star-contraction CC loop (the sf0.1 simhash graph has
+    # chained near-dups with diameter > 10, which is precisely the case
+    # min-label propagation is wrong for). The pair set grows linearly
+    # (disjoint replica vocabularies), so the O(log n) round count — the
+    # scale risk of an iterative operator — must stay ~flat with corpus
+    # size.
+    "neardup_clusters_star": lambda d: graph.connected_components_star(
+        dedup.simhash_neardup_pairs(d).select("a", "b"),
+        src="a",
+        dst="b",
     ),
 }
 
