@@ -1100,3 +1100,66 @@ def test_quantize_embeddings_matches_python_mirror(spark, vecs):
             math.floor(m / 127.0 * 1e6),
         )
     assert got == want
+
+
+# --- winnowing vs sliding-min reference over the same hash sequence ----------
+
+winnow_texts = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        min_size=0,
+        max_size=25,
+    ).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(texts=winnow_texts, k=st.sampled_from([2, 3]),
+       window=st.sampled_from([2, 4]))
+@settings(**SETTINGS)
+def test_winnowing_matches_sliding_min_reference(spark, texts, k, window):
+    """winnowing_fingerprints == {min of each full window} computed in
+    Python over the SAME per-doc k-gram hash sequence (extracted via the
+    identical Spark expressions) — pins the partial-window exclusion and
+    the per-doc windowing, independent of the hash function itself."""
+    from pyspark.sql import Window as W
+
+    from statline_bq_spark.operators.dedup import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {}
+    for r in winnowing_fingerprints(df, k=k, window=window).collect():
+        got.setdefault(r.doc_id, set()).add(r.fingerprint)
+
+    # reference hash sequences via the same expressions, ordered
+    toks = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), "\\s+")).alias("_pos", "_tok"),
+    )
+    w = W.partitionBy("doc_id").orderBy("_pos")
+    leads = [F.lead("_tok", j).over(w) for j in range(1, k)]
+    grams = (
+        toks.select(
+            "doc_id",
+            "_pos",
+            F.xxhash64("_tok", *leads).alias("_h"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .orderBy("doc_id", "_pos")
+        .collect()
+    )
+    seqs: dict[int, list[int]] = {}
+    for r in grams:
+        seqs.setdefault(r.doc_id, []).append(r._h)
+    want: dict[int, set[int]] = {}
+    for d, hs in seqs.items():
+        if len(hs) >= window:
+            want[d] = {
+                min(hs[i : i + window])
+                for i in range(len(hs) - window + 1)
+            }
+    assert got == want
