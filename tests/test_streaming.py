@@ -702,3 +702,54 @@ def test_tumbling_agg_state_recovers_across_restart(spark, events_dir, tmp_path)
     assert open_at_restart, "cut must leave a window open across restart"
     for k in open_at_restart:
         assert k in got
+
+
+def test_neardup_filter_state_survives_restart(spark, tmp_path):
+    """The online dedup filter must keep suppressing duplicates ACROSS a
+    stop/restart: a fingerprint admitted in run 1 (still inside the
+    watermark horizon) must reject its duplicate arriving in run 2 — i.e.
+    the dropDuplicatesWithinWatermark state store recovers."""
+    from datetime import datetime
+
+    from statline_bq_spark.streaming.windows import (
+        neardup_filter_stream,
+        read_event_stream,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime(2024, 1, 1, 0, 0)
+
+    batch1 = [(1, t0, "alpha beta gamma"), (2, t0, "delta epsilon zeta")]
+    # run 2: a duplicate of doc 1 (same text -> same fingerprint, inside
+    # the 1h watermark) and one genuinely new doc
+    batch2 = [
+        (3, datetime(2024, 1, 1, 0, 30), "alpha beta gamma"),
+        (4, datetime(2024, 1, 1, 0, 30), "eta theta iota"),
+    ]
+    schema = "doc_id long, ts timestamp, text string"
+    spark.createDataFrame(batch1, schema).write.parquet(src)
+
+    def run():
+        stream = read_event_stream(
+            spark, src, spark.read.parquet(src).schema
+        )
+        q = (
+            neardup_filter_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600)
+
+    run()
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+    run()
+
+    kept = sorted(r.doc_id for r in spark.read.parquet(sink).collect())
+    # doc 3 (dup of 1, state recovered across restart) must be absent
+    assert kept == [1, 2, 4]
