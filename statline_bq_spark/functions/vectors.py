@@ -31,8 +31,13 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    """dot(a,b) / (|a| * |b|) — matches DuckDB's list_cosine_similarity."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """dot(a,b) / (|a| * |b|) — matches DuckDB's list_cosine_similarity.
+
+    ``try_divide``, not ``/``: under ANSI mode (Spark 4 default) a plain
+    divide THROWS on a zero-norm vector, so one all-zero embedding in a
+    100 TB corpus would kill the whole job. Undefined cosine → NULL, which
+    descending top-k windows sort last and threshold filters drop."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def truncate_dims(a: Column | str, k: int) -> Column:
@@ -44,8 +49,10 @@ def truncate_dims(a: Column | str, k: int) -> Column:
 
 def l2_normalize(a: Column | str) -> Column:
     """Unit-normalize an embedding: x / ||x||. One fold for the norm, one
-    transform for the divide — all JVM-side, zero shuffle; NULL/zero-norm
-    vectors yield NULL elements (0/0) rather than erroring."""
+    transform for the divide — all JVM-side, zero shuffle; zero-norm
+    vectors yield NULL elements via ``try_divide`` (a plain divide would
+    THROW under ANSI mode, Spark 4's default, killing the job on one
+    all-zero embedding)."""
     arr = _as_double_array(a)
     n = l2_norm(arr)
-    return F.transform(arr, lambda x: x / n)
+    return F.transform(arr, lambda x: F.try_divide(x, n))

@@ -70,6 +70,9 @@ def ann_cosine_topk(
         )
         .join(q, F.col("neighbor_id") != F.col("q_id"), "inner")
         .withColumn("_sim", cosine_similarity(F.col("_c_vec"), F.col("_q_vec")))
+        # zero-norm vectors have undefined (NULL) cosine: exclude them
+        # rather than let NULL-sim rows pad a top-k tail
+        .filter(F.col("_sim").isNotNull())
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("_sim").desc(), F.col("neighbor_id")
@@ -121,7 +124,12 @@ def ann_cosine_topk_np(
         raise ValueError("queries is empty")
     q_ids = np.array([r[0] for r in q_rows], dtype="int64")
     qm = np.asarray([list(map(float, r[1])) for r in q_rows], dtype="float64")
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    _qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    _qnz = _qn[:, 0] > 0.0  # zero-norm queries: cosine undefined, exclude
+    q_ids, qm, _qn = q_ids[_qnz], qm[_qnz], _qn[_qnz]
+    if qm.shape[0] == 0:
+        raise ValueError("queries is empty")
+    qm /= _qn
 
     def score(batches):
         for pdf in batches:
@@ -131,7 +139,13 @@ def ann_cosine_topk_np(
             m = np.asarray(
                 [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
             )
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            nz = norms[:, 0] > 0.0  # zero-norm: cosine undefined, exclude
+            if not nz.all():
+                m, ids, norms = m[nz], ids[nz], norms[nz]
+                if m.shape[0] == 0:
+                    continue
+            m /= norms
             sims = m @ qm.T  # (batch, n_queries)
             frames = []
             for j in range(len(q_ids)):
@@ -202,7 +216,12 @@ def ann_cosine_topk_arrow(
         raise ValueError("queries is empty")
     q_ids = np.array([r[0] for r in q_rows], dtype="int64")
     qm = np.asarray([list(map(float, r[1])) for r in q_rows], dtype="float64")
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    _qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    _qnz = _qn[:, 0] > 0.0  # zero-norm queries: cosine undefined, exclude
+    q_ids, qm, _qn = q_ids[_qnz], qm[_qnz], _qn[_qnz]
+    if qm.shape[0] == 0:
+        raise ValueError("queries is empty")
+    qm /= _qn
 
     def score(batches):
         for rb in batches:
@@ -221,7 +240,13 @@ def ann_cosine_topk_arrow(
                 .astype("float64")
                 .reshape(rb.num_rows, dim)
             )
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            nz = norms[:, 0] > 0.0  # zero-norm: cosine undefined, exclude
+            if not nz.all():
+                m, ids, norms = m[nz], ids[nz], norms[nz]
+                if m.shape[0] == 0:
+                    continue
+            m /= norms
             sims = m @ qm.T
             out_q, out_n, out_s = [], [], []
             for j in range(len(q_ids)):
@@ -342,7 +367,7 @@ def lsh_bucket_topk(
     )
     scored = candidates.withColumn(
         "_sim", cosine_similarity(F.col("_c_vec"), F.col("_q_vec"))
-    )
+    ).filter(F.col("_sim").isNotNull())
     w = Window.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -856,6 +881,9 @@ def ivf_kmeans_topk(
         .filter(F.col("neighbor_id") != F.col("q_id"))
         .dropDuplicates(["q_id", "neighbor_id"])
         .withColumn("_sim", cosine_similarity(F.col("_c_vec"), F.col("_q_vec")))
+        # zero-norm vectors have undefined (NULL) cosine: exclude them
+        # rather than let NULL-sim rows pad a top-k tail
+        .filter(F.col("_sim").isNotNull())
     )
     w = Window.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col("neighbor_id"))
     return (
@@ -939,6 +967,9 @@ def ivf_topk(
         .filter(F.col("neighbor_id") != F.col("q_id"))
         .dropDuplicates(["q_id", "neighbor_id"])
         .withColumn("_sim", cosine_similarity(F.col("_c_vec"), F.col("_q_vec")))
+        # zero-norm vectors have undefined (NULL) cosine: exclude them
+        # rather than let NULL-sim rows pad a top-k tail
+        .filter(F.col("_sim").isNotNull())
     )
     w = Window.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col("neighbor_id"))
     return (
@@ -1032,7 +1063,12 @@ def quantized_rerank_topk(
         raise ValueError("queries is empty")
     q_ids = np.array([r[0] for r in q_rows], dtype="int64")
     qm = np.asarray([list(map(float, r[1])) for r in q_rows], dtype="float64")
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    _qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    _qnz = _qn[:, 0] > 0.0  # zero-norm queries: cosine undefined, exclude
+    q_ids, qm, _qn = q_ids[_qnz], qm[_qnz], _qn[_qnz]
+    if qm.shape[0] == 0:
+        raise ValueError("queries is empty")
+    qm /= _qn
 
     def score(batches):
         for pdf in batches:
@@ -1042,6 +1078,13 @@ def quantized_rerank_topk(
             m = np.asarray(
                 [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
             )
+            # zero-norm corpus rows: cosine undefined, exclude (same
+            # contract as every other search path)
+            _nz = np.linalg.norm(m, axis=1) > 0.0
+            if not _nz.all():
+                m, ids = m[_nz], ids[_nz]
+                if m.shape[0] == 0:
+                    continue
             # pass 1: symmetric int8 codes, scored as-is (cosine ignores
             # the positive per-vector scale) — int16 accumulation is what
             # a real codes-only scan would do; float64 here for numpy GEMM
@@ -1181,6 +1224,9 @@ def ivf_index_topk(
         .filter(F.col("vec_id") != F.col("q_id"))
         .dropDuplicates(["q_id", "vec_id"])
         .withColumn("_sim", cosine_similarity(F.col("_c_vec"), F.col("_q_vec")))
+        # zero-norm vectors have undefined (NULL) cosine: exclude them
+        # rather than let NULL-sim rows pad a top-k tail
+        .filter(F.col("_sim").isNotNull())
     )
     w = Window.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col("vec_id"))
     return (

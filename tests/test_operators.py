@@ -1123,3 +1123,39 @@ def test_star_contraction_handles_long_chains_in_few_rounds(spark):
     got = {r.node: r.component for r in connected_components_star(df).collect()}
     assert all(got[i] == 0 for i in range(201))
     assert all(got[i] == 1000 for i in (1000, 1001, 1002))
+
+
+def test_cosine_excludes_zero_vectors_under_ansi(spark):
+    """One all-zero embedding must not kill a cosine query: under ANSI
+    (Spark 4 default) a plain divide throws DIVIDE_BY_ZERO. The contract:
+    cosine/l2_normalize yield NULL via try_divide, and every search path
+    EXCLUDES zero-norm vectors — as corpus rows and as queries — with no
+    NULL or NaN sims in any top-k."""
+    from statline_bq_spark.functions.vectors import (
+        cosine_similarity,
+        l2_normalize,
+    )
+    from statline_bq_spark.operators import similarity as s
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 0.0], 0), (3, [0.9, 0.1], 1), (4, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    qs = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 0.0])], "q_id long, embedding array<double>"
+    )
+    row = emb.filter("vec_id = 2").select(
+        cosine_similarity("embedding", "embedding").alias("c"),
+        l2_normalize("embedding").alias("u"),
+    ).collect()[0]
+    assert row.c is None and row.u == [None, None]
+    for fn in (
+        lambda: s.ann_cosine_topk(emb, qs, k=3),
+        lambda: s.ann_cosine_topk_np(emb, qs, k=3),
+        lambda: s.ann_cosine_topk_arrow(emb, qs, k=3),
+        lambda: s.ivf_topk(emb, qs, k=3, nprobe=2),
+        lambda: s.quantized_rerank_topk(emb, qs, k=3),
+    ):
+        rows = fn().collect()
+        assert {(r.q_id, r.neighbor_id) for r in rows} == {(10, 1), (10, 3), (10, 4)}
+        assert all(r.sim is not None and r.sim == r.sim for r in rows)

@@ -1163,3 +1163,61 @@ def test_winnowing_matches_sliding_min_reference(spark, texts, k, window):
                 for i in range(len(hs) - window + 1)
             }
     assert got == want
+
+
+# --- JVM vector folds vs bit-exact Python mirror ------------------------------
+
+paired_vecs = st.lists(
+    st.tuples(
+        st.lists(st.integers(-500, 500).map(lambda x: x / 16.0),
+                 min_size=1, max_size=10),
+        st.lists(st.integers(-500, 500).map(lambda x: x / 16.0),
+                 min_size=1, max_size=10),
+    ).map(lambda ab: (ab[0], ab[1][: len(ab[0])] + [0.0] * max(0, len(ab[0]) - len(ab[1])))),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(pairs=paired_vecs)
+@settings(**SETTINGS)
+def test_vector_folds_are_bit_exact_vs_python(spark, pairs):
+    """dot / l2_norm / cosine_similarity claim DETERMINISTIC sequential
+    folds: every IEEE op (mul, add-in-order, sqrt — correctly rounded by
+    the standard, unlike ln/exp) must reproduce bit-exactly in Python.
+    Exact equality, no tolerance."""
+    import math
+
+    from statline_bq_spark.functions import vectors as vx
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "id long, a array<double>, b array<double>",
+    )
+    got = {
+        r.id: (r.d, r.n, r.c)
+        for r in df.select(
+            "id",
+            vx.dot("a", "b").alias("d"),
+            vx.l2_norm("a").alias("n"),
+            vx.cosine_similarity("a", "b").alias("c"),
+        ).collect()
+    }
+    for i, (a, b) in enumerate(pairs):
+        d = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+        na_sq = 0.0
+        for x in a:
+            na_sq += x * x
+        nb_sq = 0.0
+        for y in b:
+            nb_sq += y * y
+        na, nb = math.sqrt(na_sq), math.sqrt(nb_sq)
+        c = d / (na * nb) if na * nb != 0.0 else None
+        gd, gn, gc = got[i]
+        assert gd == d and gn == na, (i, a, b)
+        if c is None or math.isnan(c):
+            assert gc is None or math.isnan(gc)
+        else:
+            assert gc == c, (i, a, b)
