@@ -630,3 +630,54 @@ def test_validate_is_one_scan_one_aggregate(spark):
     # the only exchange is the single-partition gather of the 1-row result
     assert len(_re.findall(r"Exchange \(\d+\)", plan)) == 1
     assert "HashAggregate" in plan and "partial_sum" in plan
+
+
+def test_null_safe_join_backs_stay_hash_joins(spark):
+    """The NULL-group join-backs (mixture rates, packing prefix, gap-fill
+    grid) use eqNullSafe; Catalyst rewrites it into coalesce+isnull hash
+    keys. If that rewrite ever stops applying, these would degrade to
+    BroadcastNestedLoopJoin — gate the join strategy explicitly."""
+    from pyspark.sql import functions as F
+
+    from statline_bq_spark.io import read_table
+    from statline_bq_spark.operators.packing import (
+        mixture_sample,
+        pack_sequences,
+    )
+    from statline_bq_spark.operators.timeseries import gap_fill_forward
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    plans = [
+        explain_str(mixture_sample(docs, "source", "doc_id")),
+        explain_str(
+            pack_sequences(
+                docs.select(
+                    "doc_id",
+                    F.size(F.split(F.trim("text"), "\\s+")).alias("n_tokens"),
+                    "lang",
+                ),
+                "lang",
+                "doc_id",
+                "n_tokens",
+                2048,
+            )
+        ),
+        explain_str(
+            gap_fill_forward(
+                read_table(spark, SF_SMOKE, "events").withColumn(
+                    "ts", F.col("ts").cast("timestamp")
+                ),
+                "ts",
+                "1 hour",
+                "event_type",
+                "value",
+            )
+        ),
+    ]
+    for plan in plans:
+        # the null-safe join-back itself: a hash join whose keys are the
+        # coalesce+isnull rewrite of eqNullSafe (mixture_sample's 1-row
+        # global-min crossJoin legitimately plans as a bounded BNLJ and is
+        # not what this gate is about)
+        assert "BroadcastHashJoin [coalesce(" in plan
+        assert "CartesianProduct" not in plan
