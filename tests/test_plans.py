@@ -674,10 +674,14 @@ def test_null_safe_join_backs_stay_hash_joins(spark):
             )
         ),
     ]
+    import re as _re
+
     for plan in plans:
-        # the null-safe join-back itself: a hash join whose keys are the
-        # coalesce+isnull rewrite of eqNullSafe (mixture_sample's 1-row
-        # global-min crossJoin legitimately plans as a bounded BNLJ and is
-        # not what this gate is about)
-        assert "BroadcastHashJoin [coalesce(" in plan
+        # the null-safe join-back itself: a hash join whose keys include
+        # the coalesce+isnull rewrite of eqNullSafe (mixture/gap-fill's
+        # 1-row global-bounds crossJoin legitimately plans as a bounded
+        # BNLJ and is not what this gate is about)
+        assert _re.search(
+            r"BroadcastHashJoin \[[^\]]*coalesce\(", plan
+        ), plan[:2000]
         assert "CartesianProduct" not in plan
