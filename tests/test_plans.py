@@ -647,8 +647,9 @@ def test_null_safe_join_backs_stay_hash_joins(spark):
     from statline_bq_spark.operators.timeseries import gap_fill_forward
 
     docs = read_table(spark, SF_SMOKE, "documents")
+    # simple mode: join keys print inline on the BroadcastHashJoin line
     plans = [
-        explain_str(mixture_sample(docs, "source", "doc_id")),
+        explain_str(mixture_sample(docs, "source", "doc_id"), "simple"),
         explain_str(
             pack_sequences(
                 docs.select(
@@ -660,7 +661,8 @@ def test_null_safe_join_backs_stay_hash_joins(spark):
                 "doc_id",
                 "n_tokens",
                 2048,
-            )
+            ),
+            "simple",
         ),
         explain_str(
             gap_fill_forward(
@@ -671,7 +673,8 @@ def test_null_safe_join_backs_stay_hash_joins(spark):
                 "1 hour",
                 "event_type",
                 "value",
-            )
+            ),
+            "simple",
         ),
     ]
     import re as _re
