@@ -1221,3 +1221,62 @@ def test_vector_folds_are_bit_exact_vs_python(spark, pairs):
             assert gc is None or math.isnan(gc)
         else:
             assert gc == c, (i, a, b)
+
+
+@given(left=events, right=events, strict=st.booleans(),
+       direction=st.sampled_from(["backward", "forward"]),
+       tol_minutes=st.sampled_from([0, 5, 17]))
+@settings(**SETTINGS)
+def test_asof_join_tolerance_matches_pandas_semantics(
+    spark, left, right, strict, direction, tol_minutes
+):
+    """tolerance nulls the NEAREST match when it is too far (pandas
+    merge_asof semantics: a nearer-but-excluded row is NOT replaced by a
+    farther in-tolerance one) — checked against the brute-force reference
+    with the bound applied post-selection."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    left = [(k, t, i) for i, (k, t, _) in enumerate(left)]
+    seen, rdedup = set(), []
+    for (k, t, v) in right:
+        if (k, t) not in seen:
+            seen.add((k, t))
+            rdedup.append((k, t, v))
+    ldf = spark.createDataFrame(
+        [(k, base + timedelta(minutes=t), i) for k, t, i in left],
+        "key int, t timestamp, lid int",
+    )
+    rdf = spark.createDataFrame(
+        [(k, base + timedelta(minutes=t), v) for k, t, v in rdedup],
+        "key int, rt timestamp, rv int",
+    )
+    got = {
+        r.lid: r.rv
+        for r in asof_join(
+            ldf, rdf, ["key"], "t", "rt", right_values=["rv"],
+            strict=strict, direction=direction,
+            tolerance=f"{tol_minutes} minutes",
+        ).collect()
+    }
+    # reference: nearest match first (ties resolved as in _ref_asof), then
+    # the tolerance bound nulls matches farther than tol_minutes
+    want = {}
+    for (lk, lt, lid) in left:
+        best = None
+        for (rk, rt, rv) in rdedup:
+            if rk != lk:
+                continue
+            if direction == "backward":
+                ok = (rt < lt) if strict else (rt <= lt)
+                better = best is None or rt > best[0]
+            else:
+                ok = (rt > lt) if strict else (rt >= lt)
+                better = best is None or rt < best[0]
+            if ok and better:
+                best = (rt, rv)
+        if best is None or abs(best[0] - lt) > tol_minutes:
+            want[lid] = None
+        else:
+            want[lid] = best[1]
+    assert got == want
