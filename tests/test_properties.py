@@ -1280,3 +1280,45 @@ def test_asof_join_tolerance_matches_pandas_semantics(
         else:
             want[lid] = best[1]
     assert got == want
+
+
+# --- band_join vs brute-force containment ------------------------------------
+
+band_rows = st.lists(
+    st.tuples(st.integers(0, 100), st.integers(-50, 150)),  # (fid, v)
+    min_size=1, max_size=25, unique_by=lambda r: r[0],
+)
+bands_st = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(-50, 150), st.integers(-50, 150)),
+    min_size=1, max_size=8, unique_by=lambda r: r[0],
+)
+
+
+@given(facts=band_rows, bands=bands_st, closed_lo=st.booleans())
+@settings(**SETTINGS)
+def test_band_join_matches_containment_reference(spark, facts, bands, closed_lo):
+    """band_join == brute-force [lo, hi) containment (left join: facts
+    with no containing band survive with a NULL band id; overlapping bands
+    emit one row per containing band)."""
+    fdf = spark.createDataFrame(facts, "fid long, v long")
+    bdf = spark.createDataFrame(bands, "bid long, lo long, hi long")
+    from statline_bq_spark.operators.relational import band_join
+
+    got = sorted(
+        (r.fid, r.bid)
+        for r in band_join(fdf, bdf, "v", "lo", "hi", closed_lo=closed_lo)
+        .select("fid", "bid")
+        .collect()
+    )
+    want = []
+    for fid, v in facts:
+        hits = [
+            bid
+            for bid, lo, hi in bands
+            if (lo <= v if closed_lo else lo < v) and v < hi
+        ]
+        if hits:
+            want.extend((fid, b) for b in hits)
+        else:
+            want.append((fid, None))
+    assert got == sorted(want, key=lambda x: (x[0], x[1] is None, x[1] or 0))
