@@ -53,13 +53,20 @@ def doc_ngram_strings(
     )
     w = Window.partitionBy("_id").orderBy("_pos")
     leads = [F.lead("_tok", j).over(w) for j in range(1, n)]
+    # n=1 (unigram decontamination is a legitimate config): no lead
+    # columns, the gram is the token; completeness degenerates to "token
+    # non-empty" (empty text splits to a single '' token, which the n>=2
+    # path also drops via its NULL last-lead).
+    completeness = (
+        leads[-1].isNotNull() if leads else F.col("_tok") != F.lit("")
+    )
     grams = (
         toks.select(
             "_id",
             F.concat_ws(" ", "_tok", *leads).alias("_g"),
-            leads[-1].alias("_last"),
+            completeness.alias("_ok"),
         )
-        .filter(F.col("_last").isNotNull())
+        .filter(F.col("_ok"))
         .select("_id", "_g")
     )
     return grams.distinct() if distinct else grams

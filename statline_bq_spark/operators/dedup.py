@@ -61,11 +61,19 @@ def shingle_index(
     )
     w = Window.partitionBy("_id").orderBy("_pos")
     leads = [F.lead("_tok", j).over(w) for j in range(1, n)]
+    # n=1 (unigrams) has no lead columns: the gram is the token itself and
+    # the not-NULL completeness filter degenerates to "token non-empty"
+    # (split of empty/whitespace text yields a single '' token, which the
+    # n>=2 path also drops via its NULL last-lead).
+    last = leads[-1] if leads else F.col("_tok")
+    completeness = (
+        last.isNotNull() if leads else F.col("_tok") != F.lit("")
+    )
     grams = toks.select(
         "_id",
         F.xxhash64("_tok", *leads).alias("_g"),
-        leads[-1].alias("_lasttok"),
-    ).filter(F.col("_lasttok").isNotNull())
+        completeness.alias("_ok"),
+    ).filter(F.col("_ok"))
     return (
         grams.groupBy("_id")
         .agg(F.collect_set("_g").alias("_gs"))
@@ -124,9 +132,24 @@ def exact_dedup(
     Groups on ``md5(text)`` so the shuffle key is a fixed-width hash, not
     arbitrary-length text. Output: (<id_col>, n_copies) — one row per
     distinct content, with the surviving (minimum) id.
+
+    NULL text is NOT comparable content: ``md5(NULL)`` is NULL, and a
+    plain md5 group key would collapse every NULL-text document (failed
+    fetches) into one bogus "duplicate" group, silently discarding all
+    but one. The key falls back to a per-document sentinel
+    (``_null:<id>`` — can't collide with 32-hex-char md5 output), so each
+    NULL-text document survives as its own group with n_copies per its
+    own multiplicity.
     """
     return (
-        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        df.groupBy(
+            F.coalesce(
+                F.md5(F.col(text_col)),
+                F.concat(
+                    F.lit("_null:"), F.col(id_col).cast("string")
+                ),
+            ).alias("content_hash")
+        )
         .agg(
             F.min(id_col).alias(id_col),
             F.count(F.lit(1)).alias("n_copies"),
@@ -719,12 +742,17 @@ def winnowing_fingerprints(
     )
     w = Window.partitionBy("_id").orderBy("_pos")
     leads = [F.lead("_tok", j).over(w) for j in range(1, k)]
+    # k=1: the k-gram is the bare token (no leads); completeness becomes
+    # "token non-empty" — see shingle_index for the same degenerate case.
+    completeness = (
+        leads[-1].isNotNull() if leads else F.col("_tok") != F.lit("")
+    )
     grams = toks.select(
         "_id",
         "_pos",
         F.xxhash64("_tok", *leads).alias("_h"),
-        leads[-1].alias("_last"),
-    ).filter(F.col("_last").isNotNull())
+        completeness.alias("_ok"),
+    ).filter(F.col("_ok"))
     wmin = (
         Window.partitionBy("_id")
         .orderBy("_pos")
@@ -775,10 +803,17 @@ def fuzzy_pairs(
     grams = (
         df.select(
             F.col(id_col).alias("_id"),
+            # Guard: sequence(1, 0) DESCENDS ([1, 0]) — for strings
+            # shorter than q it would emit the whole short string (and ''
+            # for empty names) as phantom grams instead of none. The
+            # oracle's range(1, 1) is empty, so short strings emit NO
+            # grams in both engines (they can still never pair: no gram).
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, greatest(length({str_col})-{q - 1}, 0)),"
+                    f"CASE WHEN length({str_col}) >= {q} THEN"
+                    f" transform(sequence(1, length({str_col})-{q - 1}),"
                     f" i -> substring({str_col}, i, {q}))"
+                    f" ELSE CAST(array() AS array<string>) END"
                 )
             ).alias("_g"),
         )

@@ -53,7 +53,17 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    # Probe sums as decimal(38,0): node ids are routinely 64-bit hashes
+    # (xxhash64-derived doc ids, magnitude ~2^62), and summing even a
+    # handful of same-sign longs would throw ARITHMETIC_OVERFLOW under
+    # ANSI (Spark 4 default). 38 digits of headroom cover ~10^19 rows of
+    # worst-case ids; the strictly-decreasing invariant is exact either way.
+    def _label_sum(lbl: DataFrame):
+        return lbl.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -71,7 +81,7 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
             return labels
         prev_sum = cur_sum

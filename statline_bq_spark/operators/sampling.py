@@ -46,21 +46,26 @@ def hash_split(
     out_col: str = "split",
 ) -> DataFrame:
     """Assign each row to a named split by content hash; ``splits`` maps
-    name → fraction (must sum to ~1). Fractions quantize to 1/256."""
+    name → fraction (must sum to ~1). Fractions quantize to 1/256.
+
+    A NULL key gets a NULL split (same contract as :func:`kfold_assign`):
+    ``md5(NULL)`` is NULL, every range test on it is NULL, and letting
+    those rows fall through ``otherwise`` would silently route the entire
+    NULL-key error population into the LAST-named split — deterministic
+    leakage into one dataset. NULL marks them for the caller to triage.
+    """
     total = sum(splits.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1, got {total}")
     key_col = F.col(key) if isinstance(key, str) else key
     bucket = hash_bucket(key_col, n_buckets=256, salt=salt)
-    expr = None
+    expr = F.when(key_col.isNull(), F.lit(None).cast("string"))
     hi = 0
     names = list(splits)
     for name in names[:-1]:
         hi += int(round(splits[name] * 256))
-        cond = bucket < hi
-        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    last = names[-1]
-    expr = F.lit(last) if expr is None else expr.otherwise(last)
+        expr = expr.when(bucket < hi, name)
+    expr = expr.otherwise(names[-1])
     return df.withColumn(out_col, expr)
 
 

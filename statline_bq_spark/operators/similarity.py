@@ -448,6 +448,7 @@ def cosine_pairs_blocked(
     prunes nothing, so it is not the default.
     """
     spark = df.sparkSession
+    df = _drop_null_vectors(df, vec_col)
     grid = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
         "_bi int, _bj int",
@@ -488,9 +489,14 @@ def cosine_pairs_blocked(
     return (
         cand.withColumn(
             "sim",
+            # try_divide, same as cosine_similarity: a zero-norm vector
+            # must yield NULL (dropped by the threshold filter below), not
+            # an ANSI DIVIDE_BY_ZERO that kills the job.
             F.round(
-                dot(F.col("_xv"), F.col("_yv"))
-                / (F.col("_xn") * F.col("_yn")),
+                F.try_divide(
+                    dot(F.col("_xv"), F.col("_yv")),
+                    F.col("_xn") * F.col("_yn"),
+                ),
                 4,
             ),
         )
@@ -792,10 +798,13 @@ def kmeans_assign(
     batch is scored by one BLAS distance matrix + argmin (the assignment
     step of an IVF index build at 100 TB: scan → mapInPandas, no join).
     All input columns pass through. Ties break toward the smaller cid
-    (np.argmin takes the first minimum).
+    (np.argmin takes the first minimum). Rows with a NULL embedding are
+    excluded (the uniform search/fit contract — a None in the Arrow batch
+    would otherwise build a ragged object array and crash the BLAS path).
     """
     import numpy as np
 
+    df = _drop_null_vectors(df, vec_col)
     cmat = np.asarray(centroids, dtype="float64")
     cn2 = (cmat * cmat).sum(axis=1)
     cols = list(df.columns)
@@ -925,18 +934,29 @@ def ivf_topk(
     # (vs a broadcast-join + per-row window over N×nlist rows), and the
     # query side probes a literal-backed local relation instead of
     # re-deriving the centroid aggregation subplan a second time
+    # NULL labels are excluded from the codebook: a NULL label can never
+    # equi-join a probe (so its inverted list would be unreachable), and a
+    # (None, vec) entry would crash the sort below. NULL-label rows stay
+    # searchable — the assignment step below routes every corpus row to
+    # its nearest NON-NULL-label centroid.
     labeled = sorted(
         (r["label"], [float(x) for x in r["_cvec"]])
         for r in _centroid_vectors(
             corpus, label_col=label_col, vec_col=vec_col
         ).collect()
+        if r["label"] is not None
     )
     if not labeled:
-        # empty corpus → no inverted lists: searching finds nothing. Keep
-        # the output schema (and q_id/neighbor_id input types) intact.
+        # no inverted lists (empty corpus, all embeddings NULL, or all
+        # labels NULL) → searching finds nothing: a typed EMPTY result.
+        # limit(0) on both sides keeps the q_id/neighbor_id input types
+        # without fabricating rows when only one side is empty.
         return (
             queries.select(F.col(query_id_col).alias("q_id"))
-            .crossJoin(corpus.select(F.col(id_col).alias("neighbor_id")))
+            .limit(0)
+            .crossJoin(
+                corpus.select(F.col(id_col).alias("neighbor_id")).limit(0)
+            )
             .select(
                 "q_id",
                 "neighbor_id",

@@ -2643,7 +2643,7 @@ def q_dedup_exact_docs(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_DEDUP_EXACT_DOCS = """
 SELECT min(doc_id) AS doc_id, count(*) AS n_copies
 FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
-GROUP BY md5(text)
+GROUP BY coalesce(md5(text), '_null:' || CAST(doc_id AS VARCHAR))
 """
 
 

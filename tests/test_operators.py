@@ -1005,11 +1005,14 @@ def test_dedup_pipelines_tolerate_null_and_empty_text(spark):
     from statline_bq_spark.operators import dedup
 
     docs = spark.createDataFrame(
-        [(1, "a b c d"), (2, None), (3, "a b c d"), (4, "")],
+        [(1, "a b c d"), (2, None), (3, "a b c d"), (4, ""), (5, None)],
         "doc_id long, text string",
     )
+    # two NULL-text docs must each survive as their OWN group: md5(NULL)
+    # is NULL, so a bare md5 group key would collapse them into one bogus
+    # "duplicate" pair and silently discard doc 5
     exact = {r.doc_id: r.n_copies for r in dedup.exact_dedup(docs).collect()}
-    assert exact == {1: 2, 2: 1, 4: 1}
+    assert exact == {1: 2, 2: 1, 4: 1, 5: 1}
     for pairs in (
         dedup.ngram_jaccard_pairs(docs, threshold=0.1),
         dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.1),
@@ -1159,3 +1162,164 @@ def test_cosine_excludes_zero_vectors_under_ansi(spark):
         rows = fn().collect()
         assert {(r.q_id, r.neighbor_id) for r in rows} == {(10, 1), (10, 3), (10, 4)}
         assert all(r.sim is not None and r.sim == r.sim for r in rows)
+
+
+def test_cosine_pairs_blocked_survives_zero_and_null_vectors(spark):
+    """The blocked pair enumerator shares cosine_similarity's dirty-data
+    contract: a zero-norm vector yields NULL sim via try_divide (dropped by
+    the threshold filter — NOT an ANSI DIVIDE_BY_ZERO job kill), and NULL
+    embeddings are excluded up front."""
+    from statline_bq_spark.operators.similarity import cosine_pairs_blocked
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 0.0]),  # zero-norm: the ANSI divide hazard
+            (3, None),        # failed encoder call
+            (4, [2.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = cosine_pairs_blocked(emb, threshold=0.5, n_blocks=4).collect()
+    assert {(r.a, r.b, r.sim) for r in rows} == {(1, 4, 1.0)}
+
+
+def test_kmeans_assign_excludes_null_vectors(spark):
+    """kmeans_assign shares the NULL-embedding exclusion contract: a None
+    in the Arrow batch must not build a ragged numpy array and crash the
+    BLAS scoring (the fit path already drops NULLs — assignment over the
+    same dirty table has to as well)."""
+    from statline_bq_spark.operators.similarity import kmeans_assign
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.cid
+        for r in kmeans_assign(emb, [[1.0, 0.0], [0.0, 1.0]]).collect()
+    }
+    assert got == {1: 0, 3: 1}
+
+
+def test_ivf_topk_tolerates_null_labels_and_all_null_embeddings(spark):
+    """Two IVF dirty-data contracts: (a) corpus rows with a NULL label
+    must not crash codebook assembly (None is unsortable against ints) —
+    they are searchable through their nearest non-NULL-label list; (b) a
+    non-empty corpus whose embeddings are ALL NULL has no inverted lists:
+    the result is EMPTY, not Q x N fabricated (rn=1, sim=0.0) rows."""
+    from statline_bq_spark.operators.similarity import ivf_topk
+
+    qs = spark.createDataFrame(
+        [(10, [1.0, 0.0])], "q_id long, embedding array<double>"
+    )
+    mixed = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], None), (3, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    rows = ivf_topk(mixed, qs, k=3, nprobe=2).collect()
+    got = {(r.q_id, r.neighbor_id) for r in rows}
+    assert (10, 1) in got and (10, 2) in got  # NULL-label row searchable
+    all_null = spark.createDataFrame(
+        [(1, None, 0), (2, None, 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = ivf_topk(all_null, qs, k=3, nprobe=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "q_id", "neighbor_id", "rn", "sim",
+    ]
+
+
+def test_connected_components_hash_magnitude_ids(spark):
+    """Node ids are routinely 64-bit hashes (~2^62): the convergence probe
+    must not ARITHMETIC_OVERFLOW under ANSI when summing labels — the
+    decimal(38,0) probe keeps the strictly-decreasing invariant exact."""
+    from statline_bq_spark.operators.graph import connected_components
+
+    big = 1 << 62
+    edges = spark.createDataFrame(
+        [(big, big + 1), (big + 1, big + 2), (big + 10, big + 11)],
+        "src long, dst long",
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {
+        big: big, big + 1: big, big + 2: big,
+        big + 10: big + 10, big + 11: big + 10,
+    }
+
+
+def test_unigram_gram_builders_support_n_equal_1(spark):
+    """n=1 (unigrams) is a legitimate config for every lead-window gram
+    builder — shingle_index, winnowing k=1, doc_ngram_strings, and
+    contamination_counts — not an IndexError at plan build. Empty text
+    yields no unigrams (split's single '' token is dropped, matching the
+    n>=2 NULL-last-lead filter)."""
+    from statline_bq_spark.operators.decontaminate import (
+        contamination_counts,
+        doc_ngram_strings,
+    )
+    from statline_bq_spark.operators.dedup import (
+        shingle_index,
+        winnowing_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, ""), (3, "b")],
+        "doc_id long, text string",
+    )
+    idx = shingle_index(docs, n=1)
+    per_doc = {
+        r.doc_id: r.n for r in idx.groupBy(F.col("_id").alias("doc_id"))
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert per_doc == {1: 3, 3: 1}  # distinct unigrams; empty text absent
+    grams = {
+        (r._id, r._g) for r in doc_ngram_strings(docs, n=1).collect()
+    }
+    assert grams == {(1, "a"), (1, "b"), (1, "c"), (3, "b")}
+    fp = winnowing_fingerprints(docs, k=1, window=2)
+    assert fp.filter("doc_id = 2").count() == 0
+    assert fp.filter("doc_id = 1").count() >= 1
+    bench = spark.createDataFrame([(100, "a z")], "doc_id long, text string")
+    cont = {
+        r.doc_id: (r.n_shared, r.n_grams)
+        for r in contamination_counts(docs, bench, n=1).collect()
+    }
+    # only documents sharing >=1 gram are reported (contract): doc 1
+    # shares 'a'; docs 2/3 share nothing and are absent
+    assert cont == {1: (1, 3)}
+
+
+def test_fuzzy_pairs_short_and_empty_strings_emit_no_grams(spark):
+    """Strings shorter than q produce NO q-grams (the oracle's range(1,1)
+    is empty): without the guard, sequence(1,0) descends and every
+    empty/short name would share its whole text as a phantom gram and
+    pair up quadratically."""
+    from statline_bq_spark.operators.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "ab"), (4, "ab"), (5, "abcd"), (6, "abce")],
+        "id long, name string",
+    )
+    rows = fuzzy_pairs(df, max_dist=1, q=3).collect()
+    # only the two length>=q names can pair; the empty/short ones have no
+    # grams, so no candidate can ever surface them
+    assert {(r.a, r.b) for r in rows} == {(5, 6)}
+
+
+def test_hash_split_null_key_gets_null_split(spark):
+    """A NULL key yields a NULL split (same contract as kfold_assign) —
+    not a silent fall-through that routes the whole NULL-key error
+    population into the last-named split."""
+    from statline_bq_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame(
+        [(1,), (None,), (3,)], "doc_id long"
+    )
+    out = {
+        r.doc_id: r.split
+        for r in hash_split(df, "doc_id", {"train": 0.8, "test": 0.2}).collect()
+    }
+    assert out[None] is None
+    assert out[1] in ("train", "test") and out[3] in ("train", "test")

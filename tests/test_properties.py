@@ -830,13 +830,14 @@ join_rows = st.lists(
 
 @given(left=join_rows, right=join_rows,
        parts=st.sampled_from([1, 3, 8]),
-       how=st.sampled_from(["inner", "left"]))
+       how=st.sampled_from(["inner", "left", "right", "full"]))
 @settings(**SETTINGS)
 def test_salted_join_equals_plain_join(spark, left, right, parts, how):
     """salted_join(a, b, on) ≡ a.join(b, on) as a MULTISET (duplicates from
     many-to-many keys must survive exactly once per pairing, not per salt
-    replica), for inner and left joins, including empty sides and
-    salt_parts=1."""
+    replica), for ALL outer-join modes, including empty sides and
+    salt_parts=1. right/full are the regression case: a naive salted outer
+    join emits unmatched replicated-side rows salt_parts times."""
     from collections import Counter
 
     from statline_bq_spark.operators.skew import salted_join
