@@ -1323,3 +1323,141 @@ def test_band_join_matches_containment_reference(spark, facts, bands, closed_lo)
         else:
             want.append((fid, None))
     assert got == sorted(want, key=lambda x: (x[0], x[1] is None, x[1] or 0))
+
+
+# --- fuzzy_pairs vs brute-force q-gram + Levenshtein reference --------------
+
+fuzzy_names = st.lists(
+    st.text(alphabet="ab", min_size=0, max_size=6),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    """Textbook O(L²) Levenshtein — the independent reference."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@given(names=fuzzy_names, q=st.sampled_from([2, 3]),
+       max_dist=st.integers(1, 2), df_cap=st.sampled_from([2, 64]))
+@settings(**SETTINGS)
+def test_fuzzy_pairs_matches_bruteforce(spark, names, q, max_dist, df_cap):
+    """fuzzy_pairs == brute force over its documented contract: pairs
+    (a < b) within Levenshtein max_dist that share at least one q-gram
+    whose document frequency is <= df_cap. The tiny 'ab' alphabet forces
+    heavy grams (exercising the cap), duplicate names (dist 0), and
+    strings shorter than q (no grams, never paired)."""
+    from statline_bq_spark.operators.dedup import fuzzy_pairs
+
+    rows = list(enumerate(names))
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = sorted(
+        (r.a, r.b, r.dist)
+        for r in fuzzy_pairs(
+            df, max_dist=max_dist, q=q, df_cap=df_cap
+        ).collect()
+    )
+
+    grams = {
+        i: {s[k : k + q] for k in range(len(s) - q + 1)}
+        for i, s in rows
+    }
+    dfreq: dict[str, int] = {}
+    for gs in grams.values():
+        for g in gs:
+            dfreq[g] = dfreq.get(g, 0) + 1
+    info = {g for g, n in dfreq.items() if n <= df_cap}
+    want = sorted(
+        (i, j, _lev(si, sj))
+        for (i, si) in rows
+        for (j, sj) in rows
+        if i < j
+        and (grams[i] & grams[j]) & info
+        and _lev(si, sj) <= max_dist
+    )
+    assert got == want
+
+
+# --- hash_split vs exact md5 mirror ------------------------------------------
+
+
+@given(
+    keys=st.lists(
+        st.one_of(st.none(), st.integers(-(10**6), 10**6)),
+        min_size=1, max_size=20, unique=True,
+    ),
+    salt=st.sampled_from(["", "s1"]),
+    train=st.integers(1, 255),
+)
+@settings(**SETTINGS)
+def test_hash_split_matches_python_md5_mirror(spark, keys, salt, train):
+    """hash_split's assignment is an exact, engine-independent function of
+    the key: bucket = conv(md5(salt||key)[:2], 16, 10) % 256 compared
+    against the 1/256-quantized cumulative fractions — mirrored here with
+    hashlib. Pins the on-disk split stability the docstring promises (a
+    re-run or a different engine must route every row identically); NULL
+    keys get a NULL split."""
+    import hashlib
+
+    from statline_bq_spark.operators.sampling import hash_split
+
+    frac = train / 256.0
+    splits = {"train": frac, "test": 1.0 - frac}
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    got = {
+        r.doc_id: r.split
+        for r in hash_split(df, "doc_id", splits, salt=salt).collect()
+    }
+    hi = int(round(frac * 256))
+    for k in keys:
+        if k is None:
+            assert got[k] is None
+            continue
+        b = int(
+            hashlib.md5(f"{salt}{k}".encode()).hexdigest()[:2], 16
+        ) % 256
+        assert got[k] == ("train" if b < hi else "test"), (k, b, hi)
+
+
+# --- exact_dedup vs Python multiset reference --------------------------------
+
+
+@given(
+    texts=st.lists(
+        st.one_of(st.none(), st.text(alphabet="xy ", max_size=4)),
+        min_size=1, max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_exact_dedup_matches_python_grouping(spark, texts):
+    """exact_dedup == Python grouping by text: one row per distinct
+    non-NULL text (survivor = min id, n_copies = multiplicity), and every
+    NULL-text row survives alone (failed fetches are not 'duplicates' of
+    each other). Conservation: sum(n_copies) == input rows."""
+    from statline_bq_spark.operators.dedup import exact_dedup
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.n_copies) for r in exact_dedup(df).collect()
+    )
+
+    groups: dict[str, list[int]] = {}
+    want = []
+    for i, t in rows:
+        if t is None:
+            want.append((i, 1))
+        else:
+            groups.setdefault(t, []).append(i)
+    want.extend((min(ids), len(ids)) for ids in groups.values())
+    assert got == sorted(want)
+    assert sum(n for _, n in got) == len(rows)
