@@ -1461,3 +1461,144 @@ def test_exact_dedup_matches_python_grouping(spark, texts):
     want.extend((min(ids), len(ids)) for ids in groups.values())
     assert got == sorted(want)
     assert sum(n for _, n in got) == len(rows)
+
+
+# --- pack_sequences vs single-pass Python prefix sum -------------------------
+
+pack_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.sampled_from(["en", "fr"])),  # stream
+        st.integers(0, 40),                                   # order key
+        st.integers(0, 9),                                    # n_tokens
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda r: (r[0], r[1]),  # order key unique per stream
+)
+
+
+@given(rows=pack_rows, capacity=st.sampled_from([1, 5, 16]),
+       block_size=st.sampled_from([2, 3, 4096]))
+@settings(**SETTINGS)
+def test_pack_sequences_matches_single_pass_prefix_sum(
+    spark, rows, capacity, block_size
+):
+    """The two-level block scan (bounded window partitions) must equal the
+    naive single-window prefix sum — mirrored here in Python — for every
+    block_size, including block_size smaller than the stream (multi-block
+    recombination), zero-token docs (advance the stream by 0 but span 1
+    sequence), and a NULL stream key (a stream like any other)."""
+    from statline_bq_spark.operators.packing import pack_sequences
+
+    data = [(i, s, o, t) for i, (s, o, t) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "doc_id long, lang string, pos long, n_tokens long"
+    )
+    got = {
+        r.doc_id: (r.start_offset, r.seq_id, r.n_seqs_spanned)
+        for r in pack_sequences(
+            df, "lang", "pos", "n_tokens", capacity, block_size=block_size
+        ).collect()
+    }
+
+    want = {}
+    streams: dict[object, list[tuple[int, int, int]]] = {}
+    for i, s, o, t in data:
+        streams.setdefault(s, []).append((o, i, t))
+    for docs in streams.values():
+        running = 0
+        for _, i, t in sorted(docs):
+            start = running
+            end_incl = start + max(t, 1) - 1
+            want[i] = (
+                start, start // capacity,
+                end_incl // capacity - start // capacity + 1,
+            )
+            running += t
+    assert got == want
+
+
+# --- token_budget_fill vs Python greedy cumsum --------------------------------
+
+fill_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),    # group
+        st.integers(0, 30),   # priority (asc = best first)
+        st.integers(0, 20),   # n_tokens
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=fill_rows, budget=st.sampled_from([0, 7, 25, 100]))
+@settings(**SETTINGS)
+def test_token_budget_fill_matches_python_greedy(spark, rows, budget):
+    """token_budget_fill == per-group greedy: order by (priority, id),
+    keep rows while the running token total stays <= budget. A row that
+    overflows the budget also blocks everything after it (running sum is
+    monotone for non-negative tokens) — including zero-token rows that
+    would individually fit."""
+    from statline_bq_spark.operators.sampling import token_budget_fill
+
+    data = [(i, g, p, t) for i, (g, p, t) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "id long, grp long, prio long, n_tokens long"
+    )
+    got = sorted(
+        (r.id, r.cum_tokens)
+        for r in token_budget_fill(
+            df, "grp", F.col("n_tokens"), budget,
+            order_by=[F.col("prio"), F.col("id")],
+        ).collect()
+    )
+
+    want = []
+    groups: dict[int, list[tuple[int, int, int]]] = {}
+    for i, g, p, t in data:
+        groups.setdefault(g, []).append((p, i, t))
+    for docs in groups.values():
+        cum = 0
+        for _, i, t in sorted(docs):
+            cum += t
+            if cum > budget:
+                break
+            want.append((i, cum))
+    assert got == sorted(want)
+
+
+# --- reservoir_per_key vs hashlib mirror --------------------------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 10**6)),
+        min_size=1, max_size=30, unique_by=lambda r: r[1],
+    ),
+    k=st.integers(1, 4),
+    salt=st.sampled_from(["", "s"]),
+)
+@settings(**SETTINGS)
+def test_reservoir_per_key_matches_md5_rank_mirror(spark, rows, k, salt):
+    """reservoir_per_key selects exactly the k rows per key whose
+    md5(id||salt) ranks smallest — mirrored with hashlib. Pins the
+    stability contract (WHICH rows are sampled is a pure function of id
+    and salt, so re-runs and appends keep prior members), not just the
+    per-key count."""
+    import hashlib
+
+    from statline_bq_spark.operators.sampling import reservoir_per_key
+
+    df = spark.createDataFrame(rows, "key long, id long")
+    got = sorted((r.key, r.id) for r in reservoir_per_key(df, "key", "id", k, salt=salt).collect())
+
+    bykey: dict[int, list[tuple[str, int]]] = {}
+    for key, i in rows:
+        h = hashlib.md5(f"{i}{salt}".encode()).hexdigest()
+        bykey.setdefault(key, []).append((h, i))
+    want = sorted(
+        (key, i)
+        for key, hs in bykey.items()
+        for _, i in sorted(hs)[:k]
+    )
+    assert got == want
