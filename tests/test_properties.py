@@ -1602,3 +1602,81 @@ def test_reservoir_per_key_matches_md5_rank_mirror(spark, rows, k, salt):
         for _, i in sorted(hs)[:k]
     )
     assert got == want
+
+
+# --- exact_ntile_from_rank vs Python ntile ------------------------------------
+
+
+@given(n=st.integers(1, 60), buckets=st.integers(1, 12))
+@settings(**SETTINGS)
+def test_exact_ntile_from_rank_matches_python_ntile(spark, n, buckets):
+    """exact_ntile_from_rank(rank, n, b) == the SQL-standard ntile: the
+    first n mod b buckets get n div b + 1 rows, the rest n div b — checked
+    for every rank 1..n against a Python mirror (covers n < b, b = 1, and
+    exact-boundary ranks)."""
+    from statline_bq_spark.operators.analytic import exact_ntile_from_rank
+
+    df = spark.range(1, n + 1).select(F.col("id").alias("rank"))
+    got = {
+        r.rank: r.nt
+        for r in df.select(
+            "rank",
+            exact_ntile_from_rank(
+                F.col("rank"), F.lit(n), buckets
+            ).alias("nt"),
+        ).collect()
+    }
+
+    big, r = divmod(n, buckets)
+    want = {}
+    rank = 1
+    for b in range(1, buckets + 1):
+        size = big + 1 if b <= r else big
+        for _ in range(size):
+            if rank > n:
+                break
+            want[rank] = b
+            rank += 1
+    assert got == want
+
+
+# --- mixture_sample vs md5-threshold mirror (exact-rate regimes) --------------
+
+mix_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.sampled_from(["web", "code", "books"])),
+        st.integers(0, 10**6),
+    ),
+    min_size=1, max_size=30, unique_by=lambda r: r[1],
+)
+
+
+@given(rows=mix_rows, alpha=st.sampled_from([0.0, 1.0]))
+@settings(**SETTINGS)
+def test_mixture_sample_matches_md5_threshold_mirror(spark, rows, alpha):
+    """mixture_sample's keep decision is a pure function of (key, source
+    counts): uniform = conv(md5('mix'||key)[:4]) / 65536 < (n_min/n_s)^(1-a).
+    Mirrored exactly for alpha in {0, 1} where the pow is a single exact
+    IEEE op (x^1 = x, x^0 = 1): alpha=1 keeps everything, alpha=0 samples
+    each source at n_min/n_s. NULL source is a group like any other (the
+    null-safe rate join-back must not drop it)."""
+    import hashlib
+
+    from statline_bq_spark.operators.packing import mixture_sample
+
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    got = {
+        r.doc_id: r.keep
+        for r in mixture_sample(df, "source", "doc_id", alpha=alpha).collect()
+    }
+
+    counts: dict[object, int] = {}
+    for s, _ in rows:
+        counts[s] = counts.get(s, 0) + 1
+    n_min = min(counts.values())
+    want = {}
+    for s, i in rows:
+        rate = 1.0 if alpha == 1.0 else n_min / counts[s]
+        u = int(hashlib.md5(f"mix{i}".encode()).hexdigest()[:4], 16) / 65536.0
+        want[i] = u < rate
+    assert got == want
