@@ -117,14 +117,18 @@ def chunk_words(
     narrow map with zero shuffle.
 
     Returns ``carry_cols`` + (chunk_idx, chunk, n_tokens). Empty/whitespace
-    text yields one empty chunk (mirrors ``str.split`` semantics of the
-    UDTF twin for non-empty input).
+    text yields one single-''-token chunk (the split(trim, '\\s+')
+    convention); NULL text yields NO chunks — without the filter,
+    ``greatest(NULL - overlap, 1)`` silently coerces to 1 (greatest skips
+    NULLs) and fabricates one chunk with a NULL body and n_tokens = width.
     """
     if not 0 <= overlap < width:
         raise ValueError("need 0 <= overlap < width")
     step = width - overlap
     words = tokens(text_col)
-    base = df.select(*carry_cols, words.alias("__words"), F.size(words).alias("__n"))
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        *carry_cols, words.alias("__words"), F.size(words).alias("__n")
+    )
     starts = F.sequence(
         F.lit(0),
         F.greatest(F.col("__n") - overlap, F.lit(1)) - 1,

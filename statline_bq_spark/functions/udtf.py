@@ -41,7 +41,17 @@ def make_chunk_udtf(chunk_size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP):
     @udtf(returnType=CHUNK_SCHEMA, useArrow=True)
     class ChunkText:
         def eval(self, text: str):
-            words = (text or "").split()
+            # NULL text chunks to NOTHING (same as the JVM twin, where
+            # posexplode over a NULL sequence emits no rows); empty /
+            # whitespace-only text mirrors the repo-wide tokenization
+            # convention split(trim(text), '\\s+') — a single '' token —
+            # NOT str.split()'s [] (which would fabricate a 0-token chunk
+            # and diverge from the twin and the oracle).
+            if text is None:
+                return
+            import re
+
+            words = re.split(r"\s+", text.strip())
             n = len(words)
             limit = max(1, n - overlap)
             idx = 0

@@ -115,8 +115,11 @@ def extract_features(
                     "no media codec available in this environment; "
                     "pass decoder= (e.g. deterministic_fake_decoder)"
                 )
+            # NULL payload (failed fetch) → NULL feature: decoding b"" would
+            # fabricate a real-looking vector for media that was never
+            # retrieved, silently polluting downstream similarity searches
             feats = [
-                decoder(bytes(p) if p is not None else b"", dim)
+                None if p is None else decoder(bytes(p), dim)
                 for p in pdf[payload_col]
             ]
             yield pd.DataFrame(

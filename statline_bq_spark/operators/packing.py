@@ -53,8 +53,12 @@ def _block_prefix_offsets(
 
     Requires ``order_key`` to be a numeric, per-stream-unique column (the
     deterministic concatenation order). Adds ``out_col``; preserves all
-    input columns.
+    input columns. A NULL weight contributes ZERO to the stream (the row
+    keeps a well-defined offset): without the coalesce, the row's own
+    ``prefix + within - weight`` arithmetic goes NULL and poisons every
+    derived position for that row.
     """
+    w0 = F.coalesce(F.col(weight_col), F.lit(0))
     blk = (F.col(order_key) / F.lit(block_size)).cast("bigint").alias("_pk_blk")
     df = df.withColumn("_pk_blk", blk)
     # (2) within-block running sum — bounded partitions, parallel.
@@ -63,10 +67,10 @@ def _block_prefix_offsets(
         .orderBy(order_key)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    df = df.withColumn("_pk_within", F.sum(weight_col).over(w_in))
+    df = df.withColumn("_pk_within", F.sum(w0).over(w_in))
     # (3) block totals (#blocks rows) → exclusive running sum over blocks.
     totals = df.groupBy(stream_key, "_pk_blk").agg(
-        F.sum(weight_col).alias("_pk_tot")
+        F.sum(w0).alias("_pk_tot")
     )
     w_blk = (
         Window.partitionBy(stream_key)
@@ -90,9 +94,11 @@ def _block_prefix_offsets(
         & (F.col("_pk_blk") == F.col("_pk_pblk")),
     ).withColumn(
         out_col,
-        (F.col("_pk_prefix") + F.col("_pk_within") - F.col(weight_col)).cast(
-            "bigint"
-        ),
+        (
+            F.col("_pk_prefix")
+            + F.col("_pk_within")
+            - F.coalesce(F.col(weight_col), F.lit(0))
+        ).cast("bigint"),
     )
     return out.drop("_pk_blk", "_pk_pblk", "_pk_within", "_pk_prefix", "_pk_sk")
 

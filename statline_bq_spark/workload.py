@@ -1544,11 +1544,18 @@ def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("_chars").alias("_c"),
     )
     fr = lambda c_: F.floor(c_ * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    # try_divide: a language whose docs are all empty/whitespace sums to 0
+    # subwords — under ANSI a plain divide would kill the whole job for
+    # one degenerate group; NULL is the honest ratio (oracle: nullif).
     return agg.select(
         "lang",
         "n_docs",
-        fr(F.col("_s").cast("double") / F.col("_w")).alias("fertility"),
-        fr(F.col("_c").cast("double") / F.col("_s")).alias("chars_per_token"),
+        fr(F.try_divide(F.col("_s").cast("double"), F.col("_w"))).alias(
+            "fertility"
+        ),
+        fr(F.try_divide(F.col("_c").cast("double"), F.col("_s"))).alias(
+            "chars_per_token"
+        ),
     )
 
 
@@ -1562,10 +1569,10 @@ WITH per_doc AS (
   FROM documents
 )
 SELECT lang, count(*) AS n_docs,
-       floor(CAST(sum(subwords) AS DOUBLE) / sum(words) * 10000 + 0.5)
-         / 10000 AS fertility,
-       floor(CAST(sum(chars) AS DOUBLE) / sum(subwords) * 10000 + 0.5)
-         / 10000 AS chars_per_token
+       floor(CAST(sum(subwords) AS DOUBLE) / nullif(sum(words), 0)
+             * 10000 + 0.5) / 10000 AS fertility,
+       floor(CAST(sum(chars) AS DOUBLE) / nullif(sum(subwords), 0)
+             * 10000 + 0.5) / 10000 AS chars_per_token
 FROM per_doc GROUP BY lang
 """
 
@@ -1955,12 +1962,17 @@ def q_calibrated_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
             F.floor(quality_score("text") * 10000 + F.lit(0.5)) / 10000
         ).alias("q"),
     )
-    w = Window.partitionBy("source").orderBy("q")
+    # NULLS LAST (Spark defaults NULLS FIRST ascending, DuckDB LAST), and
+    # an un-scorable doc (NULL text → NULL q) gets a NULL calibration —
+    # ranking it anywhere would assert a quality it doesn't have
+    w = Window.partitionBy("source").orderBy(F.col("q").asc_nulls_last())
     return scored.select(
         "doc_id",
         "source",
         "q",
-        F.percent_rank().over(w).alias("calibrated"),
+        F.when(
+            F.col("q").isNotNull(), F.percent_rank().over(w)
+        ).alias("calibrated"),
     )
 
 
@@ -1979,7 +1991,10 @@ WITH t AS (
   FROM t
 )
 SELECT doc_id, source, q,
-       percent_rank() OVER (PARTITION BY source ORDER BY q) AS calibrated
+       CASE WHEN q IS NULL THEN NULL
+            ELSE percent_rank() OVER (PARTITION BY source
+                                      ORDER BY q NULLS LAST)
+       END AS calibrated
 FROM scored
 """
 
@@ -2505,13 +2520,20 @@ def q_matryoshka_embeddings(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id",
         F.size("embedding").alias("full_dim"),
         fr(vectors.l2_norm(head)).alias("head_norm"),
-        F.concat_ws(
-            ",",
-            F.transform(
-                unit,
-                lambda x: F.floor(x * 10000 + F.lit(0.5))
-                .cast("bigint")
-                .cast("string"),
+        # Un-normalizable rows (NULL embedding, zero-norm head) emit a NULL
+        # head_unit, not '': concat_ws silently drops the all-NULL
+        # transform elements, which would disguise a dirty row as an
+        # empty-but-present vector (and diverge from the oracle's NULL).
+        F.when(
+            vectors.l2_norm(head) > 0,
+            F.concat_ws(
+                ",",
+                F.transform(
+                    unit,
+                    lambda x: F.floor(x * 10000 + F.lit(0.5))
+                    .cast("bigint")
+                    .cast("string"),
+                ),
             ),
         ).alias("head_unit"),
     )
@@ -2985,6 +3007,7 @@ SELECT label, i AS pos,
             AS DOUBLE) AS centroid_sum,
        count(*) AS n_vectors
 FROM embeddings, range(0, 64) t(i)
+WHERE embedding IS NOT NULL  -- posexplode emits nothing for a NULL vector
 GROUP BY label, i
 """
 
@@ -3031,13 +3054,18 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     ).withColumnRenamed("media_id", "doc_id")
     return feats.select(
         "doc_id",
-        F.concat_ws(
-            ",",
-            F.transform(
-                "feature",
-                lambda x: F.floor(x * 255 + F.lit(0.5))
-                .cast("bigint")
-                .cast("string"),
+        # NULL feature (undecodable payload) stays NULL — concat_ws would
+        # flatten it to '', masking the failure as an empty vector
+        F.when(
+            F.col("feature").isNotNull(),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "feature",
+                    lambda x: F.floor(x * 255 + F.lit(0.5))
+                    .cast("bigint")
+                    .cast("string"),
+                ),
             ),
         ).alias("feature"),
     )
@@ -4401,9 +4429,11 @@ def q_kmeans_doc_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLE_KMEANS_DOC_CLUSTERS = """
+-- conservation is over ASSIGNABLE vectors: NULL embeddings are excluded
+-- from every fit/assign path (the uniform search contract)
 SELECT count(*) AS total_vectors, TRUE AS n_clusters_le_k,
        TRUE AS no_empty_output_rows
-FROM embeddings
+FROM embeddings WHERE embedding IS NOT NULL
 """
 
 
@@ -4504,17 +4534,30 @@ def q_semantic_decontaminated(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_SEMANTIC_DECONTAMINATED = """
 WITH c AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         (embedding IS NOT NULL AND
+          list_dot_product(CAST(coalesce(embedding, [0.0]) AS DOUBLE[]),
+                           CAST(coalesce(embedding, [0.0]) AS DOUBLE[])) > 0)
+           AS scorable
   FROM embeddings WHERE vec_id >= 20
 ), b AS (
-  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 20
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id < 20 AND embedding IS NOT NULL
+    AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
+), hits AS (
+  -- un-scorable corpus rows survive (the engine's anti-join condition is
+  -- NULL for them, so they never match); the join keeps NULL/zero-norm
+  -- vectors away from list_cosine_similarity (which errors on NULL) by
+  -- filtering BEFORE the function is projected
+  SELECT DISTINCT c.vec_id
+  FROM c JOIN b ON c.scorable
+  WHERE round(list_cosine_similarity(c.v, b.v), 4) >= 0.4
 )
 SELECT label, count(*) AS n_survivors,
        CAST(sum(vec_id) AS BIGINT) AS id_sum
 FROM c
-WHERE NOT EXISTS (
-  SELECT 1 FROM b WHERE round(list_cosine_similarity(c.v, b.v), 4) >= 0.4
-)
+WHERE vec_id NOT IN (SELECT vec_id FROM hits)
 GROUP BY label
 """
 
@@ -4613,7 +4656,9 @@ WITH cnt AS (
            + (strpos('0123456789abcdef', substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 3, 1)) - 1) * 16
            + (strpos('0123456789abcdef', substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 4, 1)) - 1)
          ) / 65536.0 < r.rate THEN 1 ELSE 0 END AS keep
-  FROM documents d JOIN r ON d.source = r.source
+  -- null-safe: the NULL-source group is sampled like any other (the
+  -- engine's rate join-back is eqNullSafe)
+  FROM documents d JOIN r ON d.source IS NOT DISTINCT FROM r.source
 )
 SELECT source, count(*) AS n_total, CAST(sum(keep) AS BIGINT) AS n_kept
 FROM k GROUP BY source
@@ -4881,7 +4926,13 @@ def q_winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLE_WINNOWING_FINGERPRINTS = """
-SELECT count(*) AS n_docs, count(DISTINCT text) AS n_text_groups,
+-- NULL-text docs form ONE text group (the engine groups on a text hash,
+-- so the NULL bucket is a real group); count(DISTINCT text) alone would
+-- silently ignore them
+SELECT count(*) AS n_docs,
+       CAST(count(DISTINCT text)
+            + CASE WHEN count(*) > count(text) THEN 1 ELSE 0 END
+            AS BIGINT) AS n_text_groups,
        TRUE AS dup_texts_share_fingerprints
 FROM documents
 """
@@ -5001,9 +5052,11 @@ def q_chunk_documents_udtf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLE_CHUNK_DOCUMENTS_UDTF = """
+-- NULL text chunks to NOTHING: without the filter, greatest(NULL-8, 1)
+-- skips the NULL and fabricates one chunk (NULL body, n_tokens 32)
 WITH w AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 starts AS (
   SELECT doc_id, words, len(words) AS n,
@@ -6498,8 +6551,11 @@ FROM embeddings WHERE vec_id < 10
 
 ORACLE_EMBEDDING_QUANTIZATION = """
 WITH v AS (
+  -- a NULL embedding has nothing to quantize: the engine's posexplode
+  -- emits no rows for it; without the filter this oracle would fabricate
+  -- an all-NULL facet row for the vector
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ), m AS (
   SELECT vec_id, vd, list_max(list_transform(vd, x -> abs(x))) AS maxabs
   FROM v
@@ -8178,7 +8234,13 @@ def q_doc_length_profile(spark: SparkSession, sf: str) -> DataFrame:
     t = d.select(
         "source", "doc_id", token_count("text").cast("bigint").alias("n_tok")
     )
-    w = Window.partitionBy("source").orderBy("n_tok", "doc_id")
+    # NULLS LAST explicitly: NULL token counts (NULL text) must rank after
+    # every real length in BOTH engines — Spark ascends NULLS FIRST by
+    # default, DuckDB NULLS LAST, which silently shifts every rank-based
+    # quantile pick in a group containing one dirty doc
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_tok").asc_nulls_last(), "doc_id"
+    )
     ranked = t.withColumn("rn", F.row_number().over(w)).withColumn(
         "n", F.count(F.lit(1)).over(Window.partitionBy("source"))
     )
@@ -8201,7 +8263,8 @@ WITH t AS (
   FROM documents
 ), r AS (
   SELECT source, n_tok,
-         row_number() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rn,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_tok NULLS LAST, doc_id) AS rn,
          count(*) OVER (PARTITION BY source) AS n
   FROM t
 )
@@ -8341,12 +8404,22 @@ def q_grouped_map_mad(spark: SparkSession, sf: str) -> DataFrame:
     feat = d.select("lang", token_count("text").cast("bigint").alias("n_tok"))
 
     def mad(pdf: pd.DataFrame) -> pd.DataFrame:
-        xs = pdf["n_tok"].sort_values().to_numpy()
+        import numpy as np
+
+        # NULL token counts (NULL text) sort LAST — the same rank
+        # selection the oracle's ORDER BY n_tok NULLS LAST performs; if
+        # the picked rank lands on a NULL (group majority un-tokenizable)
+        # the statistic is NULL, not an int(NaN) crash.
+        xs = pdf["n_tok"].sort_values(na_position="last").to_numpy()
         n = len(xs)
-        med = int(xs[(n + 1) // 2 - 1])  # lower median, rank ceil(n/2)
-        dev = abs(pdf["n_tok"].to_numpy() - med)
-        dev.sort()
-        dmed = int(dev[(n + 1) // 2 - 1])
+        pick = xs[(n + 1) // 2 - 1]  # lower median, rank ceil(n/2)
+        med = None if pd.isna(pick) else int(pick)
+        if med is None:
+            dmed = None
+        else:
+            dev = np.sort(np.abs(pdf["n_tok"].to_numpy() - med))
+            pick2 = dev[(n + 1) // 2 - 1]  # NaN sorts last in np.sort
+            dmed = None if np.isnan(pick2) else int(pick2)
         return pd.DataFrame(
             {
                 "lang": [pdf["lang"].iloc[0]],
@@ -8379,7 +8452,7 @@ WITH t AS (
   FROM r GROUP BY lang
 ), dev AS (
   SELECT t.lang, abs(t.n_tok - m.median_tokens) AS d, t.doc_id
-  FROM t JOIN med m USING (lang)
+  FROM t JOIN med m ON t.lang IS NOT DISTINCT FROM m.lang
 ), rd AS (
   SELECT lang, d,
          row_number() OVER (PARTITION BY lang ORDER BY d, doc_id) AS rn,
@@ -8392,7 +8465,9 @@ WITH t AS (
   FROM rd GROUP BY lang
 )
 SELECT med.lang, med.n_docs, med.median_tokens, mad.mad_tokens
-FROM med JOIN mad USING (lang)
+-- null-safe join-back: the NULL-lang group is a group like any other;
+-- a plain equi-join on lang would silently drop its row
+FROM med JOIN mad ON med.lang IS NOT DISTINCT FROM mad.lang
 """
 
 
@@ -8852,7 +8927,19 @@ def q_incremental_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .cast("int"),
         F.lit(10),
     )
-    t = d.withColumn("_b", bucket).withColumn("h", F.md5("text"))
+    # NULL text is not comparable content (same sentinel contract as
+    # operators/dedup.exact_dedup): md5(NULL) is NULL, and a NULL key
+    # would (a) collapse every NULL-text new doc into one bogus
+    # within-batch duplicate group here, and (b) poison the oracle's
+    # NOT IN against a history containing NULL. Per-doc sentinel keys
+    # can never equal a 32-hex md5 or each other.
+    t = d.withColumn("_b", bucket).withColumn(
+        "h",
+        F.coalesce(
+            F.md5("text"),
+            F.concat(F.lit("_null:"), F.col("doc_id").cast("string")),
+        ),
+    )
     new = t.filter(F.col("_b") == 0).select("doc_id", "h")
     hist_keys = t.filter(F.col("_b") != 0).select("h").distinct()
     dup_hist = new.join(hist_keys, "h", "left_semi")
@@ -8876,21 +8963,22 @@ def q_incremental_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_INCREMENTAL_EXACT_DEDUP = """
 WITH b AS (
-  SELECT doc_id, text,
+  SELECT doc_id,
+         coalesce(md5(text), '_null:' || CAST(doc_id AS VARCHAR)) AS h,
          (  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
           + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 10
            AS bkt
   FROM documents
 ), new AS (
-  SELECT doc_id, text FROM b WHERE bkt = 0
+  SELECT doc_id, h FROM b WHERE bkt = 0
 ), hist AS (
-  SELECT DISTINCT text FROM b WHERE bkt <> 0
+  SELECT DISTINCT h FROM b WHERE bkt <> 0
 ), dup_hist AS (
-  SELECT count(*) AS n FROM new WHERE text IN (SELECT text FROM hist)
+  SELECT count(*) AS n FROM new WHERE h IN (SELECT h FROM hist)
 ), fresh AS (
-  SELECT text, count(*) AS n FROM new
-  WHERE text NOT IN (SELECT text FROM hist)
-  GROUP BY text
+  SELECT h, count(*) AS n FROM new
+  WHERE h NOT IN (SELECT h FROM hist)
+  GROUP BY h
 )
 SELECT (SELECT count(*) FROM new) AS n_new,
        (SELECT n FROM dup_hist) AS n_dup_of_history,
@@ -9179,7 +9267,11 @@ def q_quantile_normalized_lengths(spark: SparkSession, sf: str) -> DataFrame:
     (`calibrated_quality_scores` maps to percent ranks; this maps to
     reference VALUES)."""
     d = read_table(spark, sf, "documents")
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    # NULLS LAST: Spark ascends NULLS FIRST by default, DuckDB last — a
+    # NULL n_chars row would silently shift every rank in its group
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc_nulls_last(), "doc_id"
+    )
     ranked = (
         d.select("doc_id", "source", "n_chars")
         .withColumn("rn", F.row_number().over(w))
@@ -9204,8 +9296,8 @@ def q_quantile_normalized_lengths(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_QUANTILE_NORMALIZED_LENGTHS = """
 WITH ranked AS (
   SELECT doc_id, source, n_chars,
-         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
-           AS rn,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars NULLS LAST, doc_id) AS rn,
          count(*) OVER (PARTITION BY source) AS n
   FROM documents
 ), ref AS (

@@ -1,0 +1,73 @@
+"""Adversarial dirty-data oracle sweep (opt-in: SPARK_GRAFT_DIRTY=1).
+
+The standard parity suite runs on the driver's clean testdata, which
+contains none of the dirt real corpora carry — NULL text (failed
+fetches), empty/whitespace docs, NULL embeddings (failed encoder calls),
+zero-norm vectors, NULL labels/sources/langs. A query/oracle pair can
+agree on clean data "by luck" while its semantics silently diverge on
+the dirty rows (the round-3 ADVICE found one such case; the first run of
+this sweep found SIXTEEN more, including two outright crashes).
+
+This sweep re-runs every oracle-checked query against a dirty copy of
+sf0.001 built by ``tools/dirty_sf.py`` (documents + embeddings augmented
+with the dirty-row catalog, other tables byte-identical). Divergence
+classes it has caught: ANSI DIVIDE_BY_ZERO on degenerate groups, NULL
+ordering (Spark NULLS FIRST vs DuckDB NULLS LAST) shifting rank picks,
+NULL-group equi-join-backs dropping rows, concat_ws flattening all-NULL
+arrays to '', greatest(NULL, 1) fabricating phantom chunks, and NOT IN
+poisoned by a NULL in the probe set.
+
+~12 min; excluded from the default run like the cross-SF sweep.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+from statline_bq_spark.io import TABLES, table_path
+from statline_bq_spark.workload import ORACLES, QUERIES
+
+from tests.conftest import TESTDATA
+from tests.test_oracle_parity import _normalize
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_DIRTY"),
+    reason="dirty-data sweep is opt-in (SPARK_GRAFT_DIRTY=1); "
+    "clean sf0.01 runs in test_oracle_parity",
+)
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="session")
+def dirty_dir(tmp_path_factory):
+    sys.path.insert(0, os.path.join(_REPO, "tools"))
+    from dirty_sf import build
+
+    out = str(tmp_path_factory.mktemp("dirty_sf"))
+    build(f"{TESTDATA}/sf0.001", out)
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle_on_dirty_data(spark, dirty_dir, name):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{table_path(dirty_dir, t)}')"
+        )
+    sdf = QUERIES[name](spark, dirty_dir)
+    s_cols, s_rows = _normalize(sdf.columns, sdf.collect())
+    res = con.execute(ORACLES[name])
+    d_cols, d_rows = _normalize(
+        [d[0] for d in res.description], res.fetchall()
+    )
+    assert s_cols == d_cols
+    assert len(s_rows) == len(d_rows)
+    assert s_rows == d_rows
+    con.close()

@@ -1323,3 +1323,75 @@ def test_hash_split_null_key_gets_null_split(spark):
     }
     assert out[None] is None
     assert out[1] in ("train", "test") and out[3] in ("train", "test")
+
+
+def test_extract_features_null_payload_yields_null_feature(spark):
+    """A NULL payload (failed fetch) must NOT be fake-decoded as b'' — that
+    would fabricate a real-looking feature vector for media that was never
+    retrieved. The contract is feature = NULL."""
+    from statline_bq_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, b"bytes"), (2, None)], "media_id long, payload binary"
+    )
+    rows = {
+        r.media_id: r.feature
+        for r in multimodal.extract_features(
+            df, decoder=multimodal.deterministic_fake_decoder, dim=4
+        ).collect()
+    }
+    assert rows[2] is None
+    assert rows[1] is not None and len(rows[1]) == 4
+
+
+def test_chunkers_null_and_empty_text_contract(spark):
+    """NULL text chunks to NOTHING in both the JVM chunker and the UDTF
+    (greatest(NULL-overlap, 1) silently skips the NULL and would fabricate
+    one chunk with a NULL body and n_tokens = width); empty/whitespace
+    text follows the split(trim, '\\s+') convention — ONE chunk of the
+    single '' token."""
+    from statline_bq_spark.functions.text import chunk_words
+    from statline_bq_spark.functions.udtf import register_chunk_udtf
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "a b c")],
+        "doc_id long, text string",
+    )
+    jvm = {}
+    for r in chunk_words(df, width=8, overlap=3).collect():
+        jvm.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk, r.n_tokens))
+    assert 1 not in jvm
+    assert jvm[2] == [(0, "", 1)] and jvm[3] == [(0, "", 1)]
+    assert jvm[4] == [(0, "a b c", 3)]
+
+    register_chunk_udtf(spark, "chunk_text_nulltest", chunk_size=8, overlap=3)
+    df.createOrReplaceTempView("nulltest_docs")
+    udtf_out = {}
+    for r in spark.sql(
+        "SELECT d.doc_id, c.* FROM nulltest_docs d,"
+        " LATERAL chunk_text_nulltest(d.text) c"
+    ).collect():
+        udtf_out.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.chunk, r.n_tokens)
+        )
+    assert udtf_out == jvm
+
+
+def test_pack_sequences_null_token_count_is_zero_length_placeholder(spark):
+    """A doc with a NULL token count (un-tokenizable text) advances the
+    stream by ZERO but keeps a well-defined position: start_offset is the
+    prefix sum of its predecessors, it spans exactly the sequence it
+    starts in, and successors are NOT poisoned by NULL arithmetic."""
+    from statline_bq_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [("en", 1, 5), ("en", 2, None), ("en", 3, 7)],
+        "lang string, doc_id long, n_tokens long",
+    )
+    got = {
+        r.doc_id: (r.start_offset, r.seq_id, r.n_seqs_spanned)
+        for r in pack_sequences(
+            df, "lang", "doc_id", "n_tokens", capacity=4, block_size=2
+        ).collect()
+    }
+    assert got == {1: (0, 0, 2), 2: (5, 1, 1), 3: (5, 1, 2)}
