@@ -40,7 +40,12 @@ def tumbling_agg(
     One shuffle on (window, keys); partial aggregation runs map-side, so the
     shuffle volume is #groups, not #events — the property that keeps this
     viable on an unbounded event log.
+
+    Clock-less events (NULL ts) are excluded EXPLICITLY: ``F.window`` would
+    drop them silently anyway; the filter makes the contract visible (and
+    keeps oracle SQL, which buckets NULL into a NULL group, honest).
     """
+    df = df.filter(F.col(ts_col).isNotNull())
     out = df.groupBy(F.window(F.col(ts_col), size).alias("_w"), *keys).agg(*aggs)
     agg_cols = out.columns[1 + len(keys):]
     return out.select(
@@ -67,8 +72,10 @@ def session_agg(
     sessions then time out at a rate chosen by the row's attributes.
 
     Output: (*keys, session_start, *aggs) where session_start is the first
-    event's timestamp formatted as a string.
+    event's timestamp formatted as a string. Clock-less events (NULL ts)
+    are excluded — they cannot be placed in any session.
     """
+    df = df.filter(F.col(ts_col).isNotNull())
     out = df.groupBy(F.session_window(F.col(ts_col), gap).alias("_w"), *keys).agg(
         F.min(ts_col).alias("_first_ts"), *aggs
     )
@@ -118,9 +125,11 @@ def gap_fill_forward(
 
     Rows before a key's first observation keep NULL in ``fill_alias`` —
     there is nothing to carry forward; oracle behavior (DuckDB
-    ``last_value(x IGNORE NULLS)``) matches.
+    ``last_value(x IGNORE NULLS)``) matches. Clock-less events (NULL ts)
+    are excluded — they belong to no bucket.
     """
     interval = F.expr(f"INTERVAL {step}")
+    df = df.filter(F.col(ts_col).isNotNull())
     bucketed = (
         df.groupBy(F.window(F.col(ts_col), step).alias("_w"), key)
         .agg(
@@ -185,8 +194,9 @@ def sliding_agg(
     size/slide overlapping windows before the aggregation — shuffle volume
     is (#groups × size/slide), the unavoidable cost of overlap; keep the
     ratio small (2-4×) at scale or pre-aggregate to ``slide``-sized tumbles
-    and roll them up.
+    and roll them up. Clock-less events (NULL ts) are excluded explicitly.
     """
+    df = df.filter(F.col(ts_col).isNotNull())
     out = df.groupBy(
         F.window(F.col(ts_col), size, slide).alias("_w"), *keys
     ).agg(*aggs)
@@ -295,8 +305,10 @@ def gap_fill_linear(
     one-pass frames, no re-sort between them (same ordering). The
     interpolation fraction uses bucket epoch seconds, so the arithmetic
     is identical in any engine (integers into one double divide).
+    Clock-less events (NULL ts) are excluded — they belong to no bucket.
     """
     interval = F.expr(f"INTERVAL {step}")
+    df = df.filter(F.col(ts_col).isNotNull())
     # Exact-decimal sum (partition-order-independent), cast to double
     # (exact: the scaled sum fits well under 2^53), THEN one divide and a
     # scaled-integer round. Decimal DIVISION is avoided on purpose — each

@@ -730,7 +730,11 @@ def q_json_props_sum(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_JSON_PROPS_SUM = """
 SELECT event_type,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       -- json_valid guard: the engine's get_json_object is lenient (NULL on
+       -- malformed input); DuckDB's json_extract THROWS on it
+       CAST(sum(CASE WHEN props IS NOT NULL AND json_valid(props)
+                     THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                END) AS BIGINT) AS k_sum,
        count(*) AS n
 FROM events
 GROUP BY event_type
@@ -758,7 +762,7 @@ def q_tumbling_hourly_stats(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_TUMBLING_HOURLY_STATS = """
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
-FROM events
+FROM events WHERE ts IS NOT NULL  -- clock-less events belong to no bucket
 GROUP BY 1, 2
 """
 
@@ -782,7 +786,7 @@ WITH e AS (
   SELECT user_id, ts, value,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                    >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
-  FROM events
+  FROM events WHERE ts IS NOT NULL  -- clock-less events join no session
 ), s AS (
   SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
                              ROWS UNBOUNDED PRECEDING) AS sid
@@ -1276,8 +1280,13 @@ def q_event_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
     gap). The probability is one exact-int division per row; one
     user-keyed shuffle serves the islands window, the lead, and feeds the
     tiny (|types|² ≤ 25-row) transition aggregate."""
-    e = read_table(spark, sf, "events").select(
-        "user_id", "event_id", "ts", "event_type"
+    e = (
+        read_table(spark, sf, "events")
+        .select("user_id", "event_id", "ts", "event_type")
+        # clock-less events join no session: a NULL ts would rank FIRST in
+        # Spark's window order but LAST in the oracle's, silently shifting
+        # every session boundary for that user
+        .filter(F.col("ts").isNotNull())
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     new_s = F.when(
@@ -1321,7 +1330,7 @@ WITH e AS (
                   PARTITION BY user_id ORDER BY ts, event_id)
                   >= INTERVAL '30 minutes'
               THEN 1 ELSE 0 END AS new_s
-  FROM events
+  FROM events WHERE ts IS NOT NULL  -- clock-less events join no session
 ), s AS (
   SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS sid
@@ -1375,9 +1384,12 @@ def q_json_key_profile(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_JSON_KEY_PROFILE = """
 WITH kv AS (
+  -- json_valid guard: the engine's PERMISSIVE from_json yields a NULL map
+  -- for malformed/NULL props (the row simply has no keys); DuckDB's
+  -- json_keys THROWS on malformed input
   SELECT unnest(json_keys(props)) AS key,
          json_extract_string(props, '$.' || unnest(json_keys(props))) AS val
-  FROM events
+  FROM events WHERE props IS NOT NULL AND json_valid(props)
 ), tot AS (SELECT count(*) AS n FROM events)
 SELECT key, count(*) AS n_present,
        CAST(count(DISTINCT val) AS BIGINT) AS n_distinct_values,
@@ -2086,13 +2098,28 @@ def q_pivot_event_multi_agg(spark: SparkSession, sf: str) -> DataFrame:
     each pivot column (click_n, click_total, ...), still one hash-agg pass
     with the explicit value list (no discovery pass)."""
     e = read_table(spark, sf, "events")
-    return (
+    wide = (
         e.groupBy("user_id")
         .pivot("event_type", list(EVENT_TYPES))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("total"),
         )
+    )
+    # pivot leaves ABSENT cells NULL even for count aggregates; SQL's
+    # count(CASE ...) says 0. Invisible when every user has every type —
+    # a sparse user (dirty/new traffic) flips the hash. Sums stay NULL
+    # (sum over no rows is NULL in both engines).
+    return wide.select(
+        "user_id",
+        *[
+            c
+            for t in EVENT_TYPES
+            for c in (
+                F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"{t}_n"),
+                F.col(f"{t}_total"),
+            )
+        ],
     )
 
 
@@ -2349,7 +2376,13 @@ def q_session_paths(spark: SparkSession, sf: str) -> DataFrame:
     struct-array (capped at 5 by slice); the final count shuffles only
     distinct path strings.
     """
-    e = read_table(spark, sf, "events").select("user_id", "event_id", "ts", "event_type")
+    e = (
+        read_table(spark, sf, "events")
+        .select("user_id", "event_id", "ts", "event_type")
+        # clock-less events join no session (NULL ts sorts FIRST in Spark
+        # windows, LAST in the oracle's — and belongs in neither place)
+        .filter(F.col("ts").isNotNull())
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # interval comparison (not unix_timestamp, which truncates to whole
     # seconds while the oracle's epoch() keeps fractions — sub-second
@@ -2388,7 +2421,7 @@ WITH e AS (
                   PARTITION BY user_id ORDER BY ts, event_id)
                   >= INTERVAL '30 minutes'
               THEN 1 ELSE 0 END AS new_s
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), s AS (
   SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS sid
@@ -2637,7 +2670,7 @@ WITH e AS (
                         WHEN 'purchase' THEN INTERVAL '1 hour'
                         ELSE INTERVAL '30 minutes' END
               THEN 1 ELSE 0 END AS new_s
-  FROM events
+  FROM events WHERE ts IS NOT NULL  -- clock-less events join no session
 ), s AS (
   SELECT *, sum(new_s) OVER (PARTITION BY user_id, event_type ORDER BY ts
                              ROWS UNBOUNDED PRECEDING) AS sid
@@ -3512,6 +3545,7 @@ SELECT strftime(time_bucket(INTERVAL '3 hours', ts) - k * INTERVAL '3 hours',
                 '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
 FROM events, (VALUES (0), (1)) t(k)
+WHERE ts IS NOT NULL  -- clock-less events belong to no window
 GROUP BY 1, 2
 """
 
@@ -3528,9 +3562,10 @@ def q_gap_fill_hourly(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_GAP_FILL_HOURLY = """
 WITH b AS (
+  -- clock-less events belong to no bucket
   SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
          count(*) AS n_events, round(sum(value), 2) AS v
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), bounds AS (
   SELECT time_bucket(INTERVAL '1 hour', min(ts)) AS lo,
          time_bucket(INTERVAL '1 hour', max(ts)) AS hi
@@ -3539,7 +3574,8 @@ WITH b AS (
   SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS h FROM bounds
 ), grid AS (
   SELECT s.h, k.event_type
-  FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) k
+  FROM spine s CROSS JOIN (SELECT DISTINCT event_type
+                           FROM events WHERE ts IS NOT NULL) k
 )
 SELECT g.event_type,
        strftime(g.h, '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -3548,7 +3584,8 @@ SELECT g.event_type,
          OVER (PARTITION BY g.event_type ORDER BY g.h
                ROWS UNBOUNDED PRECEDING) AS filled_value
 FROM grid g
-LEFT JOIN b ON b.h = g.h AND b.event_type = g.event_type
+-- null-safe on the key: a NULL event_type is a series like any other
+LEFT JOIN b ON b.h = g.h AND b.event_type IS NOT DISTINCT FROM g.event_type
 """
 
 
@@ -4158,11 +4195,20 @@ def q_json_struct_events(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLE_JSON_STRUCT_EVENTS = """
+WITH t AS (
+  -- json_valid guard: the engine's PERMISSIVE from_json yields NULL k on
+  -- malformed/NULL props; DuckDB's json_extract THROWS on malformed
+  SELECT event_type,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+         END AS k
+  FROM events
+)
 SELECT event_type,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
-       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
-       count(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS n_null
-FROM events
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       max(k) AS k_max,
+       count(CASE WHEN k IS NULL THEN 1 END) AS n_null
+FROM t
 GROUP BY event_type
 """
 
@@ -4675,10 +4721,11 @@ def q_gap_fill_linear_hourly(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_GAP_FILL_LINEAR_HOURLY = """
 WITH b AS (
+  -- clock-less events belong to no bucket
   SELECT time_bucket(INTERVAL '1 hour', ts) AS bk, event_type,
          round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(*)
                * 10000.0, 0) / 10000.0 AS v
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), bounds AS (
   SELECT min(bk) AS lo, max(bk) AS hi FROM b
 ), spine AS (
@@ -4690,7 +4737,8 @@ WITH b AS (
 ), g AS (
   SELECT grid.bk, grid.event_type, b.v,
          epoch(grid.bk) AS t
-  FROM grid LEFT JOIN b ON b.bk = grid.bk AND b.event_type = grid.event_type
+  FROM grid LEFT JOIN b
+    ON b.bk = grid.bk AND b.event_type IS NOT DISTINCT FROM grid.event_type
 ), w AS (
   SELECT bk, event_type, v, t,
          last_value(v IGNORE NULLS) OVER (
@@ -4945,8 +4993,14 @@ def q_event_type_map_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     the build/consume round trip of the reference's dict-shaped metadata
     (``statline.py:366-368``). The map is internal: output is plain rows so
     the cross-engine hash stays map-order-independent.
+
+    An untyped event counts under the '' key — a NULL map key is ILLEGAL
+    in Spark (NULL_MAP_KEY kills the job) and '' cannot collide with a
+    real type; the oracle mirrors with coalesce.
     """
-    e = read_table(spark, sf, "events")
+    e = read_table(spark, sf, "events").withColumn(
+        "event_type", F.coalesce("event_type", F.lit(""))
+    )
     per = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
     packed = per.groupBy("user_id").agg(
         F.map_from_entries(
@@ -4968,7 +5022,7 @@ def q_event_type_map_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_EVENT_TYPE_MAP_ROUNDTRIP = """
 WITH per AS (
-  SELECT user_id, event_type, count(*) AS n
+  SELECT user_id, coalesce(event_type, '') AS event_type, count(*) AS n
   FROM events GROUP BY 1, 2
 )
 SELECT user_id,
@@ -6157,8 +6211,10 @@ def q_user_state_history(spark: SparkSession, sf: str) -> DataFrame:
     Scale note: one shuffle on user_id serves both windows (lag for the
     transition filter, lead for the interval close); open intervals get a
     sentinel end. Timestamps leave as formatted strings (driver contract).
+    Clock-less events (NULL ts) are excluded — a state interval needs a
+    position in time, and the engines order NULL ts on opposite ends.
     """
-    e = read_table(spark, sf, "events")
+    e = read_table(spark, sf, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     trans = (
         e.withColumn("prev_type", F.lag("event_type").over(w))
@@ -6185,7 +6241,7 @@ WITH ordered AS (
   SELECT user_id, event_type, ts, event_id,
          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS prev_type
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 trans AS (
   SELECT user_id, event_type, ts, event_id FROM ordered
@@ -6479,13 +6535,19 @@ def q_hll_user_sketches(spark: SparkSession, sf: str) -> DataFrame:
     exact = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users_exact")
     )
-    return exact.join(merged, "event_type").select(
-        "event_type",
-        "n_users_exact",
-        (
-            F.abs(F.col("est") - F.col("n_users_exact")) * 20
-            <= F.col("n_users_exact")
-        ).alias("est_within_5pct"),
+    # null-safe join-back: the NULL event_type group is a group like any
+    # other; a plain equi-join would silently drop its row
+    merged = merged.withColumnRenamed("event_type", "_et")
+    return (
+        exact.join(merged, F.col("event_type").eqNullSafe(F.col("_et")))
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("est") - F.col("n_users_exact")) * 20
+                <= F.col("n_users_exact")
+            ).alias("est_within_5pct"),
+        )
     )
 
 
@@ -6652,9 +6714,12 @@ def q_variant_events_stats(spark: SparkSession, sf: str) -> DataFrame:
     ``parse_json`` once, then typed ``variant_get`` extraction — the
     shredding-friendly path for JSON at scale (binary variant encoding,
     no per-access string re-parse, Parquet variant shredding upstream).
-    Contrast with ``json_props_sum`` (get_json_object string path)."""
+    Contrast with ``json_props_sum`` (get_json_object string path).
+    ``try_parse_json``, not ``parse_json``: the strict form THROWS on the
+    first malformed payload in 100 TB of logs — NULL is the recoverable
+    verdict (oracle mirrors with a json_valid guard)."""
     e = read_table(spark, sf, "events")
-    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    k = F.variant_get(F.try_parse_json(F.col("props")), "$.k", "int")
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -6668,14 +6733,20 @@ def q_variant_events_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLE_VARIANT_EVENTS_STATS = """
+WITH t AS (
+  -- json_valid guard: the engine's try_parse_json is NULL on malformed
+  -- input; DuckDB's json_extract THROWS on it
+  SELECT event_type,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+         END AS k
+  FROM events
+)
 SELECT event_type, count(*) AS n_events,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-         AS k_total,
-       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS INT)
-         AS k_min,
-       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS INT)
-         AS k_max
-FROM events GROUP BY event_type
+       CAST(sum(k) AS BIGINT) AS k_total,
+       CAST(min(k) AS INT) AS k_min,
+       CAST(max(k) AS INT) AS k_max
+FROM t GROUP BY event_type
 """
 
 
@@ -7168,12 +7239,17 @@ def q_user_event_timeline(spark: SparkSession, sf: str) -> DataFrame:
     ``transform``, and re-flattened with explode. The assembled timeline
     is what a feature store ships to a model; the flatten-back makes every
     array element oracle-checkable as a plain row."""
-    e = read_table(spark, sf, "events")
+    # clock-less events (NULL ts) have no place on a timeline; an untyped
+    # event renders as 'rn:' (coalesce — concat_ws would silently drop the
+    # separator, the oracle's || would nuke the whole step to NULL)
+    e = read_table(spark, sf, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ranked = (
         e.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("user_id", "rn", "event_type")
+        .select(
+            "user_id", "rn", F.coalesce("event_type", F.lit("")).alias("event_type")
+        )
     )
     timeline = ranked.groupBy("user_id").agg(
         F.array_sort(
@@ -7197,9 +7273,10 @@ ORACLE_USER_EVENT_TIMELINE = """
 WITH r AS (
   SELECT user_id, event_type,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events
+  FROM events WHERE ts IS NOT NULL  -- clock-less events are un-orderable
 )
-SELECT user_id, CAST(rn AS VARCHAR) || ':' || event_type AS step
+SELECT user_id,
+       CAST(rn AS VARCHAR) || ':' || coalesce(event_type, '') AS step
 FROM r WHERE rn <= 3
 """
 
@@ -7388,13 +7465,22 @@ def q_bitmap_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     via_bitmap = per_bucket.groupBy("event_type").agg(
         F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_users")
     )
-    exact = e.groupBy("event_type").agg(
+    exact = e.groupBy(F.col("event_type").alias("_et")).agg(
         F.countDistinct("user_id").alias("_n_exact")
     )
-    return via_bitmap.join(exact, "event_type").select(
-        "event_type",
-        "n_users",
-        (F.col("n_users") == F.col("_n_exact")).alias("bitmap_equals_exact"),
+    # null-safe join-back: the NULL event_type group is a group like any
+    # other; a plain equi-join would silently drop its row
+    return (
+        via_bitmap.join(
+            exact, F.col("event_type").eqNullSafe(F.col("_et"))
+        )
+        .select(
+            "event_type",
+            "n_users",
+            (F.col("n_users") == F.col("_n_exact")).alias(
+                "bitmap_equals_exact"
+            ),
+        )
     )
 
 
@@ -7692,13 +7778,20 @@ WITH b AS (
   FROM events
 )
 SELECT event_type,
-       CAST(sum(CASE WHEN bkt <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
-       CAST(sum(CASE WHEN bkt = 0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_quarantined,
-       CAST(sum(CASE WHEN bkt <> 0
-                THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+       -- parsed <=> the PREFIXED payload is valid JSON (or NULL: nothing to
+       -- parse is not corrupt). Deriving the verdict from bkt alone would
+       -- assume only the injected prefix can corrupt a payload — genuinely
+       -- malformed source rows must land in the quarantine too.
+       CAST(sum(CASE WHEN payload IS NULL OR json_valid(payload)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+       CAST(sum(CASE WHEN payload IS NOT NULL AND NOT json_valid(payload)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+       CAST(sum(CASE WHEN payload IS NOT NULL AND json_valid(payload)
+                THEN CAST(json_extract_string(payload, '$.k') AS BIGINT)
                 END) AS BIGINT) AS k_sum_parsed
-FROM b GROUP BY event_type
+FROM (SELECT event_type,
+             CASE WHEN bkt = 0 THEN 'x' || props ELSE props END AS payload
+      FROM b) GROUP BY event_type
 """
 
 
@@ -8477,11 +8570,21 @@ def q_map_merge_counts(spark: SparkSession, sf: str) -> DataFrame:
     (map_from_entries over sorted struct arrays), merged with
     ``map_zip_with`` (null-safe sum — a key may exist in only one half),
     then exploded back to rows so every merged entry is oracle-checked.
-    The map column is the feature-store shape; the explode is the check."""
-    e = read_table(spark, sf, "events").select(
-        "user_id",
-        "event_type",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    The map column is the feature-store shape; the explode is the check.
+
+    Dirty-data contract: an untyped event counts under the '' key — a NULL
+    map key is ILLEGAL in Spark (NULL_MAP_KEY kills the job) and '' cannot
+    collide with a real type. Clock-less events are excluded explicitly
+    (a NULL half-flag would silently drop them from both halves anyway).
+    """
+    e = (
+        read_table(spark, sf, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.coalesce("event_type", F.lit("")).alias("event_type"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
     )
     mid = e.agg(F.expr("(min(us) + max(us)) div 2").alias("mid_us"))
     tagged = e.crossJoin(F.broadcast(mid)).select(
@@ -8522,12 +8625,10 @@ def q_map_merge_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLE_MAP_MERGE_COUNTS = """
-WITH m AS (
-  SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us FROM events
-)
-SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events
-FROM events, m
-GROUP BY user_id, event_type
+SELECT user_id, coalesce(event_type, '') AS event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events WHERE ts IS NOT NULL
+GROUP BY 1, 2
 """
 
 
@@ -8826,8 +8927,10 @@ def q_ignore_nulls_fill(spark: SparkSession, sf: str) -> DataFrame:
     (``last(..., ignorenulls=True)`` over a running frame) — the
     observation-carried-forward idiom on a sparse signal, per row. NULL
     until the user's first purchase; user-partitioned window, total
-    order (ts, event_id)."""
-    e = read_table(spark, sf, "events")
+    order (ts, event_id). Clock-less events (NULL ts) are excluded — "the
+    most recent purchase before this event" is undefined without a time,
+    and the engines order NULL ts on opposite ends."""
+    e = read_table(spark, sf, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -8853,7 +8956,7 @@ SELECT user_id, event_id, event_type,
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
          AS last_purchase_value
-FROM events
+FROM events WHERE ts IS NOT NULL  -- clock-less events are un-orderable
 """
 
 
@@ -9953,8 +10056,9 @@ def q_session_conversion_latency(spark: SparkSession, sf: str) -> DataFrame:
     median and p90 across sessions plus the conversion counts. Sessions
     via the day-number−row_number island idiom on integer minutes; every
     latency is an integer second difference, percentiles by rank
-    selection — no interpolation anywhere."""
-    e = read_table(spark, sf, "events")
+    selection — no interpolation anywhere. Clock-less events (NULL ts)
+    are excluded — they join no session."""
+    e = read_table(spark, sf, "events").filter(F.col("ts").isNotNull())
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     marked = (
@@ -10015,7 +10119,7 @@ WITH m AS (
          CASE WHEN COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER (
                 PARTITION BY user_id ORDER BY epoch_us(ts), event_id), 0)
                 >= 1800000000 THEN 1 ELSE 0 END AS new_s
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), s AS (
   SELECT *, sum(new_s) OVER (PARTITION BY user_id
                              ORDER BY us, event_id
@@ -10212,8 +10316,10 @@ def q_running_purchase_totals(spark: SparkSession, sf: str) -> DataFrame:
     'lifetime value as of this moment' column feature stores attach to
     every interaction). Quantized to cents per element before the window
     sum, so the cumulative values are exact; one user-partitioned window
-    over a total order."""
-    e = read_table(spark, sf, "events")
+    over a total order. Clock-less events (NULL ts) are excluded — "spend
+    so far" is undefined without a position in time, and the engines
+    order NULL ts on opposite ends."""
+    e = read_table(spark, sf, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -10239,7 +10345,7 @@ SELECT user_id, event_id, event_type,
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          AS ltv_cents
-FROM events
+FROM events WHERE ts IS NOT NULL  -- clock-less events are un-orderable
 """
 
 
@@ -10351,8 +10457,9 @@ def q_session_bounce_rate(spark: SparkSession, sf: str) -> DataFrame:
     one event, overall and per entry event type (what people bounce FROM)
     — entry type = the session's first event by (time, id). Same island
     sessionization as the latency query; rates are exact ppm integer
-    ratios; output is bounded by the event-type cardinality."""
-    e = read_table(spark, sf, "events")
+    ratios; output is bounded by the event-type cardinality. Clock-less
+    events (NULL ts) are excluded — they join no session."""
+    e = read_table(spark, sf, "events").filter(F.col("ts").isNotNull())
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     marked = (
@@ -10396,7 +10503,7 @@ WITH m AS (
          CASE WHEN COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER (
                 PARTITION BY user_id ORDER BY epoch_us(ts), event_id), 0)
                 >= 1800000000 THEN 1 ELSE 0 END AS new_s
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), s AS (
   SELECT *, sum(new_s) OVER (PARTITION BY user_id
                              ORDER BY us, event_id

@@ -67,6 +67,30 @@ def dirty_documents(tbl: pa.Table) -> pa.Table:
     return pa.concat_tables([tbl, extra])
 
 
+def dirty_events(tbl: pa.Table) -> pa.Table:
+    first = tbl.slice(0, 1).to_pylist()[0]
+    ts0 = first["ts"]
+    rows = [
+        # logged-out / anonymous event: no user id
+        {"event_id": BASE_ID + 0, "ts": ts0, "user_id": None,
+         "event_type": "click", "value": 1.0, "props": '{"k": 1}'},
+        # untyped event
+        {"event_id": BASE_ID + 1, "ts": ts0, "user_id": 13,
+         "event_type": None, "value": 2.0, "props": '{"k": 2}'},
+        # valueless event
+        {"event_id": BASE_ID + 2, "ts": ts0, "user_id": 13,
+         "event_type": "click", "value": None, "props": None},
+        # malformed JSON payload
+        {"event_id": BASE_ID + 3, "ts": ts0, "user_id": 12,
+         "event_type": "click", "value": 3.0, "props": '{bad json'},
+        # clock-less event (NULL timestamp)
+        {"event_id": BASE_ID + 4, "ts": None, "user_id": 12,
+         "event_type": "click", "value": 4.0, "props": '{"k": 4}'},
+    ]
+    extra = pa.Table.from_pylist(rows, schema=tbl.schema)
+    return pa.concat_tables([tbl, extra])
+
+
 def dirty_embeddings(tbl: pa.Table) -> pa.Table:
     dim = len(tbl.column("embedding")[0].as_py())
     first_vec = tbl.column("embedding")[0].as_py()
@@ -91,6 +115,8 @@ def build(base: str, out: str) -> None:
             pq.write_table(dirty_documents(pq.read_table(src)), dst)
         elif t == "embeddings":
             pq.write_table(dirty_embeddings(pq.read_table(src)), dst)
+        elif t == "events":
+            pq.write_table(dirty_events(pq.read_table(src)), dst)
         else:
             shutil.copyfile(src, dst)
     print(f"wrote dirty SF to {out}")
