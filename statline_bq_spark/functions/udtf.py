@@ -83,7 +83,15 @@ def make_median_udaf():
 
     @pandas_udf("double")
     def median_udaf(v: pd.Series) -> float:
-        return float(np.median(v.to_numpy(dtype="float64")))
+        # observed values only: Arrow nulls arrive as NaN in the float64
+        # view, and np.median would propagate them — SQL aggregates (the
+        # oracle's median()) skip NULLs, so the UDAF must too. An all-null
+        # group has no median.
+        a = v.dropna().to_numpy(dtype="float64")
+        a = a[~np.isnan(a)]
+        if len(a) == 0:
+            return None
+        return float(np.median(a))
 
     return median_udaf
 

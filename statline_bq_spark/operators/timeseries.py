@@ -316,14 +316,21 @@ def gap_fill_linear(
     # near 4dp ties; double ops on identical inputs are bit-identical
     # everywhere, and round-to-integer only disagrees on exact .5 doubles
     # where both engines round away from zero.
+    # NULL and NaN values are failed measurements, not observations: the
+    # decimal cast maps BOTH to NULL (ANSI cast(NaN AS DECIMAL) is NULL),
+    # the sum skips them, and count(_obs) — not count(*) — keeps the mean
+    # over observed values only. An all-failed bucket divides 0 observations
+    # via try_divide -> NULL _v, i.e. the bucket is simply 'missing' and the
+    # interpolation bridges it like any other gap.
+    obs = F.col(value_col).cast("decimal(20,6)")
     bucketed = (
         df.groupBy(F.window(F.col(ts_col), step).alias("_w"), key)
         .agg(
             (
                 F.round(
-                    F.sum(F.col(value_col).cast("decimal(20,6)"))
-                    .cast("double")
-                    / F.count(F.lit(1))
+                    F.try_divide(
+                        F.sum(obs).cast("double"), F.count(obs)
+                    )
                     * 10000.0,
                     0,
                 )

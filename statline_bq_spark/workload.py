@@ -79,6 +79,26 @@ MEASURE_DECIMALS = (
 )
 
 
+def _nan_null(col: F.Column | str) -> F.Column:
+    """NaN → NULL: a NaN in a measure column is a failed measurement and
+    must behave like one. Spark's ANSI ``cast(NaN AS DECIMAL)`` is already
+    NULL, but ``floor(NaN)`` is **0** (it would fabricate a zero-cent
+    amount) and ``cast(NaN AS BIGINT)`` throws CAST_OVERFLOW — so every
+    quantization path scrubs explicitly before the arithmetic. The oracle
+    mirror is ``CASE WHEN isnan(x) THEN NULL ELSE x END`` — NOT
+    ``nullif(x, 'NaN')``, which DuckDB lowers to an IEEE ``=`` where
+    ``NaN = NaN`` is false on column data (it only matches when
+    constant-folded). ``isnan(NULL)`` is NULL → CASE keeps NULL → NULL.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(~F.isnan(c), c)
+
+
+#: Oracle-side mirror of :func:`_nan_null` (DuckDB SQL fragment).
+def _sql_nan_null(expr: str) -> str:
+    return f"CASE WHEN isnan({expr}) THEN NULL ELSE {expr} END"
+
+
 # ---------------------------------------------------------------------------
 # relational core (SURVEY.md §2.B Q1-Q6, §2.A S17/S19)
 # ---------------------------------------------------------------------------
@@ -429,10 +449,13 @@ GROUP BY ROLLUP (r_name, n_name)
 
 
 def q_ordered_orders_limit(spark: SparkSession, sf: str) -> DataFrame:
-    """Deterministic multi-column sort + limit."""
+    """Deterministic multi-column sort + limit. NULL ordering is EXPLICIT
+    (nulls last): Spark defaults to NULLS FIRST ascending, DuckDB/ANSI to
+    NULLS LAST — an undated order would silently occupy page 1 in one
+    engine and the tail in the other."""
     o = read_table(spark, sf, "orders")
     return (
-        o.orderBy("o_orderdate", "o_orderkey")
+        o.orderBy(F.col("o_orderdate").asc_nulls_last(), "o_orderkey")
         .limit(50)
         .select(
             "o_orderkey",
@@ -445,7 +468,7 @@ def q_ordered_orders_limit(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_ORDERED_ORDERS_LIMIT = """
 SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
 FROM orders
-ORDER BY o_orderdate, o_orderkey
+ORDER BY o_orderdate NULLS LAST, o_orderkey
 LIMIT 50
 """
 
@@ -463,7 +486,7 @@ def q_paged_orders(spark: SparkSession, sf: str) -> DataFrame:
     """
     o = read_table(spark, sf, "orders")
     return (
-        o.orderBy("o_orderdate", "o_orderkey")
+        o.orderBy(F.col("o_orderdate").asc_nulls_last(), "o_orderkey")
         .offset(40)
         .limit(20)
         .select(
@@ -477,7 +500,7 @@ def q_paged_orders(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_PAGED_ORDERS = """
 SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice
 FROM orders
-ORDER BY o_orderdate, o_orderkey
+ORDER BY o_orderdate NULLS LAST, o_orderkey
 LIMIT 20 OFFSET 40
 """
 
@@ -858,8 +881,12 @@ WITH rowchecks AS (
   FROM orders
   UNION ALL
   SELECT 'in_range_o_totalprice',
+         -- explicit isnan: Spark comparisons treat NaN as greater than
+         -- any value (NaN > hi is TRUE, a violation), DuckDB follows IEEE
+         -- (NaN > hi is FALSE) — a NaN price must fail the range check
          CAST(sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 10000000
-                        OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                        OR o_totalprice IS NULL OR isnan(o_totalprice)
+                       THEN 1 ELSE 0 END) AS BIGINT)
   FROM orders
   UNION ALL
   SELECT 'orderdate_in_epoch',
@@ -900,10 +927,16 @@ def q_customer_spend_gini(spark: SparkSession, sf: str) -> DataFrame:
         o.join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_nationkey", "c_custkey")
         .agg(
+            # ANSI cast(NaN AS DECIMAL) is NULL — a NaN price is a failed
+            # measurement and contributes nothing (oracle scrubs via nullif)
             F.sum(F.col("o_totalprice").cast("decimal(20,6)")).alias("_x")
         )
     )
-    w = Window.partitionBy("c_nationkey").orderBy("_x", "c_custkey")
+    # nulls-last EXPLICITLY: an all-NaN customer has NULL spend, and the
+    # engines default NULL to opposite ends of the rank order
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("_x").asc_nulls_last(), "c_custkey"
+    )
     ranked = per_cust.withColumn("_i", F.row_number().over(w))
     agg = ranked.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("_n"),
@@ -926,14 +959,18 @@ def q_customer_spend_gini(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_CUSTOMER_SPEND_GINI = """
 WITH per_cust AS (
+  -- isnan scrub (NOT nullif: DuckDB's nullif lowers to an IEEE '=' where
+  -- NaN = NaN is false on column data) — mirrors Spark's ANSI
+  -- cast(NaN AS DECIMAL) = NULL
   SELECT c_nationkey, c_custkey,
-         sum(CAST(o_totalprice AS DECIMAL(20,6))) AS x
+         sum(CAST(CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice
+                  END AS DECIMAL(20,6))) AS x
   FROM orders JOIN customer ON o_custkey = c_custkey
   GROUP BY c_nationkey, c_custkey
 ), ranked AS (
   SELECT c_nationkey, x,
          row_number() OVER (PARTITION BY c_nationkey
-                            ORDER BY x, c_custkey) AS i
+                            ORDER BY x NULLS LAST, c_custkey) AS i
   FROM per_cust
 ), agg AS (
   SELECT c_nationkey, count(*) AS n,
@@ -957,10 +994,16 @@ def q_discount_quantity_correlation(spark: SparkSession, sf: str) -> DataFrame:
     a decimal-exact sum cast to double once; sqrt is IEEE-exact, so the
     whole expression is bit-deterministic — emitted through scaled-integer
     rounding anyway for belt-and-braces."""
-    li = read_table(spark, sf, "lineitem").select(
-        "l_returnflag",
-        F.col("l_discount").cast("decimal(20,6)").alias("_x"),
-        F.col("l_quantity").cast("decimal(20,6)").alias("_y"),
+    li = (
+        read_table(spark, sf, "lineitem")
+        .select(
+            "l_returnflag",
+            F.col("l_discount").cast("decimal(20,6)").alias("_x"),
+            F.col("l_quantity").cast("decimal(20,6)").alias("_y"),
+        )
+        # correlation is defined over COMPLETE pairs: a row missing either
+        # coordinate would inflate n while contributing to no moment sum
+        .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
     )
     agg = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("_n"),
@@ -976,12 +1019,16 @@ def q_discount_quantity_correlation(spark: SparkSession, sf: str) -> DataFrame:
         (n * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
         * (n * F.col("_syy") - F.col("_sy") * F.col("_sy"))
     )
+    # try_divide: a zero-variance group (n=1, or constant discount) has
+    # den = 0 — correlation is UNDEFINED there, and the recoverable verdict
+    # is NULL, not an ANSI DIVIDE_BY_ZERO that kills the whole report
+    # (DuckDB's x/0 is already NULL)
     return agg.select(
         "l_returnflag",
         F.col("_n").alias("n_lines"),
-        (F.floor(num / den * 1000000 + F.lit(0.5)) / 1000000).alias(
-            "pearson_r"
-        ),
+        (
+            F.floor(F.try_divide(num, den) * 1000000 + F.lit(0.5)) / 1000000
+        ).alias("pearson_r"),
     )
 
 
@@ -996,7 +1043,9 @@ WITH agg AS (
                        * CAST(l_quantity AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS syy,
          CAST(CAST(sum(CAST(l_discount AS DECIMAL(20,6))
                        * CAST(l_quantity AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS sxy
-  FROM lineitem GROUP BY l_returnflag
+  FROM lineitem
+  WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+  GROUP BY l_returnflag
 )
 SELECT l_returnflag, n AS n_lines,
        floor((CAST(n AS DOUBLE) * sxy - sx * sy)
@@ -1673,8 +1722,10 @@ def q_nation_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_NATION_REVENUE_SHARE = """
 WITH per_nation AS (
+  -- isnan scrub mirrors Spark's ANSI cast(NaN AS DECIMAL) = NULL
   SELECT r_name, n_name,
-         sum(CAST(o_totalprice AS DECIMAL(20,6))) AS rev_d
+         sum(CAST(CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice
+                  END AS DECIMAL(20,6))) AS rev_d
   FROM orders
   JOIN customer ON o_custkey = c_custkey
   JOIN nation ON c_nationkey = n_nationkey
@@ -1710,7 +1761,9 @@ def q_weekly_revenue_growth(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(20,6)")).alias("_rev_d"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    w = Window.orderBy("epoch_week")
+    # nulls-last EXPLICITLY: a dateless order lands in a NULL week group,
+    # and the engines default NULL to opposite ends of the lag order
+    w = Window.orderBy(F.col("epoch_week").asc_nulls_last())
     prev = F.lag("_rev_d").over(w)
     prev_week = F.lag("epoch_week").over(w)
     growth = F.when(
@@ -1731,16 +1784,20 @@ def q_weekly_revenue_growth(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_WEEKLY_REVENUE_GROWTH = """
 WITH weekly AS (
+  -- isnan scrub mirrors Spark's ANSI cast(NaN AS DECIMAL) = NULL
   SELECT CAST(floor(epoch(o_orderdate) / 604800) AS BIGINT) AS epoch_week,
-         sum(CAST(o_totalprice AS DECIMAL(20,6))) AS rev_d,
+         sum(CAST(CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice
+                  END AS DECIMAL(20,6))) AS rev_d,
          count(*) AS n_orders
   FROM orders GROUP BY 1
 )
 SELECT epoch_week, n_orders,
        CAST(CAST(rev_d AS VARCHAR) AS DOUBLE) AS revenue,
-       CASE WHEN lag(epoch_week) OVER (ORDER BY epoch_week) = epoch_week - 1
+       CASE WHEN lag(epoch_week) OVER (ORDER BY epoch_week NULLS LAST)
+                 = epoch_week - 1
             THEN floor(CAST(CAST(rev_d AS VARCHAR) AS DOUBLE)
-                       / CAST(CAST(lag(rev_d) OVER (ORDER BY epoch_week)
+                       / CAST(CAST(lag(rev_d)
+                                     OVER (ORDER BY epoch_week NULLS LAST)
                                    AS VARCHAR) AS DOUBLE)
                        * 1000000 + 0.5) / 1000000
        END AS wow_growth
@@ -1849,12 +1906,20 @@ def q_price_trend_per_segment(spark: SparkSession, sf: str) -> DataFrame:
     """
     o = read_table(spark, sf, "orders")
     c = read_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
-    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
-        "c_mktsegment",
-        F.floor(F.unix_timestamp("o_orderdate") / 86400)
-        .cast("decimal(20,0)")
-        .alias("_x"),
-        F.col("o_totalprice").cast("decimal(20,6)").alias("_y"),
+    j = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_mktsegment",
+            F.floor(F.unix_timestamp("o_orderdate") / 86400)
+            .cast("decimal(20,0)")
+            .alias("_x"),
+            # ANSI cast(NaN AS DECIMAL) = NULL: a NaN price is a failed
+            # measurement, not a data point
+            F.col("o_totalprice").cast("decimal(20,6)").alias("_y"),
+        )
+        # regression is defined over COMPLETE pairs: a dateless or
+        # priceless order would inflate n while feeding no moment sum
+        .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
     )
     agg = j.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("_n"),
@@ -1879,10 +1944,15 @@ def q_price_trend_per_segment(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_PRICE_TREND_PER_SEGMENT = """
 WITH j AS (
+  -- isnan scrub mirrors Spark's ANSI cast(NaN AS DECIMAL) = NULL;
+  -- complete pairs only (see the Spark twin)
   SELECT c_mktsegment,
          CAST(floor(epoch(o_orderdate) / 86400) AS DECIMAL(20,0)) AS x,
-         CAST(o_totalprice AS DECIMAL(20,6)) AS y
+         CAST(CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice
+              END AS DECIMAL(20,6)) AS y
   FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+    AND NOT isnan(o_totalprice)
 ), agg AS (
   SELECT c_mktsegment, count(*) AS n,
          CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx,
@@ -2178,7 +2248,12 @@ def q_snapshot_diff_orders(spark: SparkSession, sf: str) -> DataFrame:
     uses the raw (unmodified vs modified) doubles, exact by construction.
     """
     o = read_table(spark, sf, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
+        "o_orderkey",
+        "o_orderstatus",
+        # NaN -> NULL up front: a failed price measurement must compare as
+        # 'missing' in BOTH snapshots, not trip engine-specific NaN
+        # equality (Spark NaN = NaN is true, DuckDB columns follow IEEE)
+        _nan_null("o_totalprice").alias("o_totalprice"),
     )
     bucket = F.pmod(
         F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2), 16, 10)
@@ -2206,17 +2281,23 @@ def q_snapshot_diff_orders(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_orderkey").alias("k"),
         F.col("o_orderstatus").alias("_os_old"),
         F.col("o_totalprice").alias("_tp_old"),
+        F.lit(True).alias("_in_old"),
     )
     new_k = new.select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderstatus").alias("_os_new"),
         F.col("o_totalprice").alias("_tp_new"),
+        F.lit(True).alias("_in_new"),
     )
+    # presence flags, NOT value-NULL probes: a real order with a NULL price
+    # exists in both snapshots — keying 'added'/'removed' off the price
+    # column would misclassify it. 'changed' compares null-safe (after the
+    # NaN scrub, <=> treats missing = missing).
     classified = old_k.join(new_k, "k", "full_outer").select(
         F.coalesce("_os_new", "_os_old").alias("o_orderstatus"),
-        F.when(F.col("_tp_old").isNull(), "added")
-        .when(F.col("_tp_new").isNull(), "removed")
-        .when(F.col("_tp_new") != F.col("_tp_old"), "changed")
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "removed")
+        .when(~F.col("_tp_new").eqNullSafe(F.col("_tp_old")), "changed")
         .otherwise("unchanged")
         .alias("change"),
     )
@@ -2227,7 +2308,10 @@ def q_snapshot_diff_orders(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_SNAPSHOT_DIFF_ORDERS = """
 WITH b AS (
-  SELECT o_orderkey, o_orderstatus, o_totalprice,
+  -- isnan scrub mirrors the Spark twin's NaN-as-missing contract
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice END
+           AS o_totalprice,
          ((strpos('0123456789abcdef',
                   substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 16
         + (strpos('0123456789abcdef',
@@ -2241,12 +2325,15 @@ WITH b AS (
   FROM b WHERE bk <> 0
   UNION ALL SELECT -1, 'F', 1.0
 ), j AS (
+  -- IS DISTINCT FROM mirrors the Spark twin's null-safe <=> compare (the
+  -- NaN scrub in b already normalized NaN to NULL on both snapshots)
   SELECT COALESCE(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
          CASE WHEN o.o_orderkey IS NULL THEN 'added'
               WHEN n.o_orderkey IS NULL THEN 'removed'
-              WHEN n.o_totalprice <> o.o_totalprice THEN 'changed'
+              WHEN n.o_totalprice IS DISTINCT FROM o.o_totalprice
+                THEN 'changed'
               ELSE 'unchanged' END AS change
-  FROM orders o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+  FROM b o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
 )
 SELECT o_orderstatus, change, count(*) AS n_orders
 FROM j GROUP BY o_orderstatus, change
@@ -2268,8 +2355,15 @@ def q_robust_price_stats(spark: SparkSession, sf: str) -> DataFrame:
     quantiles inherently sort each group — the approx_* sketch queries are
     the 100 TB discovery path; this is the exact verification form.
     """
-    li = read_table(spark, sf, "lineitem").select(
-        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    li = (
+        read_table(spark, sf, "lineitem")
+        .select(
+            "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+        )
+        # a NULL/NaN price is not a rankable observation: unfiltered, the
+        # engines would rank the NULL on opposite ends and shift every
+        # quantile pick in its group by one
+        .filter(_nan_null("l_extendedprice").isNotNull())
     )
 
     def disc_pick(df, val: str, order_cols, picks):
@@ -2328,13 +2422,18 @@ def q_robust_price_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLE_ROBUST_PRICE_STATS = """
-WITH ranked AS (
+WITH obs AS (
+  -- NULL/NaN prices are not rankable observations (see the Spark twin)
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+), ranked AS (
   SELECT l_returnflag, l_extendedprice AS v,
          row_number() OVER (PARTITION BY l_returnflag
                             ORDER BY l_extendedprice, l_orderkey,
                                      l_linenumber) AS rn,
          count(*) OVER (PARTITION BY l_returnflag) AS n
-  FROM lineitem
+  FROM obs
 ), quarts AS (
   SELECT l_returnflag,
          max(CASE WHEN rn = CAST(ceil(n * 0.25) AS INT) THEN v END) AS p25,
@@ -2344,7 +2443,7 @@ WITH ranked AS (
 ), dev AS (
   SELECT li.l_returnflag, abs(li.l_extendedprice - q.median_price) AS d,
          li.l_orderkey, li.l_linenumber
-  FROM lineitem li JOIN quarts q ON li.l_returnflag = q.l_returnflag
+  FROM obs li JOIN quarts q ON li.l_returnflag = q.l_returnflag
 ), dev_ranked AS (
   SELECT l_returnflag, d,
          row_number() OVER (PARTITION BY l_returnflag
@@ -3126,10 +3225,12 @@ def q_running_order_totals(spark: SparkSession, sf: str) -> DataFrame:
     """Per-customer running spend: cumulative sum over order history
     (ROWS frame — streams in one pass per key)."""
     o = read_table(spark, sf, "orders")
+    # nulls-last EXPLICITLY: Spark windows order NULL dates first, DuckDB
+    # last — an undated order would shift every subsequent running value
     out = analytic.running_total(
         o,
         ["o_custkey"],
-        [F.col("o_orderdate"), F.col("o_orderkey")],
+        [F.col("o_orderdate").asc_nulls_last(), F.col("o_orderkey")],
         "o_totalprice",
         alias="running_spend",
     )
@@ -3144,7 +3245,8 @@ def q_running_order_totals(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_RUNNING_ORDER_TOTALS = """
 SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
        round(sum(o_totalprice) OVER (
-           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate NULLS LAST, o_orderkey
            ROWS UNBOUNDED PRECEDING), 2) AS running_spend
 FROM orders
 """
@@ -3195,10 +3297,12 @@ def q_moving_avg_order_price(spark: SparkSession, sf: str) -> DataFrame:
     o = read_table(spark, sf, "orders").withColumn(
         "_price_dec", F.col("o_totalprice").cast("decimal(18,2)")
     )
+    # nulls-last EXPLICITLY (undated orders close each customer's frame
+    # stream in both engines instead of opening it in one of them)
     out = analytic.running_frame_avg(
         o,
         ["o_custkey"],
-        [F.col("o_orderdate"), F.col("o_orderkey")],
+        [F.col("o_orderdate").asc_nulls_last(), F.col("o_orderkey")],
         "_price_dec",
         preceding=3,
         alias="avg4",
@@ -3210,10 +3314,13 @@ def q_moving_avg_order_price(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_MOVING_AVG_ORDER_PRICE = """
 SELECT o_custkey, o_orderkey,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+       round(CAST(sum(CAST(CASE WHEN isnan(o_totalprice) THEN NULL
+                                ELSE o_totalprice END AS DECIMAL(18,2)))
+                  OVER w AS DOUBLE)
              / count(*) OVER w, 4) AS avg4
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate NULLS LAST, o_orderkey
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
 """
 
@@ -3347,7 +3454,9 @@ def q_price_percentiles(spark: SparkSession, sf: str) -> DataFrame:
             col, "l_orderkey", "l_linenumber"
         )
         n = F.count(F.lit(1)).over(Window.partitionBy("l_returnflag"))
-        ranked = li.select(
+        # a NULL/NaN measure is not a rankable observation — unfiltered,
+        # the engines rank the NULL on opposite ends and shift every pick
+        ranked = li.filter(_nan_null(col).isNotNull()).select(
             "l_returnflag",
             F.col(col).alias("_v"),
             F.row_number().over(w).alias("_rn"),
@@ -3372,17 +3481,20 @@ def q_price_percentiles(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_PRICE_PERCENTILES = """
 WITH ranked_p AS (
+  -- NULL/NaN measures are not rankable observations (see the Spark twin)
   SELECT l_returnflag, l_extendedprice,
          row_number() OVER (PARTITION BY l_returnflag
                             ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
          count(*) OVER (PARTITION BY l_returnflag) AS n
   FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
 ), ranked_d AS (
   SELECT l_returnflag, l_discount,
          row_number() OVER (PARTITION BY l_returnflag
                             ORDER BY l_discount, l_orderkey, l_linenumber) AS rn,
          count(*) OVER (PARTITION BY l_returnflag) AS n
   FROM lineitem
+  WHERE l_discount IS NOT NULL AND NOT isnan(l_discount)
 )
 SELECT m.l_returnflag, m.l_extendedprice AS median_price,
        p.l_extendedprice AS p90_price, d.l_discount AS median_disc
@@ -3751,9 +3863,11 @@ def q_first_last_order_value(spark: SparkSession, sf: str) -> DataFrame:
     a customer carries the same values, so DISTINCT collapses to one row per
     customer deterministically."""
     o = read_table(spark, sf, "orders")
+    # nulls-last EXPLICITLY: the engines default NULL order dates to
+    # opposite ends of the frame, swapping first/last for that customer
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.col("o_orderdate").asc_nulls_last(), "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return (
@@ -3773,7 +3887,8 @@ SELECT DISTINCT o_custkey,
        last_value(o_totalprice) OVER w AS last_price,
        count(*) OVER w AS n_orders
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate NULLS LAST, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
 
@@ -4041,7 +4156,10 @@ def q_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
     """
     c = read_table(spark, sf, "customer")
     o = read_table(spark, sf, "orders")
-    pos = c.filter(F.col("c_acctbal") > 0)
+    # scrub BEFORE the comparison: Spark treats NaN as greater than any
+    # value (NaN > 0 is TRUE), DuckDB follows IEEE (FALSE) — a NaN balance
+    # must not qualify as 'positive' in either engine
+    pos = c.filter(_nan_null("c_acctbal") > 0)
     stats = pos.agg(
         F.count(F.lit(1)).alias("n_pos"),
         F.sum(F.col("c_acctbal").cast("decimal(20,6)"))
@@ -4066,12 +4184,12 @@ ORACLE_IDLE_RICH_CUSTOMERS = """
 WITH s AS (
   SELECT count(*) AS n_pos,
          CAST(sum(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS total_pos
-  FROM customer WHERE c_acctbal > 0
+  FROM customer WHERE c_acctbal > 0 AND NOT isnan(c_acctbal)
 )
 SELECT c_nationkey, count(*) AS numcust,
        CAST(sum(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS totacctbal
 FROM customer, s
-WHERE c_acctbal > 0
+WHERE c_acctbal > 0 AND NOT isnan(c_acctbal)
   AND c_acctbal * s.n_pos > s.total_pos
   AND NOT EXISTS (
     SELECT 1 FROM orders
@@ -4721,9 +4839,14 @@ def q_gap_fill_linear_hourly(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_GAP_FILL_LINEAR_HOURLY = """
 WITH b AS (
-  -- clock-less events belong to no bucket
+  -- clock-less events belong to no bucket; NULL/NaN values are failed
+  -- measurements — excluded from BOTH the sum (isnan scrub mirrors
+  -- Spark's ANSI cast(NaN AS DECIMAL) = NULL) and the count
   SELECT time_bucket(INTERVAL '1 hour', ts) AS bk, event_type,
-         round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(*)
+         round(CAST(sum(CAST(CASE WHEN isnan(value) THEN NULL ELSE value
+                             END AS DECIMAL(20,6))) AS DOUBLE)
+               / count(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                            THEN 1 END)
                * 10000.0, 0) / 10000.0 AS v
   FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), bounds AS (
@@ -5044,14 +5167,20 @@ def q_order_price_moments(spark: SparkSession, sf: str) -> DataFrame:
     # ((18,6)x(18,6) -> (37,12), exact in both engines; (20,6) squared
     # would overflow 38 and round the scale away in Spark only)
     dec = F.col("o_totalprice").cast("decimal(18,6)")
+    # moments are over OBSERVED prices: NULL/NaN rows would inflate n while
+    # feeding no sum (ANSI cast(NaN AS DECIMAL) is NULL); try_divide keeps
+    # a single-observation group at NULL variance instead of an ANSI
+    # DIVIDE_BY_ZERO
+    o = o.filter(_nan_null("o_totalprice").isNotNull())
     agg = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(dec).cast("double").alias("sum_price"),
         F.sum(dec * dec).cast("double").alias("sum_sq"),
     )
     n = F.col("n")
-    var = (F.col("sum_sq") - F.col("sum_price") * F.col("sum_price") / n) / (
-        n - 1
+    var = F.try_divide(
+        F.col("sum_sq") - F.col("sum_price") * F.col("sum_price") / n,
+        (n - 1).cast("double"),
     )
     return agg.select(
         "o_orderpriority",
@@ -5075,7 +5204,9 @@ WITH agg AS (
          CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(19,6))
                      * CAST(o_totalprice AS DECIMAL(19,6))) AS VARCHAR)
               AS DOUBLE) AS sum_sq
-  FROM orders GROUP BY 1
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+  GROUP BY 1
 )
 SELECT o_orderpriority, n,
        (sum_sq - sum_price * sum_price / n) / (n - 1) AS var_price,
@@ -6195,7 +6326,10 @@ merged AS (
   WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
 )
 SELECT o_orderstatus, count(*) AS n_orders,
-       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE)
+       -- isnan scrub mirrors Spark's ANSI cast(NaN AS DECIMAL) = NULL
+       CAST(CAST(sum(CAST(CASE WHEN isnan(o_totalprice) THEN NULL
+                               ELSE o_totalprice END AS DECIMAL(20,6)))
+                 AS VARCHAR) AS DOUBLE)
          AS total_price
 FROM merged GROUP BY o_orderstatus
 """
@@ -6868,9 +7002,18 @@ def q_incremental_agg_state(spark: SparkSession, sf: str) -> DataFrame:
     plan and pins their equality per group. Money is integer cents so the
     merged sums are bit-identical across engines and merge orders."""
     o = read_table(spark, sf, "orders")
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
-    base = o.filter(F.year("o_orderdate") < 1997)
-    delta = o.filter(F.year("o_orderdate") >= 1997)
+    # scrub BEFORE floor: Spark floor(NaN) is 0 — an unscrubbed NaN price
+    # would enter the state as zero cents instead of a missing measurement
+    cents = F.floor(_nan_null("o_totalprice") * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    # the split must be TOTAL: year(NULL) is NULL, which satisfies neither
+    # <1997 nor >=1997 — a dateless order would silently vanish from the
+    # incremental side while staying in the full recompute. Dateless rows
+    # are assigned to the base.
+    in_delta = F.year("o_orderdate") >= 1997
+    base = o.filter(~F.coalesce(in_delta, F.lit(False)))
+    delta = o.filter(in_delta)
 
     def partials(df: DataFrame) -> DataFrame:
         return df.groupBy("o_orderpriority").agg(
@@ -6897,32 +7040,47 @@ def q_incremental_agg_state(spark: SparkSession, sf: str) -> DataFrame:
         F.min(cents).alias("f_mn"),
         F.max(cents).alias("f_mx"),
     )
-    return merged.join(full, "o_orderpriority").select(
-        "o_orderpriority",
-        "n_orders",
-        "sum_cents",
-        "min_cents",
-        "max_cents",
-        (
-            (F.col("n_orders") == F.col("f_n"))
-            & (F.col("sum_cents") == F.col("f_s"))
-            & (F.col("min_cents") == F.col("f_mn"))
-            & (F.col("max_cents") == F.col("f_mx"))
-        ).alias("merge_equals_full"),
+    # null-safe on BOTH the join key (a NULL priority is a group like any
+    # other — a plain equi-join would drop it) and the equality probes (an
+    # all-missing group has NULL sums on both sides; NULL == NULL is NULL,
+    # not the TRUE the proof must emit)
+    full = full.withColumnRenamed("o_orderpriority", "_op")
+    return (
+        merged.join(
+            full, F.col("o_orderpriority").eqNullSafe(F.col("_op"))
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "sum_cents",
+            "min_cents",
+            "max_cents",
+            (
+                F.col("n_orders").eqNullSafe(F.col("f_n"))
+                & F.col("sum_cents").eqNullSafe(F.col("f_s"))
+                & F.col("min_cents").eqNullSafe(F.col("f_mn"))
+                & F.col("max_cents").eqNullSafe(F.col("f_mx"))
+            ).alias("merge_equals_full"),
+        )
     )
 
 
 ORACLE_INCREMENTAL_AGG_STATE = """
+WITH c AS (
+  -- isnan scrub mirrors the Spark twin's NaN-as-missing cents
+  SELECT o_orderpriority,
+         CAST(floor(CASE WHEN isnan(o_totalprice) THEN NULL
+                         ELSE o_totalprice END * 100 + 0.5) AS BIGINT)
+           AS cents
+  FROM orders
+)
 SELECT o_orderpriority,
        count(*) AS n_orders,
-       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
-         AS sum_cents,
-       CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
-         AS min_cents,
-       CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
-         AS max_cents,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents,
        TRUE AS merge_equals_full
-FROM orders GROUP BY o_orderpriority
+FROM c GROUP BY o_orderpriority
 """
 
 
@@ -6985,32 +7143,44 @@ def q_dict_encode_brands(spark: SparkSession, sf: str) -> DataFrame:
     global row_number window sorts a tiny aggregate, never the fact table;
     the encode itself is a broadcast hash join — zero fact shuffle."""
     p = read_table(spark, sf, "part")
+    # the unknown (NULL) brand is a dictionary entry like any other: it
+    # takes the LAST code explicitly (the engines default NULL to opposite
+    # ends of the sort, shifting every other code by one), and the encode
+    # join is null-safe so unknown-brand parts stay encodable
     codes = (
         p.select("p_brand")
         .distinct()
         .withColumn(
             "brand_code",
-            F.row_number().over(Window.orderBy("p_brand")),
+            F.row_number().over(
+                Window.orderBy(F.col("p_brand").asc_nulls_last())
+            ),
         )
+        .withColumnRenamed("p_brand", "_bk")
     )
     return (
-        p.join(F.broadcast(codes), "p_brand")
+        p.join(
+            F.broadcast(codes), F.col("p_brand").eqNullSafe(F.col("_bk"))
+        )
         .groupBy("p_brand", "brand_code")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+            # NaN prices are failed measurements — mean over observed only
+            F.round(F.avg(_nan_null("p_retailprice")), 2).alias("avg_price"),
         )
     )
 
 
 ORACLE_DICT_ENCODE_BRANDS = """
 WITH codes AS (
-  SELECT p_brand, row_number() OVER (ORDER BY p_brand) AS brand_code
+  SELECT p_brand,
+         row_number() OVER (ORDER BY p_brand NULLS LAST) AS brand_code
   FROM (SELECT DISTINCT p_brand FROM part)
 )
 SELECT p.p_brand, c.brand_code, count(*) AS n_parts,
-       round(avg(p_retailprice), 2) AS avg_price
-FROM part p JOIN codes c USING (p_brand)
+       round(avg(CASE WHEN isnan(p_retailprice) THEN NULL
+                      ELSE p_retailprice END), 2) AS avg_price
+FROM part p JOIN codes c ON p.p_brand IS NOT DISTINCT FROM c.p_brand
 GROUP BY 1, 2
 """
 
@@ -7318,7 +7488,11 @@ def q_fingerprint_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def fp(df: DataFrame) -> DataFrame:
-        cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        # scrub BEFORE floor: Spark floor(NaN) is 0 — an unscrubbed NaN
+        # price would fingerprint as zero cents instead of 'missing'
+        cents = F.floor(_nan_null("o_totalprice") * 100 + F.lit(0.5)).cast(
+            "bigint"
+        )
         return df.select(
             F.col("o_orderkey").alias("k"),
             F.md5(
@@ -7361,16 +7535,21 @@ WITH b AS (
   FROM b WHERE bkt <> 0
   UNION ALL SELECT -1, 'F', 1.0
 ), old_fp AS (
+  -- concat_ws (NULL-skipping, matching Spark), NOT '||' (NULL-poisoning:
+  -- one NULL column would NULL the whole fingerprint and misclassify the
+  -- row as added/removed); isnan scrub mirrors the Spark twin
   SELECT o_orderkey AS k,
-         md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
-             CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR))
-           AS fp
+         md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,
+             CAST(CAST(floor(CASE WHEN isnan(o_totalprice) THEN NULL
+                                  ELSE o_totalprice END * 100 + 0.5)
+                  AS BIGINT) AS VARCHAR))) AS fp
   FROM orders
 ), new_fp AS (
   SELECT o_orderkey AS k,
-         md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
-             CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR))
-           AS fp
+         md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,
+             CAST(CAST(floor(CASE WHEN isnan(o_totalprice) THEN NULL
+                                  ELSE o_totalprice END * 100 + 0.5)
+                  AS BIGINT) AS VARCHAR))) AS fp
   FROM new
 )
 SELECT CASE WHEN o.fp IS NULL THEN 'added'
@@ -7643,7 +7822,11 @@ def q_cdc_log_replay(spark: SparkSession, sf: str) -> DataFrame:
         F.max_by("o_orderstatus", F.col("seq")).alias("o_orderstatus"),
         F.max_by("o_totalprice", F.col("seq")).alias("o_totalprice"),
     )
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    # scrub BEFORE floor: Spark floor(NaN) is 0 — an unscrubbed NaN price
+    # would replay as zero cents instead of a missing measurement
+    cents = F.floor(_nan_null("o_totalprice") * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
     return (
         last.filter(F.col("op") != "D")
         .groupBy("o_orderstatus")
@@ -7668,7 +7851,10 @@ WITH b AS (
   FROM b WHERE bkt <> 0
 )
 SELECT o_orderstatus, count(*) AS n_rows,
-       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+       -- isnan scrub mirrors the Spark twin's NaN-as-missing cents
+       CAST(sum(CAST(floor(CASE WHEN isnan(o_totalprice) THEN NULL
+                                ELSE o_totalprice END * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT)
          AS sum_cents
 FROM final GROUP BY o_orderstatus
 """
@@ -7810,8 +7996,15 @@ def q_winsorized_price_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.broadcast(c.select("c_custkey", "c_mktsegment")),
         o["o_custkey"] == F.col("c_custkey"),
     ).select("c_mktsegment", "o_totalprice", "o_orderkey")
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
-    t = oc.select("c_mktsegment", "o_orderkey", cents.alias("cents"))
+    # scrub BEFORE floor (Spark floor(NaN) is 0), then keep OBSERVED
+    # prices only: a NULL cents row is neither rankable (the engines put
+    # NULL on opposite ends, shifting every percentile rank) nor clampable
+    cents = F.floor(_nan_null("o_totalprice") * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    t = oc.select("c_mktsegment", "o_orderkey", cents.alias("cents")).filter(
+        F.col("cents").isNotNull()
+    )
     w = Window.partitionBy("c_mktsegment").orderBy("cents", "o_orderkey")
     ranked = t.withColumn("rn", F.row_number().over(w)).withColumn(
         "n", F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment"))
@@ -7843,9 +8036,11 @@ def q_winsorized_price_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_WINSORIZED_PRICE_STATS = """
 WITH t AS (
+  -- observed prices only (see the Spark twin's NULL/NaN contract)
   SELECT c.c_mktsegment, o.o_orderkey,
          CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_totalprice IS NOT NULL AND NOT isnan(o.o_totalprice)
 ), r AS (
   SELECT c_mktsegment, cents,
          row_number() OVER (PARTITION BY c_mktsegment
@@ -7877,7 +8072,11 @@ def q_price_histogram(spark: SparkSession, sf: str) -> DataFrame:
     o = read_table(spark, sf, "orders")
     return (
         o.select(
-            F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(20))
+            # NaN -> NULL first: an unmeasured price belongs to the NULL
+            # bucket, not to whatever width_bucket's NaN edge case returns
+            F.width_bucket(
+                _nan_null("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(20)
+            )
             .cast("int")
             .alias("bucket")
         )
@@ -7889,7 +8088,8 @@ def q_price_histogram(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_PRICE_HISTOGRAM = """
 -- DuckDB has no width_bucket; this mirrors Spark's arithmetic exactly:
 -- floor((v - lo) / ((hi - lo) / n)) + 1, clamped to 0 / n+1 outside.
-SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+SELECT CAST(CASE WHEN o_totalprice IS NULL OR isnan(o_totalprice) THEN NULL
+                 WHEN o_totalprice < 0.0 THEN 0
                  WHEN o_totalprice >= 600000.0 THEN 21
                  ELSE floor(o_totalprice / (600000.0 / 20)) + 1
             END AS INT) AS bucket,
@@ -8393,7 +8593,9 @@ def q_table_checksums(spark: SparkSession, sf: str) -> DataFrame:
     o = read_table(spark, sf, "orders")
     c = read_table(spark, sf, "customer")
     li = read_table(spark, sf, "lineitem")
-    cents = lambda col: F.floor(F.col(col) * 100 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    # scrub BEFORE floor (Spark floor(NaN) is 0): a NaN amount fingerprints
+    # as a MISSING field (concat_ws skips NULLs), never as zero cents
+    cents = lambda col: F.floor(_nan_null(col) * 100 + F.lit(0.5)).cast("bigint")  # noqa: E731
     return (
         cks(o, [F.col("o_orderkey"), F.col("o_orderstatus"), cents("o_totalprice")], "orders")
         .unionByName(
@@ -8411,27 +8613,34 @@ def q_table_checksums(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_TABLE_CHECKSUMS = """
 WITH o AS (
+  -- concat_ws (NULL-skipping, matching Spark), NOT '||' (one NULL column
+  -- would NULL the whole fingerprint and silently DROP the row from the
+  -- checksum); isnan scrub mirrors the Spark twin's NaN-as-missing cents
   SELECT count(*) AS n,
-         CAST(sum(CAST(concat('0x', substr(md5(
-             CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
-             CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
-         ), 1, 8)) AS BIGINT)) AS BIGINT) AS cks
+         CAST(sum(CAST(concat('0x', substr(md5(concat_ws('|',
+             CAST(o_orderkey AS VARCHAR), o_orderstatus,
+             CAST(CAST(floor(CASE WHEN isnan(o_totalprice) THEN NULL
+                                  ELSE o_totalprice END * 100 + 0.5)
+                  AS BIGINT) AS VARCHAR)
+         )), 1, 8)) AS BIGINT)) AS BIGINT) AS cks
   FROM orders
 ), c AS (
   SELECT count(*) AS n,
-         CAST(sum(CAST(concat('0x', substr(md5(
-             CAST(c_custkey AS VARCHAR) || '|' ||
-             CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment
-         ), 1, 8)) AS BIGINT)) AS BIGINT) AS cks
+         CAST(sum(CAST(concat('0x', substr(md5(concat_ws('|',
+             CAST(c_custkey AS VARCHAR),
+             CAST(c_nationkey AS VARCHAR), c_mktsegment
+         )), 1, 8)) AS BIGINT)) AS BIGINT) AS cks
   FROM customer
 ), l AS (
   SELECT count(*) AS n,
-         CAST(sum(CAST(concat('0x', substr(md5(
-             CAST(l_orderkey AS VARCHAR) || '|' ||
-             CAST(l_partkey AS VARCHAR) || '|' ||
-             CAST(l_suppkey AS VARCHAR) || '|' ||
-             CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
-         ), 1, 8)) AS BIGINT)) AS BIGINT) AS cks
+         CAST(sum(CAST(concat('0x', substr(md5(concat_ws('|',
+             CAST(l_orderkey AS VARCHAR),
+             CAST(l_partkey AS VARCHAR),
+             CAST(l_suppkey AS VARCHAR),
+             CAST(CAST(floor(CASE WHEN isnan(l_extendedprice) THEN NULL
+                                  ELSE l_extendedprice END * 100 + 0.5)
+                  AS BIGINT) AS VARCHAR)
+         )), 1, 8)) AS BIGINT)) AS BIGINT) AS cks
   FROM lineitem
 )
 SELECT 'orders' AS table_name, n AS n_rows, cks AS checksum FROM o
@@ -8751,7 +8960,11 @@ def q_exact_percentiles_builtin(spark: SparkSession, sf: str) -> DataFrame:
     Exact percentile sorts within each group: fine for bounded groups,
     use the sketch path for a global quantile at scale."""
     o = read_table(spark, sf, "orders")
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    # scrub BEFORE floor (Spark floor(NaN) is 0): NULL/NaN prices are not
+    # observations — percentile/quantile_cont skip NULLs in both engines
+    cents = F.floor(_nan_null("o_totalprice") * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
     t = o.select("o_orderpriority", cents.alias("cents"))
     pct = t.groupBy("o_orderpriority").agg(
         F.percentile("cents", F.lit([0.25, 0.5, 0.75])).alias("qs"),
@@ -8767,14 +8980,18 @@ def q_exact_percentiles_builtin(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLE_EXACT_PERCENTILES_BUILTIN = """
+WITH c AS (
+  SELECT o_orderpriority,
+         CAST(floor(CASE WHEN isnan(o_totalprice) THEN NULL
+                         ELSE o_totalprice END * 100 + 0.5) AS BIGINT)
+           AS cents
+  FROM orders
+)
 SELECT o_orderpriority, count(*) AS n_orders,
-       round(quantile_cont(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
-                           0.25), 2) AS p25_cents,
-       round(quantile_cont(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
-                           0.5), 2) AS p50_cents,
-       round(quantile_cont(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
-                           0.75), 2) AS p75_cents
-FROM orders GROUP BY o_orderpriority
+       round(quantile_cont(cents, 0.25), 2) AS p25_cents,
+       round(quantile_cont(cents, 0.5), 2) AS p50_cents,
+       round(quantile_cont(cents, 0.75), 2) AS p75_cents
+FROM c GROUP BY o_orderpriority
 """
 
 
@@ -8828,8 +9045,14 @@ def q_filtered_agg_sql(spark: SparkSession, sf: str) -> DataFrame:
         SELECT o_orderpriority,
                count(*) AS n_orders,
                count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
-               count(*) FILTER (WHERE o_totalprice > 200000) AS n_large,
-               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               -- NOT isnan: Spark treats NaN as greater than any value
+               -- (NaN > 200000 is TRUE), DuckDB follows IEEE (FALSE) — an
+               -- unmeasured price is not a 'large' one in either engine
+               count(*) FILTER (WHERE o_totalprice > 200000
+                                  AND NOT isnan(o_totalprice)) AS n_large,
+               CAST(sum(CAST(floor(CASE WHEN isnan(o_totalprice) THEN NULL
+                                        ELSE o_totalprice END * 100 + 0.5)
+                             AS BIGINT))
                     FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
                  AS open_cents
         FROM orders
@@ -8842,8 +9065,11 @@ ORACLE_FILTERED_AGG_SQL = """
 SELECT o_orderpriority,
        count(*) AS n_orders,
        count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
-       count(*) FILTER (WHERE o_totalprice > 200000) AS n_large,
-       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+       count(*) FILTER (WHERE o_totalprice > 200000
+                          AND NOT isnan(o_totalprice)) AS n_large,
+       CAST(sum(CAST(floor(CASE WHEN isnan(o_totalprice) THEN NULL
+                                ELSE o_totalprice END * 100 + 0.5)
+                     AS BIGINT))
             FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS open_cents
 FROM orders
 GROUP BY ALL
@@ -9194,7 +9420,11 @@ def q_xml_event_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             "payload", "event_id BIGINT, event_type STRING, value DOUBLE"
         ).alias("r")
     )
-    cents = F.floor(F.col("r.value") * 100 + F.lit(0.5)).cast("bigint")
+    # scrub BEFORE floor (Spark floor(NaN) is 0): a NaN value must
+    # round-trip as a missing measurement, not as zero cents
+    cents = F.floor(_nan_null(F.col("r.value")) * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
     return parsed.groupBy(F.col("r.event_type").alias("event_type")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.max("r.event_id").alias("max_event_id"),
@@ -9205,7 +9435,8 @@ def q_xml_event_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_XML_EVENT_ROUNDTRIP = """
 SELECT event_type, count(*) AS n_events,
        max(event_id) AS max_event_id,
-       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+       CAST(sum(CAST(floor(CASE WHEN isnan(value) THEN NULL ELSE value
+                           END * 100 + 0.5) AS BIGINT)) AS BIGINT)
          AS value_cents
 FROM events GROUP BY event_type
 """
@@ -9256,11 +9487,16 @@ def q_unpivot_sql_clause(spark: SparkSession, sf: str) -> DataFrame:
         FROM (
           SELECT l_orderkey, l_linenumber,
                  CAST(l_quantity AS BIGINT) AS qty,
-                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 CAST(floor(CASE WHEN isnan(l_extendedprice) THEN NULL
+                                 ELSE l_extendedprice END * 100 + 0.5)
+                      AS BIGINT)
                    AS price_cents
           FROM lineitem
         )
-        UNPIVOT (
+        -- INCLUDE NULLS: the EAV long form keeps explicit NULL cells
+        -- (matching wide_to_long and the UNION ALL oracle); Spark's
+        -- UNPIVOT default silently drops them
+        UNPIVOT INCLUDE NULLS (
           val FOR measure IN (qty, price_cents)
         )
         """
@@ -9271,7 +9507,9 @@ ORACLE_UNPIVOT_SQL_CLAUSE = """
 WITH w AS (
   SELECT l_orderkey, l_linenumber,
          CAST(l_quantity AS BIGINT) AS qty,
-         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents
+         CAST(floor(CASE WHEN isnan(l_extendedprice) THEN NULL
+                         ELSE l_extendedprice END * 100 + 0.5)
+              AS BIGINT) AS price_cents
   FROM lineitem
 )
 SELECT l_orderkey, l_linenumber, 'qty' AS measure, qty AS val FROM w
@@ -9824,13 +10062,20 @@ def q_receivables_aging(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(asof))
         .withColumn("age_d", F.datediff(F.col("asof"), F.col("o_orderdate")))
     )
+    # an undated order has NO age — without the explicit bucket it would
+    # fall through every NULL comparison into 'over 90 days', a silently
+    # wrong ledger line in both engines
     bucket = (
-        F.when(F.col("age_d") <= 30, "a_current")
+        F.when(F.col("age_d").isNull(), "e_undated")
+        .when(F.col("age_d") <= 30, "a_current")
         .when(F.col("age_d") <= 60, "b_31_60")
         .when(F.col("age_d") <= 90, "c_61_90")
         .otherwise("d_over_90")
     )
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    # scrub BEFORE floor (Spark floor(NaN) is 0 — zero-cent fabrication)
+    cents = F.floor(_nan_null("o_totalprice") * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
     return (
         aged.select(bucket.alias("age_bucket"), cents.alias("cents"))
         .groupBy("age_bucket")
@@ -9847,12 +10092,15 @@ aged AS (
   SELECT date_diff('day', o_orderdate, m.asof) AS age_d, o_totalprice
   FROM orders, m WHERE o_orderstatus = 'O'
 )
-SELECT CASE WHEN age_d <= 30 THEN 'a_current'
+SELECT CASE WHEN age_d IS NULL THEN 'e_undated'
+            WHEN age_d <= 30 THEN 'a_current'
             WHEN age_d <= 60 THEN 'b_31_60'
             WHEN age_d <= 90 THEN 'c_61_90'
             ELSE 'd_over_90' END AS age_bucket,
        count(*) AS n_orders,
-       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+       CAST(sum(CAST(floor(CASE WHEN isnan(o_totalprice) THEN NULL
+                                ELSE o_totalprice END * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT)
          AS open_cents
 FROM aged GROUP BY 1
 """
@@ -9968,8 +10216,15 @@ def q_revenue_pareto(spark: SparkSession, sf: str) -> DataFrame:
     the distributed `analytic.global_rank` (no single-partition window);
     the share is an exact integer ratio in ppm over integer cents."""
     o = read_table(spark, sf, "orders")
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
-    t = o.select("o_orderkey", cents.alias("cents"))
+    # scrub BEFORE floor (Spark floor(NaN) is 0), then drop non-observed
+    # prices: an unpriced order is not rankable and must not inflate the
+    # 20%-cut denominator
+    cents = F.floor(_nan_null("o_totalprice") * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    t = o.select("o_orderkey", cents.alias("cents")).filter(
+        F.col("cents").isNotNull()
+    )
     ranked = analytic.global_rank(
         t, [F.col("cents").desc(), F.col("o_orderkey")], out_col="rank"
     )
@@ -9992,6 +10247,7 @@ WITH t AS (
   SELECT o_orderkey,
          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
   FROM orders
+  WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
 ), ranked AS (
   SELECT cents, row_number() OVER (ORDER BY cents DESC, o_orderkey) AS rank
   FROM t
@@ -10415,7 +10671,10 @@ def q_rollup_grain_proof(spark: SparkSession, sf: str) -> DataFrame:
     (the time-axis sibling of `incremental_agg_state`'s base∪delta
     merge). Integer cents throughout; equality pinned per month."""
     o = read_table(spark, sf, "orders")
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    # scrub BEFORE floor (Spark floor(NaN) is 0 — zero-cent fabrication)
+    cents = F.floor(_nan_null("o_totalprice") * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
     daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
         F.count(F.lit(1)).alias("n"), F.sum(cents).alias("c")
     )
@@ -10431,21 +10690,30 @@ def q_rollup_grain_proof(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("_n"),
         F.sum(cents).alias("_c"),
     )
-    return from_daily.join(direct, "month").select(
-        "month",
-        "n_orders",
-        "cents",
-        (
-            (F.col("n_orders") == F.col("_n"))
-            & (F.col("cents") == F.col("_c"))
-        ).alias("daily_rollup_equals_direct"),
+    # null-safe join and probes: dateless orders form a NULL month — a
+    # group like any other (a plain equi-join would drop it, and its
+    # all-missing cents compare NULL == NULL, which must read as equal)
+    direct = direct.withColumnRenamed("month", "_m")
+    return (
+        from_daily.join(direct, F.col("month").eqNullSafe(F.col("_m")))
+        .select(
+            "month",
+            "n_orders",
+            "cents",
+            (
+                F.col("n_orders").eqNullSafe(F.col("_n"))
+                & F.col("cents").eqNullSafe(F.col("_c"))
+            ).alias("daily_rollup_equals_direct"),
+        )
     )
 
 
 ORACLE_ROLLUP_GRAIN_PROOF = """
 SELECT strftime(o_orderdate, '%Y-%m') AS month,
        count(*) AS n_orders,
-       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+       CAST(sum(CAST(floor(CASE WHEN isnan(o_totalprice) THEN NULL
+                                ELSE o_totalprice END * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT)
          AS cents,
        TRUE AS daily_rollup_equals_direct
 FROM orders GROUP BY 1

@@ -9,10 +9,24 @@ agree "by data luck" while its semantics silently diverge on the dirty
 rows (the round-3 ADVICE found exactly one such case — a single-active-day
 user class absent from sf0.01).
 
-This tool copies a base SF directory and appends dirty rows to
-``documents`` and ``embeddings`` (the LLM-pipeline tables) with pyarrow,
-preserving the original parquet schemas byte-for-byte; every other table
-is copied verbatim (``events`` keeps its TIMESTAMP(NANOS) type).
+This tool copies a base SF directory and appends dirty rows to every
+table with pyarrow, preserving the original parquet schemas
+byte-for-byte (``events`` keeps its TIMESTAMP(NANOS) type). The dirt
+catalog per table family:
+
+- documents/embeddings: NULL/empty/whitespace text, boilerplate, exact
+  dupes, NULL embeddings, zero-norm vectors, NULL labels.
+- events: anonymous (NULL user), untyped, valueless, NaN-valued,
+  clock-less (NULL ts), malformed JSON, JSON null literal.
+- orders/lineitem: FK holes AND dangling FKs, NULL dates, NULL/NaN
+  amounts, negative quantities (returns), discount > 1, NULL group keys.
+- customer/supplier/part/nation: NULL names/labels/keys, NaN balances,
+  unicode names, empty-string vs NULL, dangling dimension FKs.
+
+Because the sweep compares Spark and DuckDB on the SAME dirty data, any
+injected weirdness is fair game: a divergence always means a real
+cross-engine semantics gap (or a query relying on an undocumented data
+contract), never "bad data".
 
 Usage:
     python tools/dirty_sf.py [base_sf_dir] [out_dir]
@@ -28,6 +42,7 @@ from __future__ import annotations
 import os
 import shutil
 import sys
+from datetime import datetime
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -86,6 +101,153 @@ def dirty_events(tbl: pa.Table) -> pa.Table:
         # clock-less event (NULL timestamp)
         {"event_id": BASE_ID + 4, "ts": None, "user_id": 12,
          "event_type": "click", "value": 4.0, "props": '{"k": 4}'},
+        # NaN value (NaN grouping/ordering differs across engines more
+        # often than NULL does)
+        {"event_id": BASE_ID + 5, "ts": ts0, "user_id": 12,
+         "event_type": "view", "value": NAN, "props": '{"k": 5}'},
+        # valid JSON whose k is an explicit null literal
+        {"event_id": BASE_ID + 6, "ts": ts0, "user_id": 12,
+         "event_type": "view", "value": 6.0, "props": '{"k": null}'},
+    ]
+    extra = pa.Table.from_pylist(rows, schema=tbl.schema)
+    return pa.concat_tables([tbl, extra])
+
+
+NAN = float("nan")
+
+
+def dirty_orders(tbl: pa.Table) -> pa.Table:
+    first = tbl.slice(0, 1).to_pylist()[0]
+    d0 = first["o_orderdate"]
+    rows = [
+        # guest checkout: no customer key (FK hole)
+        {"o_orderkey": BASE_ID + 0, "o_custkey": None, "o_orderstatus": "O",
+         "o_totalprice": 10.0, "o_orderdate": d0, "o_orderpriority": "1-URGENT"},
+        # dangling FK: customer that does not exist
+        {"o_orderkey": BASE_ID + 1, "o_custkey": BASE_ID + 999,
+         "o_orderstatus": "F", "o_totalprice": 20.0, "o_orderdate": d0,
+         "o_orderpriority": "2-HIGH"},
+        # dateless order (NULL sorts FIRST in Spark, LAST in DuckDB)
+        {"o_orderkey": BASE_ID + 2, "o_custkey": first["o_custkey"],
+         "o_orderstatus": "O", "o_totalprice": 30.0, "o_orderdate": None,
+         "o_orderpriority": "3-MEDIUM"},
+        # priceless order (NULL in sums/avgs/rank keys)
+        {"o_orderkey": BASE_ID + 3, "o_custkey": first["o_custkey"],
+         "o_orderstatus": "O", "o_totalprice": None, "o_orderdate": d0,
+         "o_orderpriority": None},
+        # NaN price (engines disagree on NaN grouping/order more than NULL)
+        {"o_orderkey": BASE_ID + 4, "o_custkey": first["o_custkey"],
+         "o_orderstatus": "O", "o_totalprice": NAN, "o_orderdate": d0,
+         "o_orderpriority": "4-NOT SPECIFIED"},
+        # pre-epoch order date (negative epoch seconds)
+        {"o_orderkey": BASE_ID + 5, "o_custkey": first["o_custkey"],
+         "o_orderstatus": "F", "o_totalprice": 50.0,
+         "o_orderdate": datetime(1969, 12, 31, 23, 0, 0),
+         "o_orderpriority": "5-LOW"},
+        # statusless order (NULL group key)
+        {"o_orderkey": BASE_ID + 6, "o_custkey": first["o_custkey"],
+         "o_orderstatus": None, "o_totalprice": 60.0, "o_orderdate": d0,
+         "o_orderpriority": "1-URGENT"},
+    ]
+    extra = pa.Table.from_pylist(rows, schema=tbl.schema)
+    return pa.concat_tables([tbl, extra])
+
+
+def dirty_lineitem(tbl: pa.Table) -> pa.Table:
+    first = tbl.slice(0, 1).to_pylist()[0]
+    d0 = first["l_shipdate"]
+    base = {
+        "l_orderkey": first["l_orderkey"], "l_partkey": first["l_partkey"],
+        "l_suppkey": first["l_suppkey"], "l_quantity": 1.0,
+        "l_extendedprice": 100.0, "l_discount": 0.05, "l_tax": 0.02,
+        "l_returnflag": "N", "l_linestatus": "O", "l_shipdate": d0,
+    }
+    rows = [
+        # orphan line: order that does not exist
+        dict(base, l_orderkey=BASE_ID + 0, l_linenumber=101),
+        # returned line with NEGATIVE quantity and price (a credit)
+        dict(base, l_linenumber=102, l_quantity=-2.0,
+             l_extendedprice=-200.0, l_returnflag="R"),
+        # NULL quantity/price/discount/tax (feed every aggregate a NULL)
+        dict(base, l_linenumber=103, l_quantity=None, l_extendedprice=None,
+             l_discount=None, l_tax=None),
+        # shipless line (NULL date in window/order keys)
+        dict(base, l_linenumber=104, l_shipdate=None),
+        # NULL flag/status (NULL group keys on the classic Q1 grain)
+        dict(base, l_linenumber=105, l_returnflag=None, l_linestatus=None),
+        # absurd discount > 1 (revenue formulas go negative)
+        dict(base, l_linenumber=106, l_discount=1.5),
+        # NULL part/supp keys (FK holes into part/supplier joins)
+        dict(base, l_linenumber=107, l_partkey=None, l_suppkey=None),
+    ]
+    extra = pa.Table.from_pylist(rows, schema=tbl.schema)
+    return pa.concat_tables([tbl, extra])
+
+
+def dirty_customer(tbl: pa.Table) -> pa.Table:
+    rows = [
+        # anonymized customer: NULL name/segment/balance
+        {"c_custkey": BASE_ID + 0, "c_name": None, "c_nationkey": 0,
+         "c_acctbal": None, "c_mktsegment": None},
+        # stateless customer: NULL nation (FK hole into nation joins)
+        {"c_custkey": BASE_ID + 1, "c_name": "Customer#dirty1",
+         "c_nationkey": None, "c_acctbal": 0.0, "c_mktsegment": "BUILDING"},
+        # dangling nation FK + unicode name (byte-order vs collation sorts)
+        {"c_custkey": BASE_ID + 2, "c_name": "Ωmega Čustomer 客户",
+         "c_nationkey": 99, "c_acctbal": -999.99, "c_mktsegment": "BUILDING"},
+        # NaN balance
+        {"c_custkey": BASE_ID + 3, "c_name": "Customer#dirty3",
+         "c_nationkey": 1, "c_acctbal": NAN, "c_mktsegment": "MACHINERY"},
+        # empty-string segment (distinct from NULL; '' vs NULL grouping)
+        {"c_custkey": BASE_ID + 4, "c_name": "", "c_nationkey": 1,
+         "c_acctbal": 1.0, "c_mktsegment": ""},
+    ]
+    extra = pa.Table.from_pylist(rows, schema=tbl.schema)
+    return pa.concat_tables([tbl, extra])
+
+
+def dirty_supplier(tbl: pa.Table) -> pa.Table:
+    rows = [
+        # nameless supplier with NULL balance
+        {"s_suppkey": BASE_ID + 0, "s_name": None, "s_nationkey": 0,
+         "s_acctbal": None},
+        # stateless supplier (NULL nation key)
+        {"s_suppkey": BASE_ID + 1, "s_name": "Supplier#dirty1",
+         "s_nationkey": None, "s_acctbal": 100.0},
+        # near-duplicate name (fuzzy-match bait) + NaN balance
+        {"s_suppkey": BASE_ID + 2, "s_name": "Supplier#000000001x",
+         "s_nationkey": 1, "s_acctbal": NAN},
+    ]
+    extra = pa.Table.from_pylist(rows, schema=tbl.schema)
+    return pa.concat_tables([tbl, extra])
+
+
+def dirty_part(tbl: pa.Table) -> pa.Table:
+    rows = [
+        # unnamed/untyped part (NULL string groupers), NULL price
+        {"p_partkey": BASE_ID + 0, "p_name": None, "p_brand": None,
+         "p_type": None, "p_size": None, "p_retailprice": None},
+        # zero-size free part (degenerate numerics)
+        {"p_partkey": BASE_ID + 1, "p_name": "dirty zero part",
+         "p_brand": "Brand#00", "p_type": "DIRTY TYPE", "p_size": 0,
+         "p_retailprice": 0.0},
+        # NaN price, empty-string type
+        {"p_partkey": BASE_ID + 2, "p_name": "dirty nan part",
+         "p_brand": "Brand#00", "p_type": "", "p_size": 1,
+         "p_retailprice": NAN},
+    ]
+    extra = pa.Table.from_pylist(rows, schema=tbl.schema)
+    return pa.concat_tables([tbl, extra])
+
+
+def dirty_nation(tbl: pa.Table) -> pa.Table:
+    rows = [
+        # nameless nation in a real region (NULL label in decode joins)
+        {"n_nationkey": 90, "n_name": None, "n_regionkey": 0},
+        # nation with a dangling region FK
+        {"n_nationkey": 91, "n_name": "DIRTYLAND", "n_regionkey": 99},
+        # nation with NULL region key
+        {"n_nationkey": 92, "n_name": "NOWHERE", "n_regionkey": None},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -117,6 +279,18 @@ def build(base: str, out: str) -> None:
             pq.write_table(dirty_embeddings(pq.read_table(src)), dst)
         elif t == "events":
             pq.write_table(dirty_events(pq.read_table(src)), dst)
+        elif t == "orders":
+            pq.write_table(dirty_orders(pq.read_table(src)), dst)
+        elif t == "lineitem":
+            pq.write_table(dirty_lineitem(pq.read_table(src)), dst)
+        elif t == "customer":
+            pq.write_table(dirty_customer(pq.read_table(src)), dst)
+        elif t == "supplier":
+            pq.write_table(dirty_supplier(pq.read_table(src)), dst)
+        elif t == "part":
+            pq.write_table(dirty_part(pq.read_table(src)), dst)
+        elif t == "nation":
+            pq.write_table(dirty_nation(pq.read_table(src)), dst)
         else:
             shutil.copyfile(src, dst)
     print(f"wrote dirty SF to {out}")
