@@ -151,16 +151,29 @@ def compact_snapshot(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(tmp)
+    # Swap order matters for crash-safety: park the OLD data in a second
+    # temp first, move the new data into the canonical path, THEN delete
+    # the old. A crash mid-swap leaves at worst the canonical path briefly
+    # absent between the two renames (unavoidable without a real atomic
+    # dir-swap), but BOTH copies survive on disk (.compact.tmp and
+    # .compact.old), so recovery is a single rename — never data loss.
+    # The previous delete-then-move order had a window where the only
+    # copy lived in the temp sibling; on object stores, whose fake
+    # renames are slow full copies, that window was wide.
+    old = path.rstrip("/") + ".compact.old"
     if "://" in path:
         import pyarrow.fs as pafs
 
         fs, dir_p = pafs.FileSystem.from_uri(path)
         _, tmp_p = pafs.FileSystem.from_uri(tmp)
-        fs.delete_dir(dir_p)
+        _, old_p = pafs.FileSystem.from_uri(old)
+        fs.move(dir_p, old_p)
         fs.move(tmp_p, dir_p)
+        fs.delete_dir(old_p)
     else:
-        shutil.rmtree(path)
+        os.rename(path, old)
         os.rename(tmp, path)
+        shutil.rmtree(old)
     return n_files
 
 

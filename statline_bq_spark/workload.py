@@ -1045,6 +1045,7 @@ WITH agg AS (
                        * CAST(l_quantity AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS sxy
   FROM lineitem
   WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+    AND NOT isnan(l_discount) AND NOT isnan(l_quantity)
   GROUP BY l_returnflag
 )
 SELECT l_returnflag, n AS n_lines,

@@ -9,8 +9,10 @@ the dirty rows (the round-3 ADVICE found one such case; the first run of
 this sweep found SIXTEEN more, including two outright crashes).
 
 This sweep re-runs every oracle-checked query against a dirty copy of
-sf0.001 built by ``tools/dirty_sf.py`` (documents + embeddings augmented
-with the dirty-row catalog, other tables byte-identical). Divergence
+sf0.001 built by ``tools/dirty_sf.py`` (every table family gets dirty
+rows: documents, embeddings, events, orders, lineitem, customer,
+supplier, part, and nation — NULL keys, dangling FKs, NaN measures,
+malformed JSON, unicode edge cases). Divergence
 classes it has caught: ANSI DIVIDE_BY_ZERO on degenerate groups, NULL
 ordering (Spark NULLS FIRST vs DuckDB NULLS LAST) shifting rank picks,
 NULL-group equi-join-backs dropping rows, concat_ws flattening all-NULL

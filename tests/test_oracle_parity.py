@@ -126,7 +126,10 @@ def _duck_output_types(duck, sql):
     """Real DuckDB output types for a query. The DB-API ``description``
     collapses every numeric to the useless ``'NUMBER'``; ``DESCRIBE`` is the
     only way to see HUGEINT vs BIGINT vs DOUBLE vs DECIMAL."""
-    rows = duck.execute(f"DESCRIBE ({sql.rstrip().rstrip(';')})").fetchall()
+    # Newline before the closing paren: if the oracle's last line ends in a
+    # `-- comment`, a paren on the same line would land inside the comment
+    # and DuckDB would see unterminated input (round-4 regression).
+    rows = duck.execute(f"DESCRIBE ({sql.rstrip().rstrip(';')}\n)").fetchall()
     return {r[0]: r[1] for r in rows}
 
 

@@ -179,6 +179,10 @@ def dirty_lineitem(tbl: pa.Table) -> pa.Table:
         dict(base, l_linenumber=106, l_discount=1.5),
         # NULL part/supp keys (FK holes into part/supplier joins)
         dict(base, l_linenumber=107, l_partkey=None, l_suppkey=None),
+        # NaN measures (IEEE NaN poisons double sums; decimal casts must
+        # scrub it the same way on both engines — pins the moment queries)
+        dict(base, l_linenumber=108, l_quantity=NAN, l_extendedprice=NAN,
+             l_discount=NAN, l_tax=NAN),
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])

@@ -46,8 +46,10 @@ NOTES = {
         "broadcast LeftAnti against the small heavy-hitter set enforced "
         "BEFORE collect_list, so array state is bounded by the cap. The "
         "exact-Jaccard verify carries per-doc set sizes along the index "
-        "rows (count window over _id), so one hash aggregate finishes the "
-        "query — the pair relation is never re-shuffled after enumeration."
+        "rows (a collect_list/size re-aggregation riding the existing _id "
+        "partitioning — no extra window or shuffle), so one hash "
+        "aggregate finishes the query — the pair relation is never "
+        "re-shuffled after enumeration."
     ),
     "simhash_pairs_raw": (
         "SimHash near-dup pairs: the 64-bit fingerprint is built from 32 "
