@@ -7360,19 +7360,23 @@ FROM s WHERE rn = 1
 def q_epoch_shuffle_order(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic global training shuffle, two epochs: each epoch seeds
     an md5 permutation key; a doc's position is (shard, pos) where shard =
-    first hash nibble and pos = rank within the shard — the composite
-    (epoch, shard, pos) IS the global order. This is how you shuffle a
-    100 TB corpus: no global row_number (single-task sort), just a
-    range-partitionable sort key + per-shard windows; the physical write
-    would be `write_clustered` on (shard, pos). md5 keys make every
-    epoch's permutation reproducible years later, and different seeds give
-    independent permutations per epoch — both oracle-checked per row."""
+    first TWO hash nibbles (256 shards) and pos = rank within the shard —
+    the composite (epoch, shard, pos) IS the global order. This is how you
+    shuffle a 100 TB corpus: no global row_number (single-task sort), just
+    a range-partitionable sort key + per-shard windows; the physical write
+    would be `write_clustered` on (shard, pos). 256 shards ≈ 400 GB per
+    window sort at 100 TB — spill-friendly on a 1000-executor cluster and
+    wide enough to keep every core busy (one nibble = 16 shards would
+    serialize 6 TB per task); widen to 3 nibbles (4096) beyond ~1 PB. md5
+    keys make every epoch's permutation reproducible years later, and
+    different seeds give independent permutations per epoch — both
+    oracle-checked per row."""
     d = read_table(spark, sf, "documents").select("doc_id")
     epochs = []
     for ep in (0, 1):
         h = F.md5(F.concat(F.lit(f"epoch{ep}:"), F.col("doc_id").cast("string")))
         shard = (
-            F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
+            F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
         )
         df = d.select(
             "doc_id",
@@ -7394,9 +7398,10 @@ WITH e AS (
   FROM documents, LATERAL (VALUES (0), (1)) AS t(ep)
 )
 SELECT doc_id, epoch,
-       CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS INT) AS shard,
+       CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+            + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS INT) AS shard,
        CAST(row_number() OVER (
-           PARTITION BY epoch, substr(h, 1, 1) ORDER BY h, doc_id
+           PARTITION BY epoch, substr(h, 1, 2) ORDER BY h, doc_id
        ) AS INT) AS pos
 FROM e
 """

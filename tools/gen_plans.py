@@ -173,7 +173,8 @@ NOTES = {
     ),
     "epoch_shuffle_order": (
         "Deterministic training shuffle (round 3): the permutation key is "
-        "md5(seed || id), the shard is its first nibble, and the position "
+        "md5(seed || id), the shard is its first two nibbles (256 "
+        "shards — ~400 GB per window sort at 100 TB), and the position "
         "window partitions by shard — the sort is range-partitionable "
         "per shard, never a single-task global row_number. Two epochs = "
         "two narrow branches over one scan, unioned."
