@@ -642,6 +642,151 @@ def _assign_to_centroids(
     )
 
 
+def _seed_parallel(hashed, first, *, k: int, round_to: int):
+    """Deterministic k-means‖ seeding over ``hashed`` (columns ``_v``
+    array<double>, ``_h`` bigint): ceil(log2 k) oversampling passes, one
+    weighting pass, then a driver-local weighted greedy + Lloyd refine of
+    the candidate pool down to k centers. Returns a k×dim float64 array.
+
+    Derandomization: the d²-proportional draw of k-means‖ is replaced by
+    Efraimidis–Spirakis keys ``log(u)/d²`` where u comes from a per-round
+    splitmix of the row's xxhash64 — a weighted sample without
+    replacement that needs no RNG state, is identical under any
+    partitioning (per-batch top-ℓ is a superset-safe prefilter of the
+    global top-ℓ), and never selects a d²=0 row (an exact duplicate of an
+    existing candidate adds nothing to the pool)."""
+    import math
+
+    import numpy as np
+
+    ell = 2 * k
+    rounds = max(1, math.ceil(math.log2(k)))
+    pool_v = [np.asarray(first["_v"], dtype="float64")]
+    pool_h = [int(first["_h"])]
+
+    for rnd in range(rounds):
+        cmat = np.asarray(pool_v, dtype="float64")
+        cn2 = (cmat * cmat).sum(axis=1)
+        salt = np.uint64(((rnd + 1) * 0xD1B54A32D192ED03) & 0xFFFFFFFFFFFFFFFF)
+
+        def batch_sample(batches, _c=cmat, _n2=cn2, _s=salt, _l=ell):
+            import pandas as pd
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                m = np.asarray(
+                    [np.asarray(v, dtype="float64") for v in pdf["_v"]]
+                )
+                d2 = (
+                    (m * m).sum(axis=1)[:, None]
+                    - 2.0 * (m @ _c.T)
+                    + _n2[None, :]
+                ).min(axis=1)
+                d2 = np.maximum(d2, 0.0)
+                h64 = pdf["_h"].to_numpy()
+                mix = h64.astype(np.uint64) * np.uint64(
+                    0x9E3779B97F4A7C15
+                ) + _s
+                u = (mix >> np.uint64(11)).astype("float64") / float(1 << 53)
+                u = np.clip(u, 1e-18, 1.0 - 1e-18)
+                with np.errstate(divide="ignore"):
+                    key = np.where(d2 > 0.0, np.log(u) / d2, -np.inf)
+                # per-batch top-ℓ is a sound prefilter: every global
+                # top-ℓ key is necessarily within its own batch's top-ℓ
+                top = np.lexsort((h64, -key))[:_l]
+                yield pd.DataFrame(
+                    {
+                        "_v": [list(map(float, m[i])) for i in top],
+                        "_h": [int(h64[i]) for i in top],
+                        "_key": [float(key[i]) for i in top],
+                    }
+                )
+
+        cand = hashed.mapInPandas(
+            batch_sample, "_v array<double>, _h bigint, _key double"
+        ).collect()
+        cand = [r for r in cand if r["_key"] != float("-inf")]
+        cand.sort(key=lambda r: (-r["_key"], r["_h"]))
+        seen = set(pool_h)
+        added = 0
+        for r in cand:
+            if added >= ell:
+                break
+            if r["_h"] in seen:
+                continue
+            pool_v.append(np.asarray(r["_v"], dtype="float64"))
+            pool_h.append(int(r["_h"]))
+            seen.add(r["_h"])
+            added += 1
+
+    # weighting pass: corpus mass nearest to each candidate
+    cmat = np.asarray(pool_v, dtype="float64")
+    cn2 = (cmat * cmat).sum(axis=1)
+
+    def batch_weight(batches, _c=cmat, _n2=cn2):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf["_v"]]
+            )
+            idx = (
+                (m * m).sum(axis=1)[:, None]
+                - 2.0 * (m @ _c.T)
+                + _n2[None, :]
+            ).argmin(axis=1)
+            cnt = np.bincount(idx, minlength=len(_n2))
+            nz = np.nonzero(cnt)[0]
+            yield pd.DataFrame(
+                {"idx": nz.astype("int64"), "cnt": cnt[nz].astype("int64")}
+            )
+
+    w = np.zeros(len(pool_v), dtype="float64")
+    for r in hashed.mapInPandas(batch_weight, "idx bigint, cnt bigint").collect():
+        w[r["idx"]] += r["cnt"]
+
+    # driver-local reduce: weighted greedy seeding then weighted Lloyd on
+    # the bounded pool (≤ 1 + 2k·ceil(log2 k) points — trivially local)
+    hs = np.asarray(pool_h, dtype="int64")
+    start = int(np.lexsort((hs, -w))[0])
+    picked = [start]
+    for _ in range(min(k, len(pool_v)) - 1):
+        chosen_m = cmat[picked]
+        d2 = (
+            (cmat * cmat).sum(axis=1)[:, None]
+            - 2.0 * (cmat @ chosen_m.T)
+            + (chosen_m * chosen_m).sum(axis=1)[None, :]
+        ).min(axis=1)
+        d2 = np.maximum(d2, 0.0)
+        score = w * d2
+        score[picked] = -1.0
+        picked.append(int(np.lexsort((hs, -score))[0]))
+    while len(picked) < k:  # fewer candidates than k: cycle (dup centers)
+        picked.append(picked[len(picked) % max(1, len(pool_v))])
+    centers = cmat[picked].copy()
+    for _ in range(20):
+        d = (
+            (cmat * cmat).sum(axis=1)[:, None]
+            - 2.0 * (cmat @ centers.T)
+            + (centers * centers).sum(axis=1)[None, :]
+        )
+        a = d.argmin(axis=1)
+        new = centers.copy()
+        for c in range(k):
+            sel = a == c
+            tw = w[sel].sum()
+            if tw > 0:
+                new[c] = (cmat[sel] * w[sel, None]).sum(axis=0) / tw
+        new = np.round(new, round_to)
+        if np.array_equal(new, centers):
+            break
+        centers = new
+    return centers
+
+
 def kmeans_fit(
     df: DataFrame,
     *,
@@ -651,6 +796,7 @@ def kmeans_fit(
     max_iter: int = 5,
     seed: int = 42,
     round_to: int = 6,
+    init: str = "parallel",
 ) -> list[list[float]]:
     """Distributed Lloyd's k-means over an embedding column; returns the
     trained codebook as a k×dim list (driver-side — a codebook is bounded
@@ -666,16 +812,22 @@ def kmeans_fit(
     No corpus-wide join, no N-row shuffle, no lineage growth (each
     iteration reads the same source scan).
 
-    Initialisation is deterministic farthest-first traversal (the k-center
-    2-approximation): seed 1 is the row with the smallest
-    ``xxhash64(id, seed)``; each further seed is the row farthest from its
-    nearest already-chosen seed (ties broken by the same hash). That is
-    k-1 extra max-reduce scans — the same pass-count trade MLlib's
-    k-means|| makes — and unlike a uniform draw it cannot put two seeds in
-    one dense region and merge well-separated clusters into a local
-    optimum. Empty clusters keep their previous centroid. Centroids are
-    rounded to ``round_to`` dp each iteration so results don't drift with
-    shuffle order across runs.
+    Initialisation (``init="parallel"``, the default) is a deterministic
+    k-means‖ (Bahmani et al., VLDB 2012): seed 1 is the row with the
+    smallest ``xxhash64(id, seed)``; then ceil(log2 k) oversampling rounds
+    each make ONE corpus pass that draws ~2k candidates with probability
+    ∝ d²(nearest candidate) — derandomized via Efraimidis–Spirakis
+    weighted sampling keyed on a per-round mix of the row hash, so the
+    draw is reproducible with no RNG state. One final pass weights every
+    candidate by the corpus mass nearest to it, and a driver-local
+    weighted greedy + Lloyd refine over the ≤(1+2k·log2 k)-point pool
+    reduces it to k centroids. Total seeding passes: 2 + ceil(log2 k)
+    (5 at k=8) instead of the k−1 of farthest-first traversal — the slope
+    that matters when k is in the thousands (IVF codebooks at 100 TB).
+    ``init="farthest"`` keeps the k-center 2-approximation traversal for
+    small k. Both are fully deterministic. Empty clusters keep their
+    previous centroid. Centroids are rounded to ``round_to`` dp each
+    iteration so results don't drift with shuffle order across runs.
     """
     import numpy as np
     import pandas as pd
@@ -693,44 +845,48 @@ def kmeans_fit(
     if not first:
         raise ValueError("cannot fit k-means on an empty DataFrame")
     chosen = [[float(x) for x in first[0]["_v"]]]
-    for _ in range(k - 1):
-        # distance to the NEAREST chosen seed; pick the farthest row.
-        # Each pass is one mapInPandas scan emitting ONE candidate per
-        # Arrow batch (BLAS distance matrix + argmax); the driver reduces
-        # the per-batch winners. Tie-break: (dist desc, hash asc).
-        cmat = np.asarray(chosen, dtype="float64")
-        cn2 = (cmat * cmat).sum(axis=1)
+    if init == "parallel" and k > 1:
+        centroids = _seed_parallel(hashed, first[0], k=k, round_to=round_to)
+    else:
+        for _ in range(k - 1):
+            # distance to the NEAREST chosen seed; pick the farthest row.
+            # Each pass is one mapInPandas scan emitting ONE candidate per
+            # Arrow batch (BLAS distance matrix + argmax); the driver
+            # reduces the per-batch winners. Tie-break: (dist desc, hash
+            # asc).
+            cmat = np.asarray(chosen, dtype="float64")
+            cn2 = (cmat * cmat).sum(axis=1)
 
-        def batch_far(batches, _c=cmat, _n2=cn2):
-            import pandas as pd
+            def batch_far(batches, _c=cmat, _n2=cn2):
+                import pandas as pd
 
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                m = np.asarray(
-                    [np.asarray(v, dtype="float64") for v in pdf["_v"]]
-                )
-                d = (
-                    (m * m).sum(axis=1)[:, None]
-                    - 2.0 * (m @ _c.T)
-                    + _n2[None, :]
-                ).min(axis=1)
-                h = pdf["_h"].to_numpy()
-                best = np.lexsort((h, -d))[0]
-                yield pd.DataFrame(
-                    {
-                        "_v": [list(map(float, m[best]))],
-                        "_h": [int(h[best])],
-                        "_d": [float(d[best])],
-                    }
-                )
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    m = np.asarray(
+                        [np.asarray(v, dtype="float64") for v in pdf["_v"]]
+                    )
+                    d = (
+                        (m * m).sum(axis=1)[:, None]
+                        - 2.0 * (m @ _c.T)
+                        + _n2[None, :]
+                    ).min(axis=1)
+                    h = pdf["_h"].to_numpy()
+                    best = np.lexsort((h, -d))[0]
+                    yield pd.DataFrame(
+                        {
+                            "_v": [list(map(float, m[best]))],
+                            "_h": [int(h[best])],
+                            "_d": [float(d[best])],
+                        }
+                    )
 
-        winners = hashed.mapInPandas(
-            batch_far, "_v array<double>, _h bigint, _d double"
-        ).collect()
-        far = max(winners, key=lambda r: (r["_d"], -r["_h"]))
-        chosen.append([float(x) for x in far["_v"]])
-    centroids = np.asarray(chosen, dtype="float64")
+            winners = hashed.mapInPandas(
+                batch_far, "_v array<double>, _h bigint, _d double"
+            ).collect()
+            far = max(winners, key=lambda r: (r["_d"], -r["_h"]))
+            chosen.append([float(x) for x in far["_v"]])
+        centroids = np.asarray(chosen, dtype="float64")
 
     src = df.select(F.col(vec_col).alias("_v"))
     out_schema = "cid int, psum array<double>, n bigint"

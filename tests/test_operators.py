@@ -456,6 +456,34 @@ def test_kmeans_deterministic_and_empty_cluster_safe(spark):
     assert n == df.count()
 
 
+def test_kmeans_parallel_seeding_partition_invariant(spark):
+    """The k-means‖ seeding must be identical under ANY partitioning: the
+    Efraimidis–Spirakis keys are row-intrinsic (hash-derived) and the
+    per-batch top-ℓ is a superset-safe prefilter of the global top-ℓ, so
+    repartitioning the corpus cannot change the candidate pool — and the
+    weighting pass is an exact integer sum. A partition-sensitive seed
+    would make the trained IVF codebook irreproducible across cluster
+    sizes."""
+    df = _blob_df(spark)
+    a = similarity.kmeans_fit(df, k=4, max_iter=3, seed=11)
+    b = similarity.kmeans_fit(df.repartition(7), k=4, max_iter=3, seed=11)
+    c = similarity.kmeans_fit(df.coalesce(1), k=4, max_iter=3, seed=11)
+    assert a == b == c
+
+
+def test_kmeans_farthest_init_still_available(spark):
+    """init='farthest' keeps the k-center traversal path (small k); both
+    inits must recover well-separated blobs."""
+    df = _blob_df(spark)
+    cents = similarity.kmeans_fit(df, k=3, max_iter=6, seed=1, init="farthest")
+    assigned = similarity.kmeans_assign(df, cents).collect()
+    cid_of_blob = {}
+    for r in assigned:
+        cid_of_blob.setdefault(r.vec_id // 40, set()).add(r.cid)
+    assert all(len(s) == 1 for s in cid_of_blob.values())
+    assert len(set().union(*cid_of_blob.values())) == 3
+
+
 def test_ivf_kmeans_topk_matches_exact_on_separated_data(spark):
     df = _blob_df(spark)
     queries = df.filter(F.col("vec_id").isin(0, 45, 85)).select(
