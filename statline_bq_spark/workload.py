@@ -4550,16 +4550,20 @@ FROM embeddings WHERE vec_id < 10
 
 def q_minhash_pairs_raw(spark: SparkSession, sf: str) -> DataFrame:
     """Raw MinHash-LSH pair output — the operator as a pipeline runs it
-    (bench headline; hash-based ⇒ rows-only). Its correctness is proven by
-    the `minhash_neardup_pairs` recall/precision contract against exact
-    capped-gram Jaccard."""
+    (bench headline; hash-based ⇒ rows-only: TERMINAL, by construction —
+    the surviving pair set depends on xxhash64 band signatures, which no
+    DuckDB expression can recompute, so no hashable oracle can ever
+    exist). Its correctness is proven by the `minhash_neardup_pairs`
+    recall/precision contract against exact capped-gram Jaccard."""
     d = read_table(spark, sf, "documents")
     return dedup.minhash_lsh_pairs(d, jaccard_threshold=0.3)
 
 
 def q_ivf_topk_raw(spark: SparkSession, sf: str) -> DataFrame:
-    """Raw IVF ANN top-k output (bench headline; approximate ⇒ rows-only).
-    Correctness proven by the `ivf_ann_topk` recall contract."""
+    """Raw IVF ANN top-k output (bench headline; approximate ⇒ rows-only:
+    TERMINAL, by construction — the probed-list contents depend on the
+    hash-seeded codebook, unreproducible in DuckDB). Correctness proven by
+    the `ivf_ann_topk` recall contract."""
     emb = read_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), "embedding"
@@ -5059,8 +5063,10 @@ GROUP BY dist
 
 def q_simhash_pairs_raw(spark: SparkSession, sf: str) -> DataFrame:
     """Raw SimHash near-dup pairs over the planted-dup corpus (bench
-    headline; hash-based ⇒ rows-only). Correctness proven by the
-    `simhash_neardup_pairs` planted-pair contract."""
+    headline; hash-based ⇒ rows-only: TERMINAL, by construction — the
+    candidate set depends on xxhash64 fingerprints with no DuckDB twin).
+    Correctness proven by the `simhash_neardup_pairs` planted-pair
+    contract."""
     d = read_table(spark, sf, "documents")
     redo = d.filter(F.col("doc_id") < 50).withColumn(
         "doc_id", F.col("doc_id") + 1_000_000

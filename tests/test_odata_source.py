@@ -127,3 +127,55 @@ def test_streaming_incremental_pages(spark, pages, tmp_path_factory):
     # exactly 13 rows total, no re-ingested duplicates
     second = run_batch()
     assert sorted(second) == list(range(13))
+
+
+def test_e2e_odata_stream_pipeline_to_parquet(spark, pages, tmp_path_factory):
+    """Per-round freshness check of the FULL streaming ELT loop (the
+    reference's pipeline shape end-to-end): cbs_odata DSv2 stream source →
+    per-batch cleanse transform (identifier normalization + load-date
+    stamp, S11/S12/S15) → date-partitioned parquet sink, availableNow.
+    The two halves are unit-tested separately; this pins their
+    composition — a schema or offset-contract drift between the stream
+    reader and the foreachBatch writer would pass both unit suites and
+    still break the loop."""
+    from statline_bq_spark.functions.cleaning import clean_python_name
+    from statline_bq_spark.streaming.ingest import snapshot_with_load_date
+
+    spark.dataSource.register(ODataDataSource)
+    ckpt = str(tmp_path_factory.mktemp("odata_e2e_ckpt"))
+    out = str(tmp_path_factory.mktemp("odata_e2e_out"))
+
+    def write_batch(batch, batch_id):
+        cleaned = snapshot_with_load_date(
+            batch.withColumn(
+                "Region", F.lower(clean_python_name("Region"))
+            ),
+            "20240101",
+        )
+        cleaned.write.mode("append").partitionBy("load_date").parquet(out)
+
+    stream = (
+        spark.readStream.format("cbs_odata")
+        .schema(SCHEMA_DDL)
+        .option("path", pages)
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    rows = got.collect()
+    assert sorted(r.Id for r in rows) == list(range(10))
+    # partition-column type inference reads the dir value back as int
+    assert {str(r.load_date) for r in rows} == {"20240101"}
+    # cleanse applied in-stream: python-safe identifiers, lowercased
+    assert {r.Region for r in rows} == {"nl", "be"}
+    # the dated partition actually materialized on disk (S15 layout)
+    import os as _os
+
+    assert any("load_date=20240101" in d for d in _os.listdir(out))
