@@ -4086,7 +4086,7 @@ def q_small_qty_part_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_SMALL_QTY_PART_REVENUE = """
 SELECT p_brand,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS revenue_small_qty,
+       CAST(sum(CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(20,6))) AS DOUBLE) AS revenue_small_qty,
        count(*) AS n_lines
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_size <= 5
@@ -4111,7 +4111,11 @@ def q_large_order_customers(spark: SparkSession, sf: str) -> DataFrame:
     c = read_table(spark, sf, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+        .agg(
+            # NaN qty behaves like NULL (sum ignores it): a NaN-poisoned
+            # group sum would CAST_OVERFLOW under ANSI / crash DuckDB
+            F.sum(_nan_null("l_quantity")).cast("bigint").alias("total_qty")
+        )
         .filter(F.col("total_qty") > 300)
     )
     joined = (
@@ -4131,12 +4135,13 @@ def q_large_order_customers(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_LARGE_ORDER_CUSTOMERS = """
 SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
-       o_totalprice, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+       o_totalprice,
+       CAST(sum(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END) AS BIGINT) AS total_qty
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
-HAVING sum(l_quantity) > 300
+HAVING sum(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END) > 300
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 100
 """
@@ -4572,8 +4577,8 @@ def q_ivf_topk_raw(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_kmeans_doc_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    """Distributed Lloyd's k-means over the embedding corpus (farthest-first
-    init, BLAS partial-sum iterations), then a zero-shuffle JVM assignment
+    """Distributed Lloyd's k-means over the embedding corpus (deterministic
+    k-means|| init, BLAS partial-sum iterations), then a zero-shuffle JVM assignment
     pass — emitted as an oracle-checked conservation contract (every
     vector assigned to exactly one of ≤ k clusters; total = corpus count,
     exactly countable in SQL). Per-cluster profiles stay available via
@@ -4935,7 +4940,7 @@ SELECT 'l_quantity' AS column, count(*) AS n_rows,
        count(DISTINCT l_quantity) AS n_distinct,
        round(CAST(min(l_quantity) AS DOUBLE), 4) AS min_v,
        round(CAST(max(l_quantity) AS DOUBLE), 4) AS max_v,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4) AS mean_v
+       round(CAST(sum(CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4) AS mean_v
 FROM lineitem
 UNION ALL
 SELECT 'l_extendedprice', count(*),
@@ -4943,7 +4948,7 @@ SELECT 'l_extendedprice', count(*),
        count(DISTINCT l_extendedprice),
        round(CAST(min(l_extendedprice) AS DOUBLE), 4),
        round(CAST(max(l_extendedprice) AS DOUBLE), 4),
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4)
+       round(CAST(sum(CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4)
 FROM lineitem
 UNION ALL
 SELECT 'l_discount', count(*),
@@ -4951,7 +4956,7 @@ SELECT 'l_discount', count(*),
        count(DISTINCT l_discount),
        round(CAST(min(l_discount) AS DOUBLE), 4),
        round(CAST(max(l_discount) AS DOUBLE), 4),
-       round(CAST(sum(CAST(l_discount AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4)
+       round(CAST(sum(CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4)
 FROM lineitem
 UNION ALL
 SELECT 'l_tax', count(*),
@@ -4959,7 +4964,7 @@ SELECT 'l_tax', count(*),
        count(DISTINCT l_tax),
        round(CAST(min(l_tax) AS DOUBLE), 4),
        round(CAST(max(l_tax) AS DOUBLE), 4),
-       round(CAST(sum(CAST(l_tax AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4)
+       round(CAST(sum(CAST(CASE WHEN isnan(l_tax) THEN NULL ELSE l_tax END AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4)
 FROM lineitem
 """
 
@@ -5313,6 +5318,9 @@ def q_approx_price_sketch(spark: SparkSession, sf: str) -> DataFrame:
     100 TB; the exact twin (q_price_percentiles) needs a sort per group.
     """
     li = read_table(spark, sf, "lineitem")
+    # NaN prices leave the rank set on both engines identically only if
+    # scrubbed: Spark ORDERs NaN greatest, DuckDB percentile_* skips it
+    li = li.withColumn("l_extendedprice", _nan_null("l_extendedprice"))
     approx = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10_000).alias(
             "approx_q"
@@ -5335,7 +5343,9 @@ def q_approx_price_sketch(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_APPROX_PRICE_SKETCH = """
 SELECT l_returnflag, count(*) AS n,
-       round(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+       round(percentile_disc(0.5) WITHIN GROUP (
+           ORDER BY CASE WHEN isnan(l_extendedprice) THEN NULL
+                         ELSE l_extendedprice END), 2)
          AS median_exact,
        TRUE AS median_within_1pct
 FROM lineitem
@@ -8360,8 +8370,10 @@ def q_revenue_share_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
     c = read_table(spark, sf, "customer")
     n = read_table(spark, sf, "nation")
     r = read_table(spark, sf, "region")
+    # NaN price/discount -> NULL cents (floor(NaN) is 0 in Spark)
     cents = F.floor(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+        _nan_null("l_extendedprice") * (1 - _nan_null("l_discount")) * 100
+        + F.lit(0.5)
     ).cast("bigint")
     joined = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
@@ -8392,8 +8404,12 @@ def q_revenue_share_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_REVENUE_SHARE_HIERARCHY = """
 WITH nat AS (
   SELECT r.r_name, n.n_name,
-         CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
-                             + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+         CAST(sum(CAST(floor(
+               (CASE WHEN isnan(l.l_extendedprice) THEN NULL
+                     ELSE l.l_extendedprice END)
+               * (1 - (CASE WHEN isnan(l.l_discount) THEN NULL
+                            ELSE l.l_discount END)) * 100
+               + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
@@ -9101,9 +9117,13 @@ DECLARED_REVENUE_SPEC = (
     {"op": "join", "table": "nation", "on": "c_nationkey = n_nationkey",
      "how": "inner", "broadcast": True},
     {"op": "filter", "where": "l_shipdate >= DATE '1995-01-01'"},
+    # NaN price/discount -> NULL cents (floor(NaN) is 0 in Spark — it
+    # would fabricate a zero-cent line; the CAST crashes DuckDB)
     {"op": "with_column", "name": "rev_cents",
-     "expr": "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
-             " AS BIGINT)"},
+     "expr": "CAST(floor((CASE WHEN isnan(l_extendedprice) THEN NULL"
+             " ELSE l_extendedprice END)"
+             " * (1 - (CASE WHEN isnan(l_discount) THEN NULL"
+             " ELSE l_discount END)) * 100 + 0.5) AS BIGINT)"},
     {"op": "group_agg", "keys": ["n_name"],
      "aggs": {"n_lines": "count(*)",
               "revenue_cents": "CAST(sum(rev_cents) AS BIGINT)"}},
@@ -9123,7 +9143,8 @@ def q_declared_pipeline_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_DECLARED_PIPELINE_REVENUE = """
 SELECT n_name, count(*) AS n_lines,
-       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+       CAST(sum(CAST(floor((CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END)
+                           * (1 - (CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END)) * 100 + 0.5)
                      AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -9341,11 +9362,14 @@ def q_lateral_top_line(spark: SparkSession, sf: str) -> DataFrame:
         """
         SELECT o_orderkey, o_orderdate, t.top_part, t.top_qty
         FROM orders, LATERAL (
+          -- NaN qty behaves like NULL: scrubbed from the sort key (both
+          -- engines put NULLs last on DESC; raw NaN sorts GREATEST and
+          -- its BIGINT cast crashes ANSI Spark and DuckDB alike)
           SELECT l_partkey AS top_part,
-                 CAST(l_quantity AS BIGINT) AS top_qty
+                 CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS BIGINT) AS top_qty
           FROM lineitem
           WHERE l_orderkey = o_orderkey
-          ORDER BY l_quantity DESC, l_partkey
+          ORDER BY (CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END) DESC, l_partkey
           LIMIT 1
         ) t
         WHERE o_orderpriority = '1-URGENT'
@@ -9358,10 +9382,11 @@ ORACLE_LATERAL_TOP_LINE = """
 SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
        t.top_part, t.top_qty
 FROM orders, LATERAL (
-  SELECT l_partkey AS top_part, CAST(l_quantity AS BIGINT) AS top_qty
+  SELECT l_partkey AS top_part,
+         CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS BIGINT) AS top_qty
   FROM lineitem
   WHERE l_orderkey = o_orderkey
-  ORDER BY l_quantity DESC, l_partkey
+  ORDER BY (CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END) DESC, l_partkey
   LIMIT 1
 ) t
 WHERE o_orderpriority = '1-URGENT'
@@ -9377,8 +9402,11 @@ def q_safe_ratio_stats(spark: SparkSession, sf: str) -> DataFrame:
     how many rows hit the guard. The null-vs-error policy is the row-level
     counterpart of the corrupt-record quarantine."""
     li = read_table(spark, sf, "lineitem")
+    # NaN price/qty -> NULL ratio, counted by the same n_guarded that
+    # counts the divide-by-zero guard (a NaN measurement is equally
+    # un-ratio-able; floor(NaN)*... would fabricate 0 cents)
     ratio = F.try_divide(
-        F.col("l_extendedprice"), F.col("l_quantity") - F.lit(1)
+        _nan_null("l_extendedprice"), _nan_null("l_quantity") - F.lit(1)
     )
     # quantize each ratio to cents BEFORE summing: per-element floor of a
     # single division is engine-exact; a raw double sum is order-unstable
@@ -9397,7 +9425,8 @@ def q_safe_ratio_stats(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_SAFE_RATIO_STATS = """
 WITH t AS (
   SELECT l_returnflag,
-         CASE WHEN l_quantity = 1 THEN NULL
+         CASE WHEN l_quantity = 1
+                OR isnan(l_quantity) OR isnan(l_extendedprice) THEN NULL
               ELSE CAST(floor(l_extendedprice / (l_quantity - 1) * 100 + 0.5)
                         AS BIGINT) END AS rc
   FROM lineitem
@@ -9498,7 +9527,7 @@ def q_unpivot_sql_clause(spark: SparkSession, sf: str) -> DataFrame:
                CAST(val AS BIGINT) AS val
         FROM (
           SELECT l_orderkey, l_linenumber,
-                 CAST(l_quantity AS BIGINT) AS qty,
+                 CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS BIGINT) AS qty,
                  CAST(floor(CASE WHEN isnan(l_extendedprice) THEN NULL
                                  ELSE l_extendedprice END * 100 + 0.5)
                       AS BIGINT)
@@ -9518,7 +9547,7 @@ def q_unpivot_sql_clause(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_UNPIVOT_SQL_CLAUSE = """
 WITH w AS (
   SELECT l_orderkey, l_linenumber,
-         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS BIGINT) AS qty,
          CAST(floor(CASE WHEN isnan(l_extendedprice) THEN NULL
                          ELSE l_extendedprice END * 100 + 0.5)
               AS BIGINT) AS price_cents
@@ -10128,8 +10157,11 @@ def q_price_index_monthly(spark: SparkSession, sf: str) -> DataFrame:
     the index is one final scaled division — no float accumulation. Base
     basket broadcast; one shuffle at the (part, month) grain."""
     li = read_table(spark, sf, "lineitem")
-    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
-    qty = F.col("l_quantity").cast("bigint")
+    # NaN price/qty -> NULL (ANSI cast of NaN throws; floor(NaN) is 0)
+    cents = F.floor(_nan_null("l_extendedprice") * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    qty = _nan_null("l_quantity").cast("bigint")
     pm = (
         li.select(
             "l_partkey",
@@ -10172,9 +10204,9 @@ def q_price_index_monthly(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_PRICE_INDEX_MONTHLY = """
 WITH pm AS (
   SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS month,
-         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+         CAST(sum(CAST(floor((CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END) * 100 + 0.5) AS BIGINT))
               AS BIGINT) AS c,
-         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+         CAST(sum(CAST((CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END) AS BIGINT)) AS BIGINT) AS q
   FROM lineitem GROUP BY 1, 2
 ), pp AS (
   SELECT l_partkey, month, c // q AS unit_cents, q FROM pm
