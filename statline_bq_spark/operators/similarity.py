@@ -703,22 +703,30 @@ def _seed_parallel(hashed, first, *, k: int, round_to: int):
                     }
                 )
 
-        cand = hashed.mapInPandas(
-            batch_sample, "_v array<double>, _h bigint, _key double"
-        ).collect()
-        cand = [r for r in cand if r["_key"] != float("-inf")]
-        cand.sort(key=lambda r: (-r["_key"], r["_h"]))
+        # finish the top-ℓ reduction DISTRIBUTED (TakeOrdered): collecting
+        # every batch's winners would be ℓ·num_batches dim-length vectors
+        # on the driver — at 100 TB that is GBs; orderBy+limit ships only
+        # ℓ rows. Already-pooled hashes are excluded in-plan (the pool is
+        # bounded, so the isin literal list is too).
+        cand = (
+            hashed.mapInPandas(
+                batch_sample, "_v array<double>, _h bigint, _key double"
+            )
+            .filter(
+                (F.col("_key") != float("-inf"))
+                & ~F.col("_h").isin([int(h) for h in pool_h])
+            )
+            .orderBy(F.col("_key").desc(), F.col("_h"))
+            .limit(ell)
+            .collect()
+        )
         seen = set(pool_h)
-        added = 0
         for r in cand:
-            if added >= ell:
-                break
             if r["_h"] in seen:
                 continue
             pool_v.append(np.asarray(r["_v"], dtype="float64"))
             pool_h.append(int(r["_h"]))
             seen.add(r["_h"])
-            added += 1
 
     # weighting pass: corpus mass nearest to each candidate
     cmat = np.asarray(pool_v, dtype="float64")
@@ -744,8 +752,16 @@ def _seed_parallel(hashed, first, *, k: int, round_to: int):
                 {"idx": nz.astype("int64"), "cnt": cnt[nz].astype("int64")}
             )
 
+    # reduce the per-batch partial counts with one hash aggregate (the
+    # shuffle moves ≤ pool-size rows per batch); the driver collects only
+    # the bounded pool-sized result
     w = np.zeros(len(pool_v), dtype="float64")
-    for r in hashed.mapInPandas(batch_weight, "idx bigint, cnt bigint").collect():
+    for r in (
+        hashed.mapInPandas(batch_weight, "idx bigint, cnt bigint")
+        .groupBy("idx")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    ):
         w[r["idx"]] += r["cnt"]
 
     # driver-local reduce: weighted greedy seeding then weighted Lloyd on

@@ -1423,3 +1423,16 @@ def test_pack_sequences_null_token_count_is_zero_length_placeholder(spark):
         ).collect()
     }
     assert got == {1: (0, 0, 2), 2: (5, 1, 1), 3: (5, 1, 2)}
+
+
+def test_kmeans_parallel_tiny_corpus_pads_to_k(spark):
+    """k larger than the distinct-vector count: the k-means|| pool cycles
+    its candidates so the codebook still has exactly k rows (duplicate
+    centers; assignment stays total via argmin-first tie-break)."""
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 0.0]), (2, [0.0, 10.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = similarity.kmeans_fit(df, k=5, max_iter=3, seed=2)
+    assert len(cents) == 5 and all(len(c) == 2 for c in cents)
+    assert similarity.kmeans_assign(df, cents).count() == 3
