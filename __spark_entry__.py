@@ -83,15 +83,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # backlog drains below the window size, the spare slots re-check the
     # greens whose proof is oldest — the silent-regression net the rotation
     # otherwise lacks (registry dict order breaks ties, keeping the order
-    # stable within a round).
+    # stable within a round). The TERMINAL rows-only trio (no oracle CAN
+    # exist — xxhash64-dependent output) goes dead last: each already has
+    # its rows-only driver row, and a weaker re-check must never displace
+    # a hash-proof resweep from the bounded window.
     order = (
         front
         + [k for k in rest if k not in verified and k in oracles]
-        + [k for k in rest if k not in verified and k not in oracles]
         + sorted(
             (k for k in rest if k in verified),
             key=lambda k: verified[k],
         )
+        + [k for k in rest if k not in verified and k not in oracles]
     )
     return {k: q[k] for k in order}
 

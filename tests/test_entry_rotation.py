@@ -79,13 +79,15 @@ def test_queries_order_unverified_oracle_first(entry_mod):
 
     def group(name: str) -> int:
         if name not in verified:
-            return 0 if name in workload.ORACLES else 1
-        return 2
+            # terminal rows-only entries go DEAD LAST: their weaker check
+            # must never displace a hash-proof resweep from the window
+            return 0 if name in workload.ORACLES else 2
+        return 1
 
     groups = [group(n) for n in order]
     assert groups == sorted(groups), (
-        "queries() must order unverified-oracle-backed, then rows-only, "
-        "then verified entries"
+        "queries() must order unverified-oracle-backed, then verified "
+        "resweeps, then the terminal rows-only trio"
     )
 
 
