@@ -131,6 +131,14 @@ def ann_ops(similarity, queries):
         "ivf_topk_nprobe6": lambda c: similarity.ivf_topk(
             c, queries, k=5, nprobe=6
         ),
+        # k-means|| seeding (2 + log2 k passes) + 2 Lloyd iterations +
+        # the zero-shuffle assignment: every pass is one linear corpus
+        # scan, so the whole train-and-assign must grow ~linearly — a
+        # superlinear slope would mean the seeding's TakeOrdered or the
+        # weighting aggregate is shuffling corpus-sized state
+        "kmeans_fit_assign_k8": lambda c: similarity.kmeans_assign(
+            c, similarity.kmeans_fit(c, k=8, max_iter=2)
+        ),
     }
 
 
