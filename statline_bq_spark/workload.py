@@ -80,23 +80,30 @@ MEASURE_DECIMALS = (
 
 
 def _nan_null(col: F.Column | str) -> F.Column:
-    """NaN → NULL: a NaN in a measure column is a failed measurement and
-    must behave like one. Spark's ANSI ``cast(NaN AS DECIMAL)`` is already
-    NULL, but ``floor(NaN)`` is **0** (it would fabricate a zero-cent
-    amount) and ``cast(NaN AS BIGINT)`` throws CAST_OVERFLOW — so every
-    quantization path scrubs explicitly before the arithmetic. The oracle
-    mirror is ``CASE WHEN isnan(x) THEN NULL ELSE x END`` — NOT
-    ``nullif(x, 'NaN')``, which DuckDB lowers to an IEEE ``=`` where
-    ``NaN = NaN`` is false on column data (it only matches when
-    constant-folded). ``isnan(NULL)`` is NULL → CASE keeps NULL → NULL.
+    """Non-finite → NULL: a NaN or ±Inf in a measure column is a failed
+    measurement and must behave like one. Spark's ANSI ``cast`` to DECIMAL
+    already NULLs both, but ``floor(NaN)`` is **0** (it would fabricate a
+    zero-cent amount), ``floor(Inf)`` stays Inf, and casting either to
+    BIGINT throws CAST_OVERFLOW — so every quantization path scrubs
+    explicitly before the arithmetic. The oracle mirror is
+    ``CASE WHEN NOT isfinite(x) THEN NULL ELSE x END`` (DuckDB's isfinite
+    covers NaN and ±Inf in one predicate; ``isfinite(NULL)`` is NULL → the
+    CASE falls through to ELSE and keeps NULL). NOT ``nullif(x, 'NaN')``,
+    which DuckDB lowers to an IEEE ``=`` where ``NaN = NaN`` is false on
+    column data (it only matches when constant-folded).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(~F.isnan(c), c)
+    return F.when(
+        ~F.isnan(c)
+        & (c != F.lit(float("inf")))
+        & (c != F.lit(float("-inf"))),
+        c,
+    )
 
 
 #: Oracle-side mirror of :func:`_nan_null` (DuckDB SQL fragment).
 def _sql_nan_null(expr: str) -> str:
-    return f"CASE WHEN isnan({expr}) THEN NULL ELSE {expr} END"
+    return f"CASE WHEN NOT isfinite({expr}) THEN NULL ELSE {expr} END"
 
 
 # ---------------------------------------------------------------------------
@@ -963,7 +970,7 @@ WITH per_cust AS (
   -- NaN = NaN is false on column data) — mirrors Spark's ANSI
   -- cast(NaN AS DECIMAL) = NULL
   SELECT c_nationkey, c_custkey,
-         sum(CAST(CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice
+         sum(CAST(CASE WHEN NOT isfinite(o_totalprice) THEN NULL ELSE o_totalprice
                   END AS DECIMAL(20,6))) AS x
   FROM orders JOIN customer ON o_custkey = c_custkey
   GROUP BY c_nationkey, c_custkey
@@ -1045,7 +1052,7 @@ WITH agg AS (
                        * CAST(l_quantity AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS sxy
   FROM lineitem
   WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
-    AND NOT isnan(l_discount) AND NOT isnan(l_quantity)
+    AND isfinite(l_discount) AND isfinite(l_quantity)
   GROUP BY l_returnflag
 )
 SELECT l_returnflag, n AS n_lines,
@@ -1725,7 +1732,7 @@ ORACLE_NATION_REVENUE_SHARE = """
 WITH per_nation AS (
   -- isnan scrub mirrors Spark's ANSI cast(NaN AS DECIMAL) = NULL
   SELECT r_name, n_name,
-         sum(CAST(CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice
+         sum(CAST(CASE WHEN NOT isfinite(o_totalprice) THEN NULL ELSE o_totalprice
                   END AS DECIMAL(20,6))) AS rev_d
   FROM orders
   JOIN customer ON o_custkey = c_custkey
@@ -1787,7 +1794,7 @@ ORACLE_WEEKLY_REVENUE_GROWTH = """
 WITH weekly AS (
   -- isnan scrub mirrors Spark's ANSI cast(NaN AS DECIMAL) = NULL
   SELECT CAST(floor(epoch(o_orderdate) / 604800) AS BIGINT) AS epoch_week,
-         sum(CAST(CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice
+         sum(CAST(CASE WHEN NOT isfinite(o_totalprice) THEN NULL ELSE o_totalprice
                   END AS DECIMAL(20,6))) AS rev_d,
          count(*) AS n_orders
   FROM orders GROUP BY 1
@@ -1949,11 +1956,11 @@ WITH j AS (
   -- complete pairs only (see the Spark twin)
   SELECT c_mktsegment,
          CAST(floor(epoch(o_orderdate) / 86400) AS DECIMAL(20,0)) AS x,
-         CAST(CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice
+         CAST(CASE WHEN NOT isfinite(o_totalprice) THEN NULL ELSE o_totalprice
               END AS DECIMAL(20,6)) AS y
   FROM orders JOIN customer ON o_custkey = c_custkey
   WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
-    AND NOT isnan(o_totalprice)
+    AND isfinite(o_totalprice)
 ), agg AS (
   SELECT c_mktsegment, count(*) AS n,
          CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx,
@@ -2427,7 +2434,7 @@ WITH obs AS (
   -- NULL/NaN prices are not rankable observations (see the Spark twin)
   SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
   FROM lineitem
-  WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+  WHERE l_extendedprice IS NOT NULL AND isfinite(l_extendedprice)
 ), ranked AS (
   SELECT l_returnflag, l_extendedprice AS v,
          row_number() OVER (PARTITION BY l_returnflag
@@ -3315,7 +3322,7 @@ def q_moving_avg_order_price(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_MOVING_AVG_ORDER_PRICE = """
 SELECT o_custkey, o_orderkey,
-       round(CAST(sum(CAST(CASE WHEN isnan(o_totalprice) THEN NULL
+       round(CAST(sum(CAST(CASE WHEN NOT isfinite(o_totalprice) THEN NULL
                                 ELSE o_totalprice END AS DECIMAL(18,2)))
                   OVER w AS DOUBLE)
              / count(*) OVER w, 4) AS avg4
@@ -3488,14 +3495,14 @@ WITH ranked_p AS (
                             ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
          count(*) OVER (PARTITION BY l_returnflag) AS n
   FROM lineitem
-  WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+  WHERE l_extendedprice IS NOT NULL AND isfinite(l_extendedprice)
 ), ranked_d AS (
   SELECT l_returnflag, l_discount,
          row_number() OVER (PARTITION BY l_returnflag
                             ORDER BY l_discount, l_orderkey, l_linenumber) AS rn,
          count(*) OVER (PARTITION BY l_returnflag) AS n
   FROM lineitem
-  WHERE l_discount IS NOT NULL AND NOT isnan(l_discount)
+  WHERE l_discount IS NOT NULL AND isfinite(l_discount)
 )
 SELECT m.l_returnflag, m.l_extendedprice AS median_price,
        p.l_extendedprice AS p90_price, d.l_discount AS median_disc
@@ -4086,7 +4093,7 @@ def q_small_qty_part_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_SMALL_QTY_PART_REVENUE = """
 SELECT p_brand,
-       CAST(sum(CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(20,6))) AS DOUBLE) AS revenue_small_qty,
+       CAST(sum(CAST(CASE WHEN NOT isfinite(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(20,6))) AS DOUBLE) AS revenue_small_qty,
        count(*) AS n_lines
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_size <= 5
@@ -4136,12 +4143,12 @@ def q_large_order_customers(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_LARGE_ORDER_CUSTOMERS = """
 SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
        o_totalprice,
-       CAST(sum(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END) AS BIGINT) AS total_qty
+       CAST(sum(CASE WHEN NOT isfinite(l_quantity) THEN NULL ELSE l_quantity END) AS BIGINT) AS total_qty
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
-HAVING sum(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END) > 300
+HAVING sum(CASE WHEN NOT isfinite(l_quantity) THEN NULL ELSE l_quantity END) > 300
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 100
 """
@@ -4940,7 +4947,7 @@ SELECT 'l_quantity' AS column, count(*) AS n_rows,
        count(DISTINCT l_quantity) AS n_distinct,
        round(CAST(min(l_quantity) AS DOUBLE), 4) AS min_v,
        round(CAST(max(l_quantity) AS DOUBLE), 4) AS max_v,
-       round(CAST(sum(CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4) AS mean_v
+       round(CAST(sum(CAST(CASE WHEN NOT isfinite(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4) AS mean_v
 FROM lineitem
 UNION ALL
 SELECT 'l_extendedprice', count(*),
@@ -4948,7 +4955,7 @@ SELECT 'l_extendedprice', count(*),
        count(DISTINCT l_extendedprice),
        round(CAST(min(l_extendedprice) AS DOUBLE), 4),
        round(CAST(max(l_extendedprice) AS DOUBLE), 4),
-       round(CAST(sum(CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4)
+       round(CAST(sum(CAST(CASE WHEN NOT isfinite(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4)
 FROM lineitem
 UNION ALL
 SELECT 'l_discount', count(*),
@@ -4956,7 +4963,7 @@ SELECT 'l_discount', count(*),
        count(DISTINCT l_discount),
        round(CAST(min(l_discount) AS DOUBLE), 4),
        round(CAST(max(l_discount) AS DOUBLE), 4),
-       round(CAST(sum(CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4)
+       round(CAST(sum(CAST(CASE WHEN NOT isfinite(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4)
 FROM lineitem
 UNION ALL
 SELECT 'l_tax', count(*),
@@ -4964,7 +4971,7 @@ SELECT 'l_tax', count(*),
        count(DISTINCT l_tax),
        round(CAST(min(l_tax) AS DOUBLE), 4),
        round(CAST(max(l_tax) AS DOUBLE), 4),
-       round(CAST(sum(CAST(CASE WHEN isnan(l_tax) THEN NULL ELSE l_tax END AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4)
+       round(CAST(sum(CAST(CASE WHEN NOT isfinite(l_tax) THEN NULL ELSE l_tax END AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4)
 FROM lineitem
 """
 
@@ -5217,7 +5224,7 @@ WITH agg AS (
                      * CAST(o_totalprice AS DECIMAL(19,6))) AS VARCHAR)
               AS DOUBLE) AS sum_sq
   FROM orders
-  WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+  WHERE o_totalprice IS NOT NULL AND isfinite(o_totalprice)
   GROUP BY 1
 )
 SELECT o_orderpriority, n,
@@ -5344,7 +5351,7 @@ def q_approx_price_sketch(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_APPROX_PRICE_SKETCH = """
 SELECT l_returnflag, count(*) AS n,
        round(percentile_disc(0.5) WITHIN GROUP (
-           ORDER BY CASE WHEN isnan(l_extendedprice) THEN NULL
+           ORDER BY CASE WHEN NOT isfinite(l_extendedprice) THEN NULL
                          ELSE l_extendedprice END), 2)
          AS median_exact,
        TRUE AS median_within_1pct
@@ -6344,7 +6351,7 @@ merged AS (
 )
 SELECT o_orderstatus, count(*) AS n_orders,
        -- isnan scrub mirrors Spark's ANSI cast(NaN AS DECIMAL) = NULL
-       CAST(CAST(sum(CAST(CASE WHEN isnan(o_totalprice) THEN NULL
+       CAST(CAST(sum(CAST(CASE WHEN NOT isfinite(o_totalprice) THEN NULL
                                ELSE o_totalprice END AS DECIMAL(20,6)))
                  AS VARCHAR) AS DOUBLE)
          AS total_price
@@ -7086,7 +7093,7 @@ ORACLE_INCREMENTAL_AGG_STATE = """
 WITH c AS (
   -- isnan scrub mirrors the Spark twin's NaN-as-missing cents
   SELECT o_orderpriority,
-         CAST(floor(CASE WHEN isnan(o_totalprice) THEN NULL
+         CAST(floor(CASE WHEN NOT isfinite(o_totalprice) THEN NULL
                          ELSE o_totalprice END * 100 + 0.5) AS BIGINT)
            AS cents
   FROM orders
@@ -7562,14 +7569,14 @@ WITH b AS (
   -- row as added/removed); isnan scrub mirrors the Spark twin
   SELECT o_orderkey AS k,
          md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,
-             CAST(CAST(floor(CASE WHEN isnan(o_totalprice) THEN NULL
+             CAST(CAST(floor(CASE WHEN NOT isfinite(o_totalprice) THEN NULL
                                   ELSE o_totalprice END * 100 + 0.5)
                   AS BIGINT) AS VARCHAR))) AS fp
   FROM orders
 ), new_fp AS (
   SELECT o_orderkey AS k,
          md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,
-             CAST(CAST(floor(CASE WHEN isnan(o_totalprice) THEN NULL
+             CAST(CAST(floor(CASE WHEN NOT isfinite(o_totalprice) THEN NULL
                                   ELSE o_totalprice END * 100 + 0.5)
                   AS BIGINT) AS VARCHAR))) AS fp
   FROM new
@@ -7874,7 +7881,7 @@ WITH b AS (
 )
 SELECT o_orderstatus, count(*) AS n_rows,
        -- isnan scrub mirrors the Spark twin's NaN-as-missing cents
-       CAST(sum(CAST(floor(CASE WHEN isnan(o_totalprice) THEN NULL
+       CAST(sum(CAST(floor(CASE WHEN NOT isfinite(o_totalprice) THEN NULL
                                 ELSE o_totalprice END * 100 + 0.5)
                      AS BIGINT)) AS BIGINT)
          AS sum_cents
@@ -8062,7 +8069,7 @@ WITH t AS (
   SELECT c.c_mktsegment, o.o_orderkey,
          CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-  WHERE o.o_totalprice IS NOT NULL AND NOT isnan(o.o_totalprice)
+  WHERE o.o_totalprice IS NOT NULL AND isfinite(o.o_totalprice)
 ), r AS (
   SELECT c_mktsegment, cents,
          row_number() OVER (PARTITION BY c_mktsegment
@@ -8110,7 +8117,7 @@ def q_price_histogram(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_PRICE_HISTOGRAM = """
 -- DuckDB has no width_bucket; this mirrors Spark's arithmetic exactly:
 -- floor((v - lo) / ((hi - lo) / n)) + 1, clamped to 0 / n+1 outside.
-SELECT CAST(CASE WHEN o_totalprice IS NULL OR isnan(o_totalprice) THEN NULL
+SELECT CAST(CASE WHEN o_totalprice IS NULL OR NOT isfinite(o_totalprice) THEN NULL
                  WHEN o_totalprice < 0.0 THEN 0
                  WHEN o_totalprice >= 600000.0 THEN 21
                  ELSE floor(o_totalprice / (600000.0 / 20)) + 1
@@ -8405,9 +8412,9 @@ ORACLE_REVENUE_SHARE_HIERARCHY = """
 WITH nat AS (
   SELECT r.r_name, n.n_name,
          CAST(sum(CAST(floor(
-               (CASE WHEN isnan(l.l_extendedprice) THEN NULL
+               (CASE WHEN NOT isfinite(l.l_extendedprice) THEN NULL
                      ELSE l.l_extendedprice END)
-               * (1 - (CASE WHEN isnan(l.l_discount) THEN NULL
+               * (1 - (CASE WHEN NOT isfinite(l.l_discount) THEN NULL
                             ELSE l.l_discount END)) * 100
                + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
   FROM lineitem l
@@ -8647,7 +8654,7 @@ WITH o AS (
   SELECT count(*) AS n,
          CAST(sum(CAST(concat('0x', substr(md5(concat_ws('|',
              CAST(o_orderkey AS VARCHAR), o_orderstatus,
-             CAST(CAST(floor(CASE WHEN isnan(o_totalprice) THEN NULL
+             CAST(CAST(floor(CASE WHEN NOT isfinite(o_totalprice) THEN NULL
                                   ELSE o_totalprice END * 100 + 0.5)
                   AS BIGINT) AS VARCHAR)
          )), 1, 8)) AS BIGINT)) AS BIGINT) AS cks
@@ -8665,7 +8672,7 @@ WITH o AS (
              CAST(l_orderkey AS VARCHAR),
              CAST(l_partkey AS VARCHAR),
              CAST(l_suppkey AS VARCHAR),
-             CAST(CAST(floor(CASE WHEN isnan(l_extendedprice) THEN NULL
+             CAST(CAST(floor(CASE WHEN NOT isfinite(l_extendedprice) THEN NULL
                                   ELSE l_extendedprice END * 100 + 0.5)
                   AS BIGINT) AS VARCHAR)
          )), 1, 8)) AS BIGINT)) AS BIGINT) AS cks
@@ -9010,7 +9017,7 @@ def q_exact_percentiles_builtin(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_EXACT_PERCENTILES_BUILTIN = """
 WITH c AS (
   SELECT o_orderpriority,
-         CAST(floor(CASE WHEN isnan(o_totalprice) THEN NULL
+         CAST(floor(CASE WHEN NOT isfinite(o_totalprice) THEN NULL
                          ELSE o_totalprice END * 100 + 0.5) AS BIGINT)
            AS cents
   FROM orders
@@ -9073,12 +9080,19 @@ def q_filtered_agg_sql(spark: SparkSession, sf: str) -> DataFrame:
         SELECT o_orderpriority,
                count(*) AS n_orders,
                count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
-               -- NOT isnan: Spark treats NaN as greater than any value
-               -- (NaN > 200000 is TRUE), DuckDB follows IEEE (FALSE) — an
-               -- unmeasured price is not a 'large' one in either engine
+               -- non-finite guard: Spark treats NaN (and Inf) as greater
+               -- than any value (NaN > 200000 is TRUE), DuckDB follows
+               -- IEEE for NaN — an unmeasured price is not a 'large' one
+               -- in either engine (oracle mirror: isfinite)
                count(*) FILTER (WHERE o_totalprice > 200000
-                                  AND NOT isnan(o_totalprice)) AS n_large,
-               CAST(sum(CAST(floor(CASE WHEN isnan(o_totalprice) THEN NULL
+                                  AND NOT isnan(o_totalprice)
+                                  AND abs(o_totalprice)
+                                      != CAST('Infinity' AS DOUBLE))
+                 AS n_large,
+               CAST(sum(CAST(floor(CASE WHEN isnan(o_totalprice)
+                                          OR abs(o_totalprice)
+                                             = CAST('Infinity' AS DOUBLE)
+                                        THEN NULL
                                         ELSE o_totalprice END * 100 + 0.5)
                              AS BIGINT))
                     FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
@@ -9094,8 +9108,8 @@ SELECT o_orderpriority,
        count(*) AS n_orders,
        count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
        count(*) FILTER (WHERE o_totalprice > 200000
-                          AND NOT isnan(o_totalprice)) AS n_large,
-       CAST(sum(CAST(floor(CASE WHEN isnan(o_totalprice) THEN NULL
+                          AND isfinite(o_totalprice)) AS n_large,
+       CAST(sum(CAST(floor(CASE WHEN NOT isfinite(o_totalprice) THEN NULL
                                 ELSE o_totalprice END * 100 + 0.5)
                      AS BIGINT))
             FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS open_cents
@@ -9120,10 +9134,12 @@ DECLARED_REVENUE_SPEC = (
     # NaN price/discount -> NULL cents (floor(NaN) is 0 in Spark — it
     # would fabricate a zero-cent line; the CAST crashes DuckDB)
     {"op": "with_column", "name": "rev_cents",
-     "expr": "CAST(floor((CASE WHEN isnan(l_extendedprice) THEN NULL"
-             " ELSE l_extendedprice END)"
-             " * (1 - (CASE WHEN isnan(l_discount) THEN NULL"
-             " ELSE l_discount END)) * 100 + 0.5) AS BIGINT)"},
+     "expr": "CAST(floor((CASE WHEN isnan(l_extendedprice)"
+             " OR abs(l_extendedprice) = CAST('Infinity' AS DOUBLE)"
+             " THEN NULL ELSE l_extendedprice END)"
+             " * (1 - (CASE WHEN isnan(l_discount)"
+             " OR abs(l_discount) = CAST('Infinity' AS DOUBLE)"
+             " THEN NULL ELSE l_discount END)) * 100 + 0.5) AS BIGINT)"},
     {"op": "group_agg", "keys": ["n_name"],
      "aggs": {"n_lines": "count(*)",
               "revenue_cents": "CAST(sum(rev_cents) AS BIGINT)"}},
@@ -9143,8 +9159,8 @@ def q_declared_pipeline_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_DECLARED_PIPELINE_REVENUE = """
 SELECT n_name, count(*) AS n_lines,
-       CAST(sum(CAST(floor((CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END)
-                           * (1 - (CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END)) * 100 + 0.5)
+       CAST(sum(CAST(floor((CASE WHEN NOT isfinite(l_extendedprice) THEN NULL ELSE l_extendedprice END)
+                           * (1 - (CASE WHEN NOT isfinite(l_discount) THEN NULL ELSE l_discount END)) * 100 + 0.5)
                      AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -9366,10 +9382,10 @@ def q_lateral_top_line(spark: SparkSession, sf: str) -> DataFrame:
           -- engines put NULLs last on DESC; raw NaN sorts GREATEST and
           -- its BIGINT cast crashes ANSI Spark and DuckDB alike)
           SELECT l_partkey AS top_part,
-                 CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS BIGINT) AS top_qty
+                 CAST(CASE WHEN isnan(l_quantity) OR abs(l_quantity) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE l_quantity END AS BIGINT) AS top_qty
           FROM lineitem
           WHERE l_orderkey = o_orderkey
-          ORDER BY (CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END) DESC, l_partkey
+          ORDER BY (CASE WHEN isnan(l_quantity) OR abs(l_quantity) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE l_quantity END) DESC, l_partkey
           LIMIT 1
         ) t
         WHERE o_orderpriority = '1-URGENT'
@@ -9383,10 +9399,10 @@ SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
        t.top_part, t.top_qty
 FROM orders, LATERAL (
   SELECT l_partkey AS top_part,
-         CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS BIGINT) AS top_qty
+         CAST(CASE WHEN NOT isfinite(l_quantity) THEN NULL ELSE l_quantity END AS BIGINT) AS top_qty
   FROM lineitem
   WHERE l_orderkey = o_orderkey
-  ORDER BY (CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END) DESC, l_partkey
+  ORDER BY (CASE WHEN NOT isfinite(l_quantity) THEN NULL ELSE l_quantity END) DESC, l_partkey
   LIMIT 1
 ) t
 WHERE o_orderpriority = '1-URGENT'
@@ -9426,7 +9442,7 @@ ORACLE_SAFE_RATIO_STATS = """
 WITH t AS (
   SELECT l_returnflag,
          CASE WHEN l_quantity = 1
-                OR isnan(l_quantity) OR isnan(l_extendedprice) THEN NULL
+                OR NOT isfinite(l_quantity) OR NOT isfinite(l_extendedprice) THEN NULL
               ELSE CAST(floor(l_extendedprice / (l_quantity - 1) * 100 + 0.5)
                         AS BIGINT) END AS rc
   FROM lineitem
@@ -9527,8 +9543,11 @@ def q_unpivot_sql_clause(spark: SparkSession, sf: str) -> DataFrame:
                CAST(val AS BIGINT) AS val
         FROM (
           SELECT l_orderkey, l_linenumber,
-                 CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS BIGINT) AS qty,
-                 CAST(floor(CASE WHEN isnan(l_extendedprice) THEN NULL
+                 CAST(CASE WHEN isnan(l_quantity) OR abs(l_quantity) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE l_quantity END AS BIGINT) AS qty,
+                 CAST(floor(CASE WHEN isnan(l_extendedprice)
+                                   OR abs(l_extendedprice)
+                                      = CAST('Infinity' AS DOUBLE)
+                                 THEN NULL
                                  ELSE l_extendedprice END * 100 + 0.5)
                       AS BIGINT)
                    AS price_cents
@@ -9547,8 +9566,8 @@ def q_unpivot_sql_clause(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_UNPIVOT_SQL_CLAUSE = """
 WITH w AS (
   SELECT l_orderkey, l_linenumber,
-         CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS BIGINT) AS qty,
-         CAST(floor(CASE WHEN isnan(l_extendedprice) THEN NULL
+         CAST(CASE WHEN NOT isfinite(l_quantity) THEN NULL ELSE l_quantity END AS BIGINT) AS qty,
+         CAST(floor(CASE WHEN NOT isfinite(l_extendedprice) THEN NULL
                          ELSE l_extendedprice END * 100 + 0.5)
               AS BIGINT) AS price_cents
   FROM lineitem
@@ -10139,7 +10158,7 @@ SELECT CASE WHEN age_d IS NULL THEN 'e_undated'
             WHEN age_d <= 90 THEN 'c_61_90'
             ELSE 'd_over_90' END AS age_bucket,
        count(*) AS n_orders,
-       CAST(sum(CAST(floor(CASE WHEN isnan(o_totalprice) THEN NULL
+       CAST(sum(CAST(floor(CASE WHEN NOT isfinite(o_totalprice) THEN NULL
                                 ELSE o_totalprice END * 100 + 0.5)
                      AS BIGINT)) AS BIGINT)
          AS open_cents
@@ -10204,9 +10223,9 @@ def q_price_index_monthly(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_PRICE_INDEX_MONTHLY = """
 WITH pm AS (
   SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS month,
-         CAST(sum(CAST(floor((CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END) * 100 + 0.5) AS BIGINT))
+         CAST(sum(CAST(floor((CASE WHEN NOT isfinite(l_extendedprice) THEN NULL ELSE l_extendedprice END) * 100 + 0.5) AS BIGINT))
               AS BIGINT) AS c,
-         CAST(sum(CAST((CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END) AS BIGINT)) AS BIGINT) AS q
+         CAST(sum(CAST((CASE WHEN NOT isfinite(l_quantity) THEN NULL ELSE l_quantity END) AS BIGINT)) AS BIGINT) AS q
   FROM lineitem GROUP BY 1, 2
 ), pp AS (
   SELECT l_partkey, month, c // q AS unit_cents, q FROM pm
@@ -10291,7 +10310,7 @@ WITH t AS (
   SELECT o_orderkey,
          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
   FROM orders
-  WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+  WHERE o_totalprice IS NOT NULL AND isfinite(o_totalprice)
 ), ranked AS (
   SELECT cents, row_number() OVER (ORDER BY cents DESC, o_orderkey) AS rank
   FROM t
@@ -10755,7 +10774,7 @@ def q_rollup_grain_proof(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_ROLLUP_GRAIN_PROOF = """
 SELECT strftime(o_orderdate, '%Y-%m') AS month,
        count(*) AS n_orders,
-       CAST(sum(CAST(floor(CASE WHEN isnan(o_totalprice) THEN NULL
+       CAST(sum(CAST(floor(CASE WHEN NOT isfinite(o_totalprice) THEN NULL
                                 ELSE o_totalprice END * 100 + 0.5)
                      AS BIGINT)) AS BIGINT)
          AS cents,

@@ -11,13 +11,17 @@ this sweep found SIXTEEN more, including two outright crashes).
 This sweep re-runs every oracle-checked query against a dirty copy of
 sf0.001 built by ``tools/dirty_sf.py`` (every table family gets dirty
 rows: documents, embeddings, events, orders, lineitem, customer,
-supplier, part, and nation — NULL keys, dangling FKs, NaN measures,
-malformed JSON, unicode edge cases). Divergence
+supplier, part, and nation — NULL keys, dangling FKs, NaN/±Inf
+measures, malformed JSON, unicode edge cases). Divergence
 classes it has caught: ANSI DIVIDE_BY_ZERO on degenerate groups, NULL
 ordering (Spark NULLS FIRST vs DuckDB NULLS LAST) shifting rank picks,
 NULL-group equi-join-backs dropping rows, concat_ws flattening all-NULL
-arrays to '', greatest(NULL, 1) fabricating phantom chunks, and NOT IN
-poisoned by a NULL in the probe set.
+arrays to '', greatest(NULL, 1) fabricating phantom chunks, NOT IN
+poisoned by a NULL in the probe set, and the non-finite-measure family
+(floor(NaN) is 0 in Spark, CAST(NaN/Inf AS BIGINT) throws, ANSI decimal
+casts NULL non-finites while DuckDB crashes or sums Inf through, DuckDB
+percentile_* skip NaN while Spark sorts it greatest — 9 NaN + 31 Inf
+divergences found and fixed in round 5).
 
 ~12 min; excluded from the default run like the cross-SF sweep.
 """

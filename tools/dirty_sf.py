@@ -18,7 +18,7 @@ catalog per table family:
   dupes, NULL embeddings, zero-norm vectors, NULL labels.
 - events: anonymous (NULL user), untyped, valueless, NaN-valued,
   clock-less (NULL ts), malformed JSON, JSON null literal.
-- orders/lineitem: FK holes AND dangling FKs, NULL dates, NULL/NaN
+- orders/lineitem: FK holes AND dangling FKs, NULL dates, NULL/NaN/±Inf
   amounts, negative quantities (returns), discount > 1, NULL group keys.
 - customer/supplier/part/nation: NULL names/labels/keys, NaN balances,
   unicode names, empty-string vs NULL, dangling dimension FKs.
@@ -114,6 +114,8 @@ def dirty_events(tbl: pa.Table) -> pa.Table:
 
 
 NAN = float("nan")
+INF = float("inf")
+NEG_INF = float("-inf")
 
 
 def dirty_orders(tbl: pa.Table) -> pa.Table:
@@ -148,6 +150,12 @@ def dirty_orders(tbl: pa.Table) -> pa.Table:
         {"o_orderkey": BASE_ID + 6, "o_custkey": first["o_custkey"],
          "o_orderstatus": None, "o_totalprice": 60.0, "o_orderdate": d0,
          "o_orderpriority": "1-URGENT"},
+        # infinite price: Spark's ANSI cast(Inf AS DECIMAL) is NULL while
+        # DuckDB sums Inf through doubles — an isnan-only scrub is an
+        # incomplete mirror of the decimal-cast contract
+        {"o_orderkey": BASE_ID + 7, "o_custkey": first["o_custkey"],
+         "o_orderstatus": "O", "o_totalprice": INF, "o_orderdate": d0,
+         "o_orderpriority": "2-HIGH"},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -183,6 +191,10 @@ def dirty_lineitem(tbl: pa.Table) -> pa.Table:
         # scrub it the same way on both engines — pins the moment queries)
         dict(base, l_linenumber=108, l_quantity=NAN, l_extendedprice=NAN,
              l_discount=NAN, l_tax=NAN),
+        # +/-Inf measures (floor(Inf) and BIGINT casts crash or saturate
+        # differently per engine; decimal casts NULL them only in Spark)
+        dict(base, l_linenumber=109, l_quantity=INF, l_extendedprice=INF,
+             l_discount=NEG_INF, l_tax=INF),
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
