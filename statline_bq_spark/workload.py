@@ -4197,12 +4197,12 @@ ORACLE_IDLE_RICH_CUSTOMERS = """
 WITH s AS (
   SELECT count(*) AS n_pos,
          CAST(sum(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS total_pos
-  FROM customer WHERE c_acctbal > 0 AND NOT isnan(c_acctbal)
+  FROM customer WHERE c_acctbal > 0 AND isfinite(c_acctbal)
 )
 SELECT c_nationkey, count(*) AS numcust,
        CAST(sum(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS totacctbal
 FROM customer, s
-WHERE c_acctbal > 0 AND NOT isnan(c_acctbal)
+WHERE c_acctbal > 0 AND isfinite(c_acctbal)
   AND c_acctbal * s.n_pos > s.total_pos
   AND NOT EXISTS (
     SELECT 1 FROM orders
@@ -4856,13 +4856,14 @@ def q_gap_fill_linear_hourly(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_GAP_FILL_LINEAR_HOURLY = """
 WITH b AS (
-  -- clock-less events belong to no bucket; NULL/NaN values are failed
-  -- measurements — excluded from BOTH the sum (isnan scrub mirrors
-  -- Spark's ANSI cast(NaN AS DECIMAL) = NULL) and the count
+  -- clock-less events belong to no bucket; NULL and non-finite values
+  -- are failed measurements — excluded from BOTH the sum (isfinite scrub
+  -- mirrors Spark's ANSI cast(non-finite AS DECIMAL) = NULL) and the count
   SELECT time_bucket(INTERVAL '1 hour', ts) AS bk, event_type,
-         round(CAST(sum(CAST(CASE WHEN isnan(value) THEN NULL ELSE value
+         round(CAST(sum(CAST(CASE WHEN NOT isfinite(value) THEN NULL
+                             ELSE value
                              END AS DECIMAL(20,6))) AS DOUBLE)
-               / count(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+               / count(CASE WHEN value IS NOT NULL AND isfinite(value)
                             THEN 1 END)
                * 10000.0, 0) / 10000.0 AS v
   FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
@@ -9492,7 +9493,8 @@ def q_xml_event_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_XML_EVENT_ROUNDTRIP = """
 SELECT event_type, count(*) AS n_events,
        max(event_id) AS max_event_id,
-       CAST(sum(CAST(floor(CASE WHEN isnan(value) THEN NULL ELSE value
+       CAST(sum(CAST(floor(CASE WHEN NOT isfinite(value) THEN NULL
+                           ELSE value
                            END * 100 + 0.5) AS BIGINT)) AS BIGINT)
          AS value_cents
 FROM events GROUP BY event_type

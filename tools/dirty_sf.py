@@ -108,6 +108,10 @@ def dirty_events(tbl: pa.Table) -> pa.Table:
         # valid JSON whose k is an explicit null literal
         {"event_id": BASE_ID + 6, "ts": ts0, "user_id": 12,
          "event_type": "view", "value": 6.0, "props": '{"k": null}'},
+        # infinite value (a sensor overflow: decimal casts NULL it only
+        # in Spark; double sums carry it through on both engines)
+        {"event_id": BASE_ID + 7, "ts": ts0, "user_id": 12,
+         "event_type": "view", "value": INF, "props": None},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -214,6 +218,9 @@ def dirty_customer(tbl: pa.Table) -> pa.Table:
         # NaN balance
         {"c_custkey": BASE_ID + 3, "c_name": "Customer#dirty3",
          "c_nationkey": 1, "c_acctbal": NAN, "c_mktsegment": "MACHINERY"},
+        # infinite balance (the non-finite-measure contract on dims too)
+        {"c_custkey": BASE_ID + 4, "c_name": "Customer#dirty4",
+         "c_nationkey": 1, "c_acctbal": INF, "c_mktsegment": "MACHINERY"},
         # empty-string segment (distinct from NULL; '' vs NULL grouping)
         {"c_custkey": BASE_ID + 4, "c_name": "", "c_nationkey": 1,
          "c_acctbal": 1.0, "c_mktsegment": ""},
