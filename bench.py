@@ -120,27 +120,34 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).count()
         cold_total += time.perf_counter() - t0
 
-    # Timed pass: min of 2 runs per query. One warmed run still carries
-    # one-off noise (codegen cache misses for late stages, GC debt from
-    # the preceding query); the min of two consecutive runs is a stable
-    # steady-state estimate — measured run-to-run spread on the heavy
-    # dedup queries drops from ~1.7x to ~1.1x.
+    # Timed pass: min of 2 runs per query, plus an adaptive 3rd when the
+    # first two disagree by >15% (a disagreement that large means at least
+    # one run was perturbed — GC debt, codegen cache miss, or external
+    # machine load; BENCH_r05 shipped a 23% phantom regression from a
+    # loaded capture box). The min of the agreeing runs is the
+    # steady-state estimate.
     timings: dict[str, float] = {}
     shuffle_mb: dict[str, float] = {}
     before = metrics.totals()
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        best = float("inf")
+        runs = []
         for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        if max(runs) > 1.15 * min(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
         after = metrics.totals()
         if after and before:
-            # two runs happened; report per-run shuffle write
+            # report per-run shuffle write (counters are per-execution)
             shuffle_mb[name] = round(
-                (after["shuffle_write"] - before["shuffle_write"]) / 2e6, 3
+                (after["shuffle_write"] - before["shuffle_write"])
+                / (len(runs) * 1e6),
+                3,
             )
         before = after
 
@@ -153,6 +160,13 @@ def main() -> None:
         "cold_total_sec": round(cold_total, 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    try:
+        # 1/5/15-min load averages at capture end: a reading well above
+        # this process's own footprint flags an inflated capture (the
+        # BENCH_r05 failure mode) without changing any timed code path.
+        out["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
     if before:  # UI reachable: attach the movement evidence
         out["shuffle_write_mb"] = shuffle_mb
         out["spilled_bytes_total"] = before["spill"]

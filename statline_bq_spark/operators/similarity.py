@@ -867,9 +867,13 @@ def kmeans_fit(
         for _ in range(k - 1):
             # distance to the NEAREST chosen seed; pick the farthest row.
             # Each pass is one mapInPandas scan emitting ONE candidate per
-            # Arrow batch (BLAS distance matrix + argmax); the driver
-            # reduces the per-batch winners. Tie-break: (dist desc, hash
-            # asc).
+            # Arrow batch (BLAS distance matrix + argmax); the global
+            # winner is reduced DISTRIBUTED via orderBy+limit(1) — same
+            # TakeOrdered shape as _seed_parallel — so the driver receives
+            # exactly one dim-length vector per pass regardless of batch
+            # count (collecting every batch's winner would be
+            # num_batches·dim floats: GBs at 100 TB). Tie-break: (dist
+            # desc, hash asc).
             cmat = np.asarray(chosen, dtype="float64")
             cn2 = (cmat * cmat).sum(axis=1)
 
@@ -897,10 +901,14 @@ def kmeans_fit(
                         }
                     )
 
-            winners = hashed.mapInPandas(
-                batch_far, "_v array<double>, _h bigint, _d double"
-            ).collect()
-            far = max(winners, key=lambda r: (r["_d"], -r["_h"]))
+            far = (
+                hashed.mapInPandas(
+                    batch_far, "_v array<double>, _h bigint, _d double"
+                )
+                .orderBy(F.col("_d").desc(), F.col("_h"))
+                .limit(1)
+                .collect()[0]
+            )
             chosen.append([float(x) for x in far["_v"]])
         centroids = np.asarray(chosen, dtype="float64")
 
