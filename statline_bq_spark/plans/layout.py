@@ -127,6 +127,31 @@ def compact_snapshot(
     """
     import shutil
 
+    # Self-heal a crash from a previous run BEFORE touching anything: the
+    # swap below is rename(path -> .compact.old); rename(.compact.tmp ->
+    # path); delete(.compact.old). A crash between the two renames leaves
+    # .compact.old as the ONLY copy of the data (canonical path missing) —
+    # rename it back. A crash after the second rename leaves .compact.old
+    # as confirmed garbage beside a healthy canonical path — delete it so
+    # the next swap's first rename doesn't fail on an existing destination.
+    old = path.rstrip("/") + ".compact.old"
+    if "://" in path:
+        import pyarrow.fs as pafs
+
+        fs, dir_p = pafs.FileSystem.from_uri(path)
+        _, old_p = pafs.FileSystem.from_uri(old)
+        old_exists = fs.get_file_info(old_p).type != pafs.FileType.NotFound
+        if old_exists:
+            if fs.get_file_info(dir_p).type == pafs.FileType.NotFound:
+                fs.move(old_p, dir_p)
+            else:
+                fs.delete_dir(old_p)
+    elif os.path.exists(old):
+        if not os.path.exists(path):
+            os.rename(old, path)
+        else:
+            shutil.rmtree(old)
+
     if "://" in path:
         import pyarrow.fs as pafs
 
@@ -159,8 +184,8 @@ def compact_snapshot(
     # .compact.old), so recovery is a single rename — never data loss.
     # The previous delete-then-move order had a window where the only
     # copy lived in the temp sibling; on object stores, whose fake
-    # renames are slow full copies, that window was wide.
-    old = path.rstrip("/") + ".compact.old"
+    # renames are slow full copies, that window was wide. The entry
+    # self-heal above performs the recovery rename if this run crashes.
     if "://" in path:
         import pyarrow.fs as pafs
 

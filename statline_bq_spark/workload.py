@@ -2316,10 +2316,11 @@ def q_snapshot_diff_orders(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_SNAPSHOT_DIFF_ORDERS = """
 WITH b AS (
-  -- isnan scrub mirrors the Spark twin's NaN-as-missing contract
+  -- non-finite scrub mirrors the Spark twin's _nan_null (NaN AND ±Inf
+  -- normalize to NULL; Inf would only coincide by Inf*2 = Inf otherwise)
   SELECT o_orderkey, o_orderstatus,
-         CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice END
-           AS o_totalprice,
+         CASE WHEN NOT isfinite(o_totalprice) THEN NULL ELSE o_totalprice
+           END AS o_totalprice,
          ((strpos('0123456789abcdef',
                   substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 16
         + (strpos('0123456789abcdef',
@@ -4080,9 +4081,14 @@ def q_small_qty_part_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
     joined = li.join(p, li["l_partkey"] == p["p_partkey"])
     w = Window.partitionBy("l_partkey")
-    small = joined.withColumn("part_avg_qty", F.avg("l_quantity").over(w)).filter(
-        F.col("l_quantity") < 0.2 * F.col("part_avg_qty")
-    )
+    # non-finite quantities are failed measurements: scrub them out of the
+    # threshold average AND the comparison (a NaN qty would poison its
+    # part's avg to NaN, and Spark evaluates x < NaN as TRUE while DuckDB
+    # follows IEEE FALSE — the silent-divergence family from the round-5
+    # dirty sweep)
+    small = joined.withColumn(
+        "part_avg_qty", F.avg(_nan_null("l_quantity")).over(w)
+    ).filter(_nan_null("l_quantity") < 0.2 * F.col("part_avg_qty"))
     return small.groupBy("p_brand").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(20,6)"))
         .cast("double")
@@ -4097,8 +4103,10 @@ SELECT p_brand,
        count(*) AS n_lines
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_size <= 5
-  AND l_quantity < (
-    SELECT 0.2 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  AND (CASE WHEN NOT isfinite(l_quantity) THEN NULL ELSE l_quantity END) < (
+    SELECT 0.2 * avg(CASE WHEN NOT isfinite(l2.l_quantity) THEN NULL
+                          ELSE l2.l_quantity END)
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey
   )
 GROUP BY p_brand
 """
@@ -7203,7 +7211,7 @@ WITH codes AS (
   FROM (SELECT DISTINCT p_brand FROM part)
 )
 SELECT p.p_brand, c.brand_code, count(*) AS n_parts,
-       round(avg(CASE WHEN isnan(p_retailprice) THEN NULL
+       round(avg(CASE WHEN NOT isfinite(p_retailprice) THEN NULL
                       ELSE p_retailprice END), 2) AS avg_price
 FROM part p JOIN codes c ON p.p_brand IS NOT DISTINCT FROM c.p_brand
 GROUP BY 1, 2

@@ -191,6 +191,48 @@ def test_compact_snapshot(spark, tmp_path):
     assert not glob.glob(path + ".compact.tmp")
 
 
+def test_compact_snapshot_self_heals_crashed_swap(spark, tmp_path):
+    """The rename-park-delete swap can crash (a) between the two renames —
+    .compact.old holds the ONLY copy and the canonical path is missing —
+    or (b) after the second rename — .compact.old is leftover garbage
+    beside a healthy canonical dir. On entry, compact must recover (a) by
+    renaming back and clear (b) so its own first rename can't fail on an
+    existing destination."""
+    import glob
+    import os
+    import shutil
+
+    # (a) crash between renames: only .compact.old exists
+    path = str(tmp_path / "snap")
+    spark.range(500).repartition(8).write.parquet(path)
+    data = sorted(r.id for r in spark.read.parquet(path).collect())
+    os.rename(path, path + ".compact.old")
+    assert not os.path.exists(path)
+    n = layout.compact_snapshot(spark, path, target_file_bytes=1 << 30)
+    assert n == 1
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == data
+    assert not os.path.exists(path + ".compact.old")
+
+    # (b) crash after second rename: stale .compact.old beside live data
+    shutil.copytree(path, path + ".compact.old")
+    n = layout.compact_snapshot(spark, path, target_file_bytes=1 << 30)
+    assert n == 1
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == data
+    assert not os.path.exists(path + ".compact.old")
+    assert not glob.glob(path + ".compact.tmp")
+
+    # same contract through the pyarrow.fs URI branch
+    upath = f"file://{tmp_path}/usnap"
+    lpath = str(tmp_path / "usnap")
+    spark.range(200).repartition(4).write.parquet(upath)
+    udata = sorted(r.id for r in spark.read.parquet(upath).collect())
+    os.rename(lpath, lpath + ".compact.old")
+    n = layout.compact_snapshot(spark, upath, target_file_bytes=1 << 30)
+    assert n == 1
+    assert sorted(r.id for r in spark.read.parquet(upath).collect()) == udata
+    assert not os.path.exists(lpath + ".compact.old")
+
+
 def test_expire_snapshots_keeps_latest(spark, tmp_path):
     root = str(tmp_path)
     df = spark.range(3)

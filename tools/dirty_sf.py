@@ -221,8 +221,11 @@ def dirty_customer(tbl: pa.Table) -> pa.Table:
         # infinite balance (the non-finite-measure contract on dims too)
         {"c_custkey": BASE_ID + 4, "c_name": "Customer#dirty4",
          "c_nationkey": 1, "c_acctbal": INF, "c_mktsegment": "MACHINERY"},
-        # empty-string segment (distinct from NULL; '' vs NULL grouping)
-        {"c_custkey": BASE_ID + 4, "c_name": "", "c_nationkey": 1,
+        # empty-string segment (distinct from NULL; '' vs NULL grouping).
+        # Fresh key: BASE_ID+4 is taken by the Inf-balance row above —
+        # sharing it would collapse two distinct dirty cases into one
+        # customer in any per-custkey join/group/dedup.
+        {"c_custkey": BASE_ID + 5, "c_name": "", "c_nationkey": 1,
          "c_acctbal": 1.0, "c_mktsegment": ""},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
