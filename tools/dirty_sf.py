@@ -20,8 +20,11 @@ catalog per table family:
   clock-less (NULL ts), malformed JSON, JSON null literal.
 - orders/lineitem: FK holes AND dangling FKs, NULL dates, NULL/NaN/±Inf
   amounts, negative quantities (returns), discount > 1, NULL group keys.
-- customer/supplier/part/nation: NULL names/labels/keys, NaN balances,
-  unicode names, empty-string vs NULL, dangling dimension FKs.
+- customer/supplier/part/nation: NULL names/labels/keys, NaN/±Inf
+  balances and prices, unicode names, empty-string vs NULL, dangling
+  dimension FKs. (The ±Inf class covers every measure-bearing table:
+  lineitem, orders, events, customer, supplier, part — round-5 advice
+  predicted the part gap and the oracle there is isfinite-hardened.)
 
 Because the sweep compares Spark and DuckDB on the SAME dirty data, any
 injected weirdness is fair game: a divergence always means a real
@@ -243,6 +246,11 @@ def dirty_supplier(tbl: pa.Table) -> pa.Table:
         # near-duplicate name (fuzzy-match bait) + NaN balance
         {"s_suppkey": BASE_ID + 2, "s_name": "Supplier#000000001x",
          "s_nationkey": 1, "s_acctbal": NAN},
+        # infinite balance (non-finite-measure contract on supplier dims;
+        # Inf < 0 is FALSE on both engines, so negative-balance filters
+        # must exclude it rather than crash downstream arithmetic)
+        {"s_suppkey": BASE_ID + 3, "s_name": "Supplier#dirty3",
+         "s_nationkey": 1, "s_acctbal": INF},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -261,6 +269,17 @@ def dirty_part(tbl: pa.Table) -> pa.Table:
         {"p_partkey": BASE_ID + 2, "p_name": "dirty nan part",
          "p_brand": "Brand#00", "p_type": "", "p_size": 1,
          "p_retailprice": NAN},
+        # +/-Inf prices (the non-finite-measure contract on part too: a
+        # price average must not go Inf on one engine and NULL-skip on
+        # the other; name avoids the q_profit LIKE '%red%' slice, and no
+        # lineitem references BASE_ID keys, so join-gated measures stay
+        # untouched while full-table scans see the rows)
+        {"p_partkey": BASE_ID + 3, "p_name": "dirty inf part",
+         "p_brand": "Brand#00", "p_type": "DIRTY TYPE", "p_size": 2,
+         "p_retailprice": INF},
+        {"p_partkey": BASE_ID + 4, "p_name": "dirty neginf part",
+         "p_brand": "Brand#00", "p_type": "DIRTY TYPE", "p_size": 2,
+         "p_retailprice": NEG_INF},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
