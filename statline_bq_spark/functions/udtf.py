@@ -51,7 +51,15 @@ def make_chunk_udtf(chunk_size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP):
                 return
             import re
 
-            words = re.split(r"\s+", text.strip())
+            # re.ASCII pins \s to [ \t\n\r\f\v]: Python's default \s is
+            # Unicode-aware (splits on NBSP U+00A0 etc.) while the JVM
+            # twin's Java regex and the oracle's RE2 are ASCII-only — a
+            # NBSP-joined token must stay ONE token in all three. Same
+            # contract for the edge trim: Spark/DuckDB trim() strip the
+            # ASCII space only, so strip(" ") — not str.strip(), which
+            # eats Unicode whitespace. Pinned by the dirty sweep's
+            # invisible-whitespace document.
+            words = re.split(r"\s+", text.strip(" "), flags=re.ASCII)
             n = len(words)
             limit = max(1, n - overlap)
             idx = 0

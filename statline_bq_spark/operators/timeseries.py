@@ -97,6 +97,7 @@ def gap_fill_forward(
     start_alias: str = "window_start",
     count_alias: str = "n_events",
     fill_alias: str = "filled_value",
+    domain: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Resample to a dense per-key time grid and forward-fill the last value.
 
@@ -127,9 +128,23 @@ def gap_fill_forward(
     there is nothing to carry forward; oracle behavior (DuckDB
     ``last_value(x IGNORE NULLS)``) matches. Clock-less events (NULL ts)
     are excluded — they belong to no bucket.
+
+    ``domain=(lo, hi)`` (ISO timestamps, half-open) bounds the VALID time
+    range; rows outside it are treated as corrupt clocks and excluded
+    like NULL ts. This is the grid-explosion guard: the spine is
+    ``(max-min)/step`` rows, so a single mis-parsed 1905 or 2262
+    timestamp in a 100 TB event log would inflate an hourly spine by six
+    orders of magnitude (and the per-key fill window with it) — a dense
+    resample must bound its grid to the business-valid domain, not trust
+    every clock in the data.
     """
     interval = F.expr(f"INTERVAL {step}")
     df = df.filter(F.col(ts_col).isNotNull())
+    if domain is not None:
+        df = df.filter(
+            (F.col(ts_col) >= F.lit(domain[0]).cast("timestamp_ntz"))
+            & (F.col(ts_col) < F.lit(domain[1]).cast("timestamp_ntz"))
+        )
     bucketed = (
         df.groupBy(F.window(F.col(ts_col), step).alias("_w"), key)
         .agg(
@@ -289,6 +304,7 @@ def gap_fill_linear(
     *,
     start_alias: str = "window_start",
     fill_alias: str = "interp_value",
+    domain: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Dense per-key grid with LINEAR interpolation across interior gaps.
 
@@ -306,9 +322,16 @@ def gap_fill_linear(
     interpolation fraction uses bucket epoch seconds, so the arithmetic
     is identical in any engine (integers into one double divide).
     Clock-less events (NULL ts) are excluded — they belong to no bucket.
+    ``domain=(lo, hi)`` bounds the valid time range exactly as in
+    :func:`gap_fill_forward` (the grid-explosion guard).
     """
     interval = F.expr(f"INTERVAL {step}")
     df = df.filter(F.col(ts_col).isNotNull())
+    if domain is not None:
+        df = df.filter(
+            (F.col(ts_col) >= F.lit(domain[0]).cast("timestamp_ntz"))
+            & (F.col(ts_col) < F.lit(domain[1]).cast("timestamp_ntz"))
+        )
     # Exact-decimal sum (partition-order-independent), cast to double
     # (exact: the scaled sum fits well under 2^53), THEN one divide and a
     # scaled-integer round. Decimal DIVISION is avoided on purpose — each

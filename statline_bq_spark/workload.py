@@ -106,6 +106,30 @@ def _sql_nan_null(expr: str) -> str:
     return f"CASE WHEN NOT isfinite({expr}) THEN NULL ELSE {expr} END"
 
 
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _ascii_lower(col: F.Column | str) -> F.Column:
+    """ASCII-only case fold for token normalization that lands in compared
+    output. Full Unicode case mapping is locale/context-sensitive and
+    engine-divergent — Spark (Java) lower('İ') = 'i̇' (i + combining dot)
+    and maps a final 'Σ' to 'ς', while DuckDB (utf8proc) gives 'i' and 'σ'
+    — so a reproducible pipeline folds [A-Z] only and passes every other
+    codepoint through untouched. Found by the round-6 unicode dirty rows.
+    Oracle mirror: :func:`_sql_ascii_lower` (translate is per-codepoint in
+    both engines). Case folding used purely for ASCII-set MEMBERSHIP
+    (stopword matching) keeps plain lower(): a non-ASCII token can never
+    equal an ASCII stopword under either engine's mapping.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, _ASCII_UPPER, _ASCII_LOWER)
+
+
+def _sql_ascii_lower(expr: str) -> str:
+    return f"translate({expr}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+
+
 # ---------------------------------------------------------------------------
 # relational core (SURVEY.md §2.B Q1-Q6, §2.A S17/S19)
 # ---------------------------------------------------------------------------
@@ -813,9 +837,13 @@ def q_session_windows(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_SESSION_WINDOWS = """
 WITH e AS (
+  -- STRICT > mirrors Spark's native session_window merge: an event at
+  -- exactly last_event + gap still extends the session (inclusive end);
+  -- only a gap STRICTLY greater than the timeout starts a new session.
+  -- Pinned by the dirty sweep's 23:30 -> 00:00 exactly-30-min rows.
   SELECT user_id, ts, value,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+                   > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
   FROM events WHERE ts IS NOT NULL  -- clock-less events join no session
 ), s AS (
   SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
@@ -2223,17 +2251,20 @@ def q_vocab_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     d = read_table(spark, sf, "documents")
     toks = d.select(
         "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+        # ASCII fold, not lower(): these tokens land in compared output
+        # (see _ascii_lower — Unicode case mapping is engine-divergent)
+        F.explode(F.split(F.trim(_ascii_lower("text")), r"\s+")).alias("tok"),
     ).distinct()
     df_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     return df_counts.orderBy(F.col("df").desc(), "tok").limit(100)
 
 
-ORACLE_VOCAB_TOP_TERMS = """
+ORACLE_VOCAB_TOP_TERMS = f"""
 SELECT tok, count(*) AS df
 FROM (
   SELECT DISTINCT doc_id,
-         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+         unnest(string_split_regex(trim({_sql_ascii_lower("text")}),
+                                   '\\s+')) AS tok
   FROM documents
 )
 GROUP BY tok
@@ -2770,10 +2801,12 @@ def q_dynamic_session_windows(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_DYNAMIC_SESSION_WINDOWS = """
 WITH e AS (
+  -- STRICT > mirrors Spark's native session_window inclusive-end merge
+  -- (see ORACLE_SESSION_WINDOWS)
   SELECT user_id, event_type, ts, value,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id, event_type
                                       ORDER BY ts)
-                   >= CASE event_type
+                   > CASE event_type
                         WHEN 'click' THEN INTERVAL '10 minutes'
                         WHEN 'purchase' THEN INTERVAL '1 hour'
                         ELSE INTERVAL '30 minutes' END
@@ -3676,27 +3709,36 @@ def q_gap_fill_hourly(spark: SparkSession, sf: str) -> DataFrame:
     event log onto the full hour grid (spine = sequence(min,max) crossed with
     the distinct keys) and carry the last observed bucket total across gaps.
     Empty buckets report n_events=0 and the carried value (NULL before a
-    key's first observation)."""
+    key's first observation). The domain guard bounds the grid to the
+    business-valid decade: one corrupt pre-1970 clock must not inflate an
+    hourly spine by six orders of magnitude."""
     e = read_table(spark, sf, "events")
-    return timeseries.gap_fill_forward(e, "ts", "1 hour", "event_type", "value")
+    return timeseries.gap_fill_forward(
+        e, "ts", "1 hour", "event_type", "value",
+        domain=("2020-01-01", "2030-01-01"),
+    )
 
 
 ORACLE_GAP_FILL_HOURLY = """
-WITH b AS (
-  -- clock-less events belong to no bucket
+WITH valid AS (
+  -- clock-less events belong to no bucket; the domain guard mirrors the
+  -- Spark side's grid-explosion bound (corrupt clocks excluded like NULL)
+  SELECT * FROM events
+  WHERE ts IS NOT NULL
+    AND ts >= TIMESTAMP '2020-01-01' AND ts < TIMESTAMP '2030-01-01'
+), b AS (
   SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
          count(*) AS n_events, round(sum(value), 2) AS v
-  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+  FROM valid GROUP BY 1, 2
 ), bounds AS (
   SELECT time_bucket(INTERVAL '1 hour', min(ts)) AS lo,
          time_bucket(INTERVAL '1 hour', max(ts)) AS hi
-  FROM events
+  FROM valid
 ), spine AS (
   SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS h FROM bounds
 ), grid AS (
   SELECT s.h, k.event_type
-  FROM spine s CROSS JOIN (SELECT DISTINCT event_type
-                           FROM events WHERE ts IS NOT NULL) k
+  FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM valid) k
 )
 SELECT g.event_type,
        strftime(g.h, '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -4857,9 +4899,13 @@ FROM k GROUP BY source
 def q_gap_fill_linear_hourly(spark: SparkSession, sf: str) -> DataFrame:
     """Dense hourly grid with linear interpolation across interior gaps
     (`timeseries.gap_fill_linear`) — the resample-and-interpolate half of
-    the timeseries surface (forward-fill is `gap_fill_hourly`)."""
+    the timeseries surface (forward-fill is `gap_fill_hourly`). Shares
+    gap_fill_hourly's valid-decade domain guard against grid explosion."""
     e = read_table(spark, sf, "events")
-    return timeseries.gap_fill_linear(e, "ts", "1 hour", "event_type", "value")
+    return timeseries.gap_fill_linear(
+        e, "ts", "1 hour", "event_type", "value",
+        domain=("2020-01-01", "2030-01-01"),
+    )
 
 
 ORACLE_GAP_FILL_LINEAR_HOURLY = """
@@ -4874,7 +4920,11 @@ WITH b AS (
                / count(CASE WHEN value IS NOT NULL AND isfinite(value)
                             THEN 1 END)
                * 10000.0, 0) / 10000.0 AS v
-  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+  FROM events
+  WHERE ts IS NOT NULL
+    -- domain guard: mirrors the Spark side's grid-explosion bound
+    AND ts >= TIMESTAMP '2020-01-01' AND ts < TIMESTAMP '2030-01-01'
+  GROUP BY 1, 2
 ), bounds AS (
   SELECT min(bk) AS lo, max(bk) AS hi FROM b
 ), spine AS (
@@ -6272,7 +6322,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     d = read_table(spark, sf, "documents")
     terms = d.select(
         "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+        # ASCII fold, not lower(): terms land in compared output
+        # (see _ascii_lower — Unicode case mapping is engine-divergent)
+        F.explode(F.split(F.trim(_ascii_lower("text")), r"\s+")).alias(
             "term"
         ),
     )
@@ -6297,9 +6349,11 @@ def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-ORACLE_TFIDF_TOP_TERMS = """
+ORACLE_TFIDF_TOP_TERMS = f"""
 WITH terms AS (
-  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  SELECT doc_id,
+         unnest(string_split_regex(trim({_sql_ascii_lower("text")}),
+                                   '\\s+')) AS term
   FROM documents
 ),
 tf AS (

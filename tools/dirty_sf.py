@@ -80,6 +80,29 @@ def dirty_documents(tbl: pa.Table) -> pa.Table:
         # single token, unseen lang/source values
         {"doc_id": BASE_ID + 5, "text": "x", "lang": "zz",
          "source": "srcX", "n_chars": 1},
+        # --- unicode case-mapping divergence bait (round 6). Verified
+        # engine gap: Spark (Java, Locale.ROOT) lower('İ') = 'i̇' (i +
+        # combining dot, 2 codepoints) vs DuckDB (utf8proc) 'i';
+        # lower('ΑΣ') = 'ας' (context-sensitive final sigma) vs 'ασ';
+        # upper('ß') = 'SS' vs 'ẞ'. Any query that emits case-mapped
+        # non-ASCII tokens in compared output diverges on these rows.
+        {"doc_id": BASE_ID + 6, "text": "İstanbul İİ DORUĞU",
+         "lang": "tr", "source": "src0", "n_chars": 18},
+        {"doc_id": BASE_ID + 7, "text": "ΔΙΑΣ ΟΔΥΣΣΕΥΣ ΑΣ",
+         "lang": "el", "source": "src0", "n_chars": 16},
+        {"doc_id": BASE_ID + 8, "text": "STRAßE straße ß",
+         "lang": "de", "source": "src0", "n_chars": 15},
+        # unicode whitespace/invisibles: NBSP (U+00A0) and ZWSP (U+200B)
+        # are NOT \s in Java or RE2 regexes — they stay inside tokens on
+        # both engines; emoji/CJK exercise codepoint-length parity
+        {"doc_id": BASE_ID + 9,
+         "text": "nb\u00a0sp zw\u200bsp \U0001f600\U0001f600 你好 世界",
+         "lang": "zh", "source": "srcX", "n_chars": 18},
+        # combining-diacritic vs precomposed café: byte-distinct,
+        # visually equal — must stay two distinct tokens/groups on
+        # both engines
+        {"doc_id": BASE_ID + 10, "text": "caf\u00e9 cafe\u0301 cafe",
+         "lang": "fr", "source": "srcX", "n_chars": 15},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -115,6 +138,25 @@ def dirty_events(tbl: pa.Table) -> pa.Table:
         # in Spark; double sums carry it through on both engines)
         {"event_id": BASE_ID + 7, "ts": ts0, "user_id": 12,
          "event_type": "view", "value": INF, "props": None},
+        # --- extreme-timestamp class (round 6): negative-epoch and
+        # epoch-zero rows. Truncating integer division (Spark `div`,
+        # DuckDB `//`) vs floor(epoch/N) differ on negative epochs, and
+        # window()/date_trunc must keep floor semantics there; a clock-
+        # skewed or mis-parsed source WILL ship pre-1970 rows at 100 TB.
+        # All values are microsecond-aligned (nanos-representable, and
+        # the engine truncates event ts to micros — a documented
+        # contract, io.py).
+        {"event_id": BASE_ID + 8, "ts": datetime(1969, 12, 31, 23, 30),
+         "user_id": 13, "event_type": "click", "value": 1.5,
+         "props": None},
+        {"event_id": BASE_ID + 9, "ts": datetime(1970, 1, 1),
+         "user_id": 13, "event_type": "view", "value": 2.5,
+         "props": '{"k": 0}'},
+        # deep past (1905): year/week extraction, multi-decade gap
+        # arithmetic (~3.7e9 seconds still fits bigint comfortably)
+        {"event_id": BASE_ID + 10, "ts": datetime(1905, 6, 30, 12, 0, 1),
+         "user_id": 13, "event_type": "click", "value": 3.5,
+         "props": None},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
