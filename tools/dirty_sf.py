@@ -15,9 +15,14 @@ byte-for-byte (``events`` keeps its TIMESTAMP(NANOS) type). The dirt
 catalog per table family:
 
 - documents/embeddings: NULL/empty/whitespace text, boilerplate, exact
-  dupes, NULL embeddings, zero-norm vectors, NULL labels.
+  dupes, NULL embeddings, zero-norm vectors, NULL labels; round 6 adds
+  unicode case-mapping bait (Turkish İ, Greek final sigma, German ß —
+  all verified engine-divergent under full Unicode lower/upper),
+  NBSP/ZWSP invisibles, emoji/CJK, and combining-vs-precomposed pairs.
 - events: anonymous (NULL user), untyped, valueless, NaN-valued,
-  clock-less (NULL ts), malformed JSON, JSON null literal.
+  clock-less (NULL ts), malformed JSON, JSON null literal; round 6 adds
+  extreme timestamps (1905, pre-epoch 1969, epoch zero) — negative-epoch
+  arithmetic, exactly-at-gap session boundaries, and grid explosion.
 - orders/lineitem: FK holes AND dangling FKs, NULL dates, NULL/NaN/±Inf
   amounts, negative quantities (returns), discount > 1, NULL group keys.
 - customer/supplier/part/nation: NULL names/labels/keys, NaN/±Inf
