@@ -1142,6 +1142,61 @@ def test_gap_fill_treats_null_key_as_a_series(spark):
     assert lin[(None, "2024-01-01 01:00:00")] == 6.0
 
 
+def test_gap_fill_domain_guard_excludes_corrupt_clocks(spark):
+    """domain=(lo, hi) is the grid-explosion guard: a single 1905 row
+    would inflate an hourly spine by ~1M buckets; with the guard it is
+    excluded like NULL ts and the spine spans only the valid range."""
+    from datetime import datetime
+
+    from statline_bq_spark.operators.timeseries import (
+        gap_fill_forward,
+        gap_fill_linear,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", datetime(1905, 6, 30, 12, 0), 9.0),  # corrupt clock
+            ("a", datetime(2024, 1, 1, 0, 30), 1.0),
+            ("a", datetime(2024, 1, 1, 3, 45), 3.0),
+            ("a", datetime(2262, 1, 1, 0, 0), 9.0),  # future corrupt clock
+        ],
+        "k string, ts timestamp, v double",
+    )
+    dom = ("2020-01-01", "2030-01-01")
+    fwd = gap_fill_forward(df, "ts", "1 hour", "k", "v", domain=dom).collect()
+    assert len(fwd) == 4  # hours 00..03 only, no 1905/2262 spine
+    assert {r.window_start for r in fwd} == {
+        "2024-01-01 00:00:00",
+        "2024-01-01 01:00:00",
+        "2024-01-01 02:00:00",
+        "2024-01-01 03:00:00",
+    }
+    lin = gap_fill_linear(df, "ts", "1 hour", "k", "v", domain=dom).collect()
+    assert len(lin) == 4
+    # interpolation uses only in-domain neighbours: 1.0 -> 3.0 over 3 steps
+    by_start = {r.window_start: r.interp_value for r in lin}
+    assert by_start["2024-01-01 01:00:00"] == pytest.approx(1.6667, abs=1e-3)
+
+
+def test_ascii_tokenization_contract():
+    """The portable tokenization contract (README robustness): ASCII-only
+    case fold (locale-sensitive Unicode case mapping is engine-divergent)
+    and ASCII-only \\s in Python tokenizers (Python's default \\s splits
+    NBSP; Java/RE2 do not)."""
+    import re
+
+    from statline_bq_spark.functions.udtf import make_chunk_udtf  # noqa: F401
+    from statline_bq_spark.workload import _ASCII_LOWER, _ASCII_UPPER
+
+    assert len(_ASCII_UPPER) == len(_ASCII_LOWER) == 26
+    # the chunker's split must keep a NBSP-joined token intact, exactly
+    # like Java's \s and RE2's \s (both ASCII-only)
+    words = re.split(r"\s+", "nb\u00a0sp end".strip(" "), flags=re.ASCII)
+    assert words == ["nb\u00a0sp", "end"]
+    # Python WITHOUT re.ASCII would split it — the divergence being pinned
+    assert re.split(r"\s+", "nb\u00a0sp") == ["nb", "sp"]
+
+
 def test_star_contraction_handles_long_chains_in_few_rounds(spark):
     """A 200-node path has diameter 199 — min-label propagation would need
     ~200 rounds; star contraction must finish well inside its 30-round cap
