@@ -139,7 +139,15 @@ def test_running_total_matches_prefix_sums(spark, rows):
 # --- chunker: pure-Python reference semantics -------------------------------
 
 def _ref_chunks(text, width=8, overlap=3):
-    words = text.split()
+    # The repo-wide tokenization convention, NOT str.split(): Spark/DuckDB
+    # trim() strips the ASCII space only (a leading tab survives and
+    # yields a leading '' token after the \s+ split, on BOTH engines), and
+    # \s must be the ASCII five (re.ASCII) to match Java/RE2. str.split()
+    # would silently drop those edge tokens and eat Unicode whitespace —
+    # the exact divergences the round-6 dirty rows pinned.
+    import re
+
+    words = re.split(r"\s+", text.strip(" "), flags=re.ASCII)
     step = width - overlap
     out = []
     for idx, start in enumerate(range(0, max(1, len(words) - overlap), step)):
