@@ -106,6 +106,32 @@ def _sql_nan_null(expr: str) -> str:
     return f"CASE WHEN NOT isfinite({expr}) THEN NULL ELSE {expr} END"
 
 
+#: Quantization domain for money measures: DECIMAL(20,6) holds
+#: |x| < 1e14. A finite double outside it is as unusable as NaN/Inf —
+#: Spark's ANSI decimal cast THROWS on it (NUMERIC_VALUE_OUT_OF_RANGE),
+#: cents-scaling bigint arithmetic overflows (ARITHMETIC_OVERFLOW), and
+#: DuckDB's CAST raises a Conversion Error. One corrupt 1e300 row in a
+#: 100 TB feed must not kill the whole aggregate.
+_Q_MAX = 1e14
+
+
+def _quantizable(col: F.Column | str) -> F.Column:
+    """Extend :func:`_nan_null` to the quantization domain: NaN, ±Inf and
+    |x| >= 1e14 all become NULL (a measurement that cannot be quantized
+    into DECIMAL(20,6) is a failed measurement). Oracle mirror:
+    :func:`_sql_quantizable`. abs(x) < 1e14 is NULL for NULL and false
+    for NaN/±Inf, so the single predicate covers the whole family."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(~F.isnan(c) & (F.abs(c) < F.lit(_Q_MAX)), c)
+
+
+def _sql_quantizable(expr: str) -> str:
+    return (
+        f"CASE WHEN isfinite({expr}) AND abs({expr}) < 1e14 "
+        f"THEN {expr} END"
+    )
+
+
 _ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 _ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
 
@@ -962,9 +988,11 @@ def q_customer_spend_gini(spark: SparkSession, sf: str) -> DataFrame:
         o.join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_nationkey", "c_custkey")
         .agg(
-            # ANSI cast(NaN AS DECIMAL) is NULL — a NaN price is a failed
-            # measurement and contributes nothing (oracle scrubs via nullif)
-            F.sum(F.col("o_totalprice").cast("decimal(20,6)")).alias("_x")
+            # _quantizable: NaN/Inf/out-of-domain prices are failed
+            # measurements (a bare ANSI cast throws on finite 1e300)
+            F.sum(_quantizable("o_totalprice").cast("decimal(20,6)")).alias(
+                "_x"
+            )
         )
     )
     # nulls-last EXPLICITLY: an all-NaN customer has NULL spend, and the
@@ -994,12 +1022,11 @@ def q_customer_spend_gini(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_CUSTOMER_SPEND_GINI = """
 WITH per_cust AS (
-  -- isnan scrub (NOT nullif: DuckDB's nullif lowers to an IEEE '=' where
-  -- NaN = NaN is false on column data) — mirrors Spark's ANSI
-  -- cast(NaN AS DECIMAL) = NULL
+  -- quantizable scrub mirrors the Spark twin's _quantizable guard
   SELECT c_nationkey, c_custkey,
-         sum(CAST(CASE WHEN NOT isfinite(o_totalprice) THEN NULL ELSE o_totalprice
-                  END AS DECIMAL(20,6))) AS x
+         sum(CAST(CASE WHEN isfinite(o_totalprice)
+                        AND abs(o_totalprice) < 1e14
+                       THEN o_totalprice END AS DECIMAL(20,6))) AS x
   FROM orders JOIN customer ON o_custkey = c_custkey
   GROUP BY c_nationkey, c_custkey
 ), ranked AS (
@@ -1734,7 +1761,10 @@ def q_nation_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
         .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(20,6)")).alias("_rev_d")
+            # _quantizable: a bare ANSI cast throws on finite-but-huge
+            F.sum(_quantizable("o_totalprice").cast("decimal(20,6)")).alias(
+                "_rev_d"
+            )
         )
     )
     w = Window.partitionBy("r_name")
@@ -1758,10 +1788,11 @@ def q_nation_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_NATION_REVENUE_SHARE = """
 WITH per_nation AS (
-  -- isnan scrub mirrors Spark's ANSI cast(NaN AS DECIMAL) = NULL
+  -- quantizable scrub mirrors the Spark twin's _quantizable guard
   SELECT r_name, n_name,
-         sum(CAST(CASE WHEN NOT isfinite(o_totalprice) THEN NULL ELSE o_totalprice
-                  END AS DECIMAL(20,6))) AS rev_d
+         sum(CAST(CASE WHEN isfinite(o_totalprice)
+                        AND abs(o_totalprice) < 1e14
+                       THEN o_totalprice END AS DECIMAL(20,6))) AS rev_d
   FROM orders
   JOIN customer ON o_custkey = c_custkey
   JOIN nation ON c_nationkey = n_nationkey
@@ -1794,7 +1825,10 @@ def q_weekly_revenue_growth(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("epoch_week")
     ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(20,6)")).alias("_rev_d"),
+        # _quantizable: a bare ANSI cast throws on finite-but-huge
+        F.sum(_quantizable("o_totalprice").cast("decimal(20,6)")).alias(
+            "_rev_d"
+        ),
         F.count(F.lit(1)).alias("n_orders"),
     )
     # nulls-last EXPLICITLY: a dateless order lands in a NULL week group,
@@ -1820,10 +1854,11 @@ def q_weekly_revenue_growth(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_WEEKLY_REVENUE_GROWTH = """
 WITH weekly AS (
-  -- isnan scrub mirrors Spark's ANSI cast(NaN AS DECIMAL) = NULL
+  -- quantizable scrub mirrors the Spark twin's _quantizable guard
   SELECT CAST(floor(epoch(o_orderdate) / 604800) AS BIGINT) AS epoch_week,
-         sum(CAST(CASE WHEN NOT isfinite(o_totalprice) THEN NULL ELSE o_totalprice
-                  END AS DECIMAL(20,6))) AS rev_d,
+         sum(CAST(CASE WHEN isfinite(o_totalprice)
+                        AND abs(o_totalprice) < 1e14
+                       THEN o_totalprice END AS DECIMAL(20,6))) AS rev_d,
          count(*) AS n_orders
   FROM orders GROUP BY 1
 )
@@ -1949,9 +1984,10 @@ def q_price_trend_per_segment(spark: SparkSession, sf: str) -> DataFrame:
             F.floor(F.unix_timestamp("o_orderdate") / 86400)
             .cast("decimal(20,0)")
             .alias("_x"),
-            # ANSI cast(NaN AS DECIMAL) = NULL: a NaN price is a failed
-            # measurement, not a data point
-            F.col("o_totalprice").cast("decimal(20,6)").alias("_y"),
+            # _quantizable: NaN/Inf/out-of-decimal-domain prices are
+            # failed measurements, not data points (a bare ANSI cast
+            # would THROW on a finite 1e300)
+            _quantizable("o_totalprice").cast("decimal(20,6)").alias("_y"),
         )
         # regression is defined over COMPLETE pairs: a dateless or
         # priceless order would inflate n while feeding no moment sum
@@ -1980,15 +2016,16 @@ def q_price_trend_per_segment(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_PRICE_TREND_PER_SEGMENT = """
 WITH j AS (
-  -- isnan scrub mirrors Spark's ANSI cast(NaN AS DECIMAL) = NULL;
+  -- quantizable scrub mirrors the Spark twin's _quantizable guard;
   -- complete pairs only (see the Spark twin)
   SELECT c_mktsegment,
          CAST(floor(epoch(o_orderdate) / 86400) AS DECIMAL(20,0)) AS x,
-         CAST(CASE WHEN NOT isfinite(o_totalprice) THEN NULL ELSE o_totalprice
-              END AS DECIMAL(20,6)) AS y
+         CAST(CASE WHEN isfinite(o_totalprice)
+                    AND abs(o_totalprice) < 1e14
+                   THEN o_totalprice END AS DECIMAL(20,6)) AS y
   FROM orders JOIN customer ON o_custkey = c_custkey
   WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
-    AND isfinite(o_totalprice)
+    AND isfinite(o_totalprice) AND abs(o_totalprice) < 1e14
 ), agg AS (
   SELECT c_mktsegment, count(*) AS n,
          CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx,
@@ -3337,7 +3374,9 @@ def q_moving_avg_order_price(spark: SparkSession, sf: str) -> DataFrame:
     is arithmetically impossible for counts 1..4.
     """
     o = read_table(spark, sf, "orders").withColumn(
-        "_price_dec", F.col("o_totalprice").cast("decimal(18,2)")
+        # _quantizable, not a bare cast: ANSI decimal cast THROWS on a
+        # finite-but-huge price (one corrupt row would kill the job)
+        "_price_dec", _quantizable("o_totalprice").cast("decimal(18,2)")
     )
     # nulls-last EXPLICITLY (undated orders close each customer's frame
     # stream in both engines instead of opening it in one of them)
@@ -3356,8 +3395,9 @@ def q_moving_avg_order_price(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_MOVING_AVG_ORDER_PRICE = """
 SELECT o_custkey, o_orderkey,
-       round(CAST(sum(CAST(CASE WHEN NOT isfinite(o_totalprice) THEN NULL
-                                ELSE o_totalprice END AS DECIMAL(18,2)))
+       round(CAST(sum(CAST(CASE WHEN isfinite(o_totalprice)
+                                 AND abs(o_totalprice) < 1e14
+                                THEN o_totalprice END AS DECIMAL(18,2)))
                   OVER w AS DOUBLE)
              / count(*) OVER w, 4) AS avg4
 FROM orders
@@ -5245,11 +5285,12 @@ def q_order_price_moments(spark: SparkSession, sf: str) -> DataFrame:
     # ((18,6)x(18,6) -> (37,12), exact in both engines; (20,6) squared
     # would overflow 38 and round the scale away in Spark only)
     dec = F.col("o_totalprice").cast("decimal(18,6)")
-    # moments are over OBSERVED prices: NULL/NaN rows would inflate n while
-    # feeding no sum (ANSI cast(NaN AS DECIMAL) is NULL); try_divide keeps
-    # a single-observation group at NULL variance instead of an ANSI
+    # moments are over OBSERVED prices: NULL/NaN/out-of-domain rows would
+    # inflate n while feeding no sum — and a finite-but-huge price would
+    # THROW in the ANSI decimal cast below; try_divide keeps a
+    # single-observation group at NULL variance instead of an ANSI
     # DIVIDE_BY_ZERO
-    o = o.filter(_nan_null("o_totalprice").isNotNull())
+    o = o.filter(_quantizable("o_totalprice").isNotNull())
     agg = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(dec).cast("double").alias("sum_price"),
@@ -5284,6 +5325,7 @@ WITH agg AS (
               AS DOUBLE) AS sum_sq
   FROM orders
   WHERE o_totalprice IS NOT NULL AND isfinite(o_totalprice)
+    AND abs(o_totalprice) < 1e14  -- mirrors _quantizable
   GROUP BY 1
 )
 SELECT o_orderpriority, n,
@@ -6394,7 +6436,9 @@ def q_scd1_merge_orders(spark: SparkSession, sf: str) -> DataFrame:
     merged = merge_upsert(o, changes, ["o_orderkey"])
     return merged.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        _dec_sum("o_totalprice", "total_price"),
+        # _quantizable inside the exact sum: a finite-but-huge price
+        # would THROW in _dec_sum's ANSI decimal cast
+        _dec_sum(_quantizable("o_totalprice"), "total_price"),
     )
 
 
@@ -6413,9 +6457,10 @@ merged AS (
   WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
 )
 SELECT o_orderstatus, count(*) AS n_orders,
-       -- isnan scrub mirrors Spark's ANSI cast(NaN AS DECIMAL) = NULL
-       CAST(CAST(sum(CAST(CASE WHEN NOT isfinite(o_totalprice) THEN NULL
-                               ELSE o_totalprice END AS DECIMAL(20,6)))
+       -- quantizable scrub mirrors the Spark twin's _quantizable guard
+       CAST(CAST(sum(CAST(CASE WHEN isfinite(o_totalprice)
+                                AND abs(o_totalprice) < 1e14
+                               THEN o_totalprice END AS DECIMAL(20,6)))
                  AS VARCHAR) AS DOUBLE)
          AS total_price
 FROM merged GROUP BY o_orderstatus
@@ -7091,7 +7136,9 @@ def q_incremental_agg_state(spark: SparkSession, sf: str) -> DataFrame:
     o = read_table(spark, sf, "orders")
     # scrub BEFORE floor: Spark floor(NaN) is 0 — an unscrubbed NaN price
     # would enter the state as zero cents instead of a missing measurement
-    cents = F.floor(_nan_null("o_totalprice") * 100 + F.lit(0.5)).cast(
+    # — and _quantizable (not _nan_null) because a finite 1e300 price
+    # would ARITHMETIC_OVERFLOW the bigint cents on both engines
+    cents = F.floor(_quantizable("o_totalprice") * 100 + F.lit(0.5)).cast(
         "bigint"
     )
     # the split must be TOTAL: year(NULL) is NULL, which satisfies neither
@@ -7154,10 +7201,11 @@ def q_incremental_agg_state(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_INCREMENTAL_AGG_STATE = """
 WITH c AS (
-  -- isnan scrub mirrors the Spark twin's NaN-as-missing cents
+  -- quantizable scrub mirrors the Spark twin's _quantizable cents
   SELECT o_orderpriority,
-         CAST(floor(CASE WHEN NOT isfinite(o_totalprice) THEN NULL
-                         ELSE o_totalprice END * 100 + 0.5) AS BIGINT)
+         CAST(floor(CASE WHEN isfinite(o_totalprice)
+                          AND abs(o_totalprice) < 1e14
+                         THEN o_totalprice END * 100 + 0.5) AS BIGINT)
            AS cents
   FROM orders
 )
@@ -7581,10 +7629,12 @@ def q_fingerprint_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
 
     def fp(df: DataFrame) -> DataFrame:
         # scrub BEFORE floor: Spark floor(NaN) is 0 — an unscrubbed NaN
-        # price would fingerprint as zero cents instead of 'missing'
-        cents = F.floor(_nan_null("o_totalprice") * 100 + F.lit(0.5)).cast(
-            "bigint"
-        )
+        # price would fingerprint as zero cents instead of 'missing';
+        # _quantizable because a finite 1e300 would overflow the bigint
+        # cents on both engines (missing == missing -> 'unchanged')
+        cents = F.floor(
+            _quantizable("o_totalprice") * 100 + F.lit(0.5)
+        ).cast("bigint")
         return df.select(
             F.col("o_orderkey").alias("k"),
             F.md5(
@@ -7629,18 +7679,20 @@ WITH b AS (
 ), old_fp AS (
   -- concat_ws (NULL-skipping, matching Spark), NOT '||' (NULL-poisoning:
   -- one NULL column would NULL the whole fingerprint and misclassify the
-  -- row as added/removed); isnan scrub mirrors the Spark twin
+  -- row as added/removed); quantizable scrub mirrors the Spark twin
   SELECT o_orderkey AS k,
          md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,
-             CAST(CAST(floor(CASE WHEN NOT isfinite(o_totalprice) THEN NULL
-                                  ELSE o_totalprice END * 100 + 0.5)
+             CAST(CAST(floor(CASE WHEN isfinite(o_totalprice)
+                                   AND abs(o_totalprice) < 1e14
+                                  THEN o_totalprice END * 100 + 0.5)
                   AS BIGINT) AS VARCHAR))) AS fp
   FROM orders
 ), new_fp AS (
   SELECT o_orderkey AS k,
          md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,
-             CAST(CAST(floor(CASE WHEN NOT isfinite(o_totalprice) THEN NULL
-                                  ELSE o_totalprice END * 100 + 0.5)
+             CAST(CAST(floor(CASE WHEN isfinite(o_totalprice)
+                                   AND abs(o_totalprice) < 1e14
+                                  THEN o_totalprice END * 100 + 0.5)
                   AS BIGINT) AS VARCHAR))) AS fp
   FROM new
 )
@@ -7915,8 +7967,10 @@ def q_cdc_log_replay(spark: SparkSession, sf: str) -> DataFrame:
         F.max_by("o_totalprice", F.col("seq")).alias("o_totalprice"),
     )
     # scrub BEFORE floor: Spark floor(NaN) is 0 — an unscrubbed NaN price
-    # would replay as zero cents instead of a missing measurement
-    cents = F.floor(_nan_null("o_totalprice") * 100 + F.lit(0.5)).cast(
+    # would replay as zero cents instead of a missing measurement; and
+    # _quantizable (not _nan_null) because a finite 1e300 price would
+    # ARITHMETIC_OVERFLOW the bigint cents on both engines
+    cents = F.floor(_quantizable("o_totalprice") * 100 + F.lit(0.5)).cast(
         "bigint"
     )
     return (
@@ -7943,9 +7997,10 @@ WITH b AS (
   FROM b WHERE bkt <> 0
 )
 SELECT o_orderstatus, count(*) AS n_rows,
-       -- isnan scrub mirrors the Spark twin's NaN-as-missing cents
-       CAST(sum(CAST(floor(CASE WHEN NOT isfinite(o_totalprice) THEN NULL
-                                ELSE o_totalprice END * 100 + 0.5)
+       -- quantizable scrub mirrors the Spark twin's _quantizable cents
+       CAST(sum(CAST(floor(CASE WHEN isfinite(o_totalprice)
+                                 AND abs(o_totalprice) < 1e14
+                                THEN o_totalprice END * 100 + 0.5)
                      AS BIGINT)) AS BIGINT)
          AS sum_cents
 FROM final GROUP BY o_orderstatus
@@ -8090,8 +8145,10 @@ def q_winsorized_price_stats(spark: SparkSession, sf: str) -> DataFrame:
     ).select("c_mktsegment", "o_totalprice", "o_orderkey")
     # scrub BEFORE floor (Spark floor(NaN) is 0), then keep OBSERVED
     # prices only: a NULL cents row is neither rankable (the engines put
-    # NULL on opposite ends, shifting every percentile rank) nor clampable
-    cents = F.floor(_nan_null("o_totalprice") * 100 + F.lit(0.5)).cast(
+    # NULL on opposite ends, shifting every percentile rank) nor
+    # clampable; _quantizable because a finite 1e300 price would
+    # overflow the bigint cents on both engines
+    cents = F.floor(_quantizable("o_totalprice") * 100 + F.lit(0.5)).cast(
         "bigint"
     )
     t = oc.select("c_mktsegment", "o_orderkey", cents.alias("cents")).filter(
@@ -8128,11 +8185,12 @@ def q_winsorized_price_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_WINSORIZED_PRICE_STATS = """
 WITH t AS (
-  -- observed prices only (see the Spark twin's NULL/NaN contract)
+  -- observed, quantizable prices only (the Spark twin's _quantizable)
   SELECT c.c_mktsegment, o.o_orderkey,
          CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
   WHERE o.o_totalprice IS NOT NULL AND isfinite(o.o_totalprice)
+    AND abs(o.o_totalprice) < 1e14
 ), r AS (
   SELECT c_mktsegment, cents,
          row_number() OVER (PARTITION BY c_mktsegment
@@ -8692,8 +8750,9 @@ def q_table_checksums(spark: SparkSession, sf: str) -> DataFrame:
     c = read_table(spark, sf, "customer")
     li = read_table(spark, sf, "lineitem")
     # scrub BEFORE floor (Spark floor(NaN) is 0): a NaN amount fingerprints
-    # as a MISSING field (concat_ws skips NULLs), never as zero cents
-    cents = lambda col: F.floor(_nan_null(col) * 100 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    # as a MISSING field (concat_ws skips NULLs), never as zero cents;
+    # _quantizable because a finite 1e300 would overflow the bigint cents
+    cents = lambda col: F.floor(_quantizable(col) * 100 + F.lit(0.5)).cast("bigint")  # noqa: E731
     return (
         cks(o, [F.col("o_orderkey"), F.col("o_orderstatus"), cents("o_totalprice")], "orders")
         .unionByName(
@@ -8713,12 +8772,13 @@ ORACLE_TABLE_CHECKSUMS = """
 WITH o AS (
   -- concat_ws (NULL-skipping, matching Spark), NOT '||' (one NULL column
   -- would NULL the whole fingerprint and silently DROP the row from the
-  -- checksum); isnan scrub mirrors the Spark twin's NaN-as-missing cents
+  -- checksum); quantizable scrub mirrors the Spark twin's cents guard
   SELECT count(*) AS n,
          CAST(sum(CAST(concat('0x', substr(md5(concat_ws('|',
              CAST(o_orderkey AS VARCHAR), o_orderstatus,
-             CAST(CAST(floor(CASE WHEN NOT isfinite(o_totalprice) THEN NULL
-                                  ELSE o_totalprice END * 100 + 0.5)
+             CAST(CAST(floor(CASE WHEN isfinite(o_totalprice)
+                                   AND abs(o_totalprice) < 1e14
+                                  THEN o_totalprice END * 100 + 0.5)
                   AS BIGINT) AS VARCHAR)
          )), 1, 8)) AS BIGINT)) AS BIGINT) AS cks
   FROM orders
@@ -8735,8 +8795,9 @@ WITH o AS (
              CAST(l_orderkey AS VARCHAR),
              CAST(l_partkey AS VARCHAR),
              CAST(l_suppkey AS VARCHAR),
-             CAST(CAST(floor(CASE WHEN NOT isfinite(l_extendedprice) THEN NULL
-                                  ELSE l_extendedprice END * 100 + 0.5)
+             CAST(CAST(floor(CASE WHEN isfinite(l_extendedprice)
+                                   AND abs(l_extendedprice) < 1e14
+                                  THEN l_extendedprice END * 100 + 0.5)
                   AS BIGINT) AS VARCHAR)
          )), 1, 8)) AS BIGINT)) AS BIGINT) AS cks
   FROM lineitem
