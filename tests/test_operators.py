@@ -1178,6 +1178,38 @@ def test_gap_fill_domain_guard_excludes_corrupt_clocks(spark):
     assert by_start["2024-01-01 01:00:00"] == pytest.approx(1.6667, abs=1e-3)
 
 
+def test_quantizable_measure_contract(spark):
+    """The quantization-domain guard (README robustness): NaN, ±Inf and
+    finite values outside DECIMAL(20,6)'s |x| < 1e14 domain all scrub to
+    NULL — a bare ANSI decimal cast would THROW on the finite 1e300 and
+    bigint cents arithmetic would overflow; one corrupt row must not
+    kill a 100 TB aggregate. In-domain values pass through untouched,
+    and the DuckDB mirror agrees value-for-value."""
+    import duckdb
+
+    from statline_bq_spark.workload import _quantizable, _sql_quantizable
+
+    vals = [1e300, -1e300, 1e14, 1e14 - 1, float("nan"),
+            float("inf"), float("-inf"), 0.0, -123.45, None]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r[0] for r in df.select(_quantizable("x").alias("q")).collect()]
+    expect = [None, None, None, 1e14 - 1, None, None, None, 0.0, -123.45,
+              None]
+    assert got == expect
+    # the decimal cast is now total (no ANSI throw anywhere in the domain)
+    df.select(_quantizable("x").cast("decimal(20,6)")).collect()
+    duck = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT " + _sql_quantizable("x") + " FROM (SELECT "
+            "unnest([1e300, -1e300, 1e14, 1e14 - 1, 'NaN'::DOUBLE, "
+            "'Infinity'::DOUBLE, '-Infinity'::DOUBLE, 0.0::DOUBLE, "
+            "-123.45, NULL::DOUBLE]) AS x)"
+        ).fetchall()
+    ]
+    assert duck == expect
+
+
 def test_ascii_tokenization_contract():
     """The portable tokenization contract (README robustness): ASCII-only
     case fold (locale-sensitive Unicode case mapping is engine-divergent)
