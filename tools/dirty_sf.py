@@ -162,6 +162,19 @@ def dirty_events(tbl: pa.Table) -> pa.Table:
         {"event_id": BASE_ID + 10, "ts": datetime(1905, 6, 30, 12, 0, 1),
          "user_id": 13, "event_type": "click", "value": 3.5,
          "props": None},
+        # IDENTICAL timestamps, distinct ids/types: every window order in
+        # the repo must be total — (ts) alone would leave lag/lead/
+        # row_number tie order engine-defined; (ts, event_id) pins it
+        {"event_id": BASE_ID + 11, "ts": ts0, "user_id": 14,
+         "event_type": "view", "value": 1.0, "props": None},
+        {"event_id": BASE_ID + 12, "ts": ts0, "user_id": 14,
+         "event_type": "purchase", "value": 2.0, "props": None},
+        {"event_id": BASE_ID + 13, "ts": ts0, "user_id": 14,
+         "event_type": "click", "value": 3.0, "props": None},
+        # empty-string event_type: distinct from NULL in grouping,
+        # sessions, pivots ('' is a type; NULL is 'untyped')
+        {"event_id": BASE_ID + 14, "ts": ts0, "user_id": 14,
+         "event_type": "", "value": 4.0, "props": None},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
