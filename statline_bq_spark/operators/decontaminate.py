@@ -25,7 +25,7 @@ functions, which are interpreted per element).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -204,12 +204,28 @@ def semantic_decontaminate(
     """
     from statline_bq_spark.functions.vectors import cosine_similarity
 
+    def _usable(c: Column) -> Column:
+        # NULL, zero-norm (cosine NULL via try_divide) and NaN/Inf-
+        # poisoned vectors are un-scorable. The explicit non-finite guard
+        # matters because a NaN cosine is NOT NULL: Spark evaluates
+        # NaN >= threshold as TRUE (NaN sorts greatest), which would
+        # silently DROP every encoder-failed corpus row as 'contaminated'
+        # — un-scorable rows must SURVIVE (contamination unproven).
+        return c.isNotNull() & ~F.exists(
+            c, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+        )
+
     b = F.broadcast(
-        benchmark.select(F.col(vec_col).alias("_b_vec"))
+        benchmark.filter(_usable(F.col(vec_col))).select(
+            F.col(vec_col).alias("_b_vec")
+        )
     )
     return corpus.join(
         b,
-        F.round(cosine_similarity(F.col(vec_col), F.col("_b_vec")), 4)
-        >= threshold,
+        _usable(F.col(vec_col))
+        & (
+            F.round(cosine_similarity(F.col(vec_col), F.col("_b_vec")), 4)
+            >= threshold
+        ),
         "leftanti",
     )

@@ -34,13 +34,26 @@ from statline_bq_spark.functions.vectors import cosine_similarity
 
 
 def _drop_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
-    """Exclude rows whose embedding is NULL — the uniform contract for
-    every search/fit path here. Real corpora carry NULL vectors (failed
-    encoder calls); letting them through either crashes the numpy paths
-    (a ragged object array) or, worse, lets a NULL similarity sort into a
-    JVM top-k as a NULL-sim row. The filter is a codegen'd IsNotNull that
-    rides the scan for free."""
-    return df.filter(F.col(vec_col).isNotNull())
+    """Exclude rows whose embedding is NULL or carries ANY non-finite
+    component — the uniform usable-vector contract for every search/fit
+    path here. Real corpora carry NULL vectors and NaN/Inf-poisoned
+    vectors (failed or overflowed encoder calls); letting them through
+    either crashes the numpy/quantization paths, overflows ANSI integer
+    rounding, or — worst — injects NaN similarities whose top-k rank is
+    engine-defined (Spark sorts NaN greatest; IEEE comparisons say
+    false). There is no partial credit for a half-failed embedding: one
+    bad component poisons every dot product it touches, so the whole
+    vector is unusable. The filter is codegen'd (IsNotNull + a
+    short-circuiting EXISTS over the array) and rides the scan.
+    Found by the round-6 NaN-component dirty probe (11 of 16 embedding
+    queries crashed or silently diverged without it)."""
+    c = F.col(vec_col)
+    non_finite = F.exists(
+        c,
+        lambda x: F.isnan(x)
+        | (F.abs(x) == F.lit(float("inf"))),
+    )
+    return df.filter(c.isNotNull() & ~non_finite)
 
 
 def ann_cosine_topk(
@@ -1201,7 +1214,9 @@ def quantize_embeddings(
     verifiable integer facets of the codes; scale_micros =
     floor(scale·1e6) keeps the float deterministic cross-engine.
     """
-    ex = df.select(
+    # usable vectors only: a NaN/Inf component would poison maxabs and
+    # every code derived from it (and overflow the ANSI long cast)
+    ex = _drop_null_vectors(df, vec_col).select(
         F.col(id_col), F.posexplode(vec_col).alias("_pos", "_vf")
     ).withColumn("_v", F.col("_vf").cast("double"))
     win = Window.partitionBy(id_col)

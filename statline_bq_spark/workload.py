@@ -132,6 +132,31 @@ def _sql_quantizable(expr: str) -> str:
     )
 
 
+#: Usable-vector predicate (SQL): mirrors
+#: ``similarity._drop_null_vectors`` — a NULL embedding or one with ANY
+#: non-finite component is a failed encoder output and joins no
+#: similarity computation (one NaN poisons every dot product it touches,
+#: and NaN similarity ranks engine-defined in a top-k). Shared by every
+#: embedding oracle on the similarity path.
+_SQL_FINITE_VEC = (
+    "embedding IS NOT NULL AND len(list_filter(embedding, "
+    "x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0"
+)
+
+
+def _finite_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Workload-side twin of ``similarity._drop_null_vectors`` for queries
+    that read the embeddings table directly (centroids, drift,
+    quantization, …). Codegen'd IsNotNull + short-circuit EXISTS."""
+    c = F.col(vec_col)
+    return df.filter(
+        c.isNotNull()
+        & ~F.exists(
+            c, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+        )
+    )
+
+
 _ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 _ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
 
@@ -1899,7 +1924,7 @@ def q_embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
         == 0,
         "a",
     ).otherwise("b")
-    exploded = emb.select(
+    exploded = _finite_vectors(emb).select(
         "label",
         half.alias("_h"),
         F.posexplode(F.col("embedding").cast("array<double>")).alias(
@@ -1944,6 +1969,9 @@ WITH e AS (
          CAST(embedding[i + 1] AS DOUBLE) AS val,
          i AS pos
   FROM embeddings, range(0, 64) t(i)
+  -- usable vectors only (the Spark twin's _finite_vectors contract)
+  WHERE embedding IS NOT NULL AND len(list_filter(embedding,
+    x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0
 ), sums AS (
   SELECT label, h, pos,
          CAST(sum(CAST(val AS DECIMAL(20,6))) AS DOUBLE) AS s,
@@ -2725,16 +2753,24 @@ def q_matryoshka_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     head = vectors.truncate_dims("embedding", 16)
     unit = vectors.l2_normalize(head)
     fr = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    # A non-finite component IN THE HEAD makes the row un-normalizable
+    # (NaN poisons the norm, and Spark's NaN > 0 is TRUE while DuckDB's
+    # is IEEE false — the guard must fire before the norm comparison);
+    # components beyond the head don't matter to a matryoshka consumer.
+    head_ok = ~F.exists(
+        head, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
     return emb.select(
         "vec_id",
         F.size("embedding").alias("full_dim"),
-        fr(vectors.l2_norm(head)).alias("head_norm"),
-        # Un-normalizable rows (NULL embedding, zero-norm head) emit a NULL
-        # head_unit, not '': concat_ws silently drops the all-NULL
-        # transform elements, which would disguise a dirty row as an
-        # empty-but-present vector (and diverge from the oracle's NULL).
+        fr(F.when(head_ok, vectors.l2_norm(head))).alias("head_norm"),
+        # Un-normalizable rows (NULL embedding, zero-norm or non-finite
+        # head) emit a NULL head_unit, not '': concat_ws silently drops
+        # the all-NULL transform elements, which would disguise a dirty
+        # row as an empty-but-present vector (and diverge from the
+        # oracle's NULL).
         F.when(
-            vectors.l2_norm(head) > 0,
+            head_ok & (vectors.l2_norm(head) > 0),
             F.concat_ws(
                 ",",
                 F.transform(
@@ -2754,7 +2790,12 @@ WITH h AS (
          list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS hd
   FROM embeddings
 ), n AS (
-  SELECT vec_id, full_dim, hd, sqrt(list_dot_product(hd, hd)) AS nrm FROM h
+  -- nrm NULL for a non-finite head (the Spark twin's head_ok guard);
+  -- x / NULL then NULLs every element and array_to_string follows
+  SELECT vec_id, full_dim, hd,
+         CASE WHEN len(list_filter(hd, x -> NOT isfinite(x))) = 0
+              THEN sqrt(list_dot_product(hd, hd)) END AS nrm
+  FROM h
 )
 SELECT vec_id, CAST(full_dim AS INT) AS full_dim,
        floor(nrm * 10000 + 0.5) / 10000 AS head_norm,
@@ -3194,7 +3235,7 @@ def q_embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
     # and even at 10dp the repr difference can flip the last digit; at 6dp a
     # full-mantissa float sits ≥ ~1e-9 from any rounding boundary, so both
     # engines quantize identically, then the sum is exact decimal math
-    exploded = emb.select(
+    exploded = _finite_vectors(emb).select(
         "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias(
             "pos", "val"
@@ -3218,7 +3259,9 @@ SELECT label, i AS pos,
             AS DOUBLE) AS centroid_sum,
        count(*) AS n_vectors
 FROM embeddings, range(0, 64) t(i)
-WHERE embedding IS NOT NULL  -- posexplode emits nothing for a NULL vector
+-- usable vectors only (the Spark twin's _finite_vectors contract)
+WHERE embedding IS NOT NULL AND len(list_filter(embedding,
+    x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0
 GROUP BY label, i
 """
 
@@ -4700,11 +4743,14 @@ def q_kmeans_doc_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLE_KMEANS_DOC_CLUSTERS = """
--- conservation is over ASSIGNABLE vectors: NULL embeddings are excluded
--- from every fit/assign path (the uniform search contract)
+-- conservation is over ASSIGNABLE vectors: NULL and non-finite
+-- embeddings are excluded from every fit/assign path (the uniform
+-- usable-vector contract, similarity._drop_null_vectors)
 SELECT count(*) AS total_vectors, TRUE AS n_clusters_le_k,
        TRUE AS no_empty_output_rows
-FROM embeddings WHERE embedding IS NOT NULL
+FROM embeddings
+WHERE embedding IS NOT NULL AND len(list_filter(embedding,
+    x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0
 """
 
 
@@ -4805,8 +4851,12 @@ def q_semantic_decontaminated(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_SEMANTIC_DECONTAMINATED = """
 WITH c AS (
+  -- scorable = NULL-free, non-finite-free (a NaN cosine is not NULL —
+  -- it would compare engine-defined), and non-zero norm
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
          (embedding IS NOT NULL AND
+          len(list_filter(embedding,
+              x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 AND
           list_dot_product(CAST(coalesce(embedding, [0.0]) AS DOUBLE[]),
                            CAST(coalesce(embedding, [0.0]) AS DOUBLE[])) > 0)
            AS scorable
@@ -4814,6 +4864,8 @@ WITH c AS (
 ), b AS (
   SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
   WHERE vec_id < 20 AND embedding IS NOT NULL
+    AND len(list_filter(embedding,
+            x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0
     AND list_dot_product(CAST(embedding AS DOUBLE[]),
                          CAST(embedding AS DOUBLE[])) > 0
 ), hits AS (
@@ -6879,11 +6931,12 @@ FROM embeddings WHERE vec_id < 10
 
 ORACLE_EMBEDDING_QUANTIZATION = """
 WITH v AS (
-  -- a NULL embedding has nothing to quantize: the engine's posexplode
-  -- emits no rows for it; without the filter this oracle would fabricate
-  -- an all-NULL facet row for the vector
+  -- usable vectors only (similarity._drop_null_vectors): a NULL
+  -- embedding has nothing to quantize, and a NaN/Inf component would
+  -- poison maxabs and every code derived from it
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
-  FROM embeddings WHERE embedding IS NOT NULL
+  FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding,
+    x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0
 ), m AS (
   SELECT vec_id, vd, list_max(list_transform(vd, x -> abs(x))) AS maxabs
   FROM v
@@ -7437,7 +7490,10 @@ def q_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
     exchange carries one partial row per (query, input partition)."""
     from statline_bq_spark.functions.vectors import cosine_similarity
 
-    e = read_table(spark, sf, "embeddings")
+    # usable vectors only on BOTH sides: a NaN-component corpus vector
+    # yields a NaN similarity, and Spark's max_by ranks NaN greatest —
+    # the poisoned row would become every query's "hard negative"
+    e = _finite_vectors(read_table(spark, sf, "embeddings"))
     q = F.broadcast(
         e.filter(F.col("vec_id") < 20).select(
             F.col("vec_id").alias("q_id"),
@@ -7471,13 +7527,18 @@ def q_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_HARD_NEGATIVE_MINING = """
 WITH q AS (
+  -- usable vectors only (the Spark twin's _finite_vectors contract)
   SELECT vec_id AS q_id, label AS q_label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
   FROM embeddings WHERE vec_id < 20
+    AND embedding IS NOT NULL AND len(list_filter(embedding,
+    x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0
 ), c AS (
   SELECT vec_id AS neg_id, label AS neg_label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
   FROM embeddings
+  WHERE embedding IS NOT NULL AND len(list_filter(embedding,
+    x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0
 ), s AS (
   SELECT q.q_id, q.q_label, c.neg_id, c.neg_label,
          list_cosine_similarity(c.cv, q.qv) AS sim_raw,
@@ -8565,7 +8626,9 @@ def q_embedding_outliers(spark: SparkSession, sf: str) -> DataFrame:
     the distribution of per-vector outlier-dimension counts. Per-dim
     stats are a bounded (n_dims) aggregate broadcast back onto the
     posexploded cells."""
-    emb = read_table(spark, sf, "embeddings")
+    # usable vectors only: a NaN component would floor to 0 (fabricated
+    # observation) and an Inf one throws in the ANSI bigint quantization
+    emb = _finite_vectors(read_table(spark, sf, "embeddings"))
     cells = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim", "x")
     ).select(
@@ -8604,6 +8667,9 @@ WITH cells AS (
               AS BIGINT) AS xq
   FROM embeddings e,
        LATERAL (SELECT unnest(range(len(e.embedding))) AS dim) d
+  -- usable vectors only (the Spark twin's _finite_vectors contract)
+  WHERE embedding IS NOT NULL AND len(list_filter(embedding,
+    x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0
 ), stats AS (
   SELECT dim, count(*) AS n,
          CAST(sum(xq) AS BIGINT) AS s,

@@ -368,6 +368,16 @@ def dirty_embeddings(tbl: pa.Table) -> pa.Table:
         {"vec_id": BASE_ID + 1, "embedding": [0.0] * dim, "label": 0},
         # exact duplicate vector, NULL label
         {"vec_id": BASE_ID + 2, "embedding": first_vec, "label": None},
+        # NaN/Inf COMPONENT (round 6): a half-failed encoder output. One
+        # poisoned component makes every similarity NaN — which Spark's
+        # max_by/top-k ranks GREATEST — overflows int8/bigint
+        # quantization, and crashes decimal centroid sums; the uniform
+        # usable-vector contract (similarity._drop_null_vectors) must
+        # exclude the whole vector on every similarity/fit path.
+        {"vec_id": BASE_ID + 3,
+         "embedding": first_vec[:3] + [NAN] + first_vec[4:], "label": 1},
+        {"vec_id": BASE_ID + 4,
+         "embedding": first_vec[:5] + [INF] + first_vec[6:], "label": 2},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
