@@ -115,19 +115,23 @@ def _sql_nan_null(expr: str) -> str:
 _Q_MAX = 1e14
 
 
-def _quantizable(col: F.Column | str) -> F.Column:
+def _quantizable(col: F.Column | str, bound: float = _Q_MAX) -> F.Column:
     """Extend :func:`_nan_null` to the quantization domain: NaN, ±Inf and
-    |x| >= 1e14 all become NULL (a measurement that cannot be quantized
-    into DECIMAL(20,6) is a failed measurement). Oracle mirror:
-    :func:`_sql_quantizable`. abs(x) < 1e14 is NULL for NULL and false
-    for NaN/±Inf, so the single predicate covers the whole family."""
+    |x| >= ``bound`` all become NULL (a measurement that cannot be
+    quantized into the target decimal is a failed measurement). Oracle
+    mirror: :func:`_sql_quantizable`. ``bound`` defaults to the
+    DECIMAL(20,6) domain (1e14); a query casting to a NARROWER decimal
+    must pass that decimal's own domain — e.g. 1e12 for DECIMAL(18,6) —
+    or a finite 5e13 passes the filter and the ANSI cast still throws.
+    abs(x) < bound is NULL for NULL and false for NaN/±Inf, so the single
+    predicate covers the whole family."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(~F.isnan(c) & (F.abs(c) < F.lit(_Q_MAX)), c)
+    return F.when(~F.isnan(c) & (F.abs(c) < F.lit(bound)), c)
 
 
-def _sql_quantizable(expr: str) -> str:
+def _sql_quantizable(expr: str, bound: float = _Q_MAX) -> str:
     return (
-        f"CASE WHEN isfinite({expr}) AND abs({expr}) < 1e14 "
+        f"CASE WHEN isfinite({expr}) AND abs({expr}) < {bound:.0e} "
         f"THEN {expr} END"
     )
 
@@ -5341,8 +5345,9 @@ def q_order_price_moments(spark: SparkSession, sf: str) -> DataFrame:
     # inflate n while feeding no sum — and a finite-but-huge price would
     # THROW in the ANSI decimal cast below; try_divide keeps a
     # single-observation group at NULL variance instead of an ANSI
-    # DIVIDE_BY_ZERO
-    o = o.filter(_quantizable("o_totalprice").isNotNull())
+    # DIVIDE_BY_ZERO. bound=1e12, the DECIMAL(18,6) domain — the default
+    # 1e14 covers (20,6) but a finite 5e13 would still throw here.
+    o = o.filter(_quantizable("o_totalprice", bound=1e12).isNotNull())
     agg = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(dec).cast("double").alias("sum_price"),
@@ -5377,7 +5382,8 @@ WITH agg AS (
               AS DOUBLE) AS sum_sq
   FROM orders
   WHERE o_totalprice IS NOT NULL AND isfinite(o_totalprice)
-    AND abs(o_totalprice) < 1e14  -- mirrors _quantizable
+    AND abs(o_totalprice) < 1e12  -- mirrors _quantizable(bound=1e12):
+                                  -- the DECIMAL(18,6) domain, not (20,6)
   GROUP BY 1
 )
 SELECT o_orderpriority, n,
@@ -9186,8 +9192,10 @@ def q_exact_percentiles_builtin(spark: SparkSession, sf: str) -> DataFrame:
     use the sketch path for a global quantile at scale."""
     o = read_table(spark, sf, "orders")
     # scrub BEFORE floor (Spark floor(NaN) is 0): NULL/NaN prices are not
-    # observations — percentile/quantile_cont skip NULLs in both engines
-    cents = F.floor(_nan_null("o_totalprice") * 100 + F.lit(0.5)).cast(
+    # observations — percentile/quantile_cont skip NULLs in both engines.
+    # _quantizable, not _nan_null: a finite 1e300 would overflow the
+    # bigint cents cast (ANSI ARITHMETIC_OVERFLOW)
+    cents = F.floor(_quantizable("o_totalprice") * 100 + F.lit(0.5)).cast(
         "bigint"
     )
     t = o.select("o_orderpriority", cents.alias("cents"))
@@ -9207,8 +9215,10 @@ def q_exact_percentiles_builtin(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_EXACT_PERCENTILES_BUILTIN = """
 WITH c AS (
   SELECT o_orderpriority,
-         CAST(floor(CASE WHEN NOT isfinite(o_totalprice) THEN NULL
-                         ELSE o_totalprice END * 100 + 0.5) AS BIGINT)
+         -- quantizable scrub mirrors the Spark twin's _quantizable guard
+         CAST(floor(CASE WHEN isfinite(o_totalprice)
+                          AND abs(o_totalprice) < 1e14
+                         THEN o_totalprice END * 100 + 0.5) AS BIGINT)
            AS cents
   FROM orders
 )
@@ -9270,20 +9280,19 @@ def q_filtered_agg_sql(spark: SparkSession, sf: str) -> DataFrame:
         SELECT o_orderpriority,
                count(*) AS n_orders,
                count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
-               -- non-finite guard: Spark treats NaN (and Inf) as greater
-               -- than any value (NaN > 200000 is TRUE), DuckDB follows
-               -- IEEE for NaN — an unmeasured price is not a 'large' one
-               -- in either engine (oracle mirror: isfinite)
+               -- quantizable guard (the _quantizable contract, inlined):
+               -- Spark treats NaN as greater than any value
+               -- (NaN > 200000 is TRUE), DuckDB follows IEEE — an
+               -- unmeasured or out-of-decimal-domain price is not a
+               -- 'large' one in either engine, and a finite 1e300 would
+               -- overflow the bigint cents cast below
                count(*) FILTER (WHERE o_totalprice > 200000
                                   AND NOT isnan(o_totalprice)
-                                  AND abs(o_totalprice)
-                                      != CAST('Infinity' AS DOUBLE))
+                                  AND abs(o_totalprice) < 1e14)
                  AS n_large,
-               CAST(sum(CAST(floor(CASE WHEN isnan(o_totalprice)
-                                          OR abs(o_totalprice)
-                                             = CAST('Infinity' AS DOUBLE)
-                                        THEN NULL
-                                        ELSE o_totalprice END * 100 + 0.5)
+               CAST(sum(CAST(floor(CASE WHEN NOT isnan(o_totalprice)
+                                         AND abs(o_totalprice) < 1e14
+                                        THEN o_totalprice END * 100 + 0.5)
                              AS BIGINT))
                     FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
                  AS open_cents
@@ -9298,9 +9307,11 @@ SELECT o_orderpriority,
        count(*) AS n_orders,
        count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
        count(*) FILTER (WHERE o_totalprice > 200000
-                          AND isfinite(o_totalprice)) AS n_large,
-       CAST(sum(CAST(floor(CASE WHEN NOT isfinite(o_totalprice) THEN NULL
-                                ELSE o_totalprice END * 100 + 0.5)
+                          AND isfinite(o_totalprice)
+                          AND abs(o_totalprice) < 1e14) AS n_large,
+       CAST(sum(CAST(floor(CASE WHEN isfinite(o_totalprice)
+                                 AND abs(o_totalprice) < 1e14
+                                THEN o_totalprice END * 100 + 0.5)
                      AS BIGINT))
             FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS open_cents
 FROM orders
@@ -10323,8 +10334,10 @@ def q_receivables_aging(spark: SparkSession, sf: str) -> DataFrame:
         .when(F.col("age_d") <= 90, "c_61_90")
         .otherwise("d_over_90")
     )
-    # scrub BEFORE floor (Spark floor(NaN) is 0 — zero-cent fabrication)
-    cents = F.floor(_nan_null("o_totalprice") * 100 + F.lit(0.5)).cast(
+    # scrub BEFORE floor (Spark floor(NaN) is 0 — zero-cent fabrication);
+    # _quantizable, not _nan_null: a finite 1e300 on an open order would
+    # overflow the bigint cents cast (ANSI ARITHMETIC_OVERFLOW)
+    cents = F.floor(_quantizable("o_totalprice") * 100 + F.lit(0.5)).cast(
         "bigint"
     )
     return (
@@ -10349,8 +10362,10 @@ SELECT CASE WHEN age_d IS NULL THEN 'e_undated'
             WHEN age_d <= 90 THEN 'c_61_90'
             ELSE 'd_over_90' END AS age_bucket,
        count(*) AS n_orders,
-       CAST(sum(CAST(floor(CASE WHEN NOT isfinite(o_totalprice) THEN NULL
-                                ELSE o_totalprice END * 100 + 0.5)
+       -- quantizable scrub mirrors the Spark twin's _quantizable guard
+       CAST(sum(CAST(floor(CASE WHEN isfinite(o_totalprice)
+                                 AND abs(o_totalprice) < 1e14
+                                THEN o_totalprice END * 100 + 0.5)
                      AS BIGINT)) AS BIGINT)
          AS open_cents
 FROM aged GROUP BY 1
@@ -10472,8 +10487,9 @@ def q_revenue_pareto(spark: SparkSession, sf: str) -> DataFrame:
     o = read_table(spark, sf, "orders")
     # scrub BEFORE floor (Spark floor(NaN) is 0), then drop non-observed
     # prices: an unpriced order is not rankable and must not inflate the
-    # 20%-cut denominator
-    cents = F.floor(_nan_null("o_totalprice") * 100 + F.lit(0.5)).cast(
+    # 20%-cut denominator. _quantizable, not _nan_null: a finite 1e300
+    # would overflow the bigint cents cast (ANSI ARITHMETIC_OVERFLOW)
+    cents = F.floor(_quantizable("o_totalprice") * 100 + F.lit(0.5)).cast(
         "bigint"
     )
     t = o.select("o_orderkey", cents.alias("cents")).filter(
@@ -10491,8 +10507,14 @@ def q_revenue_pareto(spark: SparkSession, sf: str) -> DataFrame:
     return top.agg(
         F.count(F.lit(1)).alias("n_top_orders"),
         F.first("_n").cast("bigint").alias("n_orders"),
-        F.expr("CAST((sum(cents) * 1000000) DIV first(_total) AS BIGINT)")
-        .alias("top20_share_ppm"),
+        # the ppm scale-up runs in DECIMAL(38,0): sum(cents) * 1e6 blows
+        # through bigint once total cents pass ~9.2e12 — true for any
+        # warehouse-scale ledger (and for one in-domain 5e13 price). The
+        # oracle needs no mirror: DuckDB's sum(BIGINT) is already HUGEINT.
+        F.expr(
+            "CAST(CAST(sum(cents) AS DECIMAL(38,0)) * 1000000"
+            " DIV first(_total) AS BIGINT)"
+        ).alias("top20_share_ppm"),
     )
 
 
@@ -10501,7 +10523,9 @@ WITH t AS (
   SELECT o_orderkey,
          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
   FROM orders
+  -- quantizable scrub mirrors the Spark twin's _quantizable guard
   WHERE o_totalprice IS NOT NULL AND isfinite(o_totalprice)
+    AND abs(o_totalprice) < 1e14
 ), ranked AS (
   SELECT cents, row_number() OVER (ORDER BY cents DESC, o_orderkey) AS rank
   FROM t
@@ -10925,8 +10949,10 @@ def q_rollup_grain_proof(spark: SparkSession, sf: str) -> DataFrame:
     (the time-axis sibling of `incremental_agg_state`'s base∪delta
     merge). Integer cents throughout; equality pinned per month."""
     o = read_table(spark, sf, "orders")
-    # scrub BEFORE floor (Spark floor(NaN) is 0 — zero-cent fabrication)
-    cents = F.floor(_nan_null("o_totalprice") * 100 + F.lit(0.5)).cast(
+    # scrub BEFORE floor (Spark floor(NaN) is 0 — zero-cent fabrication);
+    # _quantizable, not _nan_null: a finite 1e300 would overflow the
+    # bigint cents cast (ANSI ARITHMETIC_OVERFLOW)
+    cents = F.floor(_quantizable("o_totalprice") * 100 + F.lit(0.5)).cast(
         "bigint"
     )
     daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
@@ -10965,8 +10991,10 @@ def q_rollup_grain_proof(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_ROLLUP_GRAIN_PROOF = """
 SELECT strftime(o_orderdate, '%Y-%m') AS month,
        count(*) AS n_orders,
-       CAST(sum(CAST(floor(CASE WHEN NOT isfinite(o_totalprice) THEN NULL
-                                ELSE o_totalprice END * 100 + 0.5)
+       -- quantizable scrub mirrors the Spark twin's _quantizable guard
+       CAST(sum(CAST(floor(CASE WHEN isfinite(o_totalprice)
+                                 AND abs(o_totalprice) < 1e14
+                                THEN o_totalprice END * 100 + 0.5)
                      AS BIGINT)) AS BIGINT)
          AS cents,
        TRUE AS daily_rollup_equals_direct

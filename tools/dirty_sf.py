@@ -223,6 +223,22 @@ def dirty_orders(tbl: pa.Table) -> pa.Table:
         {"o_orderkey": BASE_ID + 7, "o_custkey": first["o_custkey"],
          "o_orderstatus": "O", "o_totalprice": INF, "o_orderdate": d0,
          "o_orderpriority": "2-HIGH"},
+        # finite-but-HUGE price (1e300): outside every decimal's domain —
+        # the round-6 quantization contract (_quantizable). A bare ANSI
+        # decimal cast throws NUMERIC_VALUE_OUT_OF_RANGE, bigint cents
+        # arithmetic throws ARITHMETIC_OVERFLOW, DuckDB's CAST raises a
+        # Conversion Error. Status 'O' on purpose: the open-order paths
+        # (receivables_aging, filtered_agg_sql's open_cents) must see it.
+        {"o_orderkey": BASE_ID + 8, "o_custkey": first["o_custkey"],
+         "o_orderstatus": "O", "o_totalprice": 1e300, "o_orderdate": d0,
+         "o_orderpriority": "3-MEDIUM"},
+        # 5e13: INSIDE the default DECIMAL(20,6) domain (|x| < 1e14) but
+        # OUTSIDE DECIMAL(18,6)'s (|x| < 1e12) — pins the per-target-
+        # decimal bound (_quantizable(bound=1e12) in order_price_moments)
+        # and stresses downstream bigint arithmetic on in-domain sums.
+        {"o_orderkey": BASE_ID + 9, "o_custkey": first["o_custkey"],
+         "o_orderstatus": "F", "o_totalprice": 5e13, "o_orderdate": d0,
+         "o_orderpriority": "4-NOT SPECIFIED"},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
