@@ -36,8 +36,23 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     ``try_divide``, not ``/``: under ANSI mode (Spark 4 default) a plain
     divide THROWS on a zero-norm vector, so one all-zero embedding in a
     100 TB corpus would kill the whole job. Undefined cosine → NULL, which
-    descending top-k windows sort last and threshold filters drop."""
+    descending top-k windows sort last and threshold filters drop.
+
+    In a fan-out join (one row scored against many partners) prefer
+    :func:`cosine_from_norms`: this form re-folds BOTH norms per pair."""
     return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
+
+
+def cosine_from_norms(
+    a: Column | str, b: Column | str, na: Column, nb: Column
+) -> Column:
+    """:func:`cosine_similarity` with the side norms precomputed — the
+    same ``try_divide(dot, na * nb)`` expression, so results are
+    bit-identical, but each norm folds once per SIDE ROW (projected
+    before the join) instead of once per PAIR. In an N×Q scoring join
+    that cuts the per-pair array folds from three to one — the dominant
+    cost of every brute-force/candidate-verify cosine path."""
+    return F.try_divide(dot(a, b), na * nb)
 
 
 def truncate_dims(a: Column | str, k: int) -> Column:

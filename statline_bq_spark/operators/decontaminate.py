@@ -202,7 +202,7 @@ def semantic_decontaminate(
     the benchmark outgrows broadcast range, swap in the blocked grid of
     ``cosine_pairs_blocked`` with benchmark-side blocks.
     """
-    from statline_bq_spark.functions.vectors import cosine_similarity
+    from statline_bq_spark.functions.vectors import cosine_from_norms, l2_norm
 
     def _usable(c: Column) -> Column:
         # NULL, zero-norm (cosine NULL via try_divide) and NaN/Inf-
@@ -212,20 +212,49 @@ def semantic_decontaminate(
         # silently DROP every encoder-failed corpus row as 'contaminated'
         # — un-scorable rows must SURVIVE (contamination unproven).
         return c.isNotNull() & ~F.exists(
-            c, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+            c,
+            lambda x: x.isNull()
+            | F.isnan(x)
+            | (F.abs(x) == F.lit(float("inf"))),
         )
 
     b = F.broadcast(
         benchmark.filter(_usable(F.col(vec_col))).select(
-            F.col(vec_col).alias("_b_vec")
+            F.col(vec_col).alias("_b_vec"),
+            l2_norm(F.col(vec_col)).alias("_b_nrm"),
         )
     )
-    return corpus.join(
-        b,
-        _usable(F.col(vec_col))
-        & (
-            F.round(cosine_similarity(F.col(vec_col), F.col("_b_vec")), 4)
-            >= threshold
-        ),
-        "leftanti",
+    # The corpus-side guard AND norm are PROJECTED once per row before
+    # the join, not written inline in the join condition: Catalyst cannot
+    # hoist a left-side-only conjunct out of a left-anti condition (that
+    # would change semantics), so an EXISTS — or a norm fold — in the
+    # condition re-runs once per broadcast benchmark row, B× the work on
+    # the hottest embedding path. The boolean is semantically identical
+    # inside the condition: un-scorable rows (false) fail it for every
+    # pair and SURVIVE; cosine_from_norms is the same try_divide
+    # expression with the side norms precomputed, so the rounded
+    # similarity is bit-identical.
+    guarded = corpus.withColumn(
+        "_usable_vec", _usable(F.col(vec_col))
+    ).withColumn("_c_nrm", l2_norm(F.col(vec_col)))
+    return (
+        guarded.join(
+            b,
+            F.col("_usable_vec")
+            & (
+                F.round(
+                    cosine_from_norms(
+                        F.col(vec_col),
+                        F.col("_b_vec"),
+                        F.col("_c_nrm"),
+                        F.col("_b_nrm"),
+                    ),
+                    4,
+                )
+                >= threshold
+            ),
+            "leftanti",
+        )
+        .drop("_usable_vec")
+        .drop("_c_nrm")
     )

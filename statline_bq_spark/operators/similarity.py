@@ -30,7 +30,11 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from statline_bq_spark.functions.vectors import cosine_similarity
+from statline_bq_spark.functions.vectors import (
+    cosine_from_norms,
+    cosine_similarity,
+    l2_norm,
+)
 
 
 def _drop_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
@@ -46,14 +50,19 @@ def _drop_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     vector is unusable. The filter is codegen'd (IsNotNull + a
     short-circuiting EXISTS over the array) and rides the scan.
     Found by the round-6 NaN-component dirty probe (11 of 16 embedding
-    queries crashed or silently diverged without it)."""
+    queries crashed or silently diverged without it). The lambda checks
+    ``isNull`` explicitly: a NULL component would otherwise make the
+    EXISTS three-valued-NULL — still dropped by the filter, but by
+    accident, and diverging from any oracle that counts non-finite
+    components (NOT isfinite(NULL) is NULL, never TRUE)."""
     c = F.col(vec_col)
-    non_finite = F.exists(
+    unusable = F.exists(
         c,
-        lambda x: F.isnan(x)
+        lambda x: x.isNull()
+        | F.isnan(x)
         | (F.abs(x) == F.lit(float("inf"))),
     )
-    return df.filter(c.isNotNull() & ~non_finite)
+    return df.filter(c.isNotNull() & ~unusable)
 
 
 def ann_cosine_topk(
@@ -72,17 +81,32 @@ def ann_cosine_topk(
     (q_id, neighbor_id, rn, sim) — rn 1..k by descending similarity with the
     neighbor id as deterministic tiebreaker; self-matches excluded.
     """
+    # norms are projected per SIDE ROW before the N×Q scoring join —
+    # inline cosine would re-fold the corpus norm once per query
     q = F.broadcast(
         _drop_null_vectors(queries, vec_col).select(
-            F.col(query_id_col).alias("q_id"), F.col(vec_col).alias("_q_vec")
+            F.col(query_id_col).alias("q_id"),
+            F.col(vec_col).alias("_q_vec"),
+            l2_norm(F.col(vec_col)).alias("_q_nrm"),
         )
     )
     scored = (
-        _drop_null_vectors(corpus, vec_col).select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_c_vec")
+        _drop_null_vectors(corpus, vec_col)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_c_vec"),
+            l2_norm(F.col(vec_col)).alias("_c_nrm"),
         )
         .join(q, F.col("neighbor_id") != F.col("q_id"), "inner")
-        .withColumn("_sim", cosine_similarity(F.col("_c_vec"), F.col("_q_vec")))
+        .withColumn(
+            "_sim",
+            cosine_from_norms(
+                F.col("_c_vec"),
+                F.col("_q_vec"),
+                F.col("_c_nrm"),
+                F.col("_q_nrm"),
+            ),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("_sim").desc(), F.col("neighbor_id")
@@ -360,26 +384,35 @@ def lsh_bucket_topk(
     ]
     corpus = _drop_null_vectors(corpus, vec_col)
     queries = _drop_null_vectors(queries, vec_col)
+    # norms fold once per row BEFORE the bucket explode — inline cosine
+    # would re-fold them per (table × candidate) pair in the verify step
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_c_vec"),
+        l2_norm(F.col(vec_col)).alias("_c_nrm"),
         F.explode(_bucket_array(vec_col, all_planes)).alias("_b"),
-    ).select("neighbor_id", "_c_vec", "_b.table_id", "_b.bucket")
+    ).select("neighbor_id", "_c_vec", "_c_nrm", "_b.table_id", "_b.bucket")
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("q_id"),
             F.col(vec_col).alias("_q_vec"),
+            l2_norm(F.col(vec_col)).alias("_q_nrm"),
             F.explode(_bucket_array(vec_col, all_planes)).alias("_b"),
-        ).select("q_id", "_q_vec", "_b.table_id", "_b.bucket")
+        ).select("q_id", "_q_vec", "_q_nrm", "_b.table_id", "_b.bucket")
     )
     candidates = (
         c.join(q, ["table_id", "bucket"])
         .filter(F.col("neighbor_id") != F.col("q_id"))
-        .select("q_id", "_q_vec", "neighbor_id", "_c_vec")
+        .select(
+            "q_id", "_q_vec", "_q_nrm", "neighbor_id", "_c_vec", "_c_nrm"
+        )
         .dropDuplicates(["q_id", "neighbor_id"])
     )
     scored = candidates.withColumn(
-        "_sim", cosine_similarity(F.col("_c_vec"), F.col("_q_vec"))
+        "_sim",
+        cosine_from_norms(
+            F.col("_c_vec"), F.col("_q_vec"), F.col("_c_nrm"), F.col("_q_nrm")
+        ),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col("neighbor_id"))
     return (
@@ -637,11 +670,26 @@ def _assign_to_centroids(
     """Attach the ``nprobe`` nearest centroid labels to every vector:
     (id, vec, label). Centroids are a bounded dimension → broadcast
     nested-loop scoring, then a per-id top-nprobe window."""
+    # row norm folds once per vector, centroid norms once per centroid —
+    # inline cosine would re-fold the row norm per (row × centroid) pair
     scored = (
         _drop_null_vectors(df, vec_col)
-        .select(F.col(id_col).alias("_aid"), F.col(vec_col).alias("_avec"))
-        .join(F.broadcast(centroids))
-        .withColumn("_csim", cosine_similarity(F.col("_avec"), F.col("_cvec")))
+        .select(
+            F.col(id_col).alias("_aid"),
+            F.col(vec_col).alias("_avec"),
+            l2_norm(F.col(vec_col)).alias("_anrm"),
+        )
+        .join(
+            F.broadcast(
+                centroids.withColumn("_cnrm", l2_norm(F.col("_cvec")))
+            )
+        )
+        .withColumn(
+            "_csim",
+            cosine_from_norms(
+                F.col("_avec"), F.col("_cvec"), F.col("_anrm"), F.col("_cnrm")
+            ),
+        )
     )
     w = Window.partitionBy("_aid").orderBy(F.col("_csim").desc(), F.col("label"))
     return (
@@ -1079,13 +1127,26 @@ def ivf_kmeans_topk(
     query_probes = _assign_to_centroids(
         queries, cents, id_col=query_id_col, vec_col=vec_col, nprobe=nprobe
     ).select(
-        F.col(query_id_col).alias("q_id"), F.col(vec_col).alias("_q_vec"), "label"
+        F.col(query_id_col).alias("q_id"),
+        F.col(vec_col).alias("_q_vec"),
+        l2_norm(F.col(vec_col)).alias("_q_nrm"),
+        "label",
     )
     candidates = (
-        corpus_lists.join(query_probes, "label")
+        # the corpus norm folds once per inverted-list row, pre-join
+        corpus_lists.withColumn("_c_nrm", l2_norm(F.col("_c_vec")))
+        .join(query_probes, "label")
         .filter(F.col("neighbor_id") != F.col("q_id"))
         .dropDuplicates(["q_id", "neighbor_id"])
-        .withColumn("_sim", cosine_similarity(F.col("_c_vec"), F.col("_q_vec")))
+        .withColumn(
+            "_sim",
+            cosine_from_norms(
+                F.col("_c_vec"),
+                F.col("_q_vec"),
+                F.col("_c_nrm"),
+                F.col("_q_nrm"),
+            ),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col("neighbor_id"))
     return (
@@ -1173,13 +1234,26 @@ def ivf_topk(
     query_probes = _assign_to_centroids(
         queries, cents, id_col=query_id_col, vec_col=vec_col, nprobe=nprobe
     ).select(
-        F.col(query_id_col).alias("q_id"), F.col(vec_col).alias("_q_vec"), "label"
+        F.col(query_id_col).alias("q_id"),
+        F.col(vec_col).alias("_q_vec"),
+        l2_norm(F.col(vec_col)).alias("_q_nrm"),
+        "label",
     )
     candidates = (
-        corpus_lists.join(query_probes, "label")
+        # the corpus norm folds once per inverted-list row, pre-join
+        corpus_lists.withColumn("_c_nrm", l2_norm(F.col("_c_vec")))
+        .join(query_probes, "label")
         .filter(F.col("neighbor_id") != F.col("q_id"))
         .dropDuplicates(["q_id", "neighbor_id"])
-        .withColumn("_sim", cosine_similarity(F.col("_c_vec"), F.col("_q_vec")))
+        .withColumn(
+            "_sim",
+            cosine_from_norms(
+                F.col("_c_vec"),
+                F.col("_q_vec"),
+                F.col("_c_nrm"),
+                F.col("_q_nrm"),
+            ),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col("neighbor_id"))
     return (
@@ -1422,7 +1496,10 @@ def ivf_index_topk(
     probes = _assign_to_centroids(
         queries, cents, id_col=query_id_col, vec_col=vec_col, nprobe=nprobe
     ).select(
-        F.col(query_id_col).alias("q_id"), F.col(vec_col).alias("_q_vec"), "label"
+        F.col(query_id_col).alias("q_id"),
+        F.col(vec_col).alias("_q_vec"),
+        l2_norm(F.col(vec_col)).alias("_q_nrm"),
+        "label",
     )
     probe_labels = sorted(
         {r.label for r in probes.select("label").distinct().collect()}
@@ -1431,11 +1508,21 @@ def ivf_index_topk(
         F.col("label").isin(probe_labels)
     )
     candidates = (
+        # the corpus norm folds once per inverted-list row, pre-join
         lists.withColumnRenamed(vec_col, "_c_vec")
+        .withColumn("_c_nrm", l2_norm(F.col("_c_vec")))
         .join(probes, "label")
         .filter(F.col("vec_id") != F.col("q_id"))
         .dropDuplicates(["q_id", "vec_id"])
-        .withColumn("_sim", cosine_similarity(F.col("_c_vec"), F.col("_q_vec")))
+        .withColumn(
+            "_sim",
+            cosine_from_norms(
+                F.col("_c_vec"),
+                F.col("_q_vec"),
+                F.col("_c_nrm"),
+                F.col("_q_nrm"),
+            ),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col("vec_id"))
     return (

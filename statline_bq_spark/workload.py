@@ -138,25 +138,43 @@ def _sql_quantizable(expr: str, bound: float = _Q_MAX) -> str:
 
 #: Usable-vector predicate (SQL): mirrors
 #: ``similarity._drop_null_vectors`` — a NULL embedding or one with ANY
-#: non-finite component is a failed encoder output and joins no
+#: NULL or non-finite component is a failed encoder output and joins no
 #: similarity computation (one NaN poisons every dot product it touches,
-#: and NaN similarity ranks engine-defined in a top-k). Shared by every
-#: embedding oracle on the similarity path.
-_SQL_FINITE_VEC = (
-    "embedding IS NOT NULL AND len(list_filter(embedding, "
-    "x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0"
-)
+#: and NaN similarity ranks engine-defined in a top-k). Interpolated into
+#: every embedding oracle on the similarity path (single source of
+#: truth). The length-equality form (count of components isfinite=TRUE
+#: equals the array length) is the one that also rejects a NULL
+#: component: the old ``len(list_filter(x -> NOT isfinite(x))) = 0``
+#: kept such rows (NOT isfinite(NULL) is NULL, never TRUE) while the
+#: Spark exists-lambda dropped them.
+def _sql_finite_vec(col: str = "embedding") -> str:
+    """The usable-vector predicate for an arbitrary (possibly qualified)
+    column reference — for oracles whose self-joins make the bare
+    ``embedding`` name ambiguous."""
+    return (
+        f"{col} IS NOT NULL AND len({col}) = len(list_filter("
+        f"{col}, x -> isfinite(CAST(x AS DOUBLE))))"
+    )
+
+
+_SQL_FINITE_VEC = _sql_finite_vec("embedding")
 
 
 def _finite_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Workload-side twin of ``similarity._drop_null_vectors`` for queries
     that read the embeddings table directly (centroids, drift,
-    quantization, …). Codegen'd IsNotNull + short-circuit EXISTS."""
+    quantization, …). Codegen'd IsNotNull + short-circuit EXISTS. The
+    lambda includes ``isNull``: without it a NULL component makes the
+    EXISTS (and the filter) NULL — dropped here but KEPT by the oracle's
+    old list_filter-count form, a silent cross-engine divergence."""
     c = F.col(vec_col)
     return df.filter(
         c.isNotNull()
         & ~F.exists(
-            c, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+            c,
+            lambda x: x.isNull()
+            | F.isnan(x)
+            | (F.abs(x) == F.lit(float("inf"))),
         )
     )
 
@@ -1964,7 +1982,7 @@ def q_embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-ORACLE_EMBEDDING_DRIFT = """
+ORACLE_EMBEDDING_DRIFT = f"""
 WITH e AS (
   SELECT label,
          CASE WHEN (strpos('0123456789abcdef',
@@ -1974,8 +1992,7 @@ WITH e AS (
          i AS pos
   FROM embeddings, range(0, 64) t(i)
   -- usable vectors only (the Spark twin's _finite_vectors contract)
-  WHERE embedding IS NOT NULL AND len(list_filter(embedding,
-    x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0
+  WHERE {_SQL_FINITE_VEC}
 ), sums AS (
   SELECT label, h, pos,
          CAST(sum(CAST(val AS DECIMAL(20,6))) AS DOUBLE) AS s,
@@ -2794,11 +2811,20 @@ WITH h AS (
          list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS hd
   FROM embeddings
 ), n AS (
-  -- nrm NULL for a non-finite head (the Spark twin's head_ok guard);
-  -- x / NULL then NULLs every element and array_to_string follows
+  -- nrm NULL for a non-finite or NULL-component head (the Spark twin's
+  -- head_ok guard; the length-equality form rejects NULL components —
+  -- NOT isfinite(NULL) is NULL, never TRUE); x / NULL then NULLs every
+  -- element and array_to_string over all-NULLs follows to NULL. The dot
+  -- product runs over COALESCED components: DuckDB's list_inner_product
+  -- raises on a NULL component even under a false CASE branch (eager
+  -- vectorized evaluation when hd is also projected), so the guarded
+  -- branch must be crash-free on every row — the 0.0 stand-ins are
+  -- discarded by the CASE, never emitted
   SELECT vec_id, full_dim, hd,
-         CASE WHEN len(list_filter(hd, x -> NOT isfinite(x))) = 0
-              THEN sqrt(list_dot_product(hd, hd)) END AS nrm
+         CASE WHEN len(hd) = len(list_filter(hd, x -> isfinite(x)))
+              THEN sqrt(list_dot_product(
+                     list_transform(hd, x -> coalesce(x, 0.0)),
+                     list_transform(hd, x -> coalesce(x, 0.0)))) END AS nrm
   FROM h
 )
 SELECT vec_id, CAST(full_dim AS INT) AS full_dim,
@@ -3181,15 +3207,17 @@ FROM embeddings WHERE vec_id < 10
 """
 
 
-ORACLE_ANN_COSINE_TOPK = """
+ORACLE_ANN_COSINE_TOPK = f"""
 WITH q AS (
+  -- usable vectors only, both sides (similarity._drop_null_vectors):
+  -- a NULL component CRASHES DuckDB's list_cosine_similarity outright
   SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-  FROM embeddings WHERE vec_id < 10
+  FROM embeddings WHERE vec_id < 10 AND {_SQL_FINITE_VEC}
 ), s AS (
   SELECT q.q_id, e.vec_id AS neighbor_id,
          list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim_raw
   FROM embeddings e, q
-  WHERE e.vec_id <> q.q_id
+  WHERE e.vec_id <> q.q_id AND {_sql_finite_vec("e.embedding")}
 )
 SELECT q_id, neighbor_id,
        CAST(row_number() OVER (PARTITION BY q_id
@@ -3210,12 +3238,16 @@ def q_cosine_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_pairs_blocked(emb, threshold=0.4)
 
 
-ORACLE_COSINE_NEAR_DUP_PAIRS = """
+ORACLE_COSINE_NEAR_DUP_PAIRS = f"""
+-- usable vectors only, both sides (similarity._drop_null_vectors): a
+-- NULL component CRASHES DuckDB's list_cosine_similarity outright
 SELECT x.vec_id AS a, y.vec_id AS b,
        round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
                                     CAST(y.embedding AS DOUBLE[])), 4) AS sim
 FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
-WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+WHERE {_sql_finite_vec("x.embedding")}
+  AND {_sql_finite_vec("y.embedding")}
+  AND round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
                                    CAST(y.embedding AS DOUBLE[])), 4) >= 0.4
 """
 
@@ -3257,15 +3289,14 @@ def q_embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-ORACLE_EMBEDDING_CENTROIDS = """
+ORACLE_EMBEDDING_CENTROIDS = f"""
 SELECT label, i AS pos,
        CAST(sum(CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(20,6)))
             AS DOUBLE) AS centroid_sum,
        count(*) AS n_vectors
 FROM embeddings, range(0, 64) t(i)
 -- usable vectors only (the Spark twin's _finite_vectors contract)
-WHERE embedding IS NOT NULL AND len(list_filter(embedding,
-    x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0
+WHERE {_SQL_FINITE_VEC}
 GROUP BY label, i
 """
 
@@ -4487,10 +4518,19 @@ def q_array_stats_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     higher-order expressions, no explode, no Python."""
     emb = read_table(spark, sf, "embeddings")
     v = F.col("embedding").cast("array<double>")
-    l1 = F.aggregate(v, F.lit(0.0), lambda a, x: a + F.abs(x))
+    # the folds SKIP NULL components (coalesce to the additive identity):
+    # the oracle's list_sum skips NULLs like SQL SUM, while a bare
+    # a + NULL fold would swallow the whole norm into NULL — a silent
+    # cross-engine divergence on any half-failed encoder row. array_max
+    # already skips NULL elements in both engines.
+    l1 = F.aggregate(
+        v, F.lit(0.0), lambda a, x: a + F.coalesce(F.abs(x), F.lit(0.0))
+    )
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
     head_mean = F.aggregate(
-        F.slice(v, 1, 8), F.lit(0.0), lambda a, x: a + x
+        F.slice(v, 1, 8),
+        F.lit(0.0),
+        lambda a, x: a + F.coalesce(x, F.lit(0.0)),
     ) / F.lit(8.0)
     return emb.select(
         "vec_id",
@@ -4746,15 +4786,14 @@ def q_kmeans_doc_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-ORACLE_KMEANS_DOC_CLUSTERS = """
+ORACLE_KMEANS_DOC_CLUSTERS = f"""
 -- conservation is over ASSIGNABLE vectors: NULL and non-finite
 -- embeddings are excluded from every fit/assign path (the uniform
 -- usable-vector contract, similarity._drop_null_vectors)
 SELECT count(*) AS total_vectors, TRUE AS n_clusters_le_k,
        TRUE AS no_empty_output_rows
 FROM embeddings
-WHERE embedding IS NOT NULL AND len(list_filter(embedding,
-    x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0
+WHERE {_SQL_FINITE_VEC}
 """
 
 
@@ -4853,23 +4892,19 @@ def q_semantic_decontaminated(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-ORACLE_SEMANTIC_DECONTAMINATED = """
+ORACLE_SEMANTIC_DECONTAMINATED = f"""
 WITH c AS (
   -- scorable = NULL-free, non-finite-free (a NaN cosine is not NULL —
   -- it would compare engine-defined), and non-zero norm
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
-         (embedding IS NOT NULL AND
-          len(list_filter(embedding,
-              x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 AND
+         ({_SQL_FINITE_VEC} AND
           list_dot_product(CAST(coalesce(embedding, [0.0]) AS DOUBLE[]),
                            CAST(coalesce(embedding, [0.0]) AS DOUBLE[])) > 0)
            AS scorable
   FROM embeddings WHERE vec_id >= 20
 ), b AS (
   SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-  WHERE vec_id < 20 AND embedding IS NOT NULL
-    AND len(list_filter(embedding,
-            x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0
+  WHERE vec_id < 20 AND {_SQL_FINITE_VEC}
     AND list_dot_product(CAST(embedding AS DOUBLE[]),
                          CAST(embedding AS DOUBLE[])) > 0
 ), hits AS (
@@ -6935,14 +6970,13 @@ FROM embeddings WHERE vec_id < 10
 """
 
 
-ORACLE_EMBEDDING_QUANTIZATION = """
+ORACLE_EMBEDDING_QUANTIZATION = f"""
 WITH v AS (
   -- usable vectors only (similarity._drop_null_vectors): a NULL
   -- embedding has nothing to quantize, and a NaN/Inf component would
   -- poison maxabs and every code derived from it
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
-  FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding,
-    x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0
+  FROM embeddings WHERE {_SQL_FINITE_VEC}
 ), m AS (
   SELECT vec_id, vd, list_max(list_transform(vd, x -> abs(x))) AS maxabs
   FROM v
@@ -7494,17 +7528,20 @@ def q_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
     window would shuffle every scored candidate row into |Q| partitions
     (a skewed exchange at 100×); `max_by` reduces map-side, so the
     exchange carries one partial row per (query, input partition)."""
-    from statline_bq_spark.functions.vectors import cosine_similarity
+    from statline_bq_spark.functions.vectors import cosine_from_norms, l2_norm
 
     # usable vectors only on BOTH sides: a NaN-component corpus vector
     # yields a NaN similarity, and Spark's max_by ranks NaN greatest —
-    # the poisoned row would become every query's "hard negative"
+    # the poisoned row would become every query's "hard negative".
+    # Norms fold once per SIDE ROW before the N×Q join (cosine_from_norms)
+    # — the inline cosine re-folded the corpus norm once per query.
     e = _finite_vectors(read_table(spark, sf, "embeddings"))
     q = F.broadcast(
         e.filter(F.col("vec_id") < 20).select(
             F.col("vec_id").alias("q_id"),
             F.col("label").alias("q_label"),
             F.col("embedding").alias("_q_vec"),
+            l2_norm(F.col("embedding")).alias("_q_nrm"),
         )
     )
     scored = (
@@ -7512,9 +7549,18 @@ def q_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
             F.col("vec_id").alias("neg_id"),
             F.col("label").alias("neg_label"),
             F.col("embedding").alias("_c_vec"),
+            l2_norm(F.col("embedding")).alias("_c_nrm"),
         )
         .join(q, F.col("neg_label") != F.col("q_label"), "inner")
-        .withColumn("_sim", cosine_similarity(F.col("_c_vec"), F.col("_q_vec")))
+        .withColumn(
+            "_sim",
+            cosine_from_norms(
+                F.col("_c_vec"),
+                F.col("_q_vec"),
+                F.col("_c_nrm"),
+                F.col("_q_nrm"),
+            ),
+        )
     )
     best = scored.groupBy("q_id", "q_label").agg(
         F.max_by(
@@ -7531,20 +7577,18 @@ def q_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-ORACLE_HARD_NEGATIVE_MINING = """
+ORACLE_HARD_NEGATIVE_MINING = f"""
 WITH q AS (
   -- usable vectors only (the Spark twin's _finite_vectors contract)
   SELECT vec_id AS q_id, label AS q_label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
   FROM embeddings WHERE vec_id < 20
-    AND embedding IS NOT NULL AND len(list_filter(embedding,
-    x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0
+    AND {_SQL_FINITE_VEC}
 ), c AS (
   SELECT vec_id AS neg_id, label AS neg_label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
   FROM embeddings
-  WHERE embedding IS NOT NULL AND len(list_filter(embedding,
-    x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0
+  WHERE {_SQL_FINITE_VEC}
 ), s AS (
   SELECT q.q_id, q.q_label, c.neg_id, c.neg_label,
          list_cosine_similarity(c.cv, q.qv) AS sim_raw,
@@ -8666,7 +8710,7 @@ def q_embedding_outliers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-ORACLE_EMBEDDING_OUTLIERS = """
+ORACLE_EMBEDDING_OUTLIERS = f"""
 WITH cells AS (
   SELECT vec_id, d.dim,
          CAST(floor(CAST(e.embedding[d.dim + 1] AS DOUBLE) * 100000 + 0.5)
@@ -8674,8 +8718,7 @@ WITH cells AS (
   FROM embeddings e,
        LATERAL (SELECT unnest(range(len(e.embedding))) AS dim) d
   -- usable vectors only (the Spark twin's _finite_vectors contract)
-  WHERE embedding IS NOT NULL AND len(list_filter(embedding,
-    x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0
+  WHERE {_SQL_FINITE_VEC}
 ), stats AS (
   SELECT dim, count(*) AS n,
          CAST(sum(xq) AS BIGINT) AS s,

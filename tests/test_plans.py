@@ -688,3 +688,26 @@ def test_null_safe_join_backs_stay_hash_joins(spark):
             r"BroadcastHashJoin \[[^\]]*coalesce\(", plan
         ), plan[:2000]
         assert "CartesianProduct" not in plan
+
+
+def test_semantic_decontaminate_join_condition_is_pre_projected(spark):
+    """The left-anti broadcast join's condition must reference the
+    PRE-PROJECTED usable-vector boolean and side norms, not inline them:
+    Catalyst cannot hoist a left-side-only conjunct out of a left-anti
+    condition, so an EXISTS (the usable guard) or an extra aggregate fold
+    (a norm) written inline re-evaluates once per broadcast benchmark row
+    — B× the per-row cost on the hottest embedding path (the round-6
+    regression). Exactly ONE aggregate fold (the dot product) may remain
+    in the condition."""
+    plan = explain_str(
+        workload.q_semantic_decontaminated(spark, SF_SMOKE), "formatted"
+    )
+    cond_lines = [
+        ln for ln in plan.splitlines() if ln.startswith("Join condition:")
+    ]
+    assert cond_lines, plan[:2000]
+    cond = cond_lines[0]
+    assert "exists(" not in cond, cond
+    # one aggregate fold = the dot product; norms ride in as attributes
+    assert cond.count("aggregate(") == 1, cond
+    assert "_usable_vec" in cond and "_nrm" in cond, cond

@@ -394,6 +394,15 @@ def dirty_embeddings(tbl: pa.Table) -> pa.Table:
          "embedding": first_vec[:3] + [NAN] + first_vec[4:], "label": 1},
         {"vec_id": BASE_ID + 4,
          "embedding": first_vec[:5] + [INF] + first_vec[6:], "label": 2},
+        # NULL COMPONENT (round 7): the three-valued-logic cousin of the
+        # NaN component. Spark's exists-lambda over it evaluates to NULL
+        # (row dropped by accident), while an oracle that counts
+        # non-finite components keeps it (NOT isfinite(NULL) is NULL,
+        # never TRUE) — the usable-vector contract must reject it
+        # EXPLICITLY on both engines (isNull in the Spark lambda, the
+        # length-equality list_filter form in _SQL_FINITE_VEC).
+        {"vec_id": BASE_ID + 5,
+         "embedding": first_vec[:7] + [None] + first_vec[8:], "label": 1},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
