@@ -8072,10 +8072,21 @@ def q_cdc_log_replay(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(3).alias("seq"), F.lit("D").alias("op"),
     )
     log = ins.unionByName(upd).unionByName(dele)
+    # the last-op pick orders by (seq, status, price), not seq alone: a
+    # replayed CDC batch can carry the SAME (key, seq) twice with
+    # conflicting payloads (the round-7 duplicate-key dirty row), and a
+    # seq-only max_by breaks that tie engine-arbitrarily. One struct
+    # max_by also replaces three — a single agg buffer per key.
     last = log.groupBy("o_orderkey").agg(
-        F.max_by("op", F.col("seq")).alias("op"),
-        F.max_by("o_orderstatus", F.col("seq")).alias("o_orderstatus"),
-        F.max_by("o_totalprice", F.col("seq")).alias("o_totalprice"),
+        F.max_by(
+            F.struct("op", "o_orderstatus", "o_totalprice"),
+            F.struct("seq", "o_orderstatus", "o_totalprice"),
+        ).alias("_last")
+    ).select(
+        "o_orderkey",
+        F.col("_last.op").alias("op"),
+        F.col("_last.o_orderstatus").alias("o_orderstatus"),
+        F.col("_last.o_totalprice").alias("o_totalprice"),
     )
     # scrub BEFORE floor: Spark floor(NaN) is 0 — an unscrubbed NaN price
     # would replay as zero cents instead of a missing measurement; and
@@ -8101,11 +8112,23 @@ WITH b AS (
           + (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1)) % 10
            AS bkt
   FROM orders
+), dedup AS (
+  -- replay is per KEY: a duplicated (key, seq) collapses to one row by
+  -- the Spark twin's deterministic (status, price) tie-break (ordering
+  -- by the undoubled price is order-equivalent to the doubled one —
+  -- x -> 2x is monotone). DESC + NULLS-LAST matches Spark's struct
+  -- max_by, where a NULL field loses the comparison.
+  SELECT o_orderkey, o_orderstatus, o_totalprice, bkt,
+         row_number() OVER (
+           PARTITION BY o_orderkey
+           ORDER BY o_orderstatus DESC NULLS LAST,
+                    o_totalprice DESC NULLS LAST) AS rn
+  FROM b
 ), final AS (
   SELECT o_orderstatus,
          CASE WHEN bkt = 1 THEN o_totalprice * 2 ELSE o_totalprice END
            AS o_totalprice
-  FROM b WHERE bkt <> 0
+  FROM dedup WHERE bkt <> 0 AND rn = 1
 )
 SELECT o_orderstatus, count(*) AS n_rows,
        -- quantizable scrub mirrors the Spark twin's _quantizable cents

@@ -108,6 +108,18 @@ def dirty_documents(tbl: pa.Table) -> pa.Table:
         # both engines
         {"doc_id": BASE_ID + 10, "text": "caf\u00e9 cafe\u0301 cafe",
          "lang": "fr", "source": "srcX", "n_chars": 15},
+        # --- astral-plane class (round 7): 4-byte UTF-8 (surrogate PAIRS
+        # in UTF-16 runtimes). Java String.length counts them as 2 while
+        # Python len and DuckDB count codepoints \u2014 any length/substring/
+        # chunk-boundary arithmetic that leaks UTF-16 units diverges.
+        # Mixed-with-ASCII and astral-only rows; n_chars = codepoints.
+        {"doc_id": BASE_ID + 11,
+         "text": "\U0001D11E clef \U0001F600 grin "
+                 "\U0001D518\U0001D52B\U0001D526 frak",
+         "lang": "en", "source": "srcX", "n_chars": 22},
+        {"doc_id": BASE_ID + 12,
+         "text": "\U0001F701\U0001F702\U0001F703\U0001F704",
+         "lang": None, "source": "srcX", "n_chars": 4},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -175,6 +187,19 @@ def dirty_events(tbl: pa.Table) -> pa.Table:
         # sessions, pivots ('' is a type; NULL is 'untyped')
         {"event_id": BASE_ID + 14, "ts": ts0, "user_id": 14,
          "event_type": "", "value": 4.0, "props": None},
+        # --- ns-range edge class (round 7): TIMESTAMP(NANOS) is int64
+        # nanoseconds, representable only within 1677-09-21T00:12:43.145Z
+        # .. 2262-04-11T23:47:16.854Z — the deep-past/far-future rows a
+        # corrupt clock or mis-parsed epoch ships at 100 TB. Near-max
+        # stresses century-scale gap arithmetic, week floors at +9.2e18ns,
+        # and µs conversions; near-min stresses the most-negative epoch
+        # week/date extraction. Both micro-aligned (io.py contract).
+        {"event_id": BASE_ID + 15, "ts": datetime(2262, 4, 11, 12, 0, 0),
+         "user_id": 15, "event_type": "view", "value": 1.0,
+         "props": None},
+        {"event_id": BASE_ID + 16, "ts": datetime(1677, 9, 22, 0, 0, 1),
+         "user_id": 15, "event_type": "click", "value": 2.0,
+         "props": None},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -239,6 +264,19 @@ def dirty_orders(tbl: pa.Table) -> pa.Table:
         {"o_orderkey": BASE_ID + 9, "o_custkey": first["o_custkey"],
          "o_orderstatus": "F", "o_totalprice": 5e13, "o_orderdate": d0,
          "o_orderpriority": "4-NOT SPECIFIED"},
+        # --- duplicate-key class (round 7): the SAME o_orderkey twice
+        # with CONFLICTING payloads — a replayed CDC batch or a double
+        # write. Any merge/upsert/latest-per-key path that assumes key
+        # uniqueness, or breaks its tie on a non-key column, goes
+        # engine-defined here; deterministic pipelines must tie-break on
+        # a total order.
+        {"o_orderkey": BASE_ID + 10, "o_custkey": first["o_custkey"],
+         "o_orderstatus": "O", "o_totalprice": 70.0, "o_orderdate": d0,
+         "o_orderpriority": "1-URGENT"},
+        {"o_orderkey": BASE_ID + 10, "o_custkey": first["o_custkey"],
+         "o_orderstatus": "F", "o_totalprice": 80.0,
+         "o_orderdate": datetime(1996, 6, 1),
+         "o_orderpriority": "5-LOW"},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
