@@ -339,13 +339,18 @@ def gap_fill_linear(
     # near 4dp ties; double ops on identical inputs are bit-identical
     # everywhere, and round-to-integer only disagrees on exact .5 doubles
     # where both engines round away from zero.
-    # NULL and NaN values are failed measurements, not observations: the
-    # decimal cast maps BOTH to NULL (ANSI cast(NaN AS DECIMAL) is NULL),
-    # the sum skips them, and count(_obs) — not count(*) — keeps the mean
-    # over observed values only. An all-failed bucket divides 0 observations
-    # via try_divide -> NULL _v, i.e. the bucket is simply 'missing' and the
-    # interpolation bridges it like any other gap.
-    obs = F.col(value_col).cast("decimal(20,6)")
+    # NULL, NaN and out-of-quantization-domain values are failed
+    # measurements, not observations: the ANSI decimal cast maps NaN/Inf
+    # to NULL but THROWS on a finite 1e300 (NUMERIC_VALUE_OUT_OF_RANGE),
+    # so the |x| < 1e14 guard must run BEFORE the cast. The sum skips
+    # the NULLs, and count(_obs) — not count(*) — keeps the mean over
+    # observed values only. An all-failed bucket divides 0 observations
+    # via try_divide -> NULL _v, i.e. the bucket is simply 'missing' and
+    # the interpolation bridges it like any other gap.
+    _v_raw = F.col(value_col)
+    obs = F.when(
+        ~F.isnan(_v_raw) & (F.abs(_v_raw) < F.lit(1e14)), _v_raw
+    ).cast("decimal(20,6)")
     bucketed = (
         df.groupBy(F.window(F.col(ts_col), step).alias("_w"), key)
         .agg(

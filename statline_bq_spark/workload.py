@@ -1107,8 +1107,17 @@ def q_discount_quantity_correlation(spark: SparkSession, sf: str) -> DataFrame:
         read_table(spark, sf, "lineitem")
         .select(
             "l_returnflag",
-            F.col("l_discount").cast("decimal(20,6)").alias("_x"),
-            F.col("l_quantity").cast("decimal(20,6)").alias("_y"),
+            # bound=1e13: the moment SQUARES run in DECIMAL(38,12)
+            # ((20,6)x(20,6)), whose domain is |x^2| < 1e26 — a finite
+            # 5e13 coordinate passes the default 1e14 guard but its
+            # square overflows precision 38 (ANSI throws; same bound
+            # logic as order_price_moments' (18,6) -> 1e12)
+            _quantizable("l_discount", bound=1e13)
+            .cast("decimal(20,6)")
+            .alias("_x"),
+            _quantizable("l_quantity", bound=1e13)
+            .cast("decimal(20,6)")
+            .alias("_y"),
         )
         # correlation is defined over COMPLETE pairs: a row missing either
         # coordinate would inflate n while contributing to no moment sum
@@ -1155,6 +1164,8 @@ WITH agg AS (
   FROM lineitem
   WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
     AND isfinite(l_discount) AND isfinite(l_quantity)
+    -- 1e13: the square-domain bound (mirrors _quantizable(bound=1e13))
+    AND abs(l_discount) < 1e13 AND abs(l_quantity) < 1e13
   GROUP BY l_returnflag
 )
 SELECT l_returnflag, n AS n_lines,
@@ -4246,11 +4257,14 @@ def q_small_qty_part_revenue(spark: SparkSession, sf: str) -> DataFrame:
     # part's avg to NaN, and Spark evaluates x < NaN as TRUE while DuckDB
     # follows IEEE FALSE — the silent-divergence family from the round-5
     # dirty sweep)
+    # _quantizable (not _nan_null): a finite 1e300 qty would dominate its
+    # part's threshold average (summation-order ulps then decide the
+    # filter), and a 1e300 price would throw in the decimal revenue cast
     small = joined.withColumn(
-        "part_avg_qty", F.avg(_nan_null("l_quantity")).over(w)
-    ).filter(_nan_null("l_quantity") < 0.2 * F.col("part_avg_qty"))
+        "part_avg_qty", F.avg(_quantizable("l_quantity")).over(w)
+    ).filter(_quantizable("l_quantity") < 0.2 * F.col("part_avg_qty"))
     return small.groupBy("p_brand").agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(20,6)"))
+        F.sum(_quantizable("l_extendedprice").cast("decimal(20,6)"))
         .cast("double")
         .alias("revenue_small_qty"),
         F.count(F.lit(1)).alias("n_lines"),
@@ -4259,13 +4273,19 @@ def q_small_qty_part_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_SMALL_QTY_PART_REVENUE = """
 SELECT p_brand,
-       CAST(sum(CAST(CASE WHEN NOT isfinite(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(20,6))) AS DOUBLE) AS revenue_small_qty,
+       -- quantizable scrub mirrors the Spark twin's _quantizable guard
+       CAST(sum(CAST(CASE WHEN isfinite(l_extendedprice)
+                           AND abs(l_extendedprice) < 1e14
+                          THEN l_extendedprice END AS DECIMAL(20,6)))
+            AS DOUBLE) AS revenue_small_qty,
        count(*) AS n_lines
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_size <= 5
-  AND (CASE WHEN NOT isfinite(l_quantity) THEN NULL ELSE l_quantity END) < (
-    SELECT 0.2 * avg(CASE WHEN NOT isfinite(l2.l_quantity) THEN NULL
-                          ELSE l2.l_quantity END)
+  AND (CASE WHEN isfinite(l_quantity) AND abs(l_quantity) < 1e14
+            THEN l_quantity END) < (
+    SELECT 0.2 * avg(CASE WHEN isfinite(l2.l_quantity)
+                           AND abs(l2.l_quantity) < 1e14
+                          THEN l2.l_quantity END)
     FROM lineitem l2 WHERE l2.l_partkey = p_partkey
   )
 GROUP BY p_brand
@@ -4287,9 +4307,12 @@ def q_large_order_customers(spark: SparkSession, sf: str) -> DataFrame:
     big = (
         li.groupBy("l_orderkey")
         .agg(
-            # NaN qty behaves like NULL (sum ignores it): a NaN-poisoned
-            # group sum would CAST_OVERFLOW under ANSI / crash DuckDB
-            F.sum(_nan_null("l_quantity")).cast("bigint").alias("total_qty")
+            # _quantizable (not _nan_null): NaN qty behaves like NULL, and
+            # a finite 1e300 qty would CAST_OVERFLOW the bigint sum under
+            # ANSI / crash DuckDB's CAST the same way
+            F.sum(_quantizable("l_quantity")).cast("bigint").alias(
+                "total_qty"
+            )
         )
         .filter(F.col("total_qty") > 300)
     )
@@ -4311,12 +4334,12 @@ def q_large_order_customers(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_LARGE_ORDER_CUSTOMERS = """
 SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
        o_totalprice,
-       CAST(sum(CASE WHEN NOT isfinite(l_quantity) THEN NULL ELSE l_quantity END) AS BIGINT) AS total_qty
+       CAST(sum(CASE WHEN isfinite(l_quantity) AND abs(l_quantity) < 1e14 THEN l_quantity END) AS BIGINT) AS total_qty
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
-HAVING sum(CASE WHEN NOT isfinite(l_quantity) THEN NULL ELSE l_quantity END) > 300
+HAVING sum(CASE WHEN isfinite(l_quantity) AND abs(l_quantity) < 1e14 THEN l_quantity END) > 300
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 100
 """
@@ -4340,7 +4363,9 @@ def q_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
     # scrub BEFORE the comparison: Spark treats NaN as greater than any
     # value (NaN > 0 is TRUE), DuckDB follows IEEE (FALSE) — a NaN balance
     # must not qualify as 'positive' in either engine
-    pos = c.filter(_nan_null("c_acctbal") > 0)
+    # _quantizable (not _nan_null): a finite 1e300 balance passes a
+    # NaN-only scrub and > 0, then throws in the decimal sums below
+    pos = c.filter(_quantizable("c_acctbal") > 0)
     stats = pos.agg(
         F.count(F.lit(1)).alias("n_pos"),
         F.sum(F.col("c_acctbal").cast("decimal(20,6)"))
@@ -4365,12 +4390,13 @@ ORACLE_IDLE_RICH_CUSTOMERS = """
 WITH s AS (
   SELECT count(*) AS n_pos,
          CAST(sum(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS total_pos
-  FROM customer WHERE c_acctbal > 0 AND isfinite(c_acctbal)
+  FROM customer
+  WHERE c_acctbal > 0 AND isfinite(c_acctbal) AND abs(c_acctbal) < 1e14
 )
 SELECT c_nationkey, count(*) AS numcust,
        CAST(sum(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS totacctbal
 FROM customer, s
-WHERE c_acctbal > 0 AND isfinite(c_acctbal)
+WHERE c_acctbal > 0 AND isfinite(c_acctbal) AND abs(c_acctbal) < 1e14
   AND c_acctbal * s.n_pos > s.total_pos
   AND NOT EXISTS (
     SELECT 1 FROM orders
@@ -5045,10 +5071,12 @@ WITH b AS (
   -- are failed measurements — excluded from BOTH the sum (isfinite scrub
   -- mirrors Spark's ANSI cast(non-finite AS DECIMAL) = NULL) and the count
   SELECT time_bucket(INTERVAL '1 hour', ts) AS bk, event_type,
-         round(CAST(sum(CAST(CASE WHEN NOT isfinite(value) THEN NULL
-                             ELSE value
+         round(CAST(sum(CAST(CASE WHEN isfinite(value)
+                              AND abs(value) < 1e14
+                             THEN value
                              END AS DECIMAL(20,6))) AS DOUBLE)
                / count(CASE WHEN value IS NOT NULL AND isfinite(value)
+                             AND abs(value) < 1e14
                             THEN 1 END)
                * 10000.0, 0) / 10000.0 AS v
   FROM events
@@ -5109,7 +5137,9 @@ def q_profile_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     exact_means = li.agg(
         *[
             (
-                F.sum(F.col(c).cast("decimal(20,6)"))
+                # _quantizable: ANSI decimal cast NULLs NaN/Inf but
+                # THROWS on a finite 1e300 (the oracle mirrors)
+                F.sum(_quantizable(F.col(c)).cast("decimal(20,6)"))
                 / F.count(F.lit(1))
             ).cast("double").alias(c)
             for c in cols
@@ -5137,7 +5167,7 @@ SELECT 'l_quantity' AS column, count(*) AS n_rows,
        count(DISTINCT l_quantity) AS n_distinct,
        round(CAST(min(l_quantity) AS DOUBLE), 4) AS min_v,
        round(CAST(max(l_quantity) AS DOUBLE), 4) AS max_v,
-       round(CAST(sum(CAST(CASE WHEN NOT isfinite(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4) AS mean_v
+       round(CAST(sum(CAST(CASE WHEN isfinite(l_quantity) AND abs(l_quantity) < 1e14 THEN l_quantity END AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4) AS mean_v
 FROM lineitem
 UNION ALL
 SELECT 'l_extendedprice', count(*),
@@ -5145,7 +5175,7 @@ SELECT 'l_extendedprice', count(*),
        count(DISTINCT l_extendedprice),
        round(CAST(min(l_extendedprice) AS DOUBLE), 4),
        round(CAST(max(l_extendedprice) AS DOUBLE), 4),
-       round(CAST(sum(CAST(CASE WHEN NOT isfinite(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4)
+       round(CAST(sum(CAST(CASE WHEN isfinite(l_extendedprice) AND abs(l_extendedprice) < 1e14 THEN l_extendedprice END AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4)
 FROM lineitem
 UNION ALL
 SELECT 'l_discount', count(*),
@@ -5153,7 +5183,7 @@ SELECT 'l_discount', count(*),
        count(DISTINCT l_discount),
        round(CAST(min(l_discount) AS DOUBLE), 4),
        round(CAST(max(l_discount) AS DOUBLE), 4),
-       round(CAST(sum(CAST(CASE WHEN NOT isfinite(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4)
+       round(CAST(sum(CAST(CASE WHEN isfinite(l_discount) AND abs(l_discount) < 1e14 THEN l_discount END AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4)
 FROM lineitem
 UNION ALL
 SELECT 'l_tax', count(*),
@@ -5161,7 +5191,7 @@ SELECT 'l_tax', count(*),
        count(DISTINCT l_tax),
        round(CAST(min(l_tax) AS DOUBLE), 4),
        round(CAST(max(l_tax) AS DOUBLE), 4),
-       round(CAST(sum(CAST(CASE WHEN NOT isfinite(l_tax) THEN NULL ELSE l_tax END AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4)
+       round(CAST(sum(CAST(CASE WHEN isfinite(l_tax) AND abs(l_tax) < 1e14 THEN l_tax END AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4)
 FROM lineitem
 """
 
@@ -5825,9 +5855,12 @@ def q_market_share(spark: SparkSession, sf: str) -> DataFrame:
     sn = F.broadcast(
         n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     )
-    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(20,6)"
-    )
+    # _quantizable on the PRODUCT, not the factors: a finite 5e13
+    # discount passes any per-factor guard while the product blows
+    # through the DECIMAL(20,6) domain (ANSI NUMERIC_VALUE_OUT_OF_RANGE)
+    vol = _quantizable(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(20,6)")
     joined = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
@@ -5853,9 +5886,9 @@ ORACLE_MARKET_SHARE = """
 WITH agg AS (
   SELECT CAST(year(o_orderdate) AS INT) AS o_year,
          sum(CASE WHEN n2.n_name = 'NATION_3'
-                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))
+                  THEN CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) AND abs(l_extendedprice * (1 - l_discount)) < 1e14 THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(20,6))
                   ELSE CAST(0 AS DECIMAL(20,6)) END) AS nation_rev_d,
-         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS total_rev_d
+         sum(CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) AND abs(l_extendedprice * (1 - l_discount)) < 1e14 THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(20,6))) AS total_rev_d
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -5895,7 +5928,8 @@ def q_profit_by_nation_year(spark: SparkSession, sf: str) -> DataFrame:
             F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
         )
     )
-    profit = (
+    # _quantizable on the full profit EXPRESSION (see vol in market_share)
+    profit = _quantizable(
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
     ).cast("decimal(20,6)")
@@ -5912,9 +5946,12 @@ def q_profit_by_nation_year(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_PROFIT_BY_NATION_YEAR = """
 SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-       CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                          - 0.1 * p_retailprice * l_quantity
-                          AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS sum_profit
+       CAST(CAST(sum(CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)
+                     - 0.1 * p_retailprice * l_quantity)
+                 AND abs(l_extendedprice * (1 - l_discount)
+                     - 0.1 * p_retailprice * l_quantity) < 1e14
+            THEN l_extendedprice * (1 - l_discount)
+                     - 0.1 * p_retailprice * l_quantity END AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -5948,8 +5985,12 @@ def q_returned_item_customers(spark: SparkSession, sf: str) -> DataFrame:
         .join(n, c["c_nationkey"] == F.col("c_nk"))
     )
     agg = joined.groupBy("c_custkey", "c_name", "n_name", "c_acctbal").agg(
+        # _quantizable on the product (see vol in market_share)
         _dec_sum(
-            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            _quantizable(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ),
+            "revenue",
         )
     )
     return top_k(agg, [F.col("revenue").desc(), F.col("c_custkey")], 20)
@@ -5957,7 +5998,7 @@ def q_returned_item_customers(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_RETURNED_ITEM_CUSTOMERS = """
 SELECT c_custkey, c_name, n_name, c_acctbal,
-       CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6)))
+       CAST(CAST(sum(CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) AND abs(l_extendedprice * (1 - l_discount)) < 1e14 THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(20,6)))
             AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -5997,10 +6038,11 @@ def q_important_parts(spark: SparkSession, sf: str) -> DataFrame:
         .join(n, s["s_nationkey"] == F.col("s_nk"))
     )
     per_part = shipped.groupBy("l_partkey").agg(
+        # _quantizable on the product (see vol in market_share)
         F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                "decimal(20,6)"
-            )
+            _quantizable(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).cast("decimal(20,6)")
         ).alias("value_d")
     ).localCheckpoint(eager=True)
     total = per_part.agg(F.sum("value_d").alias("total_d"))
@@ -6015,7 +6057,7 @@ def q_important_parts(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_IMPORTANT_PARTS = """
 WITH per_part AS (
   SELECT l_partkey,
-         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS value_d
+         sum(CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) AND abs(l_extendedprice * (1 - l_discount)) < 1e14 THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(20,6))) AS value_d
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
@@ -6070,9 +6112,12 @@ def q_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("l_shipdate") < F.to_timestamp_ntz(F.lit("1997-07-01")))
     )
     p = read_table(spark, sf, "part")
-    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(20,6)"
-    )
+    # _quantizable on the PRODUCT, not the factors: a finite 5e13
+    # discount passes any per-factor guard while the product blows
+    # through the DECIMAL(20,6) domain (ANSI NUMERIC_VALUE_OUT_OF_RANGE)
+    vol = _quantizable(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(20,6)")
     joined = li.join(p, li["l_partkey"] == p["p_partkey"])
     agg = joined.agg(
         F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0).cast("decimal(20,6)")))
@@ -6092,9 +6137,9 @@ def q_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_PROMO_REVENUE = """
 WITH agg AS (
   SELECT sum(CASE WHEN p_type = 'PROMO'
-                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))
+                  THEN CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) AND abs(l_extendedprice * (1 - l_discount)) < 1e14 THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(20,6))
                   ELSE CAST(0 AS DECIMAL(20,6)) END) AS promo_d,
-         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS total_d
+         sum(CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) AND abs(l_extendedprice * (1 - l_discount)) < 1e14 THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(20,6))) AS total_d
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
     AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
@@ -6177,15 +6222,19 @@ def q_disjunctive_brand_revenue(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return joined.filter(clause).agg(
+        # _quantizable on the product (see vol in market_share)
         _dec_sum(
-            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            _quantizable(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ),
+            "revenue",
         ),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
 ORACLE_DISJUNCTIVE_BRAND_REVENUE = """
-SELECT CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6)))
+SELECT CAST(CAST(sum(CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) AND abs(l_extendedprice * (1 - l_discount)) < 1e14 THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(20,6)))
             AS VARCHAR) AS DOUBLE) AS revenue,
        count(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -6330,9 +6379,12 @@ def q_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
     s = read_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
-    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(20,6)"
-    )
+    # _quantizable on the PRODUCT, not the factors: a finite 5e13
+    # discount passes any per-factor guard while the product blows
+    # through the DECIMAL(20,6) domain (ANSI NUMERIC_VALUE_OUT_OF_RANGE)
+    vol = _quantizable(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(20,6)")
     return (
         c.join(o, c["c_custkey"] == o["o_custkey"])
         .join(li, F.col("o_orderkey") == li["l_orderkey"])
@@ -6346,7 +6398,7 @@ def q_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_LOCAL_SUPPLIER_VOLUME = """
 SELECT n_name,
-       CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6)))
+       CAST(CAST(sum(CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) AND abs(l_extendedprice * (1 - l_discount)) < 1e14 THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(20,6)))
             AS VARCHAR) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -6376,10 +6428,12 @@ def q_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
+        # _quantizable on the product: a finite 1e300 price passes the
+        # discount/qty/date filters and would throw in the decimal cast
         F.sum(
-            (F.col("l_extendedprice") * F.col("l_discount")).cast(
-                "decimal(20,6)"
-            )
+            _quantizable(
+                F.col("l_extendedprice") * F.col("l_discount")
+            ).cast("decimal(20,6)")
         )
         .cast("double")
         .alias("revenue"),
@@ -6388,7 +6442,7 @@ def q_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLE_FORECAST_REVENUE = """
-SELECT CAST(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(20,6)))
+SELECT CAST(CAST(sum(CAST(CASE WHEN isfinite(l_extendedprice * l_discount) AND abs(l_extendedprice * l_discount) < 1e14 THEN l_extendedprice * l_discount END AS DECIMAL(20,6)))
             AS VARCHAR) AS DOUBLE) AS revenue,
        count(*) AS n_lines
 FROM lineitem
@@ -6413,9 +6467,12 @@ def q_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("l_shipdate") >= F.to_timestamp_ntz(F.lit("1997-01-01")))
         & (F.col("l_shipdate") < F.to_timestamp_ntz(F.lit("1997-04-01")))
     )
-    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(20,6)"
-    )
+    # _quantizable on the PRODUCT, not the factors: a finite 5e13
+    # discount passes any per-factor guard while the product blows
+    # through the DECIMAL(20,6) domain (ANSI NUMERIC_VALUE_OUT_OF_RANGE)
+    vol = _quantizable(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(20,6)")
     rev = li.groupBy("l_suppkey").agg(F.sum(vol).alias("_rev_d"))
     top = rev.crossJoin(
         F.broadcast(rev.agg(F.max("_rev_d").alias("_max_d")))
@@ -6431,7 +6488,7 @@ def q_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_TOP_SUPPLIER = """
 WITH rev AS (
   SELECT l_suppkey,
-         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS rev_d
+         sum(CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) AND abs(l_extendedprice * (1 - l_discount)) < 1e14 THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(20,6))) AS rev_d
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
     AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
@@ -8632,9 +8689,13 @@ def q_revenue_share_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
     c = read_table(spark, sf, "customer")
     n = read_table(spark, sf, "nation")
     r = read_table(spark, sf, "region")
-    # NaN price/discount -> NULL cents (floor(NaN) is 0 in Spark)
+    # _quantizable on the PRODUCT: NaN/Inf factors propagate into it
+    # and become NULL, and a product past the cents domain (1e300
+    # price, or a finite 5e13 discount that passes per-factor guards)
+    # would ARITHMETIC_OVERFLOW the bigint cast
     cents = F.floor(
-        _nan_null("l_extendedprice") * (1 - _nan_null("l_discount")) * 100
+        _quantizable(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        * 100
         + F.lit(0.5)
     ).cast("bigint")
     joined = (
@@ -8666,11 +8727,11 @@ def q_revenue_share_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_REVENUE_SHARE_HIERARCHY = """
 WITH nat AS (
   SELECT r.r_name, n.n_name,
+         -- quantizable scrub on the PRODUCT (mirrors _quantizable)
          CAST(sum(CAST(floor(
-               (CASE WHEN NOT isfinite(l.l_extendedprice) THEN NULL
-                     ELSE l.l_extendedprice END)
-               * (1 - (CASE WHEN NOT isfinite(l.l_discount) THEN NULL
-                            ELSE l.l_discount END)) * 100
+               (CASE WHEN isfinite(l.l_extendedprice * (1 - l.l_discount))
+                      AND abs(l.l_extendedprice * (1 - l.l_discount)) < 1e14
+                     THEN l.l_extendedprice * (1 - l.l_discount) END) * 100
                + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -9398,15 +9459,17 @@ DECLARED_REVENUE_SPEC = (
     {"op": "join", "table": "nation", "on": "c_nationkey = n_nationkey",
      "how": "inner", "broadcast": True},
     {"op": "filter", "where": "l_shipdate >= DATE '1995-01-01'"},
-    # NaN price/discount -> NULL cents (floor(NaN) is 0 in Spark — it
-    # would fabricate a zero-cent line; the CAST crashes DuckDB)
+    # quantizable scrub on the revenue PRODUCT: NaN/Inf factors propagate
+    # into it and become NULL (floor(NaN) is 0 in Spark — it would
+    # fabricate a zero-cent line), and a product past the cents domain
+    # (1e300 price, or a finite 5e13 discount that passes per-factor
+    # guards) would ARITHMETIC_OVERFLOW the bigint cast
     {"op": "with_column", "name": "rev_cents",
-     "expr": "CAST(floor((CASE WHEN isnan(l_extendedprice)"
-             " OR abs(l_extendedprice) = CAST('Infinity' AS DOUBLE)"
-             " THEN NULL ELSE l_extendedprice END)"
-             " * (1 - (CASE WHEN isnan(l_discount)"
-             " OR abs(l_discount) = CAST('Infinity' AS DOUBLE)"
-             " THEN NULL ELSE l_discount END)) * 100 + 0.5) AS BIGINT)"},
+     "expr": "CAST(floor((CASE WHEN NOT isnan(l_extendedprice"
+             " * (1 - l_discount))"
+             " AND abs(l_extendedprice * (1 - l_discount)) < 1e14"
+             " THEN l_extendedprice * (1 - l_discount) END)"
+             " * 100 + 0.5) AS BIGINT)"},
     {"op": "group_agg", "keys": ["n_name"],
      "aggs": {"n_lines": "count(*)",
               "revenue_cents": "CAST(sum(rev_cents) AS BIGINT)"}},
@@ -9426,8 +9489,11 @@ def q_declared_pipeline_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_DECLARED_PIPELINE_REVENUE = """
 SELECT n_name, count(*) AS n_lines,
-       CAST(sum(CAST(floor((CASE WHEN NOT isfinite(l_extendedprice) THEN NULL ELSE l_extendedprice END)
-                           * (1 - (CASE WHEN NOT isfinite(l_discount) THEN NULL ELSE l_discount END)) * 100 + 0.5)
+       -- quantizable scrub on the PRODUCT (mirrors the declared spec)
+       CAST(sum(CAST(floor((CASE WHEN isfinite(l_extendedprice * (1 - l_discount))
+                                  AND abs(l_extendedprice * (1 - l_discount)) < 1e14
+                                 THEN l_extendedprice * (1 - l_discount) END)
+                           * 100 + 0.5)
                      AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -9645,14 +9711,15 @@ def q_lateral_top_line(spark: SparkSession, sf: str) -> DataFrame:
         """
         SELECT o_orderkey, o_orderdate, t.top_part, t.top_qty
         FROM orders, LATERAL (
-          -- NaN qty behaves like NULL: scrubbed from the sort key (both
-          -- engines put NULLs last on DESC; raw NaN sorts GREATEST and
-          -- its BIGINT cast crashes ANSI Spark and DuckDB alike)
+          -- quantizable scrub (NaN/Inf/huge-finite -> NULL) on the sort
+          -- key AND the output: both engines put NULLs last on DESC; a
+          -- raw NaN sorts GREATEST and a finite 1e300 crashes the ANSI
+          -- BIGINT cast in Spark and DuckDB alike
           SELECT l_partkey AS top_part,
-                 CAST(CASE WHEN isnan(l_quantity) OR abs(l_quantity) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE l_quantity END AS BIGINT) AS top_qty
+                 CAST(CASE WHEN NOT isnan(l_quantity) AND abs(l_quantity) < 1e14 THEN l_quantity END AS BIGINT) AS top_qty
           FROM lineitem
           WHERE l_orderkey = o_orderkey
-          ORDER BY (CASE WHEN isnan(l_quantity) OR abs(l_quantity) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE l_quantity END) DESC, l_partkey
+          ORDER BY (CASE WHEN NOT isnan(l_quantity) AND abs(l_quantity) < 1e14 THEN l_quantity END) DESC, l_partkey
           LIMIT 1
         ) t
         WHERE o_orderpriority = '1-URGENT'
@@ -9666,10 +9733,10 @@ SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
        t.top_part, t.top_qty
 FROM orders, LATERAL (
   SELECT l_partkey AS top_part,
-         CAST(CASE WHEN NOT isfinite(l_quantity) THEN NULL ELSE l_quantity END AS BIGINT) AS top_qty
+         CAST(CASE WHEN isfinite(l_quantity) AND abs(l_quantity) < 1e14 THEN l_quantity END AS BIGINT) AS top_qty
   FROM lineitem
   WHERE l_orderkey = o_orderkey
-  ORDER BY (CASE WHEN NOT isfinite(l_quantity) THEN NULL ELSE l_quantity END) DESC, l_partkey
+  ORDER BY (CASE WHEN isfinite(l_quantity) AND abs(l_quantity) < 1e14 THEN l_quantity END) DESC, l_partkey
   LIMIT 1
 ) t
 WHERE o_orderpriority = '1-URGENT'
@@ -9693,7 +9760,11 @@ def q_safe_ratio_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
     # quantize each ratio to cents BEFORE summing: per-element floor of a
     # single division is engine-exact; a raw double sum is order-unstable
-    r_cents = F.floor(ratio * 100 + F.lit(0.5)).cast("bigint")
+    # _quantizable on the RATIO: a huge price over a small quantity
+    # blows through the cents domain even when both inputs are finite
+    r_cents = F.floor(_quantizable(ratio) * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
     return (
         li.select("l_returnflag", r_cents.alias("rc"))
         .groupBy("l_returnflag")
@@ -9709,7 +9780,9 @@ ORACLE_SAFE_RATIO_STATS = """
 WITH t AS (
   SELECT l_returnflag,
          CASE WHEN l_quantity = 1
-                OR NOT isfinite(l_quantity) OR NOT isfinite(l_extendedprice) THEN NULL
+                OR NOT isfinite(l_quantity) OR NOT isfinite(l_extendedprice)
+                -- quantizable mirror on the ratio itself
+                OR NOT (abs(l_extendedprice / (l_quantity - 1)) < 1e14) THEN NULL
               ELSE CAST(floor(l_extendedprice / (l_quantity - 1) * 100 + 0.5)
                         AS BIGINT) END AS rc
   FROM lineitem
@@ -9746,9 +9819,9 @@ def q_xml_event_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
     # scrub BEFORE floor (Spark floor(NaN) is 0): a NaN value must
     # round-trip as a missing measurement, not as zero cents
-    cents = F.floor(_nan_null(F.col("r.value")) * 100 + F.lit(0.5)).cast(
-        "bigint"
-    )
+    cents = F.floor(
+        _quantizable(F.col("r.value")) * 100 + F.lit(0.5)
+    ).cast("bigint")
     return parsed.groupBy(F.col("r.event_type").alias("event_type")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.max("r.event_id").alias("max_event_id"),
@@ -9759,8 +9832,10 @@ def q_xml_event_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_XML_EVENT_ROUNDTRIP = """
 SELECT event_type, count(*) AS n_events,
        max(event_id) AS max_event_id,
-       CAST(sum(CAST(floor(CASE WHEN NOT isfinite(value) THEN NULL
-                           ELSE value
+       -- quantizable scrub mirrors the Spark twin's _quantizable guard
+       CAST(sum(CAST(floor(CASE WHEN isfinite(value)
+                            AND abs(value) < 1e14
+                           THEN value
                            END * 100 + 0.5) AS BIGINT)) AS BIGINT)
          AS value_cents
 FROM events GROUP BY event_type
@@ -9811,12 +9886,10 @@ def q_unpivot_sql_clause(spark: SparkSession, sf: str) -> DataFrame:
                CAST(val AS BIGINT) AS val
         FROM (
           SELECT l_orderkey, l_linenumber,
-                 CAST(CASE WHEN isnan(l_quantity) OR abs(l_quantity) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE l_quantity END AS BIGINT) AS qty,
-                 CAST(floor(CASE WHEN isnan(l_extendedprice)
-                                   OR abs(l_extendedprice)
-                                      = CAST('Infinity' AS DOUBLE)
-                                 THEN NULL
-                                 ELSE l_extendedprice END * 100 + 0.5)
+                 CAST(CASE WHEN NOT isnan(l_quantity) AND abs(l_quantity) < 1e14 THEN l_quantity END AS BIGINT) AS qty,
+                 CAST(floor(CASE WHEN NOT isnan(l_extendedprice)
+                                  AND abs(l_extendedprice) < 1e14
+                                 THEN l_extendedprice END * 100 + 0.5)
                       AS BIGINT)
                    AS price_cents
           FROM lineitem
@@ -9834,9 +9907,10 @@ def q_unpivot_sql_clause(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_UNPIVOT_SQL_CLAUSE = """
 WITH w AS (
   SELECT l_orderkey, l_linenumber,
-         CAST(CASE WHEN NOT isfinite(l_quantity) THEN NULL ELSE l_quantity END AS BIGINT) AS qty,
-         CAST(floor(CASE WHEN NOT isfinite(l_extendedprice) THEN NULL
-                         ELSE l_extendedprice END * 100 + 0.5)
+         CAST(CASE WHEN isfinite(l_quantity) AND abs(l_quantity) < 1e14 THEN l_quantity END AS BIGINT) AS qty,
+         CAST(floor(CASE WHEN isfinite(l_extendedprice)
+                          AND abs(l_extendedprice) < 1e14
+                         THEN l_extendedprice END * 100 + 0.5)
               AS BIGINT) AS price_cents
   FROM lineitem
 )
@@ -10448,11 +10522,12 @@ def q_price_index_monthly(spark: SparkSession, sf: str) -> DataFrame:
     the index is one final scaled division — no float accumulation. Base
     basket broadcast; one shuffle at the (part, month) grain."""
     li = read_table(spark, sf, "lineitem")
-    # NaN price/qty -> NULL (ANSI cast of NaN throws; floor(NaN) is 0)
-    cents = F.floor(_nan_null("l_extendedprice") * 100 + F.lit(0.5)).cast(
-        "bigint"
-    )
-    qty = _nan_null("l_quantity").cast("bigint")
+    # _quantizable (not _nan_null): NaN/Inf -> NULL as before, and a
+    # finite 1e300 would overflow the bigint casts on both engines
+    cents = F.floor(
+        _quantizable("l_extendedprice") * 100 + F.lit(0.5)
+    ).cast("bigint")
+    qty = _quantizable("l_quantity").cast("bigint")
     pm = (
         li.select(
             "l_partkey",
@@ -10495,9 +10570,9 @@ def q_price_index_monthly(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_PRICE_INDEX_MONTHLY = """
 WITH pm AS (
   SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS month,
-         CAST(sum(CAST(floor((CASE WHEN NOT isfinite(l_extendedprice) THEN NULL ELSE l_extendedprice END) * 100 + 0.5) AS BIGINT))
+         CAST(sum(CAST(floor((CASE WHEN isfinite(l_extendedprice) AND abs(l_extendedprice) < 1e14 THEN l_extendedprice END) * 100 + 0.5) AS BIGINT))
               AS BIGINT) AS c,
-         CAST(sum(CAST((CASE WHEN NOT isfinite(l_quantity) THEN NULL ELSE l_quantity END) AS BIGINT)) AS BIGINT) AS q
+         CAST(sum(CAST((CASE WHEN isfinite(l_quantity) AND abs(l_quantity) < 1e14 THEN l_quantity END) AS BIGINT)) AS BIGINT) AS q
   FROM lineitem GROUP BY 1, 2
 ), pp AS (
   SELECT l_partkey, month, c // q AS unit_cents, q FROM pm

@@ -200,6 +200,9 @@ def dirty_events(tbl: pa.Table) -> pa.Table:
         {"event_id": BASE_ID + 16, "ts": datetime(1677, 9, 22, 0, 0, 1),
          "user_id": 15, "event_type": "click", "value": 2.0,
          "props": None},
+        # huge-finite value (round 7): quantization contract on events
+        {"event_id": BASE_ID + 17, "ts": ts0, "user_id": 15,
+         "event_type": "view", "value": 1e300, "props": None},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -316,6 +319,26 @@ def dirty_lineitem(tbl: pa.Table) -> pa.Table:
         # differently per engine; decimal casts NULL them only in Spark)
         dict(base, l_linenumber=109, l_quantity=INF, l_extendedprice=INF,
              l_discount=NEG_INF, l_tax=INF),
+        # --- huge-finite class on lineitem (round 7, extending the
+        # orders 1e300 pin): each money/qty factor 1e300 on its own row —
+        # outside every decimal/bigint quantization domain. Shipdate is
+        # pinned INSIDE the repo's common 1997 filter windows (Q1 and the
+        # full year) so every TPC-H-shaped revenue composite sees the
+        # rows regardless of which base SF the sweep replays on — a
+        # filter must never be the only thing between a corrupt measure
+        # and a job-killing ANSI cast.
+        dict(base, l_linenumber=110, l_extendedprice=1e300,
+             l_shipdate=datetime(1997, 2, 15)),
+        dict(base, l_linenumber=111, l_quantity=1e300,
+             l_shipdate=datetime(1997, 2, 15)),
+        dict(base, l_linenumber=112, l_discount=1e300, l_tax=1e300,
+             l_shipdate=datetime(1997, 2, 15)),
+        # 5e13 discount: every FACTOR passes a per-factor |x| < 1e14
+        # guard, but price*(1-discount) explodes to ~5e15 and its cents
+        # overflow bigint — revenue formulas must guard the PRODUCT (the
+        # expression actually quantized), not just the inputs.
+        dict(base, l_linenumber=113, l_discount=5e13,
+             l_shipdate=datetime(1997, 2, 15)),
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -344,6 +367,10 @@ def dirty_customer(tbl: pa.Table) -> pa.Table:
         # customer in any per-custkey join/group/dedup.
         {"c_custkey": BASE_ID + 5, "c_name": "", "c_nationkey": 1,
          "c_acctbal": 1.0, "c_mktsegment": ""},
+        # huge-finite balance (round 7): the quantization contract on
+        # dimension measures too
+        {"c_custkey": BASE_ID + 6, "c_name": "Customer#dirty6",
+         "c_nationkey": 1, "c_acctbal": 1e300, "c_mktsegment": "MACHINERY"},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -365,6 +392,9 @@ def dirty_supplier(tbl: pa.Table) -> pa.Table:
         # must exclude it rather than crash downstream arithmetic)
         {"s_suppkey": BASE_ID + 3, "s_name": "Supplier#dirty3",
          "s_nationkey": 1, "s_acctbal": INF},
+        # huge-finite balance (round 7): quantization contract on supplier
+        {"s_suppkey": BASE_ID + 4, "s_name": "Supplier#dirty4",
+         "s_nationkey": 1, "s_acctbal": 1e300},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -394,6 +424,10 @@ def dirty_part(tbl: pa.Table) -> pa.Table:
         {"p_partkey": BASE_ID + 4, "p_name": "dirty neginf part",
          "p_brand": "Brand#00", "p_type": "DIRTY TYPE", "p_size": 2,
          "p_retailprice": NEG_INF},
+        # huge-finite price (round 7): quantization contract on part
+        {"p_partkey": BASE_ID + 5, "p_name": "dirty huge part",
+         "p_brand": "Brand#00", "p_type": "DIRTY TYPE", "p_size": 2,
+         "p_retailprice": 1e300},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
