@@ -581,9 +581,19 @@ def _centroid_vectors(
     df: DataFrame, *, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:
     """(label, _cvec: array<double>) — per-label mean vectors, assembled from
-    the long-form centroids without any driver-side collect."""
+    the long-form centroids without any driver-side collect.
+
+    Usable vectors only: ONE NaN-component vector would poison its whole
+    label's centroid, and a NaN column in the assignment matmul wins
+    np.argmax (NaN compares as the maximum) — every corpus row would
+    route to the poisoned inverted list, collapsing the IVF partitioning
+    into one catastrophically skewed list. Found by the round-7
+    poisoned-centroid probe (the numpy divide warning was the tell)."""
     long = centroids_by_label(
-        df, label_col=label_col, vec_col=vec_col, round_to=6
+        _drop_null_vectors(df, vec_col),
+        label_col=label_col,
+        vec_col=vec_col,
+        round_to=6,
     )
     return long.groupBy("label").agg(
         F.transform(
@@ -627,6 +637,11 @@ def _assign_nearest_literal(
     if not labeled_centroids:
         raise ValueError("labeled_centroids is empty — nothing to assign to")
     cmat = np.asarray([c for _, c in labeled_centroids], dtype="float64")
+    # belt-and-braces against a poisoned codebook: a zero-norm or
+    # non-finite centroid must be a deterministic LOSER of the argmax
+    # (its column scores -> 0/finite), never a NaN column that np.argmax
+    # would rank as the winner for every row
+    cmat = np.nan_to_num(cmat, nan=0.0, posinf=0.0, neginf=0.0)
     norms = np.linalg.norm(cmat, axis=1)
     norms[norms == 0.0] = 1.0
     cmat = (cmat / norms[:, None]).T  # (dim, nlist), closure-shipped
