@@ -45,13 +45,27 @@ def doc_ngram_strings(
     stays inside whole-stage codegen; the only shuffle is by document id
     and the window sort is bounded by one document's length.
     """
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.trim(F.col(text_col)), "\\s+")).alias(
+    # The gram window partitions by a per-ROW surrogate, not the id: a
+    # duplicated doc_id (a re-crawled URL under a reused id) would
+    # otherwise interleave BOTH texts' tokens in one window — same _pos
+    # twice, tie order engine-arbitrary — fabricating grams that span two
+    # crawls and diverge nondeterministically. The surrogate never leaves
+    # this function; output grams stay keyed by the caller's id.
+    # NOTE: the surrogate is projected in its own step BELOW the
+    # generator — in the same select as posexplode it would evaluate
+    # once per EXPLODED row (unique rid per token → every gram window
+    # a singleton).
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).withColumn("_rid", F.monotonically_increasing_id())
+    toks = base.select(
+        "_id",
+        "_rid",
+        F.posexplode(F.split(F.trim(F.col("_text")), "\\s+")).alias(
             "_pos", "_tok"
         ),
     )
-    w = Window.partitionBy("_id").orderBy("_pos")
+    w = Window.partitionBy("_rid").orderBy("_pos")
     leads = [F.lead("_tok", j).over(w) for j in range(1, n)]
     # n=1 (unigram decontamination is a legitimate config): no lead
     # columns, the gram is the token; completeness degenerates to "token

@@ -53,13 +53,25 @@ def shingle_index(
     Gram identity is a 64-bit hash (collisions ~2⁻⁶⁴), so downstream set
     math shuffles 8-byte keys.
     """
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.trim(F.col(text_col)), "\\s+")).alias(
-            "_pos", "_tok"
-        ),
+    # The gram window partitions by a per-ROW surrogate: a duplicated
+    # doc_id (re-crawled URL under a reused id) would otherwise
+    # interleave both texts' tokens in one window (same _pos twice, tie
+    # order engine-arbitrary), fabricating cross-crawl grams. Projected
+    # BELOW the generator — in the same select as posexplode it would
+    # evaluate once per exploded token. Per-doc dedup still merges the
+    # per-row gram sets by _id right after.
+    toks = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .withColumn("_rid", F.monotonically_increasing_id())
+        .select(
+            "_id",
+            "_rid",
+            F.posexplode(F.split(F.trim(F.col("_t")), "\\s+")).alias(
+                "_pos", "_tok"
+            ),
+        )
     )
-    w = Window.partitionBy("_id").orderBy("_pos")
+    w = Window.partitionBy("_rid").orderBy("_pos")
     leads = [F.lead("_tok", j).over(w) for j in range(1, n)]
     # n=1 (unigrams) has no lead columns: the gram is the token itself and
     # the not-NULL completeness filter degenerates to "token non-empty"
@@ -734,13 +746,20 @@ def winnowing_fingerprints(
     xxhash64, and the winnowing min is a ROWS-frame min over the hash
     sequence. Shuffles once on the doc id.
     """
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.trim(F.col(text_col)), "\\s+")).alias(
-            "_pos", "_tok"
-        ),
+    # per-ROW surrogate windows, as in shingle_index: duplicate ids must
+    # not interleave two texts' rolling-hash streams
+    toks = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .withColumn("_rid", F.monotonically_increasing_id())
+        .select(
+            "_id",
+            "_rid",
+            F.posexplode(F.split(F.trim(F.col("_t")), "\\s+")).alias(
+                "_pos", "_tok"
+            ),
+        )
     )
-    w = Window.partitionBy("_id").orderBy("_pos")
+    w = Window.partitionBy("_rid").orderBy("_pos")
     leads = [F.lead("_tok", j).over(w) for j in range(1, k)]
     # k=1: the k-gram is the bare token (no leads); completeness becomes
     # "token non-empty" — see shingle_index for the same degenerate case.
@@ -749,12 +768,13 @@ def winnowing_fingerprints(
     )
     grams = toks.select(
         "_id",
+        "_rid",
         "_pos",
         F.xxhash64("_tok", *leads).alias("_h"),
         completeness.alias("_ok"),
     ).filter(F.col("_ok"))
     wmin = (
-        Window.partitionBy("_id")
+        Window.partitionBy("_rid")
         .orderBy("_pos")
         .rowsBetween(-(window - 1), Window.currentRow)
     )
@@ -762,7 +782,7 @@ def winnowing_fingerprints(
         grams.select(
             "_id",
             F.min("_h").over(wmin).alias("fingerprint"),
-            F.row_number().over(Window.partitionBy("_id").orderBy("_pos")).alias("_rn"),
+            F.row_number().over(Window.partitionBy("_rid").orderBy("_pos")).alias("_rn"),
         )
         # the first window-1 rows carry partial windows; winnowing emits
         # starting from the first full window

@@ -1304,18 +1304,29 @@ def quantize_embeddings(
     floor(scale·1e6) keeps the float deterministic cross-engine.
     """
     # usable vectors only: a NaN/Inf component would poison maxabs and
-    # every code derived from it (and overflow the ANSI long cast)
-    ex = _drop_null_vectors(df, vec_col).select(
-        F.col(id_col), F.posexplode(vec_col).alias("_pos", "_vf")
-    ).withColumn("_v", F.col("_vf").cast("double"))
-    win = Window.partitionBy(id_col)
+    # every code derived from it (and overflow the ANSI long cast).
+    # The window/group key is a per-ROW surrogate carried alongside the
+    # id: quantization is per VECTOR, and a duplicated vec_id (a
+    # double-encoded document) must yield two independent code rows —
+    # an id-keyed window would mix both vectors' components into one
+    # maxabs/code stream. The surrogate never reaches the output.
+    # (the surrogate projects BELOW the generator — in the same select
+    # as posexplode it would evaluate once per exploded component)
+    ex = (
+        _drop_null_vectors(df, vec_col)
+        .select(F.col(id_col), F.col(vec_col))
+        .withColumn("_rid", F.monotonically_increasing_id())
+        .select(F.col(id_col), "_rid", F.posexplode(vec_col).alias("_pos", "_vf"))
+        .withColumn("_v", F.col("_vf").cast("double"))
+    )
+    win = Window.partitionBy("_rid")
     with_max = ex.withColumn("_maxabs", F.max(F.abs(F.col("_v"))).over(win))
     code = F.when(F.col("_maxabs") == 0.0, F.lit(0)).otherwise(
         F.floor(F.col("_v") * 127.0 / F.col("_maxabs") + 0.5)
     ).cast("long")
     return (
         with_max.withColumn("_code", code)
-        .groupBy(id_col)
+        .groupBy("_rid", id_col)
         .agg(
             F.count(F.lit(1)).alias("n_dims"),
             F.sum("_code").alias("code_sum"),
@@ -1323,6 +1334,7 @@ def quantize_embeddings(
             F.max("_code").alias("code_max"),
             F.floor(F.max("_maxabs") / 127.0 * 1e6).alias("scale_micros"),
         )
+        .drop("_rid")
     )
 
 

@@ -120,6 +120,13 @@ def dirty_documents(tbl: pa.Table) -> pa.Table:
         {"doc_id": BASE_ID + 12,
          "text": "\U0001F701\U0001F702\U0001F703\U0001F704",
          "lang": None, "source": "srcX", "n_chars": 4},
+        # DUPLICATE doc_id with DIFFERENT text (round 7, duplicate-key
+        # class on documents): a re-crawled URL under the same id. Hash
+        # dedup keys on content (unaffected); per-doc_id groupers merge
+        # the two texts — identically on both engines or not at all.
+        {"doc_id": BASE_ID + 3,
+         "text": "re-crawled replacement text for a reused id",
+         "lang": "en", "source": "src1", "n_chars": 43},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -446,6 +453,16 @@ def dirty_nation(tbl: pa.Table) -> pa.Table:
     return pa.concat_tables([tbl, extra])
 
 
+def _dup_corpus_id(tbl: pa.Table) -> int:
+    """A corpus-side (vec_id >= 20) id that already exists in the base
+    table — queries are vec_id < 10 everywhere in the workload, so the
+    duplicate lands on the searched side, not the query set."""
+    for v in tbl.column("vec_id").to_pylist():
+        if v >= 20:
+            return v
+    return 20
+
+
 def dirty_embeddings(tbl: pa.Table) -> pa.Table:
     dim = len(tbl.column("embedding")[0].as_py())
     first_vec = tbl.column("embedding")[0].as_py()
@@ -475,6 +492,14 @@ def dirty_embeddings(tbl: pa.Table) -> pa.Table:
         # length-equality list_filter form in _SQL_FINITE_VEC).
         {"vec_id": BASE_ID + 5,
          "embedding": first_vec[:7] + [None] + first_vec[8:], "label": 1},
+        # DUPLICATE vec_id with a DIFFERENT vector (round 7, the
+        # duplicate-key class on embeddings): a double-encoded document.
+        # Any candidate dedup keyed on (q_id, neighbor_id) alone picks an
+        # engine-arbitrary representative unless the pipeline's tie-break
+        # is total; the exact brute-force path must instead score BOTH
+        # rows deterministically.
+        {"vec_id": _dup_corpus_id(tbl),
+         "embedding": [float(i % 7 - 3) for i in range(dim)], "label": 2},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
