@@ -171,7 +171,7 @@ def run_ann_sweep(spark, scales, cache_root):
         corpus = spark.read.parquet(path)
         n = n_base * s
         for name, fn in ops.items():
-            dt = min(_timed(lambda: fn(corpus).count()) for _ in range(2))
+            dt = min(_timed(lambda: fn(corpus).count()) for _ in range(3))
             rows = fn(corpus).count()
             results[name].append((n, dt, rows))
             print(f"scale {s}x ({n} vecs) {name}: {dt:.2f}s, {rows} rows",
@@ -214,10 +214,13 @@ def main() -> None:
         corpus = spark.read.parquet(path)
         n = n_base * s
         for name, fn in OPS.items():
-            # two timed runs, keep the min: single runs at these sizes are
-            # GC/JIT-noisy enough to fake superlinear steps
+            # three timed runs, keep the min: single runs at these sizes
+            # are GC/JIT-noisy enough to fake superlinear steps, and
+            # min-of-2 still let one-off spikes through when both samples
+            # landed inside the same transient (seen round 7: the same op
+            # spiked at DIFFERENT scales in back-to-back full sweeps)
             dt = min(
-                _timed(lambda: fn(corpus).count()) for _ in range(2)
+                _timed(lambda: fn(corpus).count()) for _ in range(3)
             )
             rows = fn(corpus).count()
             results[name].append((n, dt, rows))
@@ -237,7 +240,7 @@ def main() -> None:
         "`_ri`), so the true near-dup pair set grows linearly and runtime",
         "growth is pipeline cost, not a legitimately larger answer.",
         "Replicated corpora are materialized to parquet before timing and",
-        "each op's time is the min of two runs (single runs are GC/JIT-",
+        "each op's time is the min of three runs (single runs are GC/JIT-",
         "noisy enough to fake superlinear steps); local[32], warm JVM.",
         "Generated by `python tools/stress.py`.",
         "",
