@@ -168,10 +168,23 @@ def ann_cosine_topk_np(
         raise ValueError("queries is empty")
     qm /= _qn
 
+    dim = qm.shape[1]
+
     def score(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
+            # dimension guard BEFORE stacking: one truncated/empty vector
+            # makes np.asarray produce a ragged object array and the
+            # matmul below throws — the whole job dies on one malformed
+            # row. Mismatched vectors are un-scorable against these
+            # queries and are excluded, matching the JVM path's
+            # NULL-padded-cosine exclusion.
+            ok = pdf[vec_col].map(len) == dim
+            if not ok.all():
+                pdf = pdf[ok]
+                if pdf.empty:
+                    continue
             ids = pdf[id_col].to_numpy(dtype="int64")
             m = np.asarray(
                 [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
@@ -260,6 +273,8 @@ def ann_cosine_topk_arrow(
         raise ValueError("queries is empty")
     qm /= _qn
 
+    dim = qm.shape[1]
+
     def score(batches):
         for rb in batches:
             if rb.num_rows == 0:
@@ -270,12 +285,24 @@ def ann_cosine_topk_arrow(
             vecs = rb.column(rb.schema.get_field_index(vec_col))
             if isinstance(vecs, pa.ChunkedArray):  # pragma: no cover
                 vecs = vecs.combine_chunks()
+            # dimension guard BEFORE the flatten-reshape: the reshape
+            # infers the dim from total length, so one truncated/empty
+            # vector either throws (length not divisible) or — worse —
+            # silently shears every row's components. Mismatched vectors
+            # are un-scorable against these queries and are excluded.
+            lens = vecs.value_lengths().to_numpy(zero_copy_only=False)
+            if (lens != dim).any():
+                keep_dim = lens == dim
+                ids = ids[keep_dim]
+                if len(ids) == 0:
+                    continue
+                vecs = vecs.filter(pa.array(keep_dim))
+            n_rows = len(ids)
             flat = vecs.flatten()
-            dim = len(flat) // rb.num_rows
             m = (
                 flat.to_numpy(zero_copy_only=False)
                 .astype("float64")
-                .reshape(rb.num_rows, dim)
+                .reshape(n_rows, dim)
             )
             norms = np.linalg.norm(m, axis=1, keepdims=True)
             nz = norms[:, 0] > 0.0  # zero-norm: cosine undefined, exclude
@@ -649,12 +676,22 @@ def _assign_nearest_literal(
     out_type = df.schema[id_col].dataType.simpleString()
     vec_type = df.schema[vec_col].dataType.simpleString()
 
+    expected_dim = cmat.shape[0]  # cmat is (dim, nlist)
+
     def assign(batches):
         import pandas as pd
 
         for pdf in batches:
             if pdf.empty:
                 continue
+            # dimension guard: one truncated/empty vector makes the
+            # stacked batch a ragged object array and the matmul throws —
+            # mismatched vectors join no inverted list (un-assignable)
+            ok = pdf[vec_col].map(len) == expected_dim
+            if not ok.all():
+                pdf = pdf[ok]
+                if pdf.empty:
+                    continue
             m = np.asarray(
                 [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
             )
@@ -925,11 +962,22 @@ def kmeans_fit(
     import pandas as pd
 
     df = _drop_null_vectors(df, vec_col)
-    dim_row = df.select(F.size(F.col(vec_col).cast("array<double>"))).first()
+    # the corpus dimensionality is the MODAL vector length (scalar agg,
+    # one scan), never .first()'s arbitrary row: with a truncated/empty
+    # vector in the feed, a row-order-dependent probe could pick the
+    # malformed dim and silently filter out the whole corpus. Vectors of
+    # any other length are un-fittable (a ragged Arrow batch crashes the
+    # BLAS distance matmuls) and are excluded like NULL/non-finite ones.
+    dim_row = (
+        df.groupBy(F.size(F.col(vec_col)).alias("_d"))
+        .count()
+        .orderBy(F.col("count").desc(), F.col("_d"))
+        .first()
+    )
     if dim_row is None:
         raise ValueError("cannot fit k-means on an empty DataFrame")
-    dim = dim_row[0]
-    hashed = df.select(
+    dim = dim_row["_d"]
+    hashed = df.filter(F.size(F.col(vec_col)) == dim).select(
         F.col(vec_col).cast("array<double>").alias("_v"),
         F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"),
     )
@@ -988,7 +1036,12 @@ def kmeans_fit(
             chosen.append([float(x) for x in far["_v"]])
         centroids = np.asarray(chosen, dtype="float64")
 
-    src = df.select(F.col(vec_col).alias("_v"))
+    # the Lloyd scans share the seeding's dimension filter: a truncated/
+    # empty vector would make the stacked Arrow batch ragged and crash
+    # the partial-sum matmuls
+    src = df.filter(F.size(F.col(vec_col)) == dim).select(
+        F.col(vec_col).alias("_v")
+    )
     out_schema = "cid int, psum array<double>, n bigint"
 
     for _ in range(max_iter):
@@ -1068,12 +1121,22 @@ def kmeans_assign(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", cid int, dist2 double"
 
+    expected_dim = cmat.shape[1]
+
     def assign(batches):
         import pandas as pd
 
         for pdf in batches:
             if pdf.empty:
                 continue
+            # dimension guard: a truncated/empty vector would make the
+            # stacked batch ragged and crash the matmul (un-assignable
+            # vectors are excluded, same as NULL/non-finite ones)
+            ok = pdf[vec_col].map(len) == expected_dim
+            if not ok.all():
+                pdf = pdf[ok]
+                if pdf.empty:
+                    continue
             m = np.asarray(
                 [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
             )
@@ -1383,10 +1446,20 @@ def quantized_rerank_topk(
         raise ValueError("queries is empty")
     qm /= _qn
 
+    dim = qm.shape[1]
+
     def score(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
+            # dimension guard (see ann_cosine_topk_np): a truncated/empty
+            # vector would make the stacked batch ragged and crash the
+            # GEMMs below
+            ok = pdf[vec_col].map(len) == dim
+            if not ok.all():
+                pdf = pdf[ok]
+                if pdf.empty:
+                    continue
             ids = pdf[id_col].to_numpy(dtype="int64")
             m = np.asarray(
                 [np.asarray(v, dtype="float64") for v in pdf[vec_col]]

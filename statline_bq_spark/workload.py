@@ -147,12 +147,23 @@ def _sql_quantizable(expr: str, bound: float = _Q_MAX) -> str:
 #: component: the old ``len(list_filter(x -> NOT isfinite(x))) = 0``
 #: kept such rows (NOT isfinite(NULL) is NULL, never TRUE) while the
 #: Spark exists-lambda dropped them.
+#: Declared dimensionality of the embeddings corpus (TESTDATA contract).
+#: Part of the usable-vector predicate: an EMPTY or truncated vector (a
+#: half-written row, a mixed-model feed) is as unusable as a NaN one —
+#: DuckDB's list_cosine_similarity/list_inner_product CRASH outright on
+#: a dimension mismatch (and internally on empty lists), while Spark's
+#: zip_with silently NULL-pads. One malformed row in a 100 TB corpus
+#: must not kill the job OR silently skew results.
+_EMB_DIM = 64
+
+
 def _sql_finite_vec(col: str = "embedding") -> str:
     """The usable-vector predicate for an arbitrary (possibly qualified)
     column reference — for oracles whose self-joins make the bare
     ``embedding`` name ambiguous."""
     return (
-        f"{col} IS NOT NULL AND len({col}) = len(list_filter("
+        f"{col} IS NOT NULL AND len({col}) = {_EMB_DIM}"
+        f" AND len({col}) = len(list_filter("
         f"{col}, x -> isfinite(CAST(x AS DOUBLE))))"
     )
 
@@ -166,10 +177,13 @@ def _finite_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     quantization, …). Codegen'd IsNotNull + short-circuit EXISTS. The
     lambda includes ``isNull``: without it a NULL component makes the
     EXISTS (and the filter) NULL — dropped here but KEPT by the oracle's
-    old list_filter-count form, a silent cross-engine divergence."""
+    old list_filter-count form, a silent cross-engine divergence. The
+    size clause enforces the corpus's declared dimensionality
+    (:data:`_EMB_DIM`): an empty or truncated vector is un-scorable."""
     c = F.col(vec_col)
     return df.filter(
         c.isNotNull()
+        & (F.size(c) == F.lit(_EMB_DIM))
         & ~F.exists(
             c,
             lambda x: x.isNull()
@@ -4548,16 +4562,25 @@ def q_array_stats_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     # the oracle's list_sum skips NULLs like SQL SUM, while a bare
     # a + NULL fold would swallow the whole norm into NULL — a silent
     # cross-engine divergence on any half-failed encoder row. array_max
-    # already skips NULL elements in both engines.
-    l1 = F.aggregate(
-        v, F.lit(0.0), lambda a, x: a + F.coalesce(F.abs(x), F.lit(0.0))
+    # already skips NULL elements in both engines. An EMPTY array sums
+    # to NULL, not the fold's 0.0 seed — list_sum([]) is NULL (the SQL
+    # sum-of-no-rows convention), found by the round-7 empty-vector row.
+    l1 = F.when(
+        F.size(v) > 0,
+        F.aggregate(
+            v, F.lit(0.0), lambda a, x: a + F.coalesce(F.abs(x), F.lit(0.0))
+        ),
     )
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    head_mean = F.aggregate(
-        F.slice(v, 1, 8),
-        F.lit(0.0),
-        lambda a, x: a + F.coalesce(x, F.lit(0.0)),
-    ) / F.lit(8.0)
+    head_mean = F.when(
+        F.size(v) > 0,
+        F.aggregate(
+            F.slice(v, 1, 8),
+            F.lit(0.0),
+            lambda a, x: a + F.coalesce(x, F.lit(0.0)),
+        )
+        / F.lit(8.0),
+    )
     return emb.select(
         "vec_id",
         F.size(v).alias("dim"),
@@ -6982,7 +7005,10 @@ def q_embedding_quantization(spark: SparkSession, sf: str) -> DataFrame:
     (sum/min/max per vector) so the oracle check covers the quantized
     values themselves, not a rounded proxy.
     """
-    emb = read_table(spark, sf, "embeddings")
+    # usable vectors only (incl. the declared-dim clause): quantization
+    # of a truncated/empty vector is excluded like NULL/non-finite ones,
+    # mirroring the oracle's {_SQL_FINITE_VEC} filter
+    emb = _finite_vectors(read_table(spark, sf, "embeddings"))
     return similarity.quantize_embeddings(emb)
 
 

@@ -492,6 +492,16 @@ def dirty_embeddings(tbl: pa.Table) -> pa.Table:
         # length-equality list_filter form in _SQL_FINITE_VEC).
         {"vec_id": BASE_ID + 5,
          "embedding": first_vec[:7] + [None] + first_vec[8:], "label": 1},
+        # SHAPE anomalies (round 7): an EMPTY embedding and a truncated
+        # 32-dim one (a half-written row or a mixed-model feed). DuckDB's
+        # list_cosine_similarity/list_inner_product CRASH outright on
+        # dimension mismatch (and internally on empty lists), while
+        # Spark's zip_with silently NULL-pads — the usable-vector
+        # contract gains a declared-dimensionality clause so both
+        # engines exclude them identically.
+        {"vec_id": BASE_ID + 6, "embedding": [], "label": 0},
+        {"vec_id": BASE_ID + 7, "embedding": first_vec[: dim // 2],
+         "label": 2},
         # DUPLICATE vec_id with a DIFFERENT vector (round 7, the
         # duplicate-key class on embeddings): a double-encoded document.
         # Any candidate dedup keyed on (q_id, neighbor_id) alone picks an
