@@ -171,6 +171,33 @@ def _sql_finite_vec(col: str = "embedding") -> str:
 _SQL_FINITE_VEC = _sql_finite_vec("embedding")
 
 
+def _json_ambiguous(col: F.Column | str) -> F.Column:
+    """TRUE iff the JSON object carries a DUPLICATE key — ambiguous input
+    with no defensible extraction semantics: Spark's own three JSON
+    surfaces disagree among themselves on it (``get_json_object`` takes
+    the first occurrence, ``from_json`` the last, ``try_parse_json``
+    rejects the whole object) and DuckDB's ``json_extract`` takes the
+    first. The uniform contract treats such objects as malformed.
+    NULL/invalid input coalesces to FALSE (it is handled by each query's
+    own malformed-input path, not the ambiguity one). Oracle mirror:
+    :func:`_sql_json_dup`."""
+    c = F.col(col) if isinstance(col, str) else col
+    keys = F.json_object_keys(c)
+    return F.coalesce(
+        F.size(keys) > F.size(F.array_distinct(keys)), F.lit(False)
+    )
+
+
+def _sql_json_dup(col: str = "props") -> str:
+    """DuckDB mirror of :func:`_json_ambiguous`. ``json_keys`` runs over a
+    '{}' stand-in for invalid input so the (eagerly vectorized) call can
+    never see a malformed document."""
+    safe = f"coalesce(CASE WHEN json_valid({col}) THEN {col} END, '{{}}')"
+    return (
+        f"len(json_keys({safe})) > len(list_distinct(json_keys({safe})))"
+    )
+
+
 def _finite_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Workload-side twin of ``similarity._drop_null_vectors`` for queries
     that read the embeddings table directly (centroids, drift,
@@ -863,17 +890,33 @@ def q_json_props_sum(spark: SparkSession, sf: str) -> DataFrame:
     """JSON extraction (reference S14's JSON side-files, queried instead of
     written): parse `props` and aggregate the extracted field."""
     e = read_table(spark, sf, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    tok = F.get_json_object("props", "$.k")
+    # integral-TOKEN contract: only a bare integer numeral (≤18 digits,
+    # bigint-safe) extracts — a JSON '-0.0'/'2.5'/'1e300'/20-digit token
+    # is NULL, never an ANSI CAST_INVALID_INPUT that kills the job (and
+    # DuckDB's string→int cast ROUNDS '2.5' to 3 where Spark's variant
+    # truncation gives 2 — non-integral numerals have no agreed integer
+    # reading). Duplicate-key objects are ambiguous → NULL.
+    k = F.when(
+        ~_json_ambiguous("props") & tok.rlike(r"^-?\d{1,18}$"),
+        tok.cast("bigint"),
+    )
     return e.groupBy("event_type").agg(
         F.sum(k).alias("k_sum"), F.count(F.lit(1)).alias("n")
     )
 
 
-ORACLE_JSON_PROPS_SUM = """
+ORACLE_JSON_PROPS_SUM = f"""
 SELECT event_type,
-       -- json_valid guard: the engine's get_json_object is lenient (NULL on
-       -- malformed input); DuckDB's json_extract THROWS on it
+       -- json_valid guard: the engine's get_json_object is lenient (NULL
+       -- on malformed input); DuckDB's json_extract THROWS on it. The
+       -- integral-token regex and the dup-key guard mirror the Spark
+       -- twin's contract (see _json_ambiguous / the rlike in the query).
        CAST(sum(CASE WHEN props IS NOT NULL AND json_valid(props)
+                      AND NOT ({_sql_json_dup("props")})
+                      AND regexp_matches(
+                            json_extract_string(props, '$.k'),
+                            '^-?[0-9]{{1,18}}$')
                      THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
                 END) AS BIGINT) AS k_sum,
        count(*) AS n
@@ -4526,19 +4569,28 @@ def q_json_struct_events(spark: SparkSession, sf: str) -> DataFrame:
     parsed = e.withColumn(
         "p", F.from_json("props", "k bigint")
     )
+    # duplicate-key objects are ambiguous (from_json alone would take the
+    # LAST occurrence while DuckDB takes the first): their k is NULL. The
+    # typed parse itself already rejects non-integral numerals — a JSON
+    # -0.0/2.5 fails the declared BIGINT and nulls out.
+    k = F.when(~_json_ambiguous("props"), F.col("p.k"))
     return parsed.groupBy("event_type").agg(
-        F.sum("p.k").alias("k_sum"),
-        F.max("p.k").alias("k_max"),
-        F.count(F.when(F.col("p.k").isNull(), 1)).alias("n_null"),
+        F.sum(k).alias("k_sum"),
+        F.max(k).alias("k_max"),
+        F.count(F.when(k.isNull(), 1)).alias("n_null"),
     )
 
 
-ORACLE_JSON_STRUCT_EVENTS = """
+ORACLE_JSON_STRUCT_EVENTS = f"""
 WITH t AS (
   -- json_valid guard: the engine's PERMISSIVE from_json yields NULL k on
-  -- malformed/NULL props; DuckDB's json_extract THROWS on malformed
+  -- malformed/NULL props; DuckDB's json_extract THROWS on malformed.
+  -- The json_type clause mirrors the typed parse (only integral JSON
+  -- numerals coerce to BIGINT); the dup guard mirrors _json_ambiguous.
   SELECT event_type,
          CASE WHEN props IS NOT NULL AND json_valid(props)
+               AND NOT ({_sql_json_dup("props")})
+               AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
               THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
          END AS k
   FROM events
@@ -7161,7 +7213,19 @@ def q_variant_events_stats(spark: SparkSession, sf: str) -> DataFrame:
     first malformed payload in 100 TB of logs — NULL is the recoverable
     verdict (oracle mirrors with a json_valid guard)."""
     e = read_table(spark, sf, "events")
-    k = F.variant_get(F.try_parse_json(F.col("props")), "$.k", "int")
+    # integral-only extraction: variant typing is inspected BEFORE the
+    # typed get (schema_of_variant is 'BIGINT' for every integral JSON
+    # numeral) — variant_get('long') on a DECIMAL(2,1) 2.5 would
+    # TRUNCATE to 2 where DuckDB's string→int cast rounds to 3, so a
+    # non-integral k has no agreed integer reading and stays NULL.
+    # try_parse_json already rejects duplicate-key objects outright.
+    k = F.when(
+        F.expr(
+            "schema_of_variant(variant_get(try_parse_json(props), '$.k'))"
+        )
+        == "BIGINT",
+        F.variant_get(F.try_parse_json(F.col("props")), "$.k", "long"),
+    )
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -7174,12 +7238,16 @@ def q_variant_events_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-ORACLE_VARIANT_EVENTS_STATS = """
+ORACLE_VARIANT_EVENTS_STATS = f"""
 WITH t AS (
   -- json_valid guard: the engine's try_parse_json is NULL on malformed
-  -- input; DuckDB's json_extract THROWS on it
+  -- input; DuckDB's json_extract THROWS on it. The dup guard mirrors
+  -- try_parse_json's rejection of duplicate-key objects; the json_type
+  -- clause mirrors the twin's integral-only schema_of_variant gate.
   SELECT event_type,
          CASE WHEN props IS NOT NULL AND json_valid(props)
+               AND NOT ({_sql_json_dup("props")})
+               AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
               THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
          END AS k
   FROM events
@@ -8311,7 +8379,12 @@ def q_json_quarantine(spark: SparkSession, sf: str) -> DataFrame:
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
         ),
     )
-    bad = F.col("rec._corrupt_record").isNotNull()
+    # quarantine = schema-failed (the corrupt column) OR ambiguous
+    # (duplicate keys — from_json would silently take the LAST occurrence
+    # where other surfaces take the first or reject; see _json_ambiguous)
+    bad = F.col("rec._corrupt_record").isNotNull() | _json_ambiguous(
+        "payload"
+    )
     return parsed.groupBy("event_type").agg(
         F.sum((~bad).cast("bigint")).alias("n_parsed"),
         F.sum(bad.cast("bigint")).alias("n_quarantined"),
@@ -8319,29 +8392,47 @@ def q_json_quarantine(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-ORACLE_JSON_QUARANTINE = """
+ORACLE_JSON_QUARANTINE = f"""
 WITH b AS (
   SELECT event_id, event_type, props,
          (  (strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1) * 16
           + (strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 2, 1)) - 1)) % 10
            AS bkt
   FROM events
+), v AS (
+  -- parsed <=> the PREFIXED payload is valid JSON (or NULL: nothing to
+  -- parse is not corrupt), carries no DUPLICATE key (_json_ambiguous —
+  -- from_json would silently take the last occurrence), and its k — if
+  -- present and non-null — is an integral JSON numeral (the declared
+  -- BIGINT schema: Jackson rejects -0.0/2.5/strings into the corrupt
+  -- column). Deriving the verdict from bkt alone would assume only the
+  -- injected prefix can corrupt a payload.
+  -- json_type runs over a '{{}}' stand-in for invalid payloads: DuckDB
+  -- evaluates it eagerly per chunk, so the json_valid guard alone does
+  -- not keep malformed documents away from it (the matryoshka lesson)
+  SELECT event_type, payload,
+         (payload IS NULL
+          OR (json_valid(payload)
+              AND NOT ({_sql_json_dup("payload")})
+              AND (json_type(coalesce(CASE WHEN json_valid(payload)
+                                           THEN payload END, '{{}}'),
+                             '$.k') IS NULL
+                   OR json_type(coalesce(CASE WHEN json_valid(payload)
+                                              THEN payload END, '{{}}'),
+                                '$.k')
+                      IN ('NULL', 'BIGINT', 'UBIGINT')))) AS ok
+  FROM (SELECT event_type,
+               CASE WHEN bkt = 0 THEN 'x' || props ELSE props END AS payload
+        FROM b)
 )
 SELECT event_type,
-       -- parsed <=> the PREFIXED payload is valid JSON (or NULL: nothing to
-       -- parse is not corrupt). Deriving the verdict from bkt alone would
-       -- assume only the injected prefix can corrupt a payload — genuinely
-       -- malformed source rows must land in the quarantine too.
-       CAST(sum(CASE WHEN payload IS NULL OR json_valid(payload)
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
-       CAST(sum(CASE WHEN payload IS NOT NULL AND NOT json_valid(payload)
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
-       CAST(sum(CASE WHEN payload IS NOT NULL AND json_valid(payload)
+       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+       CAST(sum(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quarantined,
+       CAST(sum(CASE WHEN ok AND payload IS NOT NULL
                 THEN CAST(json_extract_string(payload, '$.k') AS BIGINT)
                 END) AS BIGINT) AS k_sum_parsed
-FROM (SELECT event_type,
-             CASE WHEN bkt = 0 THEN 'x' || props ELSE props END AS payload
-      FROM b) GROUP BY event_type
+FROM v GROUP BY event_type
 """
 
 

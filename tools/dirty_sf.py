@@ -210,6 +210,33 @@ def dirty_events(tbl: pa.Table) -> pa.Table:
         # huge-finite value (round 7): quantization contract on events
         {"event_id": BASE_ID + 17, "ts": ts0, "user_id": 15,
          "event_type": "view", "value": 1e300, "props": None},
+        # duplicate JSON key (round 7): both engines take the FIRST
+        # occurrence (probed: Spark get_json_object and DuckDB
+        # json_extract agree) — pinned so a parser change surfaces
+        {"event_id": BASE_ID + 18, "ts": ts0, "user_id": 15,
+         "event_type": "click", "value": 5.0,
+         "props": '{"k": 1, "k": 2}'},
+        # IEEE negative zero (round 7): groups with +0.0 on both engines
+        # and must never leak a '-0.0'-vs-'0.0' repr split into output.
+        # The JSON -0.0 k also pins the integral-numeral contract: Spark
+        # ANSI CAST('-0.0' AS BIGINT) throws, DuckDB's returns 0.
+        {"event_id": BASE_ID + 19, "ts": ts0, "user_id": 15,
+         "event_type": "view", "value": -0.0, "props": '{"k": -0.0}'},
+        # non-integral / non-numeric / overflow k (round 7): a JSON 2.5
+        # TRUNCATES to 2 in Spark's variant cast but ROUNDS to 3 in
+        # DuckDB's string->int cast; 3.0 is a DOUBLE token with an
+        # integral value; "7" is a string; the 20-digit numeral
+        # overflows int64. None has an agreed integer reading -> all are
+        # NULL/quarantined under the integral-token contract.
+        {"event_id": BASE_ID + 20, "ts": ts0, "user_id": 15,
+         "event_type": "click", "value": 1.0, "props": '{"k": 2.5}'},
+        {"event_id": BASE_ID + 21, "ts": ts0, "user_id": 15,
+         "event_type": "view", "value": 1.0, "props": '{"k": 3.0}'},
+        {"event_id": BASE_ID + 22, "ts": ts0, "user_id": 15,
+         "event_type": "click", "value": 1.0, "props": '{"k": "7"}'},
+        {"event_id": BASE_ID + 23, "ts": ts0, "user_id": 15,
+         "event_type": "view", "value": 1.0,
+         "props": '{"k": 99999999999999999999}'},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
