@@ -237,6 +237,13 @@ def dirty_events(tbl: pa.Table) -> pa.Table:
         {"event_id": BASE_ID + 23, "ts": ts0, "user_id": 15,
          "event_type": "view", "value": 1.0,
          "props": '{"k": 99999999999999999999}'},
+        # composite k (round 7): arrays/objects are not integers on any
+        # surface — NULL under the string/typed contracts, quarantined
+        # by the declared-schema parse
+        {"event_id": BASE_ID + 24, "ts": ts0, "user_id": 15,
+         "event_type": "click", "value": 1.0, "props": '{"k": [1, 2]}'},
+        {"event_id": BASE_ID + 25, "ts": ts0, "user_id": 15,
+         "event_type": "view", "value": 1.0, "props": '{"k": {"a": 1}}'},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
