@@ -5057,8 +5057,20 @@ def q_packed_sequences(spark: SparkSession, sf: str) -> DataFrame:
     oracle — a plain single-window cumulative sum — proves the block
     decomposition exact, not just the happy path."""
     d = read_table(spark, sf, "documents")
-    toks = d.select(
-        "lang", "doc_id", token_count("text").cast("bigint").alias("n_tokens")
+    # pack at (lang, doc_id) GRAIN: pack_sequences requires a per-stream-
+    # unique order key, and a duplicated doc_id (a re-crawled URL under a
+    # reused id) would tie in the prefix scan — the two rows' offsets
+    # then swap engine-arbitrarily (caught by the round-7 dirty sweep
+    # after a new row perturbed the tie luck). Duplicate ids contribute
+    # their summed tokens at one stream position; unique ids unchanged.
+    toks = (
+        d.select(
+            "lang",
+            "doc_id",
+            token_count("text").cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("lang", "doc_id")
+        .agg(F.sum("n_tokens").alias("n_tokens"))
     )
     out = packing.pack_sequences(
         toks, "lang", "doc_id", "n_tokens", capacity=2048, block_size=32
@@ -5070,9 +5082,12 @@ def q_packed_sequences(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_PACKED_SEQUENCES = """
 WITH t AS (
+  -- (lang, doc_id) grain mirrors the Spark twin: duplicate ids pack as
+  -- one stream position carrying their summed tokens
   SELECT lang, doc_id,
-         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
-  FROM documents
+         CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY lang, doc_id
 ), o AS (
   SELECT lang, doc_id, n_tokens,
          COALESCE(sum(n_tokens) OVER (

@@ -120,6 +120,13 @@ def dirty_documents(tbl: pa.Table) -> pa.Table:
         {"doc_id": BASE_ID + 12,
          "text": "\U0001F701\U0001F702\U0001F703\U0001F704",
          "lang": None, "source": "srcX", "n_chars": 4},
+        # tab/newline/CR separators (round 7): the ASCII \\s class
+        # ([ \\t\\n\\r\\f\\v]) must tokenize identically in Java regex,
+        # RE2, Python re.ASCII and DuckDB — pins the tokenizer parity
+        # the NBSP row pins for the NON-members of the class.
+        {"doc_id": BASE_ID + 13,
+         "text": "alpha\tbeta\ngamma\r\ndelta  epsilon\tzeta",
+         "lang": "en", "source": "src1", "n_chars": 37},
         # DUPLICATE doc_id with DIFFERENT text (round 7, duplicate-key
         # class on documents): a re-crawled URL under the same id. Hash
         # dedup keys on content (unaffected); per-doc_id groupers merge
