@@ -198,6 +198,35 @@ def _sql_json_dup(col: str = "props") -> str:
     )
 
 
+def _sql_json_parseable(col: str = "payload") -> str:
+    """DuckDB mirror of the declared-schema parse verdict in
+    :func:`q_json_quarantine` — the single source of truth for what
+    "parses" (interpolated into the oracle AND pinned per-payload by
+    ``test_json_quarantine_payload_contract``, because the grouped
+    counts can hide COMPENSATING misclassifications: the pre-fix oracle
+    read blank and top-level-'null'/'[]' payloads both wrong in opposite
+    directions and the per-type counts cancelled exactly).
+
+    parsed <=> NULL or blank (JSON-whitespace-only: nothing to parse —
+    Jackson's PERMISSIVE reading), or a valid JSON OBJECT with unique
+    keys whose k member, if present and non-null, is an integral JSON
+    numeral. Valid-JSON non-object top levels ('null'/'[]'/'123') are a
+    schema mismatch Jackson lands in the corrupt column -> quarantined.
+    Every json_* call rides a '{{}}' stand-in (eager per-chunk
+    evaluation — the matryoshka lesson)."""
+    safe = f"coalesce(CASE WHEN json_valid({col}) THEN {col} END, '{{}}')"
+    return (
+        f"({col} IS NULL"
+        f" OR trim({col}, ' ' || chr(9) || chr(10) || chr(13)) = ''"
+        f" OR (json_valid({col})"
+        f" AND json_type({safe}) = 'OBJECT'"
+        f" AND NOT ({_sql_json_dup(col)})"
+        f" AND (json_type({safe}, '$.k') IS NULL"
+        f"      OR json_type({safe}, '$.k')"
+        f"         IN ('NULL', 'BIGINT', 'UBIGINT'))))"
+    )
+
+
 def _finite_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Workload-side twin of ``similarity._drop_null_vectors`` for queries
     that read the embeddings table directly (centroids, drift,
@@ -8369,7 +8398,16 @@ def q_json_quarantine(spark: SparkSession, sf: str) -> DataFrame:
     per-event-type parsed/quarantined counts plus the parsed-payload sum
     — all oracle-derivable. (Corruption is a LEADING garbage byte:
     Jackson accepts trailing junk after a complete JSON value, so only
-    prefix damage reliably quarantines.)"""
+    prefix damage reliably quarantines.)
+
+    Degenerate-payload contract (round 7b, pinned by the
+    ''/'   '/'null'/'[]'/'123'/'{}' dirty rows): a BLANK payload (empty
+    or JSON-whitespace-only) is nothing-to-parse — the same class as
+    NULL, and exactly Jackson's PERMISSIVE reading (no corrupt record) —
+    while a valid-JSON NON-OBJECT top level ('null', '[]', '123') is a
+    schema mismatch Jackson lands in the corrupt column -> quarantined.
+    The oracle mirrors both readings explicitly (trim + top-level
+    json_type = 'OBJECT')."""
     e = read_table(spark, sf, "events")
     bucket = F.pmod(
         F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 2), 16, 10)
@@ -8415,27 +8453,12 @@ WITH b AS (
            AS bkt
   FROM events
 ), v AS (
-  -- parsed <=> the PREFIXED payload is valid JSON (or NULL: nothing to
-  -- parse is not corrupt), carries no DUPLICATE key (_json_ambiguous —
-  -- from_json would silently take the last occurrence), and its k — if
-  -- present and non-null — is an integral JSON numeral (the declared
-  -- BIGINT schema: Jackson rejects -0.0/2.5/strings into the corrupt
-  -- column). Deriving the verdict from bkt alone would assume only the
-  -- injected prefix can corrupt a payload.
-  -- json_type runs over a '{{}}' stand-in for invalid payloads: DuckDB
-  -- evaluates it eagerly per chunk, so the json_valid guard alone does
-  -- not keep malformed documents away from it (the matryoshka lesson)
+  -- parse verdict on the PREFIXED payload: see _sql_json_parseable (the
+  -- single source of truth, pinned per-payload by
+  -- test_json_quarantine_payload_contract). Deriving the verdict from
+  -- bkt alone would assume only the injected prefix can corrupt.
   SELECT event_type, payload,
-         (payload IS NULL
-          OR (json_valid(payload)
-              AND NOT ({_sql_json_dup("payload")})
-              AND (json_type(coalesce(CASE WHEN json_valid(payload)
-                                           THEN payload END, '{{}}'),
-                             '$.k') IS NULL
-                   OR json_type(coalesce(CASE WHEN json_valid(payload)
-                                              THEN payload END, '{{}}'),
-                                '$.k')
-                      IN ('NULL', 'BIGINT', 'UBIGINT')))) AS ok
+         {_sql_json_parseable("payload")} AS ok
   FROM (SELECT event_type,
                CASE WHEN bkt = 0 THEN 'x' || props ELSE props END AS payload
         FROM b)
@@ -8444,8 +8467,14 @@ SELECT event_type,
        CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
        CAST(sum(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
          AS n_quarantined,
-       CAST(sum(CASE WHEN ok AND payload IS NOT NULL
-                THEN CAST(json_extract_string(payload, '$.k') AS BIGINT)
+       -- extraction rides the '{{}}' stand-in too: a parsed-blank payload
+       -- ('' / '   ') would otherwise reach json_extract_string, which
+       -- THROWS on malformed input (eager per-chunk evaluation)
+       CAST(sum(CASE WHEN ok
+                THEN CAST(json_extract_string(
+                         coalesce(CASE WHEN json_valid(payload)
+                                       THEN payload END, '{{}}'),
+                         '$.k') AS BIGINT)
                 END) AS BIGINT) AS k_sum_parsed
 FROM v GROUP BY event_type
 """

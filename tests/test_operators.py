@@ -1229,6 +1229,63 @@ def test_ascii_tokenization_contract():
     assert re.split(r"\s+", "nb\u00a0sp") == ["nb", "sp"]
 
 
+def test_json_quarantine_payload_contract(spark):
+    """Per-payload parse verdicts for the declared-schema JSON parse
+    (q_json_quarantine), pinned at ROW grain on BOTH engines. The
+    grouped report alone cannot pin this: its per-type counts can hide
+    COMPENSATING misclassifications — the round-7b dirty rows alternated
+    event types, and the pre-fix oracle's two opposite misreadings
+    (blank payloads quarantined, top-level 'null'/'[]' parsed) cancelled
+    exactly in every per-type count while the sweep stayed green.
+
+    Contract: NULL/blank (JSON-whitespace-only) = parsed-nothing; a
+    valid unique-key OBJECT whose k is integral-or-absent-or-null =
+    parsed; everything else (malformed, duplicate key, non-object top
+    level, non-integral/string k) = quarantined."""
+    import duckdb
+
+    from statline_bq_spark.workload import (
+        _json_ambiguous,
+        _sql_json_parseable,
+    )
+
+    payloads = [None, "", "   ", " \t\n\r ", "null", "[]", "[1,2]",
+                "123", '"s"', "{}", '{"k":1}', '{"k":-7}', '{"k":null}',
+                '{"j":5}', '{"k":2.5}', '{"k":"7"}', '{"k":1,"k":2}',
+                "{bad json", 'x{"k": 2}']
+    expect = [True, True, True, True, False, False, False,
+              False, False, True, True, True, True,
+              True, False, False, False,
+              False, False]
+    df = spark.createDataFrame([(p,) for p in payloads], "payload string")
+    parsed = df.withColumn(
+        "rec",
+        F.from_json(
+            "payload",
+            "k bigint, _corrupt_record string",
+            {"mode": "PERMISSIVE",
+             "columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    )
+    bad = F.col("rec._corrupt_record").isNotNull() | _json_ambiguous(
+        "payload"
+    )
+    got = [r.ok for r in parsed.select((~bad).alias("ok")).collect()]
+    assert got == expect
+    con = duckdb.connect()
+    duck = [
+        r[1]
+        for r in con.execute(
+            "SELECT i, " + _sql_json_parseable("payload") + " AS ok "
+            "FROM (SELECT unnest($1::VARCHAR[]) AS payload, "
+            "unnest(range(1, len($1::VARCHAR[]) + 1)) AS i) ORDER BY i",
+            [payloads],
+        ).fetchall()
+    ]
+    con.close()
+    assert duck == expect
+
+
 def test_star_contraction_handles_long_chains_in_few_rounds(spark):
     """A 200-node path has diameter 199 — min-label propagation would need
     ~200 rounds; star contraction must finish well inside its 30-round cap

@@ -25,11 +25,19 @@ catalog per table family:
   arithmetic, exactly-at-gap session boundaries, and grid explosion.
 - orders/lineitem: FK holes AND dangling FKs, NULL dates, NULL/NaN/±Inf
   amounts, negative quantities (returns), discount > 1, NULL group keys.
-- customer/supplier/part/nation: NULL names/labels/keys, NaN/±Inf
-  balances and prices, unicode names, empty-string vs NULL, dangling
-  dimension FKs. (The ±Inf class covers every measure-bearing table:
+- customer/supplier/part/nation/region: NULL names/labels/keys,
+  NaN/±Inf balances and prices, unicode names, empty-string vs NULL,
+  dangling dimension FKs, a NULL-named region reachable through a real
+  nation join. (The ±Inf class covers every measure-bearing table:
   lineitem, orders, events, customer, supplier, part — round-5 advice
   predicted the part gap and the oracle there is isfinite-hardened.)
+
+Round 7b extends the catalog with: NUL/control bytes inside tokens, a
+50k-char single-token document, empty-string lang, an exactly-replayed
+event row, a reused event_id across time, degenerate JSON props
+(''/'   '/'null'/'[]'/'123'/'{}'), proleptic-calendar-extreme dates
+(year 9999 / year 1) on orders and lineitem, and an IEEE -0.0
+embedding component.
 
 Because the sweep compares Spark and DuckDB on the SAME dirty data, any
 injected weirdness is fair game: a divergence always means a real
@@ -50,7 +58,7 @@ from __future__ import annotations
 import os
 import shutil
 import sys
-from datetime import datetime
+from datetime import datetime, timedelta
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -134,6 +142,24 @@ def dirty_documents(tbl: pa.Table) -> pa.Table:
         {"doc_id": BASE_ID + 3,
          "text": "re-crawled replacement text for a reused id",
          "lang": "en", "source": "src1", "n_chars": 43},
+        # --- NUL/control-byte class (round 7b): \x00 and \x07 are valid
+        # UTF-8 codepoints and NOT members of the ASCII \s class — they
+        # must ride INSIDE tokens untouched on both engines (binary-safe
+        # strings; a C-string engine would truncate at the NUL).
+        {"doc_id": BASE_ID + 14, "text": "nul\x00byte bell\x07ring end",
+         "lang": "en", "source": "src1", "n_chars": 22},
+        # single enormous token (50k chars, round 7b): one token longer
+        # than any chunk/byte budget — chunkers, shingle windows and
+        # token-length stats must stay linear and boundary-exact; the
+        # maximal-repetition text is also passage-dup/winnowing bait
+        # (every shingle identical -> a 1-element distinct set).
+        {"doc_id": BASE_ID + 15, "text": "a" * 50_000, "lang": "en",
+         "source": "src1", "n_chars": 50_000},
+        # empty-string lang (round 7b): distinct from NULL lang in every
+        # per-language group/mixture/funnel ('' is a language code
+        # present-but-empty; NULL is unknown)
+        {"doc_id": BASE_ID + 16, "text": "plain english filler text",
+         "lang": "", "source": "src1", "n_chars": 25},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -251,6 +277,41 @@ def dirty_events(tbl: pa.Table) -> pa.Table:
          "event_type": "click", "value": 1.0, "props": '{"k": [1, 2]}'},
         {"event_id": BASE_ID + 25, "ts": ts0, "user_id": 15,
          "event_type": "view", "value": 1.0, "props": '{"k": {"a": 1}}'},
+        # --- exact-replay class (round 7b): the SAME event row TWICE,
+        # byte-identical (a replayed log batch). Indistinguishable rows
+        # make every window order total BY VALUE — row_number hands 1/2
+        # to interchangeable rows — so only uniqueness ASSUMPTIONS can
+        # diverge (count distinct vs count, event_id joins fanning out).
+        {"event_id": BASE_ID + 26, "ts": ts0, "user_id": 16,
+         "event_type": "click", "value": 9.0, "props": '{"k": 9}'},
+        {"event_id": BASE_ID + 26, "ts": ts0, "user_id": 16,
+         "event_type": "click", "value": 9.0, "props": '{"k": 9}'},
+        # reused event_id at a DIFFERENT ts with a different payload (an
+        # id recycled across time): (ts, event_id) window orders stay
+        # total; only id-keyed dedup/join paths see the collision.
+        {"event_id": BASE_ID + 27, "ts": ts0, "user_id": 16,
+         "event_type": "view", "value": 1.0, "props": None},
+        {"event_id": BASE_ID + 27, "ts": ts0 + timedelta(hours=1),
+         "user_id": 16, "event_type": "purchase", "value": 2.0,
+         "props": None},
+        # --- degenerate-JSON class (round 7b): empty/whitespace props
+        # have no JSON token at all (malformed, like '{bad json'); bare
+        # 'null'/'[]'/'123' are VALID JSON with no object member to
+        # extract ($.k is NULL on both engines); '{}' is a valid object
+        # missing the key. None may crash a parser or leak an engine-
+        # specific reading into extraction/quarantine output.
+        {"event_id": BASE_ID + 28, "ts": ts0, "user_id": 16,
+         "event_type": "click", "value": 1.0, "props": ""},
+        {"event_id": BASE_ID + 29, "ts": ts0, "user_id": 16,
+         "event_type": "view", "value": 1.0, "props": "   "},
+        {"event_id": BASE_ID + 30, "ts": ts0, "user_id": 16,
+         "event_type": "click", "value": 1.0, "props": "null"},
+        {"event_id": BASE_ID + 31, "ts": ts0, "user_id": 16,
+         "event_type": "view", "value": 1.0, "props": "[]"},
+        {"event_id": BASE_ID + 32, "ts": ts0, "user_id": 16,
+         "event_type": "click", "value": 1.0, "props": "123"},
+        {"event_id": BASE_ID + 33, "ts": ts0, "user_id": 16,
+         "event_type": "view", "value": 1.0, "props": "{}"},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -328,6 +389,20 @@ def dirty_orders(tbl: pa.Table) -> pa.Table:
          "o_orderstatus": "F", "o_totalprice": 80.0,
          "o_orderdate": datetime(1996, 6, 1),
          "o_orderpriority": "5-LOW"},
+        # --- calendar-extreme class (round 7b): proleptic-Gregorian
+        # edges a sentinel 9999 or a mis-parsed two-digit year ships at
+        # 100 TB. Micros-representable on both engines; stresses year/
+        # quarter/week extraction, ±8000-year datediff spans, and epoch
+        # bigint math. The 9999 order is OPEN on purpose (a far-future
+        # open order gives aging paths a negative age).
+        {"o_orderkey": BASE_ID + 11, "o_custkey": first["o_custkey"],
+         "o_orderstatus": "O", "o_totalprice": 90.0,
+         "o_orderdate": datetime(9999, 12, 31, 23, 59, 59),
+         "o_orderpriority": "2-HIGH"},
+        {"o_orderkey": BASE_ID + 12, "o_custkey": first["o_custkey"],
+         "o_orderstatus": "F", "o_totalprice": 95.0,
+         "o_orderdate": datetime(1, 1, 1),
+         "o_orderpriority": "3-MEDIUM"},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -387,6 +462,12 @@ def dirty_lineitem(tbl: pa.Table) -> pa.Table:
         # expression actually quantized), not just the inputs.
         dict(base, l_linenumber=113, l_discount=5e13,
              l_shipdate=datetime(1997, 2, 15)),
+        # calendar-extreme shipdates (round 7b): clean measures, only
+        # the DATE arithmetic is stressed. The year-1 row passes every
+        # "shipdate <= X" Q1-style filter; the 9999 row reaches only
+        # unbounded scans.
+        dict(base, l_linenumber=114, l_shipdate=datetime(9999, 12, 31)),
+        dict(base, l_linenumber=115, l_shipdate=datetime(1, 1, 2)),
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -489,6 +570,21 @@ def dirty_nation(tbl: pa.Table) -> pa.Table:
         {"n_nationkey": 91, "n_name": "DIRTYLAND", "n_regionkey": 99},
         # nation with NULL region key
         {"n_nationkey": 92, "n_name": "NOWHERE", "n_regionkey": None},
+        # nation routed to the NULL-named dirty region (round 7b): the
+        # NULL label flows through a REAL region join, not just a
+        # dangling FK — decode/star joins must carry the NULL group
+        {"n_nationkey": 93, "n_name": "NULLREGIONIA", "n_regionkey": 98},
+    ]
+    extra = pa.Table.from_pylist(rows, schema=tbl.schema)
+    return pa.concat_tables([tbl, extra])
+
+
+def dirty_region(tbl: pa.Table) -> pa.Table:
+    rows = [
+        # NULL-named region reachable via nation 93 (round 7b)
+        {"r_regionkey": 98, "r_name": None},
+        # empty-string name: distinct from NULL in grouping/decodes
+        {"r_regionkey": 97, "r_name": ""},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -551,6 +647,11 @@ def dirty_embeddings(tbl: pa.Table) -> pa.Table:
         # rows deterministically.
         {"vec_id": _dup_corpus_id(tbl),
          "embedding": [float(i % 7 - 3) for i in range(dim)], "label": 2},
+        # IEEE -0.0 component (round 7b): bit-distinct from +0.0 but
+        # arithmetically equal — dot products/norms/quantization must
+        # treat it as zero and never leak a '-0.0' repr into output
+        {"vec_id": BASE_ID + 8, "embedding": [-0.0] + first_vec[1:],
+         "label": 0},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -579,6 +680,8 @@ def build(base: str, out: str) -> None:
             pq.write_table(dirty_part(pq.read_table(src)), dst)
         elif t == "nation":
             pq.write_table(dirty_nation(pq.read_table(src)), dst)
+        elif t == "region":
+            pq.write_table(dirty_region(pq.read_table(src)), dst)
         else:
             shutil.copyfile(src, dst)
     print(f"wrote dirty SF to {out}")
