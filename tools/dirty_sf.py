@@ -160,6 +160,15 @@ def dirty_documents(tbl: pa.Table) -> pa.Table:
         # present-but-empty; NULL is unknown)
         {"doc_id": BASE_ID + 16, "text": "plain english filler text",
          "lang": "", "source": "src1", "n_chars": 25},
+        # LYING metadata (round 7b2): n_chars wildly wrong (999999 for a
+        # 10-char text) and NEGATIVE — the query and its oracle must
+        # agree on WHICH source of truth they read (declared n_chars or
+        # computed length); a pair where one side shortcuts via the
+        # metadata while the other recomputes diverges here.
+        {"doc_id": BASE_ID + 17, "text": "ten chars!", "lang": "en",
+         "source": "src1", "n_chars": 999_999},
+        {"doc_id": BASE_ID + 18, "text": "negative meta", "lang": "en",
+         "source": "src1", "n_chars": -5},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -312,6 +321,11 @@ def dirty_events(tbl: pa.Table) -> pa.Table:
          "event_type": "click", "value": 1.0, "props": "123"},
         {"event_id": BASE_ID + 33, "ts": ts0, "user_id": 16,
          "event_type": "view", "value": 1.0, "props": "{}"},
+        # subnormal double (round 7b2): the smallest positive IEEE value —
+        # sums, rounding and comparisons must treat it identically (it
+        # rounds to 0 at any printed precision but is > 0 in filters)
+        {"event_id": BASE_ID + 34, "ts": ts0, "user_id": 16,
+         "event_type": "view", "value": 5e-324, "props": None},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -500,6 +514,15 @@ def dirty_customer(tbl: pa.Table) -> pa.Table:
         # dimension measures too
         {"c_custkey": BASE_ID + 6, "c_name": "Customer#dirty6",
          "c_nationkey": 1, "c_acctbal": 1e300, "c_mktsegment": "MACHINERY"},
+        # DUPLICATE c_custkey with a CONFLICTING payload (round 7b2): a
+        # dimension key duplicated by a double-loaded batch. Every
+        # customer equi-join fans out over BOTH rows identically on both
+        # engines; per-custkey groupers see one key twice — divergence
+        # means a pair assumed dimension-key uniqueness.
+        {"c_custkey": BASE_ID + 7, "c_name": "Customer#dup7a",
+         "c_nationkey": 1, "c_acctbal": 10.0, "c_mktsegment": "BUILDING"},
+        {"c_custkey": BASE_ID + 7, "c_name": "Customer#dup7b",
+         "c_nationkey": 2, "c_acctbal": 20.0, "c_mktsegment": "MACHINERY"},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -652,6 +675,11 @@ def dirty_embeddings(tbl: pa.Table) -> pa.Table:
         # treat it as zero and never leak a '-0.0' repr into output
         {"vec_id": BASE_ID + 8, "embedding": [-0.0] + first_vec[1:],
          "label": 0},
+        # CONSTANT vector (round 7b2): per-component variance is exactly
+        # zero — z-score/whitening/stddev normalizations hit an ANSI
+        # DIVIDE_BY_ZERO or a NaN unless guarded; usable (finite,
+        # right-dimensioned, nonzero norm) so no contract excludes it.
+        {"vec_id": BASE_ID + 9, "embedding": [5.0] * dim, "label": 1},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
