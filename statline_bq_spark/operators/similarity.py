@@ -65,6 +65,17 @@ def _drop_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     return df.filter(c.isNotNull() & ~unusable)
 
 
+def _empty_topk_result(df: DataFrame) -> DataFrame:
+    """Schema-stable EMPTY top-k result (q_id, neighbor_id, rn, sim):
+    an empty — or fully-unusable — query set retrieves nothing instead
+    of killing the job. At 100 TB an upstream filter can legitimately
+    match zero queries; empty-in/empty-out keeps the pipeline total
+    (empty-corpus probe, round 7b)."""
+    return df.sparkSession.createDataFrame(
+        [], "q_id bigint, neighbor_id bigint, rn int, sim double"
+    )
+
+
 def ann_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -158,14 +169,14 @@ def ann_cosine_topk_np(
 
     q_rows = _drop_null_vectors(queries, vec_col).select(query_id_col, vec_col).collect()
     if not q_rows:
-        raise ValueError("queries is empty")
+        return _empty_topk_result(corpus)
     q_ids = np.array([r[0] for r in q_rows], dtype="int64")
     qm = np.asarray([list(map(float, r[1])) for r in q_rows], dtype="float64")
     _qn = np.linalg.norm(qm, axis=1, keepdims=True)
     _qnz = _qn[:, 0] > 0.0  # zero-norm queries: cosine undefined, exclude
     q_ids, qm, _qn = q_ids[_qnz], qm[_qnz], _qn[_qnz]
     if qm.shape[0] == 0:
-        raise ValueError("queries is empty")
+        return _empty_topk_result(corpus)
     qm /= _qn
 
     dim = qm.shape[1]
@@ -263,14 +274,14 @@ def ann_cosine_topk_arrow(
 
     q_rows = _drop_null_vectors(queries, vec_col).select(query_id_col, vec_col).collect()
     if not q_rows:
-        raise ValueError("queries is empty")
+        return _empty_topk_result(corpus)
     q_ids = np.array([r[0] for r in q_rows], dtype="int64")
     qm = np.asarray([list(map(float, r[1])) for r in q_rows], dtype="float64")
     _qn = np.linalg.norm(qm, axis=1, keepdims=True)
     _qnz = _qn[:, 0] > 0.0  # zero-norm queries: cosine undefined, exclude
     q_ids, qm, _qn = q_ids[_qnz], qm[_qnz], _qn[_qnz]
     if qm.shape[0] == 0:
-        raise ValueError("queries is empty")
+        return _empty_topk_result(corpus)
     qm /= _qn
 
     dim = qm.shape[1]
@@ -662,7 +673,14 @@ def _assign_nearest_literal(
     import numpy as np
 
     if not labeled_centroids:
-        raise ValueError("labeled_centroids is empty — nothing to assign to")
+        # empty codebook -> no inverted lists: every vector is
+        # un-assignable (the same class as a dimension mismatch) — a
+        # schema-stable empty result instead of a driver crash
+        out_type = df.schema[id_col].dataType.simpleString()
+        vec_type = df.schema[vec_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"{out_id} {out_type}, {out_vec} {vec_type}, label int"
+        )
     cmat = np.asarray([c for _, c in labeled_centroids], dtype="float64")
     # belt-and-braces against a poisoned codebook: a zero-norm or
     # non-finite centroid must be a deterministic LOSER of the argmax
@@ -975,7 +993,10 @@ def kmeans_fit(
         .first()
     )
     if dim_row is None:
-        raise ValueError("cannot fit k-means on an empty DataFrame")
+        # empty (or fully-unusable) corpus fits an EMPTY codebook: the
+        # assign/probe paths compose it to empty results instead of a
+        # dead job (empty-corpus probe, round 7b)
+        return []
     dim = dim_row["_d"]
     hashed = df.filter(F.size(F.col(vec_col)) == dim).select(
         F.col(vec_col).cast("array<double>").alias("_v"),
@@ -983,7 +1004,7 @@ def kmeans_fit(
     )
     first = hashed.orderBy("_h").limit(1).collect()
     if not first:
-        raise ValueError("cannot fit k-means on an empty DataFrame")
+        return []  # same empty-codebook contract as the dim probe above
     chosen = [[float(x) for x in first[0]["_v"]]]
     if init == "parallel" and k > 1:
         centroids = _seed_parallel(hashed, first[0], k=k, round_to=round_to)
@@ -1114,12 +1135,16 @@ def kmeans_assign(
     import numpy as np
 
     df = _drop_null_vectors(df, vec_col)
-    cmat = np.asarray(centroids, dtype="float64")
-    cn2 = (cmat * cmat).sum(axis=1)
     cols = list(df.columns)
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", cid int, dist2 double"
+    if not centroids:
+        # an EMPTY codebook (fit over an empty corpus) assigns nothing —
+        # schema-stable empty result, not a shape crash (round 7b)
+        return df.sparkSession.createDataFrame([], out_schema)
+    cmat = np.asarray(centroids, dtype="float64")
+    cn2 = (cmat * cmat).sum(axis=1)
 
     expected_dim = cmat.shape[1]
 
@@ -1436,14 +1461,14 @@ def quantized_rerank_topk(
     c = candidates if candidates is not None else 4 * k
     q_rows = _drop_null_vectors(queries, vec_col).select(query_id_col, vec_col).collect()
     if not q_rows:
-        raise ValueError("queries is empty")
+        return _empty_topk_result(corpus)
     q_ids = np.array([r[0] for r in q_rows], dtype="int64")
     qm = np.asarray([list(map(float, r[1])) for r in q_rows], dtype="float64")
     _qn = np.linalg.norm(qm, axis=1, keepdims=True)
     _qnz = _qn[:, 0] > 0.0  # zero-norm queries: cosine undefined, exclude
     q_ids, qm, _qn = q_ids[_qnz], qm[_qnz], _qn[_qnz]
     if qm.shape[0] == 0:
-        raise ValueError("queries is empty")
+        return _empty_topk_result(corpus)
     qm /= _qn
 
     dim = qm.shape[1]

@@ -595,7 +595,15 @@ GROUP BY l_returnflag
 
 
 def q_rollup_region_nation(spark: SparkSession, sf: str) -> DataFrame:
-    """ROLLUP grouping-sets aggregation with GROUPING flags."""
+    """ROLLUP grouping-sets aggregation with GROUPING flags.
+
+    Empty-input contract (round 7b, pinned by the empty-corpus probe):
+    the report enumerates OBSERVED groups — zero input rows, zero output
+    rows. Spark's cube/rollup/grouping-sets natively omit even the
+    grand-total row on empty input, while ANSI/DuckDB emit a count-0 ()
+    row; the oracle's HAVING count(*) > 0 mirrors the observed-groups
+    reading and is a no-op on non-empty input (every observed group has
+    at least one row)."""
     c = read_table(spark, sf, "customer")
     n = read_table(spark, sf, "nation")
     r = read_table(spark, sf, "region")
@@ -619,6 +627,7 @@ FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
+HAVING count(*) > 0
 """
 
 
@@ -1064,29 +1073,34 @@ def q_orders_quality_report(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_ORDERS_QUALITY_REPORT = """
 WITH rowchecks AS (
+  -- coalesce every row-level sum: zero input rows = zero violations
+  -- (sum over empty is NULL; the Spark side's validate() already reads
+  -- an empty table as all-checks-passed — empty-corpus probe, round 7b)
   SELECT 'not_null_o_custkey' AS check_name,
-         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+                       0) AS BIGINT)
            AS n_violations
   FROM orders
   UNION ALL
   SELECT 'accepted_values_o_orderstatus',
-         CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
-                        OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         CAST(coalesce(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                        OR o_orderstatus IS NULL THEN 1 ELSE 0 END),
+                       0) AS BIGINT)
   FROM orders
   UNION ALL
   SELECT 'in_range_o_totalprice',
          -- explicit isnan: Spark comparisons treat NaN as greater than
          -- any value (NaN > hi is TRUE, a violation), DuckDB follows IEEE
          -- (NaN > hi is FALSE) — a NaN price must fail the range check
-         CAST(sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 10000000
+         CAST(coalesce(sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 10000000
                         OR o_totalprice IS NULL OR isnan(o_totalprice)
-                       THEN 1 ELSE 0 END) AS BIGINT)
+                       THEN 1 ELSE 0 END), 0) AS BIGINT)
   FROM orders
   UNION ALL
   SELECT 'orderdate_in_epoch',
-         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+         CAST(coalesce(sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
                         OR o_orderdate >= TIMESTAMP '2010-01-01'
-                       THEN 1 ELSE 0 END) AS BIGINT)
+                       THEN 1 ELSE 0 END), 0) AS BIGINT)
   FROM orders
   UNION ALL
   SELECT 'unique_o_orderkey',
@@ -3642,7 +3656,8 @@ FROM customer
 def q_cube_order_stats(spark: SparkSession, sf: str) -> DataFrame:
     """CUBE over (status, priority) with GROUPING flags — the full
     grouping-sets lattice in one pass (Spark expands to a single Expand +
-    hash-agg, no multiple scans)."""
+    hash-agg, no multiple scans). Observed-groups empty-input contract:
+    see q_rollup_region_nation (oracle HAVING count(*) > 0)."""
     o = read_table(spark, sf, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -3659,13 +3674,15 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
        CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
+HAVING count(*) > 0
 """
 
 
 def q_grouping_sets_sql(spark: SparkSession, sf: str) -> DataFrame:
     """Explicit GROUPING SETS through the engine's SQL surface (temp views —
     the Spark analogue of the reference's BigQuery external tables,
-    reference ``gcpl.py:472-603``)."""
+    reference ``gcpl.py:472-603``). Observed-groups empty-input
+    contract: see q_rollup_region_nation (oracle HAVING count(*) > 0)."""
     register_views(spark, sf, ("customer", "nation"))
     return spark.sql(
         """
@@ -3687,6 +3704,7 @@ SELECT c_mktsegment, n_name, count(*) AS n_cust,
        CAST(GROUPING(n_name) AS INT) AS g_nat
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+HAVING count(*) > 0
 """
 
 
@@ -4740,7 +4758,12 @@ def q_simhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(
             per_text.agg(
                 F.count(F.lit(1)).alias("n_text_groups"),
-                (F.max("_nfp") <= 1).alias("exact_dups_share_fp"),
+                # vacuously TRUE on an empty corpus (max over empty is
+                # NULL; the oracle emits the literal invariant) —
+                # empty-corpus probe, round 7b
+                F.coalesce(F.max("_nfp") <= 1, F.lit(True)).alias(
+                    "exact_dups_share_fp"
+                ),
             )
         )
         .select("n_docs", "n_text_groups", "exact_dups_share_fp")
@@ -4902,16 +4925,24 @@ def q_kmeans_doc_clusters(spark: SparkSession, sf: str) -> DataFrame:
     cents = similarity.kmeans_fit(emb, k=8, max_iter=4, seed=42)
     assigned = similarity.kmeans_assign(emb, cents)
     per = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("_n"))
+    # empty-corpus contract (round 7b probe): zero assignable vectors ->
+    # (0, TRUE, TRUE) — the conservation and non-emptiness invariants
+    # hold vacuously (sum/min over empty are NULL, which would NULL the
+    # report while the oracle counts 0)
     return (
         per.agg(
-            F.sum("_n").cast("bigint").alias("total_vectors"),
+            F.coalesce(F.sum("_n"), F.lit(0))
+            .cast("bigint")
+            .alias("total_vectors"),
             (F.count(F.lit(1)) <= 8).alias("n_clusters_le_k"),
             F.min("_n").cast("bigint").alias("min_cluster_size"),
         )
         .select(
             "total_vectors",
             "n_clusters_le_k",
-            (F.col("min_cluster_size") >= 1).alias("no_empty_output_rows"),
+            F.coalesce(F.col("min_cluster_size") >= 1, F.lit(True)).alias(
+                "no_empty_output_rows"
+            ),
         )
     )
 
@@ -5281,8 +5312,10 @@ def q_profile_lineitem(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLE_PROFILE_LINEITEM = """
+-- n_nulls coalesced: zero input rows = zero nulls (sum over empty is
+-- NULL; Spark's profile counts 0) — empty-corpus probe, round 7b
 SELECT 'l_quantity' AS column, count(*) AS n_rows,
-       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(coalesce(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls,
        count(DISTINCT l_quantity) AS n_distinct,
        round(CAST(min(l_quantity) AS DOUBLE), 4) AS min_v,
        round(CAST(max(l_quantity) AS DOUBLE), 4) AS max_v,
@@ -5290,7 +5323,7 @@ SELECT 'l_quantity' AS column, count(*) AS n_rows,
 FROM lineitem
 UNION ALL
 SELECT 'l_extendedprice', count(*),
-       CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
        count(DISTINCT l_extendedprice),
        round(CAST(min(l_extendedprice) AS DOUBLE), 4),
        round(CAST(max(l_extendedprice) AS DOUBLE), 4),
@@ -5298,7 +5331,7 @@ SELECT 'l_extendedprice', count(*),
 FROM lineitem
 UNION ALL
 SELECT 'l_discount', count(*),
-       CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
        count(DISTINCT l_discount),
        round(CAST(min(l_discount) AS DOUBLE), 4),
        round(CAST(max(l_discount) AS DOUBLE), 4),
@@ -5306,7 +5339,7 @@ SELECT 'l_discount', count(*),
 FROM lineitem
 UNION ALL
 SELECT 'l_tax', count(*),
-       CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
        count(DISTINCT l_tax),
        round(CAST(min(l_tax) AS DOUBLE), 4),
        round(CAST(max(l_tax) AS DOUBLE), 4),
@@ -5447,7 +5480,11 @@ def q_winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(
             per_text.agg(
                 F.count(F.lit(1)).alias("n_text_groups"),
-                (F.max("_n") <= 1).alias("dup_texts_share_fingerprints"),
+                # vacuously TRUE on an empty corpus (see
+                # q_simhash_fingerprints)
+                F.coalesce(F.max("_n") <= 1, F.lit(True)).alias(
+                    "dup_texts_share_fingerprints"
+                ),
             )
         )
         .select("n_docs", "n_text_groups", "dup_texts_share_fingerprints")
@@ -7688,17 +7725,19 @@ WITH t AS (
          n_stop < 2 AS f5
   FROM f
 ), agg AS (
+  -- stage sums coalesced: zero docs in = zero at every stage
+  -- (empty-corpus probe, round 7b)
   SELECT count(*) AS s0,
-         CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
-         CAST(sum(CASE WHEN NOT f1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
-         CAST(sum(CASE WHEN NOT f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
-         CAST(sum(CASE WHEN NOT f1 AND NOT f2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
-         CAST(sum(CASE WHEN NOT f1 AND NOT f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
-         CAST(sum(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
-         CAST(sum(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
-         CAST(sum(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND NOT f4 THEN 1 ELSE 0 END) AS BIGINT) AS s4,
-         CAST(sum(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND NOT f4 AND f5 THEN 1 ELSE 0 END) AS BIGINT) AS d5,
-         CAST(sum(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND NOT f4 AND NOT f5 THEN 1 ELSE 0 END) AS BIGINT) AS s5
+         CAST(coalesce(sum(CASE WHEN f1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d1,
+         CAST(coalesce(sum(CASE WHEN NOT f1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS s1,
+         CAST(coalesce(sum(CASE WHEN NOT f1 AND f2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d2,
+         CAST(coalesce(sum(CASE WHEN NOT f1 AND NOT f2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS s2,
+         CAST(coalesce(sum(CASE WHEN NOT f1 AND NOT f2 AND f3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d3,
+         CAST(coalesce(sum(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS s3,
+         CAST(coalesce(sum(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND f4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d4,
+         CAST(coalesce(sum(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND NOT f4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS s4,
+         CAST(coalesce(sum(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND NOT f4 AND f5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d5,
+         CAST(coalesce(sum(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND NOT f4 AND NOT f5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS s5
   FROM r
 )
 SELECT u.stage, u.rule, u.n_in, u.n_dropped, u.n_out
@@ -8027,8 +8066,14 @@ def q_join_cardinality_estimate(spark: SparkSession, sf: str) -> DataFrame:
     b = o.groupBy(F.col("o_orderkey").alias("k")).agg(
         F.count(F.lit(1)).alias("cb")
     )
+    # coalesce: an EMPTY profile join (no shared keys, or an empty
+    # table) predicts exactly 0 joined rows — sum over empty is NULL,
+    # which would NULL the prediction_exact flag too (empty-corpus
+    # probe, round 7b; live on any disjoint-key input)
     predicted = a.join(b, "k").agg(
-        F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("predicted_rows")
+        F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+        .cast("bigint")
+        .alias("predicted_rows")
     )
     actual = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -9195,15 +9240,23 @@ def q_approx_global_histogram(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("bucket")
     )
     counts = assigned.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    # empty-corpus contract (round 7b probe): zero rows -> zero observed
+    # buckets, zero orders, and a vacuously TRUE balance bound (sum/max
+    # over empty are NULL, which would NULL the report)
     return counts.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
-        F.sum("n").cast("bigint").alias("n_orders"),
-        (F.max("n") * 10 <= F.sum("n") * 2).alias("max_bucket_le_2x_ideal"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_orders"),
+        F.coalesce(
+            F.max("n") * 10 <= F.sum("n") * 2, F.lit(True)
+        ).alias("max_bucket_le_2x_ideal"),
     )
 
 
 ORACLE_APPROX_GLOBAL_HISTOGRAM = """
-SELECT 10 AS n_buckets, count(*) AS n_orders,
+-- 10 observed buckets assumes a non-degenerate price spread (true for
+-- every fixture incl. the dirty ones); an EMPTY table observes none
+SELECT CASE WHEN count(*) = 0 THEN 0 ELSE 10 END AS n_buckets,
+       count(*) AS n_orders,
        TRUE AS max_bucket_le_2x_ideal
 FROM orders
 """
@@ -10296,12 +10349,18 @@ def q_bucket_checksums_diff(spark: SparkSession, sf: str) -> DataFrame:
     a = bucket_cks(o, "cks_a")
     b = bucket_cks(replica, "cks_b")
     joined = a.join(b, "bucket", "full_outer")
+    # coalesce: empty replicas have zero buckets and zero divergence
+    # (sum over empty is NULL, which would NULL the pinned flag too) —
+    # the flag is honestly FALSE there: no row was repriced
     return joined.agg(
         F.count(F.lit(1)).alias("n_buckets"),
-        F.sum(
-            (
-                ~F.coalesce(F.col("cks_a") == F.col("cks_b"), F.lit(False))
-            ).cast("bigint")
+        F.coalesce(
+            F.sum(
+                (
+                    ~F.coalesce(F.col("cks_a") == F.col("cks_b"), F.lit(False))
+                ).cast("bigint")
+            ),
+            F.lit(0),
         ).alias("n_diverged"),
     ).select(
         "n_buckets",
@@ -10317,8 +10376,12 @@ WITH b AS (
            AS bucket
   FROM orders GROUP BY 1
 )
-SELECT count(*) AS n_buckets, CAST(1 AS BIGINT) AS n_diverged,
-       TRUE AS exactly_one_bucket_diverged
+-- exactly the min-key bucket diverges on ANY non-empty input; empty
+-- replicas have nothing repriced (0 diverged, flag FALSE) — round 7b
+SELECT count(*) AS n_buckets,
+       CAST(CASE WHEN count(*) = 0 THEN 0 ELSE 1 END AS BIGINT)
+         AS n_diverged,
+       count(*) > 0 AS exactly_one_bucket_diverged
 FROM b
 """
 
@@ -10806,16 +10869,27 @@ def q_revenue_pareto(spark: SparkSession, sf: str) -> DataFrame:
     top = ranked.crossJoin(F.broadcast(totals)).filter(
         F.col("rank") * 5 <= F.col("_n")
     )
-    return top.agg(
+    # aggregate the top slice SEPARATELY, then attach the totals row:
+    # the report is total (exactly one row) even when the top slice is
+    # EMPTY — fewer than 5 priced orders, or an empty partition slice at
+    # 100 TB. The previous shape (global agg over the filtered slice,
+    # n_orders via first(_n)) emitted (0, NULL, NULL) there while the
+    # oracle's GROUP BY emitted nothing — found by the empty-corpus
+    # probe, but live for ANY sub-5-row input.
+    top_agg = top.agg(
         F.count(F.lit(1)).alias("n_top_orders"),
-        F.first("_n").cast("bigint").alias("n_orders"),
+        F.sum("cents").alias("_topcents"),
+    )
+    return totals.crossJoin(F.broadcast(top_agg)).select(
+        "n_top_orders",
+        F.col("_n").cast("bigint").alias("n_orders"),
         # the ppm scale-up runs in DECIMAL(38,0): sum(cents) * 1e6 blows
         # through bigint once total cents pass ~9.2e12 — true for any
         # warehouse-scale ledger (and for one in-domain 5e13 price). The
         # oracle needs no mirror: DuckDB's sum(BIGINT) is already HUGEINT.
         F.expr(
-            "CAST(CAST(sum(cents) AS DECIMAL(38,0)) * 1000000"
-            " DIV first(_total) AS BIGINT)"
+            "CAST(CAST(_topcents AS DECIMAL(38,0)) * 1000000"
+            " DIV _total AS BIGINT)"
         ).alias("top20_share_ppm"),
     )
 
@@ -10831,14 +10905,18 @@ WITH t AS (
 ), ranked AS (
   SELECT cents, row_number() OVER (ORDER BY cents DESC, o_orderkey) AS rank
   FROM t
-), tot AS (SELECT count(*) AS n, sum(cents) AS total FROM t)
-SELECT count(*) AS n_top_orders,
+), tot AS (SELECT count(*) AS n, sum(cents) AS total FROM t),
+top AS (
+  SELECT ranked.cents FROM ranked, tot WHERE ranked.rank * 5 <= tot.n
+)
+-- total report: exactly one row even when the top slice is empty
+-- (mirrors the Spark twin's totals-crossJoin-topagg shape; share is
+-- NULL there — sum over the empty slice)
+SELECT (SELECT count(*) FROM top) AS n_top_orders,
        CAST(tot.n AS BIGINT) AS n_orders,
-       CAST((sum(ranked.cents) * 1000000) // tot.total AS BIGINT)
-         AS top20_share_ppm
-FROM ranked, tot
-WHERE ranked.rank * 5 <= tot.n
-GROUP BY tot.n, tot.total
+       CAST(((SELECT sum(cents) FROM top) * 1000000) // tot.total
+            AS BIGINT) AS top20_share_ppm
+FROM tot
 """
 
 

@@ -1,0 +1,72 @@
+"""Empty-corpus oracle sweep (opt-in: SPARK_GRAFT_EMPTY=1).
+
+Every query/oracle pair re-runs against a ZERO-ROW, schema-preserving
+copy of the tables — the degenerate input every 100 TB pipeline hits
+(a filter matching nothing, a new date partition, a cold-start tenant).
+The pair must agree on the empty input exactly like on any other:
+empty-in/empty-out for per-group reports, explicit empty-safe
+aggregates for global summary rows, and NO driver exceptions.
+
+The first run of this sweep (round 7) found 17 real defects: Spark
+cube/rollup/grouping-sets omit the grand-total row on empty input while
+ANSI/DuckDB emit a count-0 () row (contract: observed groups only —
+oracle HAVING count(*) > 0); sum/max-over-empty NULL'ed pinned flags on
+one side only; k-means fit and the numpy/Arrow ANN query collects
+raised driver exceptions; and revenue_pareto's global-agg shape emitted
+a phantom row its GROUP-BY oracle didn't (live on any sub-5-row input).
+
+~8 min; excluded from the default run like the dirty and cross-SF
+sweeps.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+from statline_bq_spark.io import TABLES, table_path
+from statline_bq_spark.workload import ORACLES, QUERIES
+
+from tests.conftest import TESTDATA
+from tests.test_oracle_parity import _normalize
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_EMPTY"),
+    reason="empty-corpus sweep is opt-in (SPARK_GRAFT_EMPTY=1); "
+    "clean sf0.01 runs in test_oracle_parity",
+)
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="session")
+def empty_dir(tmp_path_factory):
+    sys.path.insert(0, os.path.join(_REPO, "tools"))
+    from empty_sf import build
+
+    out = str(tmp_path_factory.mktemp("empty_sf"))
+    build(f"{TESTDATA}/sf0.001", out)
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle_on_empty_corpus(spark, empty_dir, name):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{table_path(empty_dir, t)}')"
+        )
+    sdf = QUERIES[name](spark, empty_dir)
+    s_cols, s_rows = _normalize(sdf.columns, sdf.collect())
+    res = con.execute(ORACLES[name])
+    d_cols, d_rows = _normalize(
+        [d[0] for d in res.description], res.fetchall()
+    )
+    assert s_cols == d_cols
+    assert len(s_rows) == len(d_rows)
+    assert s_rows == d_rows
+    con.close()

@@ -1229,6 +1229,45 @@ def test_ascii_tokenization_contract():
     assert re.split(r"\s+", "nb\u00a0sp") == ["nb", "sp"]
 
 
+def test_empty_corpus_is_total_not_fatal(spark):
+    """Empty-in/empty-out totality (round 7b, found by the empty-corpus
+    probe): an empty — or fully-unusable — corpus or query set must
+    compose to EMPTY results, never a driver exception. At 100 TB an
+    upstream filter legitimately matches nothing; 'cannot fit' /
+    'queries is empty' crashes would kill the whole job."""
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>, label int"
+    )
+    some = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1), (3, [1.0, 1.0], 0)],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    # fit on empty -> empty codebook; assignment with it -> empty result
+    assert similarity.kmeans_fit(empty, k=4) == []
+    assigned = similarity.kmeans_assign(some, [])
+    assert assigned.count() == 0
+    assert assigned.columns == ["vec_id", "embedding", "label", "cid",
+                                "dist2"]
+    # empty query set -> schema-stable empty top-k on every Python path
+    q_empty = empty.select(F.col("vec_id").alias("q_id"), "embedding")
+    for fn in (
+        similarity.ann_cosine_topk_np,
+        similarity.ann_cosine_topk_arrow,
+    ):
+        out = fn(some, q_empty, k=2)
+        assert out.count() == 0
+        assert out.columns == ["q_id", "neighbor_id", "rn", "sim"]
+    # a query set that exists but is fully unusable (zero-norm) is the
+    # same class — the second guard
+    q_zero = spark.createDataFrame(
+        [(9, [0.0, 0.0])], "q_id bigint, embedding array<double>"
+    )
+    assert similarity.ann_cosine_topk_np(some, q_zero, k=2).count() == 0
+    # ivf with a trained-on-empty codebook composes to empty too
+    out = similarity.ivf_kmeans_topk(empty, q_empty, n_clusters=4, k=2)
+    assert out.count() == 0
+
+
 def test_json_quarantine_payload_contract(spark):
     """Per-payload parse verdicts for the declared-schema JSON parse
     (q_json_quarantine), pinned at ROW grain on BOTH engines. The

@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""Build a ZERO-ROW, schema-preserving copy of a test scale factor.
+
+At 100 TB an upstream filter, a new date partition, or a cold-start
+tenant legitimately produces EMPTY inputs — and a pipeline must compose
+them to empty outputs, not die. The round-7 first run of this probe
+found 17 real defects across the registry: Spark's cube/rollup/grouping
+-sets omit even the grand-total row on empty input while ANSI/DuckDB
+emit a count-0 () row, sum()/max() over empty NULL'ed pinned report
+flags on one engine only, k-means fits and the numpy/Arrow ANN paths
+raised driver exceptions ("cannot fit", "queries is empty"), and
+revenue_pareto's global-agg-vs-GROUP-BY shapes disagreed on row COUNT
+(1 vs 0) — a divergence also live on any sub-5-row input.
+
+Usage:
+    python tools/empty_sf.py [base_sf_dir] [out_dir]
+    SPARK_GRAFT_ORACLE_SF=<out_dir> python tools/check_window.py 233
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow.parquet as pq
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def build(base: str, out: str) -> None:
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        tbl = pq.read_table(os.path.join(base, f"{t}.parquet"))
+        pq.write_table(tbl.slice(0, 0), os.path.join(out, f"{t}.parquet"))
+    print(f"wrote empty SF to {out}")
+
+
+if __name__ == "__main__":
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_empty_sf"
+    build(base, out)
