@@ -52,15 +52,24 @@ def empty_dir(tmp_path_factory):
     return out
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
-def test_query_matches_oracle_on_empty_corpus(spark, empty_dir, name):
+@pytest.fixture(scope="session")
+def single_dir(tmp_path_factory):
+    sys.path.insert(0, os.path.join(_REPO, "tools"))
+    from empty_sf import build
+
+    out = str(tmp_path_factory.mktemp("single_sf"))
+    build(f"{TESTDATA}/sf0.001", out, rows=1)
+    return out
+
+
+def _check(spark, sf_dir, name):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{table_path(empty_dir, t)}')"
+            f"read_parquet('{table_path(sf_dir, t)}')"
         )
-    sdf = QUERIES[name](spark, empty_dir)
+    sdf = QUERIES[name](spark, sf_dir)
     s_cols, s_rows = _normalize(sdf.columns, sdf.collect())
     res = con.execute(ORACLES[name])
     d_cols, d_rows = _normalize(
@@ -70,3 +79,19 @@ def test_query_matches_oracle_on_empty_corpus(spark, empty_dir, name):
     assert len(s_rows) == len(d_rows)
     assert s_rows == d_rows
     con.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle_on_empty_corpus(spark, empty_dir, name):
+    _check(spark, empty_dir, name)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle_on_single_row_corpus(spark, single_dir, name):
+    """One row per table: n-1 variance, percentile ranks, lead/lag and
+    top-k caps all degenerate. First run (round 7b) found the six ANN
+    recall oracles overcounting expected exact pairs (count(*) * k with
+    no corpus-size cap — wrong on any corpus smaller than k+1) and the
+    approx-histogram contract pinning data-dependent facts (bucket
+    count, a 2x-ideal bound below its granularity floor)."""
+    _check(spark, single_dir, name)

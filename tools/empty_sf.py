@@ -30,15 +30,22 @@ TABLES = (
 ).split()
 
 
-def build(base: str, out: str) -> None:
+def build(base: str, out: str, rows: int = 0) -> None:
+    """rows=0: the empty probe. rows=1: the SINGLE-ROW probe — tiny
+    partitions where n-1 variance, percentile ranks and top-k caps all
+    degenerate; its first run found the ANN recall oracles overcounting
+    expected pairs (count(*) * k with no corpus-size cap) and the
+    histogram contract asserting data-dependent facts."""
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         tbl = pq.read_table(os.path.join(base, f"{t}.parquet"))
-        pq.write_table(tbl.slice(0, 0), os.path.join(out, f"{t}.parquet"))
-    print(f"wrote empty SF to {out}")
+        pq.write_table(
+            tbl.slice(0, rows), os.path.join(out, f"{t}.parquet")
+        )
+    print(f"wrote {rows}-row SF to {out}")
 
 
 if __name__ == "__main__":
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_empty_sf"
-    build(base, out)
+    build(base, out, rows=int(sys.argv[3]) if len(sys.argv) > 3 else 0)
