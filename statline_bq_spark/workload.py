@@ -9237,28 +9237,38 @@ def q_approx_global_histogram(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("bucket")
     )
     counts = assigned.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
-    # degenerate-input contract (round 7b empty + single-row probes):
-    # the observed-bucket COUNT is sketch- and data-dependent (1 on a
-    # single-row or constant-price table, 0 on empty) — not
+    # degenerate-input contract (round 7b empty/single-row/constant
+    # probes): the observed-bucket COUNT is sketch- and data-dependent
+    # (1 on a single-row or constant-price table, 0 on empty) — not
     # SQL-derivable — so the pinned fact is the by-construction bound
-    # (<= 10 buckets from 9 boundaries). The 2x-ideal balance bound is
-    # only meaningful at >= 2 rows/bucket granularity (below n=20 a
-    # single row legitimately 'exceeds' 2x the fractional ideal) and is
-    # vacuously TRUE on empty (max/sum over empty are NULL).
+    # (<= 10 buckets from 9 boundaries). The balance bound carries a
+    # TIE-MASS term: rank-selected boundaries cannot split equal values,
+    # so a single price carrying p rows forces a bucket of >= p — the
+    # honest equi-depth guarantee is max_bucket <= 2*ideal + max_tie
+    # (integer form: max*5 <= n + 5*max_tie; also absorbs the
+    # fractional-ideal floor at tiny n). Vacuously TRUE on empty.
+    max_tie = o.groupBy("o_totalprice").agg(
+        F.count(F.lit(1)).alias("_c")
+    ).agg(F.max("_c").alias("_maxtie"))
     return counts.agg(
         (F.count(F.lit(1)) <= 10).alias("n_buckets_le_10"),
         F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_orders"),
-        F.coalesce(
-            (F.max("n") * 10 <= F.sum("n") * 2) | (F.sum("n") < 20),
-            F.lit(True),
-        ).alias("max_bucket_le_2x_ideal"),
+        F.coalesce(F.max("n") * 5, F.lit(0)).alias("_m5"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("_s"),
+    ).crossJoin(F.broadcast(max_tie)).select(
+        "n_buckets_le_10",
+        "n_orders",
+        (
+            F.col("_m5")
+            <= F.col("_s") + 5 * F.coalesce(F.col("_maxtie"), F.lit(0))
+        ).alias("max_bucket_le_2x_ideal_plus_ties"),
     )
 
 
 ORACLE_APPROX_GLOBAL_HISTOGRAM = """
 SELECT TRUE AS n_buckets_le_10,
        count(*) AS n_orders,
-       TRUE AS max_bucket_le_2x_ideal
+       TRUE AS max_bucket_le_2x_ideal_plus_ties
 FROM orders
 """
 
@@ -11139,8 +11149,14 @@ def q_keyword_in_context(spark: SparkSession, sf: str) -> DataFrame:
 
     d = read_table(spark, sf, "documents")
     toks = d.select("doc_id", _tokens("text").alias("tk"))
+    # tk rides THROUGH the explode instead of a join-back to toks: the
+    # join-back would (a) shuffle the whole token-array table twice and
+    # (b) fan out hits x copies on a DUPLICATED doc_id — each row's hits
+    # must pair with that row's OWN array (found by the 50-identical-
+    # rows degenerate probe: 2500 rows vs the oracle's 50)
     hits = toks.select(
         "doc_id",
+        "tk",
         F.explode(
             F.filter(
                 F.transform("tk", lambda x, i: F.when(x == "spark", i)),
@@ -11148,7 +11164,7 @@ def q_keyword_in_context(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("pos"),
     )
-    ctx = hits.join(toks, "doc_id").select(
+    ctx = hits.select(
         "doc_id",
         F.col("pos").cast("int").alias("pos"),
         F.concat_ws(

@@ -95,3 +95,24 @@ def test_query_matches_oracle_on_single_row_corpus(spark, single_dir, name):
     approx-histogram contract pinning data-dependent facts (bucket
     count, a 2x-ideal bound below its granularity floor)."""
     _check(spark, single_dir, name)
+
+
+@pytest.fixture(scope="session")
+def const_dir(tmp_path_factory):
+    sys.path.insert(0, os.path.join(_REPO, "tools"))
+    from empty_sf import build
+
+    out = str(tmp_path_factory.mktemp("const_sf"))
+    build(f"{TESTDATA}/sf0.001", out, rows=1, repeat=50)
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle_on_constant_corpus(spark, const_dir, name):
+    """Fifty identical rows per table: zero variance at n>1, one value
+    carrying ALL the mass, every key duplicated 50x. First run (round
+    7b) found keyword_in_context fanning out hits x copies through a
+    join-back on doc_id (each row's hits must pair with that row's OWN
+    token array) and the histogram balance bound missing its tie-mass
+    term (rank-selected boundaries cannot split equal values)."""
+    _check(spark, const_dir, name)

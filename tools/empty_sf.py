@@ -30,22 +30,36 @@ TABLES = (
 ).split()
 
 
-def build(base: str, out: str, rows: int = 0) -> None:
+def build(base: str, out: str, rows: int = 0, repeat: int = 1) -> None:
     """rows=0: the empty probe. rows=1: the SINGLE-ROW probe — tiny
     partitions where n-1 variance, percentile ranks and top-k caps all
     degenerate; its first run found the ANN recall oracles overcounting
     expected pairs (count(*) * k with no corpus-size cap) and the
-    histogram contract asserting data-dependent facts."""
+    histogram contract asserting data-dependent facts.
+    rows=1, repeat=50: the CONSTANT-CORPUS probe — every row identical
+    (zero variance at n>1, one distinct value carrying all mass,
+    duplicated keys everywhere); its first run found keyword_in_context
+    fanning out hits x copies through a join-back on doc_id, and the
+    histogram balance bound missing its tie-mass term (rank-selected
+    boundaries cannot split equal values)."""
+    import pyarrow as pa
+
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         tbl = pq.read_table(os.path.join(base, f"{t}.parquet"))
-        pq.write_table(
-            tbl.slice(0, rows), os.path.join(out, f"{t}.parquet")
-        )
-    print(f"wrote {rows}-row SF to {out}")
+        sliced = tbl.slice(0, rows)
+        if repeat > 1:
+            sliced = pa.concat_tables([sliced] * repeat)
+        pq.write_table(sliced, os.path.join(out, f"{t}.parquet"))
+    print(f"wrote {rows}x{repeat}-row SF to {out}")
 
 
 if __name__ == "__main__":
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_empty_sf"
-    build(base, out, rows=int(sys.argv[3]) if len(sys.argv) > 3 else 0)
+    build(
+        base,
+        out,
+        rows=int(sys.argv[3]) if len(sys.argv) > 3 else 0,
+        repeat=int(sys.argv[4]) if len(sys.argv) > 4 else 1,
+    )
