@@ -171,6 +171,18 @@ def _sql_finite_vec(col: str = "embedding") -> str:
 _SQL_FINITE_VEC = _sql_finite_vec("embedding")
 
 
+def _sql_nonzero_vec(col: str = "embedding") -> str:
+    """Nonzero-norm clause of the scorability contract: a zero-norm
+    vector's cosine is UNDEFINED — Spark's try_divide yields NULL (the
+    row drops out of every ranking) but DuckDB's list_cosine_similarity
+    returns -1.0, which RANKS (last, so it surfaces exactly when a
+    query's candidate pool is small enough for rank <= k to reach it —
+    found by the all-NULL-payload probe, round 7b). Every similarity-
+    RANKING oracle must exclude zero-norm vectors explicitly; threshold
+    oracles (sim >= 0.4) exclude them arithmetically already."""
+    return f"len(list_filter({col}, x -> x <> 0)) > 0"
+
+
 def _json_ambiguous(col: F.Column | str) -> F.Column:
     """TRUE iff the JSON object carries a DUPLICATE key — ambiguous input
     with no defensible extraction semantics: Spark's own three JSON
@@ -240,7 +252,7 @@ def _sql_expected_topk_summary(flag: str, k: int = 5) -> str:
     pinned quality contract, vacuously TRUE when no pairs exist."""
     u = (
         f"SELECT DISTINCT vec_id FROM embeddings WHERE {_SQL_FINITE_VEC} "
-        f"AND len(list_filter(embedding, x -> x <> 0)) > 0"
+        f"AND {_sql_nonzero_vec('embedding')}"
     )
     return f"""
 WITH u AS ({u}),
@@ -2260,15 +2272,20 @@ def q_bitext_mining(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-ORACLE_BITEXT_MINING = """
+ORACLE_BITEXT_MINING = f"""
 WITH de AS (
+  -- usable nonzero-norm vectors only, both sides (the exact-ANN
+  -- scorability contract): this oracle held only by data luck until
+  -- the all-NULL-payload probe NULL'ed every embedding
   SELECT d.doc_id AS q_id, CAST(e.embedding AS DOUBLE[]) AS qv
   FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-  WHERE d.lang = 'de'
+  WHERE d.lang = 'de' AND {_sql_finite_vec("e.embedding")}
+    AND {_sql_nonzero_vec("e.embedding")}
 ), en AS (
   SELECT d.doc_id AS nid, CAST(e.embedding AS DOUBLE[]) AS cv
   FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-  WHERE d.lang = 'en'
+  WHERE d.lang = 'en' AND {_sql_finite_vec("e.embedding")}
+    AND {_sql_nonzero_vec("e.embedding")}
 ), s AS (
   SELECT de.q_id, en.nid,
          list_cosine_similarity(en.cv, de.qv) AS sim_raw,
@@ -3346,11 +3363,13 @@ WITH q AS (
   -- a NULL component CRASHES DuckDB's list_cosine_similarity outright
   SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
   FROM embeddings WHERE vec_id < 10 AND {_SQL_FINITE_VEC}
+    AND {_sql_nonzero_vec("embedding")}
 ), s AS (
   SELECT q.q_id, e.vec_id AS neighbor_id,
          list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim_raw
   FROM embeddings e, q
   WHERE e.vec_id <> q.q_id AND {_sql_finite_vec("e.embedding")}
+    AND {_sql_nonzero_vec("e.embedding")}
 )
 SELECT q_id, neighbor_id,
        CAST(row_number() OVER (PARTITION BY q_id
@@ -5019,7 +5038,14 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.col("doc_id") + 1_000_000
     )
     pairs = dedup.simhash_neardup_pairs(d.unionByName(redo), max_hamming=3)
-    planted = d.filter(F.col("doc_id") < 50).select(
+    # a NULL-text doc has NO fingerprint (explode of a NULL token stream
+    # yields nothing), so its clone pair is honestly unrecoverable — the
+    # planted set counts fingerprintable docs only (all-NULL-payload
+    # probe, round 7b; empty/whitespace text DOES fingerprint: split of
+    # a trimmed '' yields one ''-token)
+    planted = d.filter(
+        (F.col("doc_id") < 50) & F.col("text").isNotNull()
+    ).select(
         F.col("doc_id").alias("a"),
         (F.col("doc_id") + 1_000_000).alias("b"),
     )
@@ -5037,8 +5063,10 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLE_SIMHASH_NEARDUP_PAIRS = """
+-- fingerprintable (non-NULL-text) docs only: a NULL-text clone pair is
+-- honestly unrecoverable (no fingerprint on either side)
 SELECT count(*) AS n_planted, TRUE AS all_planted_pairs_found
-FROM documents WHERE doc_id < 50
+FROM documents WHERE doc_id < 50 AND text IS NOT NULL
 """
 
 
@@ -7819,12 +7847,12 @@ WITH q AS (
   SELECT vec_id AS q_id, label AS q_label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
   FROM embeddings WHERE vec_id < 20
-    AND {_SQL_FINITE_VEC}
+    AND {_SQL_FINITE_VEC} AND {_sql_nonzero_vec("embedding")}
 ), c AS (
   SELECT vec_id AS neg_id, label AS neg_label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
   FROM embeddings
-  WHERE {_SQL_FINITE_VEC}
+  WHERE {_SQL_FINITE_VEC} AND {_sql_nonzero_vec("embedding")}
 ), s AS (
   SELECT q.q_id, q.q_label, c.neg_id, c.neg_label,
          list_cosine_similarity(c.cv, q.qv) AS sim_raw,

@@ -116,3 +116,24 @@ def test_query_matches_oracle_on_constant_corpus(spark, const_dir, name):
     token array) and the histogram balance bound missing its tie-mass
     term (rank-selected boundaries cannot split equal values)."""
     _check(spark, const_dir, name)
+
+
+@pytest.fixture(scope="session")
+def allnull_dir(tmp_path_factory):
+    sys.path.insert(0, os.path.join(_REPO, "tools"))
+    from empty_sf import build
+
+    out = str(tmp_path_factory.mktemp("allnull_sf"))
+    build(f"{TESTDATA}/sf0.001", out, rows=None, null_payloads=True)
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle_on_all_null_payloads(spark, allnull_dir, name):
+    """Normal row counts but every text/props/embedding NULL — a fully
+    degraded feed. First run (round 7b) found the bitext oracle scoring
+    NULL vectors (it held only by data luck), DuckDB ranking zero-norm
+    cosines at -1.0 where Spark's try_divide NULL drops them (a latent
+    red whenever a candidate pool is smaller than k), and the simhash
+    planted-pair contract counting unfingerprintable NULL-text docs."""
+    _check(spark, allnull_dir, name)

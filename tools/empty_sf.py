@@ -30,7 +30,13 @@ TABLES = (
 ).split()
 
 
-def build(base: str, out: str, rows: int = 0, repeat: int = 1) -> None:
+def build(
+    base: str,
+    out: str,
+    rows: int | None = 0,
+    repeat: int = 1,
+    null_payloads: bool = False,
+) -> None:
     """rows=0: the empty probe. rows=1: the SINGLE-ROW probe — tiny
     partitions where n-1 variance, percentile ranks and top-k caps all
     degenerate; its first run found the ANN recall oracles overcounting
@@ -41,17 +47,37 @@ def build(base: str, out: str, rows: int = 0, repeat: int = 1) -> None:
     duplicated keys everywhere); its first run found keyword_in_context
     fanning out hits x copies through a join-back on doc_id, and the
     histogram balance bound missing its tie-mass term (rank-selected
-    boundaries cannot split equal values)."""
+    boundaries cannot split equal values).
+    null_payloads=True (with rows=None, keep all): the ALL-NULL-PAYLOAD
+    probe — normal row counts but every text/props/embedding NULL (a
+    fully-degraded feed); its first run found the bitext oracle scoring
+    NULL vectors (held by data luck), DuckDB ranking zero-norm cosines
+    at -1.0 where Spark's try_divide NULL drops them, and the simhash
+    planted-pair contract counting unfingerprintable NULL-text docs."""
     import pyarrow as pa
 
+    _null_cols = {
+        "documents": ["text"],
+        "events": ["props"],
+        "embeddings": ["embedding"],
+    }
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         tbl = pq.read_table(os.path.join(base, f"{t}.parquet"))
-        sliced = tbl.slice(0, rows)
+        if rows is not None:
+            tbl = tbl.slice(0, rows)
         if repeat > 1:
-            sliced = pa.concat_tables([sliced] * repeat)
-        pq.write_table(sliced, os.path.join(out, f"{t}.parquet"))
-    print(f"wrote {rows}x{repeat}-row SF to {out}")
+            tbl = pa.concat_tables([tbl] * repeat)
+        if null_payloads:
+            for c in _null_cols.get(t, []):
+                i = tbl.schema.get_field_index(c)
+                tbl = tbl.set_column(
+                    i,
+                    tbl.schema.field(i),
+                    pa.nulls(len(tbl), tbl.schema.field(i).type),
+                )
+        pq.write_table(tbl, os.path.join(out, f"{t}.parquet"))
+    print(f"wrote degenerate SF to {out}")
 
 
 if __name__ == "__main__":
