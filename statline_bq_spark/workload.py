@@ -547,8 +547,21 @@ def q_latest_event_per_user(spark: SparkSession, sf: str) -> DataFrame:
     """Latest-snapshot selection (reference S17/Q9: the `_get_latest_folder`
     max-date semantics, generalized to a per-key window)."""
     e = read_table(spark, sf, "events")
+    # the order is total over every EMITTED field: a replayed batch can
+    # carry the same (ts, event_id) with a conflicting payload, and a
+    # (ts, event_id)-only order would pick the latest row
+    # engine-arbitrarily (found by the conflicting-duplicate probe,
+    # round 7b; the agg-only twin diverged for real, this one was
+    # tie-lucky)
     latest = latest_by_group(
-        e, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+        e,
+        ["user_id"],
+        [
+            F.col("ts").desc(),
+            F.col("event_id").desc(),
+            F.col("event_type").desc_nulls_last(),
+            F.col("value").desc_nulls_last(),
+        ],
     )
     return latest.select("user_id", "event_id", "event_type", "value")
 
@@ -556,7 +569,9 @@ def q_latest_event_per_user(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_LATEST_EVENT_PER_USER = """
 SELECT user_id, event_id, event_type, value
 FROM events
-QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+QUALIFY row_number() OVER (PARTITION BY user_id
+    ORDER BY ts DESC, event_id DESC, event_type DESC NULLS LAST,
+             value DESC NULLS LAST) = 1
 """
 
 
@@ -2807,11 +2822,18 @@ WITH e AS (
                              ROWS UNBOUNDED PRECEDING) AS sid
   FROM e
 ), r AS (
+  -- event_type joins the order: the Spark side's sort_array over
+  -- (ts, event_id, event_type) structs is total, and a replayed batch
+  -- can carry a conflicting payload at the same (ts, event_id) — the
+  -- (ts, event_id)-only order here was tie-lucky (round-7b probe).
+  -- NULLS FIRST mirrors Spark's struct sort (NULL field = smallest).
   SELECT *, row_number() OVER (PARTITION BY user_id, sid
-                               ORDER BY ts, event_id) AS rn
+                               ORDER BY ts, event_id,
+                                        event_type NULLS FIRST) AS rn
   FROM s
 ), p AS (
-  SELECT string_agg(event_type, ' > ' ORDER BY ts, event_id) AS path
+  SELECT string_agg(event_type, ' > '
+                    ORDER BY ts, event_id, event_type NULLS FIRST) AS path
   FROM r WHERE rn <= 5 GROUP BY user_id, sid
 )
 SELECT path, count(*) AS n_sessions FROM p GROUP BY path
@@ -8133,7 +8155,14 @@ def q_latest_event_agg_only(spark: SparkSession, sf: str) -> DataFrame:
     sort. The window twin stays registered: same semantics, two physical
     strategies, both oracle-checked against the same SQL."""
     e = read_table(spark, sf, "events")
-    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    # total over every emitted field (see q_latest_event_per_user): the
+    # conflicting-duplicate probe showed Spark's struct-max and the
+    # oracle's row_number picking OPPOSITE rows of a (ts, event_id) tie.
+    # Struct-max ranks a NULL field smallest = DESC NULLS LAST (the
+    # cdc_log_replay precedent); NaN ranks greatest on both engines.
+    ordk = F.struct(
+        F.col("ts"), F.col("event_id"), F.col("event_type"), F.col("value")
+    )
     return e.groupBy("user_id").agg(
         F.max_by("event_id", ordk).alias("event_id"),
         F.max_by("event_type", ordk).alias("event_type"),
@@ -8144,7 +8173,9 @@ def q_latest_event_agg_only(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_LATEST_EVENT_AGG_ONLY = """
 SELECT user_id, event_id, event_type, value
 FROM events
-QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+QUALIFY row_number() OVER (PARTITION BY user_id
+    ORDER BY ts DESC, event_id DESC, event_type DESC NULLS LAST,
+             value DESC NULLS LAST) = 1
 """
 
 

@@ -326,6 +326,17 @@ def dirty_events(tbl: pa.Table) -> pa.Table:
         # rounds to 0 at any printed precision but is > 0 in filters)
         {"event_id": BASE_ID + 34, "ts": ts0, "user_id": 16,
          "event_type": "view", "value": 5e-324, "props": None},
+        # CONFLICTING duplicate at the same (ts, event_id) (round 7b3): a
+        # replayed batch carrying a mutation. Any "latest"/ordering
+        # contract built on (ts, event_id) alone ties engine-arbitrarily
+        # here — found live: Spark's struct-max and the oracle's
+        # row_number picked OPPOSITE rows; orders must totalize every
+        # EMITTED field (event_type, value here; props is never emitted
+        # by an order-sensitive query).
+        {"event_id": BASE_ID + 35, "ts": ts0, "user_id": 17,
+         "event_type": "click", "value": 1.0, "props": None},
+        {"event_id": BASE_ID + 35, "ts": ts0, "user_id": 17,
+         "event_type": "view", "value": 2.0, "props": None},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
