@@ -5104,9 +5104,15 @@ def q_semantic_decontaminated(spark: SparkSession, sf: str) -> DataFrame:
     out = decontaminate.semantic_decontaminate(
         corpus, bench, threshold=0.4
     )
+    # the survivor-membership checksum runs in DECIMAL(38,0), modulo
+    # 1e9+7: a bigint sum with one int64-edge id is an order-dependent
+    # ANSI ARITHMETIC_OVERFLOW (int64-edge-key probe, round 7b)
     return out.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_survivors"),
-        F.sum("vec_id").cast("bigint").alias("id_sum"),
+        F.expr(
+            "CAST(pmod(sum(CAST(vec_id AS DECIMAL(38,0))), 1000000007)"
+            " AS BIGINT)"
+        ).alias("id_sum_mod"),
     )
 
 
@@ -5135,7 +5141,9 @@ WITH c AS (
   WHERE round(list_cosine_similarity(c.v, b.v), 4) >= 0.4
 )
 SELECT label, count(*) AS n_survivors,
-       CAST(sum(vec_id) AS BIGINT) AS id_sum
+       -- HUGEINT sum, non-negative modulus (pmod mirror)
+       CAST(((sum(CAST(vec_id AS HUGEINT)) % 1000000007) + 1000000007)
+            % 1000000007 AS BIGINT) AS id_sum_mod
 FROM c
 WHERE vec_id NOT IN (SELECT vec_id FROM hits)
 GROUP BY label
@@ -5469,9 +5477,16 @@ def q_fuzzy_supplier_names(spark: SparkSession, sf: str) -> DataFrame:
     pairs = dedup.fuzzy_pairs(
         sup, id_col="s_suppkey", str_col="s_name", max_dist=1, q=3, df_cap=64
     )
+    # the pair-membership checksum runs in DECIMAL(38,0) and emits
+    # MODULO 1e9+7: the bigint row-level a+b (and the sum itself)
+    # overflow on int64-edge keys — ANSI ARITHMETIC_OVERFLOW kills the
+    # job on one extreme id (int64-edge-key probe, round 7b)
     return pairs.groupBy("dist").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(F.col("a") + F.col("b")).cast("bigint").alias("key_sum"),
+        F.expr(
+            "CAST(pmod(sum(CAST(a AS DECIMAL(38,0)) + b), 1000000007)"
+            " AS BIGINT)"
+        ).alias("key_sum_mod"),
     )
 
 
@@ -5495,8 +5510,11 @@ WITH g AS (
   JOIN supplier sb ON sb.s_suppkey = cand.b
   WHERE abs(len(sa.s_name) - len(sb.s_name)) <= 1
 )
+-- HUGEINT sum, non-negative modulus (pmod mirror: DuckDB % keeps the
+-- dividend sign)
 SELECT dist, count(*) AS n_pairs,
-       CAST(sum(a + b) AS BIGINT) AS key_sum
+       CAST(((sum(CAST(a AS HUGEINT) + b) % 1000000007) + 1000000007)
+            % 1000000007 AS BIGINT) AS key_sum_mod
 FROM verified WHERE dist <= 1
 GROUP BY dist
 """
@@ -5743,8 +5761,15 @@ def q_udaf_median_qty(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLE_UDAF_MEDIAN_QTY = """
+-- NaN scrub mirrors the UDAF's dropna: DuckDB's median ranks NaN as a
+-- VALUE (sorts greatest) while pandas dropna removes it — the rank-set
+-- parity differed by one and the medians split element-vs-average
+-- (exposed when the int64-edge rows flipped a group's count parity;
+-- green before only by value luck). +/-Inf stays: both engines rank it.
 SELECT l_returnflag, l_linestatus,
-       median(l_quantity) AS median_qty, count(*) AS n
+       median(CASE WHEN NOT isnan(l_quantity) THEN l_quantity END)
+         AS median_qty,
+       count(*) AS n
 FROM lineitem GROUP BY 1, 2
 """
 
@@ -6904,7 +6929,10 @@ def q_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("@ex"), (F.col("doc_id") % 10).cast("string"),
         F.lit(".org from 10."), (F.col("doc_id") % 200).cast("string"),
         F.lit(".0."), (F.col("doc_id") % 250).cast("string"),
-        F.lit(" call +31-20-55"), (100000 + F.col("doc_id")).cast("string"),
+        # DECIMAL(38,0): the bigint 100000 + int64-max doc_id is an ANSI
+        # ARITHMETIC_OVERFLOW that kills the job (int64-edge probe)
+        F.lit(" call +31-20-55"),
+        (F.col("doc_id").cast("decimal(38,0)") + 100000).cast("string"),
         F.lit(" "), F.col("text"),
     )
     return docs.select(
@@ -6923,7 +6951,8 @@ WITH synth AS (
          || CAST(doc_id % 10 AS VARCHAR) || '.org from 10.'
          || CAST(doc_id % 200 AS VARCHAR) || '.0.'
          || CAST(doc_id % 250 AS VARCHAR) || ' call +31-20-55'
-         || CAST(100000 + doc_id AS VARCHAR) || ' ' || text AS raw
+         || CAST(CAST(doc_id AS HUGEINT) + 100000 AS VARCHAR)
+         || ' ' || text AS raw
   FROM documents
 ), s1 AS (
   SELECT doc_id, raw,
@@ -7851,7 +7880,13 @@ def q_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
     best = scored.groupBy("q_id", "q_label").agg(
         F.max_by(
             F.struct("neg_id", "neg_label", "_sim"),
-            F.struct(F.col("_sim").alias("_s"), (-F.col("neg_id")).alias("_t")),
+            # the smallest-id tie-break negates in DECIMAL(38,0): bigint
+            # negation of an int64-min id is an ANSI ARITHMETIC_OVERFLOW
+            # that kills the whole job (int64-edge-key probe, round 7b)
+            F.struct(
+                F.col("_sim").alias("_s"),
+                (-F.col("neg_id").cast("decimal(38,0)")).alias("_t"),
+            ),
         ).alias("_best")
     )
     return best.select(
@@ -10096,9 +10131,15 @@ def q_xml_event_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             F.col("value"),
         )
     )
+    # event_id parses as STRING then casts: from_xml's BIGINT reader
+    # REJECTS int64-min (-9223372036854775808) and NULLs the whole row —
+    # a value to_xml itself just wrote (engine parse-domain hole, found
+    # by the int64-edge-key probe, round 7b). The string->bigint cast is
+    # total over everything to_xml emits, making the round trip honestly
+    # lossless.
     parsed = e.select(xml.alias("payload")).select(
         F.from_xml(
-            "payload", "event_id BIGINT, event_type STRING, value DOUBLE"
+            "payload", "event_id STRING, event_type STRING, value DOUBLE"
         ).alias("r")
     )
     # scrub BEFORE floor (Spark floor(NaN) is 0): a NaN value must
@@ -10108,7 +10149,7 @@ def q_xml_event_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     ).cast("bigint")
     return parsed.groupBy(F.col("r.event_type").alias("event_type")).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.max("r.event_id").alias("max_event_id"),
+        F.max(F.col("r.event_id").cast("bigint")).alias("max_event_id"),
         F.sum(cents).cast("bigint").alias("value_cents"),
     )
 
@@ -10464,10 +10505,20 @@ def q_string_format_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     formatting change can't silently corrupt re-imported ids. Patterns
     stay in the Java∩RE2 subset (same policy as the PII redactors)."""
     o = read_table(spark, sf, "orders")
+    # ADAPTIVE padding: lpad TRUNCATES strings longer than the target
+    # width (both engines), so a 19/20-char int64-edge key would lose
+    # digits, fail the parse pattern, and the ANSI cast of the empty
+    # extract would kill the job (int64-edge-key probe, round 7b). Keys
+    # at or beyond the pad width pass through unpadded; the parse
+    # pattern admits the sign.
+    ks = F.col("o_orderkey").cast("string")
     label = F.concat(
-        F.lit("ORD-"), F.lpad(F.col("o_orderkey").cast("string"), 12, "0")
+        F.lit("ORD-"),
+        F.when(F.length(ks) >= 12, ks).otherwise(F.lpad(ks, 12, "0")),
     )
-    parsed = F.regexp_extract(label, "^ORD-0*([0-9]+)$", 1).cast("bigint")
+    parsed = F.nullif(
+        F.regexp_extract(label, "^ORD-0*(-?[0-9]+)$", 1), F.lit("")
+    ).cast("bigint")
     t = o.select(
         "o_orderstatus",
         label.alias("label"),
@@ -10484,8 +10535,12 @@ def q_string_format_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_STRING_FORMAT_ROUNDTRIP = """
 WITH t AS (
+  -- adaptive padding mirrors the twin: lpad truncates long keys
   SELECT o_orderstatus,
-         'ORD-' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS label
+         'ORD-' || CASE WHEN len(CAST(o_orderkey AS VARCHAR)) >= 12
+                        THEN CAST(o_orderkey AS VARCHAR)
+                        ELSE lpad(CAST(o_orderkey AS VARCHAR), 12, '0')
+                   END AS label
   FROM orders
 )
 SELECT o_orderstatus, count(*) AS n_orders,

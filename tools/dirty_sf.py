@@ -36,8 +36,13 @@ Round 7b extends the catalog with: NUL/control bytes inside tokens, a
 50k-char single-token document, empty-string lang, an exactly-replayed
 event row, a reused event_id across time, degenerate JSON props
 (''/'   '/'null'/'[]'/'123'/'{}'), proleptic-calendar-extreme dates
-(year 9999 / year 1) on orders and lineitem, and an IEEE -0.0
-embedding component.
+(year 9999 / year 1) on orders and lineitem, an IEEE -0.0 embedding
+component, lying/negative n_chars, a constant zero-variance embedding,
+a duplicated c_custkey, the smallest subnormal double, a CONFLICTING
+duplicate at the same (ts, event_id), and int64-EDGE keys (+/-2^63) on
+every bigint key column — the probe behind five ANSI overflow/cast
+job-killers, the from_xml int64-min parse hole, and a NaN-vs-median
+rank-parity divergence.
 
 Because the sweep compares Spark and DuckDB on the SAME dirty data, any
 injected weirdness is fair game: a divergence always means a real
@@ -160,6 +165,15 @@ def dirty_documents(tbl: pa.Table) -> pa.Table:
         # present-but-empty; NULL is unknown)
         {"doc_id": BASE_ID + 16, "text": "plain english filler text",
          "lang": "", "source": "src1", "n_chars": 25},
+        # int64-EDGE keys (round 7b3): ids at +/-2^63 edges. Any key
+        # arithmetic (id + offset, -id tie-breaks, sum-of-ids checksums,
+        # lpad'd label codecs) must survive them — the probe found five
+        # job-killing ANSI overflows/casts and one engine parse-domain
+        # hole (from_xml rejects int64-min).
+        {"doc_id": 2**63 - 1, "text": "edge doc max", "lang": "en",
+         "source": "src1", "n_chars": 12},
+        {"doc_id": -(2**63), "text": "edge doc min", "lang": "en",
+         "source": "src1", "n_chars": 12},
         # LYING metadata (round 7b2): n_chars wildly wrong (999999 for a
         # 10-char text) and NEGATIVE — the query and its oracle must
         # agree on WHICH source of truth they read (declared n_chars or
@@ -326,6 +340,11 @@ def dirty_events(tbl: pa.Table) -> pa.Table:
         # rounds to 0 at any printed precision but is > 0 in filters)
         {"event_id": BASE_ID + 34, "ts": ts0, "user_id": 16,
          "event_type": "view", "value": 5e-324, "props": None},
+        # int64-EDGE event/user ids (round 7b3): see the documents rows
+        {"event_id": 2**63 - 1, "ts": ts0, "user_id": 2**63 - 1,
+         "event_type": "view", "value": 1.0, "props": None},
+        {"event_id": -(2**63), "ts": ts0, "user_id": -(2**63),
+         "event_type": "click", "value": 2.0, "props": '{"k": 3}'},
         # CONFLICTING duplicate at the same (ts, event_id) (round 7b3): a
         # replayed batch carrying a mutation. Any "latest"/ordering
         # contract built on (ts, event_id) alone ties engine-arbitrarily
@@ -414,6 +433,15 @@ def dirty_orders(tbl: pa.Table) -> pa.Table:
          "o_orderstatus": "F", "o_totalprice": 80.0,
          "o_orderdate": datetime(1996, 6, 1),
          "o_orderpriority": "5-LOW"},
+        # int64-EDGE order keys (round 7b3): the max-key order joins an
+        # edge lineitem below; label codecs and key checksums must
+        # survive 19/20-char and negative ids
+        {"o_orderkey": 2**63 - 1, "o_custkey": first["o_custkey"],
+         "o_orderstatus": "F", "o_totalprice": 42.0, "o_orderdate": d0,
+         "o_orderpriority": "1-URGENT"},
+        {"o_orderkey": -(2**63), "o_custkey": 2**63 - 1,
+         "o_orderstatus": "O", "o_totalprice": 43.0, "o_orderdate": d0,
+         "o_orderpriority": "2-HIGH"},
         # --- calendar-extreme class (round 7b): proleptic-Gregorian
         # edges a sentinel 9999 or a mis-parsed two-digit year ships at
         # 100 TB. Micros-representable on both engines; stresses year/
@@ -487,6 +515,11 @@ def dirty_lineitem(tbl: pa.Table) -> pa.Table:
         # expression actually quantized), not just the inputs.
         dict(base, l_linenumber=113, l_discount=5e13,
              l_shipdate=datetime(1997, 2, 15)),
+        # int64-EDGE keys on lineitem (round 7b3): a line of the max-key
+        # order plus dangling edge part/supp keys
+        dict(base, l_orderkey=2**63 - 1, l_linenumber=116),
+        dict(base, l_orderkey=-(2**63), l_partkey=2**63 - 1,
+             l_suppkey=-(2**63), l_linenumber=117),
         # calendar-extreme shipdates (round 7b): clean measures, only
         # the DATE arithmetic is stressed. The year-1 row passes every
         # "shipdate <= X" Q1-style filter; the 9999 row reaches only
@@ -525,6 +558,11 @@ def dirty_customer(tbl: pa.Table) -> pa.Table:
         # dimension measures too
         {"c_custkey": BASE_ID + 6, "c_name": "Customer#dirty6",
          "c_nationkey": 1, "c_acctbal": 1e300, "c_mktsegment": "MACHINERY"},
+        # int64-EDGE customer keys (round 7b3)
+        {"c_custkey": 2**63 - 1, "c_name": "Customer#edgemax",
+         "c_nationkey": 1, "c_acctbal": 1.0, "c_mktsegment": "BUILDING"},
+        {"c_custkey": -(2**63), "c_name": "Customer#edgemin",
+         "c_nationkey": 1, "c_acctbal": 2.0, "c_mktsegment": "MACHINERY"},
         # DUPLICATE c_custkey with a CONFLICTING payload (round 7b2): a
         # dimension key duplicated by a double-loaded batch. Every
         # customer equi-join fans out over BOTH rows identically on both
@@ -558,6 +596,13 @@ def dirty_supplier(tbl: pa.Table) -> pa.Table:
         # huge-finite balance (round 7): quantization contract on supplier
         {"s_suppkey": BASE_ID + 4, "s_name": "Supplier#dirty4",
          "s_nationkey": 1, "s_acctbal": 1e300},
+        # int64-EDGE supplier keys (round 7b3): identical names make them
+        # a guaranteed fuzzy-match pair — the key-checksum path must
+        # survive |a|+|b| ~ 2^64
+        {"s_suppkey": 2**63 - 1, "s_name": "Supplier#edge",
+         "s_nationkey": 1, "s_acctbal": 10.0},
+        {"s_suppkey": -(2**63), "s_name": "Supplier#edge",
+         "s_nationkey": 1, "s_acctbal": 20.0},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -591,6 +636,13 @@ def dirty_part(tbl: pa.Table) -> pa.Table:
         {"p_partkey": BASE_ID + 5, "p_name": "dirty huge part",
          "p_brand": "Brand#00", "p_type": "DIRTY TYPE", "p_size": 2,
          "p_retailprice": 1e300},
+        # int64-EDGE part keys (round 7b3)
+        {"p_partkey": 2**63 - 1, "p_name": "edge part max",
+         "p_brand": "Brand#00", "p_type": "DIRTY TYPE", "p_size": 3,
+         "p_retailprice": 1.0},
+        {"p_partkey": -(2**63), "p_name": "edge part min",
+         "p_brand": "Brand#00", "p_type": "DIRTY TYPE", "p_size": 3,
+         "p_retailprice": 2.0},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -686,6 +738,11 @@ def dirty_embeddings(tbl: pa.Table) -> pa.Table:
         # treat it as zero and never leak a '-0.0' repr into output
         {"vec_id": BASE_ID + 8, "embedding": [-0.0] + first_vec[1:],
          "label": 0},
+        # int64-EDGE vec_ids (round 7b3), corpus side (>= 20), on
+        # DIFFERENT labels so each per-label id checksum carries ONE
+        # extreme (a bigint sum would overflow order-dependently)
+        {"vec_id": 2**63 - 1, "embedding": first_vec, "label": 0},
+        {"vec_id": -(2**63), "embedding": first_vec, "label": 1},
         # CONSTANT vector (round 7b2): per-component variance is exactly
         # zero — z-score/whitening/stddev normalizations hit an ANSI
         # DIVIDE_BY_ZERO or a NaN unless guarded; usable (finite,
