@@ -743,6 +743,19 @@ def dirty_embeddings(tbl: pa.Table) -> pa.Table:
         # extreme (a bigint sum would overflow order-dependently)
         {"vec_id": 2**63 - 1, "embedding": first_vec, "label": 0},
         {"vec_id": -(2**63), "embedding": first_vec, "label": 1},
+        # huge/tiny-component vectors (round 7b3): FINITE components at
+        # ±1e300 / 1e-300 pass the usable-vector contract but the norm²
+        # overflows to Inf (or underflows to 0) AT SCORING TIME — pinned
+        # as a no-divergence class: IEEE Inf/0-norm arithmetic flows
+        # through try_divide/list_cosine_similarity identically on both
+        # engines under the existing guards (probed green on the full
+        # registry before landing).
+        {"vec_id": BASE_ID + 10, "embedding": [1e300] * dim, "label": 0},
+        {"vec_id": BASE_ID + 11,
+         "embedding": [1e300, -1e300] * (dim // 2), "label": 1},
+        {"vec_id": BASE_ID + 12,
+         "embedding": first_vec[:1] + [1e300] + first_vec[2:], "label": 2},
+        {"vec_id": BASE_ID + 13, "embedding": [1e-300] * dim, "label": 0},
         # CONSTANT vector (round 7b2): per-component variance is exactly
         # zero — z-score/whitening/stddev normalizations hit an ANSI
         # DIVIDE_BY_ZERO or a NaN unless guarded; usable (finite,
