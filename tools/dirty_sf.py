@@ -140,6 +140,37 @@ def dirty_documents(tbl: pa.Table) -> pa.Table:
         {"doc_id": BASE_ID + 13,
          "text": "alpha\tbeta\ngamma\r\ndelta  epsilon\tzeta",
          "lang": "en", "source": "src1", "n_chars": 37},
+        # --- regex-bait class (round 7b3, pinned no-divergence): PII
+        # lookalikes and regex metacharacters that stress the Java∩RE2
+        # pattern policy — out-of-range/5-octet/zero-padded IPv4, email
+        # boundary cases (minimal TLD, double @, plus-addressing,
+        # trailing dot), overlong phone digit runs, Arabic-Indic digits
+        # (Java [0-9] and RE2 must both refuse them), literal
+        # metacharacters, and $1/\\1 replacement-position bait. Probed
+        # green on the full registry before landing.
+        {"doc_id": BASE_ID + 20,
+         "text": "ip bait 999.999.999.999 and 10.1.2.3.4 and "
+                 "010.020.003.004 end",
+         "lang": "en", "source": "srcR", "n_chars": 62},
+        {"doc_id": BASE_ID + 21,
+         "text": "a@b.co user@@ex.org x+y@sub.domain.museum dot.@ex.org "
+                 "A@B.CO",
+         "lang": "en", "source": "srcR", "n_chars": 60},
+        {"doc_id": BASE_ID + 22,
+         "text": "+31-20-55123456789012345678 call31-20-551234 "
+                 "x+31-20-55abc",
+         "lang": "en", "source": "srcR", "n_chars": 58},
+        {"doc_id": BASE_ID + 23,
+         "text": "unicode ١٢٣.٤.٥.٦ digits "
+                 "user.١٢@ex.org",
+         "lang": "en", "source": "srcR", "n_chars": 39},
+        {"doc_id": BASE_ID + 24,
+         "text": "meta (a|b)* [c-d]+ {2,3} \\d+ ^$ . ? end",
+         "lang": "en", "source": "srcR", "n_chars": 39},
+        {"doc_id": BASE_ID + 25, "text": "repl $1 $0 \\1 \\\\ end",
+         "lang": "en", "source": "srcR", "n_chars": 20},
+        {"doc_id": BASE_ID + 26, "text": "s@e.co", "lang": "en",
+         "source": "srcR", "n_chars": 6},
         # DUPLICATE doc_id with DIFFERENT text (round 7, duplicate-key
         # class on documents): a re-crawled URL under the same id. Hash
         # dedup keys on content (unaffected); per-doc_id groupers merge
