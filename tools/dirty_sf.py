@@ -376,6 +376,20 @@ def dirty_events(tbl: pa.Table) -> pa.Table:
          "event_type": "view", "value": 1.0, "props": None},
         {"event_id": -(2**63), "ts": ts0, "user_id": -(2**63),
          "event_type": "click", "value": 2.0, "props": '{"k": 3}'},
+        # microsecond-precision session-gap boundaries (round 7b3): gaps
+        # of exactly 30min - 1us (same session on every gap rule) and
+        # 30min + 1us (closes on every rule) — interval comparisons and
+        # epoch()-fraction arithmetic must agree at full us precision,
+        # not just whole seconds.
+        {"event_id": BASE_ID + 36, "ts": ts0, "user_id": 18,
+         "event_type": "view", "value": 1.0, "props": None},
+        {"event_id": BASE_ID + 37,
+         "ts": ts0 + timedelta(minutes=30, microseconds=-1),
+         "user_id": 18, "event_type": "click", "value": 2.0,
+         "props": None},
+        {"event_id": BASE_ID + 38,
+         "ts": ts0 + timedelta(minutes=60), "user_id": 18,
+         "event_type": "purchase", "value": 3.0, "props": None},
         # CONFLICTING duplicate at the same (ts, event_id) (round 7b3): a
         # replayed batch carrying a mutation. Any "latest"/ordering
         # contract built on (ts, event_id) alone ties engine-arbitrarily
