@@ -1063,12 +1063,19 @@ WITH e AS (
   -- exactly last_event + gap still extends the session (inclusive end);
   -- only a gap STRICTLY greater than the timeout starts a new session.
   -- Pinned by the dirty sweep's 23:30 -> 00:00 exactly-30-min rows.
+  -- (ts, event_id) total order: with TIED timestamps, a ts-only lag
+  -- hands the new-session flag to an ARBITRARY tied row and the
+  -- cumulative ROWS sum assigns the other tied rows to the PREVIOUS
+  -- session (the dynamic twin diverged for real on the sf0.01-base
+  -- dirty sweep; Spark's native session_window is tie-symmetric)
   SELECT user_id, ts, value,
-         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s,
+         event_id
   FROM events WHERE ts IS NOT NULL  -- clock-less events join no session
 ), s AS (
-  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS sid
   FROM e
 )
@@ -3088,17 +3095,23 @@ ORACLE_DYNAMIC_SESSION_WINDOWS = """
 WITH e AS (
   -- STRICT > mirrors Spark's native session_window inclusive-end merge
   -- (see ORACLE_SESSION_WINDOWS)
+  -- (ts, event_id) total order: see ORACLE_SESSION_WINDOWS — a
+  -- ts-only island scan misassigns TIED rows (found live here: the
+  -- sf0.01-base dirty sweep merged a 347-year-separated click into the
+  -- 1677 session because the flag row sorted mid-tie)
   SELECT user_id, event_type, ts, value,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id, event_type
-                                      ORDER BY ts)
+                                      ORDER BY ts, event_id)
                    > CASE event_type
                         WHEN 'click' THEN INTERVAL '10 minutes'
                         WHEN 'purchase' THEN INTERVAL '1 hour'
                         ELSE INTERVAL '30 minutes' END
-              THEN 1 ELSE 0 END AS new_s
+              THEN 1 ELSE 0 END AS new_s,
+         event_id
   FROM events WHERE ts IS NOT NULL  -- clock-less events join no session
 ), s AS (
-  SELECT *, sum(new_s) OVER (PARTITION BY user_id, event_type ORDER BY ts
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS sid
   FROM e
 )
