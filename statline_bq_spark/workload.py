@@ -249,7 +249,18 @@ def _sql_expected_topk_summary(flag: str, k: int = 5) -> str:
     RESULT pairs, where a candidate-less query never appears). The old
     ``count(*) * 5`` shape overcounted on any corpus smaller than k+1 —
     found by the single-row degenerate probe (round 7b); the flag is the
-    pinned quality contract, vacuously TRUE when no pairs exist."""
+    pinned quality contract, vacuously TRUE when no pairs exist.
+
+    ASSUMPTION (round-8 advice): corpus size is DISTINCT vec_id while the
+    Spark exact path ranks physical rows — equivalent only while usable
+    vec_ids are unique. A duplicated usable vec_id on a corpus where
+    |u| - 1 < k would make this oracle undercount expected pairs (and the
+    hits equi-join on the Spark side can fan out when a duplicate id
+    lands twice in one query's top-k). Unreachable in current fixtures:
+    the only duplicated vec_id lives on full-size bases where |u| ≫ k+1
+    and ids in the q-window are unique; any future probe that duplicates
+    a vec_id < 10 or shrinks a dup-id corpus below k+1 must revisit both
+    sides together."""
     u = (
         f"SELECT DISTINCT vec_id FROM embeddings WHERE {_SQL_FINITE_VEC} "
         f"AND {_sql_nonzero_vec('embedding')}"
@@ -9327,7 +9338,14 @@ def q_approx_global_histogram(spark: SparkSession, sf: str) -> DataFrame:
     reproducible in DuckDB, so the query emits sketch-independent facts —
     bucket count, total rows, and a pinned bound that no bucket exceeds
     2× the ideal equi-depth share."""
-    o = read_table(spark, sf, "orders")
+    # histogram domain = bucket-assignable rows: percentile_approx
+    # ignores NULL prices, so a NULL-price row has no defined bucket —
+    # it is excluded from assignment, the row count, AND the tie-mass
+    # term (a NULL "group" is not a rank-boundary tie and would only
+    # loosen the pinned balance bound, masking real imbalance).
+    o = read_table(spark, sf, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     bounds = o.agg(
         F.percentile_approx(
             "o_totalprice", [i / 10.0 for i in range(1, 10)], 10000
@@ -9374,7 +9392,7 @@ def q_approx_global_histogram(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_APPROX_GLOBAL_HISTOGRAM = """
 SELECT TRUE AS n_buckets_le_10,
-       count(*) AS n_orders,
+       count(o_totalprice) AS n_orders,
        TRUE AS max_bucket_le_2x_ideal_plus_ties
 FROM orders
 """

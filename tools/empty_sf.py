@@ -83,9 +83,13 @@ def build(
 if __name__ == "__main__":
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_empty_sf"
+    # argv[3]: row cap, or the sentinel "null"/"none" to keep all rows
+    raw_rows = sys.argv[3] if len(sys.argv) > 3 else "0"
     build(
         base,
         out,
-        rows=int(sys.argv[3]) if len(sys.argv) > 3 else 0,
+        rows=None if raw_rows.lower() in ("null", "none") else int(raw_rows),
         repeat=int(sys.argv[4]) if len(sys.argv) > 4 else 1,
+        null_payloads=len(sys.argv) > 5
+        and sys.argv[5].lower() in ("1", "true", "null_payloads"),
     )
