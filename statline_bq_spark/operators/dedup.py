@@ -53,13 +53,18 @@ def shingle_index(
     Gram identity is a 64-bit hash (collisions ~2⁻⁶⁴), so downstream set
     math shuffles 8-byte keys.
     """
-    # The gram window partitions by a per-ROW surrogate: a duplicated
-    # doc_id (re-crawled URL under a reused id) would otherwise
-    # interleave both texts' tokens in one window (same _pos twice, tie
-    # order engine-arbitrary), fabricating cross-crawl grams. Projected
-    # BELOW the generator — in the same select as posexplode it would
-    # evaluate once per exploded token. Per-doc dedup still merges the
-    # per-row gram sets by _id right after.
+    # Duplicate-id safety WITHOUT a second exchange (round 8; the round-7
+    # per-ROW-surrogate window partitioned by _rid, which cost an extra
+    # full shuffle of the gram index because groupBy(_id) no longer rode
+    # the window's partitioning — measured +0.3s / +1.3 MB on
+    # ngram_jaccard_pairs alone, ×2 because the df-cap side recomputes the
+    # index): partition by _id as before, ORDER by (_rid, _pos) so a
+    # duplicated doc_id's rows are contiguous instead of interleaved, and
+    # drop any gram whose last token fell in a DIFFERENT source row
+    # (lead(_rid, n-1) != _rid — also subsumes the old NULL-last-lead
+    # completeness check at partition end). _rid is projected BELOW the
+    # generator — in the same select as posexplode it would evaluate once
+    # per exploded token.
     toks = (
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
         .withColumn("_rid", F.monotonically_increasing_id())
@@ -71,15 +76,16 @@ def shingle_index(
             ),
         )
     )
-    w = Window.partitionBy("_rid").orderBy("_pos")
+    w = Window.partitionBy("_id").orderBy("_rid", "_pos")
     leads = [F.lead("_tok", j).over(w) for j in range(1, n)]
     # n=1 (unigrams) has no lead columns: the gram is the token itself and
-    # the not-NULL completeness filter degenerates to "token non-empty"
-    # (split of empty/whitespace text yields a single '' token, which the
-    # n>=2 path also drops via its NULL last-lead).
-    last = leads[-1] if leads else F.col("_tok")
+    # the completeness filter degenerates to "token non-empty" (split of
+    # empty/whitespace text yields a single '' token, which the n>=2 path
+    # also drops via its cross-row/NULL last-_rid guard).
     completeness = (
-        last.isNotNull() if leads else F.col("_tok") != F.lit("")
+        F.lead("_rid", n - 1).over(w) == F.col("_rid")
+        if leads
+        else F.col("_tok") != F.lit("")
     )
     grams = toks.select(
         "_id",
