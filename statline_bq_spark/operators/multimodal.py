@@ -129,6 +129,159 @@ def extract_features(
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 
 
+def _parse_netpbm(b: bytes) -> tuple[int, int, bytes] | None:
+    """Binary netpbm (P5 grayscale / P6 RGB, maxval <= 255) → (width,
+    height, top-down grayscale bytes). Returns None on anything else —
+    ASCII variants, 16-bit samples, truncated rasters."""
+    if len(b) < 2 or b[:1] != b"P" or b[1:2] not in (b"5", b"6"):
+        return None
+    is_rgb = b[1:2] == b"6"
+    # header tokenizer: whitespace-separated ints, '#' comments to EOL
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(b) and b[pos : pos + 1] == b"#":
+            nl = b.find(b"\n", pos)
+            if nl < 0:
+                return None
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(b) and b[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            return None
+        fields.append(int(b[start:pos]))
+    w, h, maxval = fields
+    if w <= 0 or h <= 0 or not 0 < maxval <= 255:
+        return None
+    pos += 1  # exactly one whitespace byte separates header from raster
+    n = w * h
+    if is_rgb:
+        raster = b[pos : pos + 3 * n]
+        if len(raster) < 3 * n:
+            return None
+        gray = bytes(
+            (
+                299 * raster[3 * i]
+                + 587 * raster[3 * i + 1]
+                + 114 * raster[3 * i + 2]
+            )
+            // 1000
+            for i in range(n)
+        )
+    else:
+        gray = b[pos : pos + n]
+        if len(gray) < n:
+            return None
+    return w, h, gray
+
+
+def _parse_bmp(b: bytes) -> tuple[int, int, bytes] | None:
+    """Uncompressed BI_RGB BMP (24-bit true color or 8-bit paletted) →
+    (width, height, top-down grayscale bytes). Returns None on other
+    depths/compressions or malformed headers."""
+    import struct
+
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    (pix_off,) = struct.unpack_from("<I", b, 10)
+    (hdr_size,) = struct.unpack_from("<I", b, 14)
+    if hdr_size < 40:
+        return None
+    w, h_signed = struct.unpack_from("<ii", b, 18)
+    (bpp,) = struct.unpack_from("<H", b, 28)
+    (compression,) = struct.unpack_from("<I", b, 30)
+    if w <= 0 or h_signed == 0 or compression != 0:
+        return None
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    if bpp == 24:
+        stride = ((w * 3 + 3) // 4) * 4
+        if len(b) < pix_off + stride * h:
+            return None
+        rows = []
+        for r in range(h):
+            src = r if top_down else h - 1 - r
+            base = pix_off + src * stride
+            rows.append(
+                bytes(
+                    (
+                        299 * b[base + 3 * c + 2]  # BGR order
+                        + 587 * b[base + 3 * c + 1]
+                        + 114 * b[base + 3 * c]
+                    )
+                    // 1000
+                    for c in range(w)
+                )
+            )
+        return w, h, b"".join(rows)
+    if bpp == 8:
+        pal_off = 14 + hdr_size
+        n_colors = struct.unpack_from("<I", b, 46)[0] or 256
+        if len(b) < pal_off + 4 * n_colors:
+            return None
+        lut = bytes(
+            (
+                299 * b[pal_off + 4 * i + 2]
+                + 587 * b[pal_off + 4 * i + 1]
+                + 114 * b[pal_off + 4 * i]
+            )
+            // 1000
+            for i in range(n_colors)
+        )
+        stride = ((w + 3) // 4) * 4
+        if len(b) < pix_off + stride * h:
+            return None
+        rows = []
+        for r in range(h):
+            src = r if top_down else h - 1 - r
+            base = pix_off + src * stride
+            row = b[base : base + w]
+            if max(row) >= n_colors:
+                return None
+            rows.append(bytes(lut[p] for p in row))
+        return w, h, b"".join(rows)
+    return None
+
+
+def decode_image(payload: bytes) -> tuple[int, int, bytes] | None:
+    """Dependency-free decode of PPM/PGM (binary) and BMP (uncompressed
+    24/8-bit) payloads → (width, height, top-down grayscale bytes), or
+    None when the payload is not a supported image. Pure stdlib, so the
+    in-sandbox pipeline exercises real pixel bytes end-to-end instead of
+    the metadata fallback (round-8 directive; real deployments still plug
+    PIL/libvips via the same hook)."""
+    return _parse_netpbm(payload) or _parse_bmp(payload)
+
+
+def _make_image_decoder() -> Callable[[bytes, int], list[float] | None]:
+    def dec(payload: bytes, dim: int = 8) -> list[float] | None:
+        img = decode_image(payload or b"")
+        if img is None:
+            return None  # undecodable → NULL feature, like a NULL payload
+        _w, _h, gray = img
+        n = len(gray)
+        out = []
+        for k in range(dim):
+            lo, hi = (k * n) // dim, ((k + 1) * n) // dim
+            seg = gray[lo:hi]
+            out.append(sum(seg) / (255.0 * len(seg)) if seg else 0.0)
+        return out
+
+    return dec
+
+
+#: REAL in-sandbox codec hook: decodes PPM/PGM/BMP payloads and emits
+#: ``dim`` mean-intensity bands in [0, 1] (an actual, if minimal, image
+#: feature). Same ``(payload, dim) -> list[float] | None`` contract as
+#: :data:`deterministic_fake_decoder`; undecodable bytes yield NULL
+#: features rather than poisoning downstream similarity search. Closure
+#: instance so cloudpickle ships it by value to executor workers.
+image_decoder = _make_image_decoder()
+
+
 def _make_fake_resizer() -> Callable[[bytes, int, int], bytes]:
     def fake(payload: bytes, width: int, height: int) -> bytes:
         # Deterministic stand-in for a real image resample: cycle the source

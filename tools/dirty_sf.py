@@ -841,7 +841,83 @@ def build(base: str, out: str) -> None:
     print(f"wrote dirty SF to {out}")
 
 
+# --------------------------------------------------------------------------
+# skewed-key fixture (round 8)
+# --------------------------------------------------------------------------
+#
+# The dirty catalog above stresses VALUES; this builder stresses KEY
+# DISTRIBUTION — the classic 100 TB failure mode where one user holds
+# ~half the events, one customer ~half the orders, and one order key
+# ~half the lineitems (bot traffic, a default/test account, a bulk
+# order). Every per-key operator (session windows, as-of joins, per-key
+# top-k, groupBy fan-in) suddenly has one partition-dominating key;
+# parity on the SAME skewed data proves the semantics hold, and the
+# bench contract (tests/test_bench_contract.py) checks the hot-key plans
+# stay spill-free.
+
+
+def _skew_column(tbl: pa.Table, col: str, frac: float) -> pa.Table:
+    """Rewrite every ⌊1/frac⌋-th row's ``col`` to the column's minimum
+    non-null value — a deterministic, existing hot key absorbing ~frac
+    of the table without changing row count or schema."""
+    import pyarrow.compute as pc
+
+    tbl = tbl.combine_chunks()
+    arr = tbl[col].combine_chunks()
+    hot = pc.min(arr).as_py()
+    step = max(2, round(1 / frac))
+    mask = pa.array([i % step == 0 for i in range(len(tbl))])
+    new = pc.if_else(mask, pa.scalar(hot, type=arr.type), arr)
+    i = tbl.schema.get_field_index(col)
+    return tbl.set_column(i, tbl.schema.field(i), new)
+
+
+def _renumber_hot_linenumbers(tbl: pa.Table, frac: float) -> pa.Table:
+    """After skewing l_orderkey, keep (l_orderkey, l_linenumber) unique:
+    the skew class stresses key distribution, not PK conflicts (the
+    conflicting-duplicate dirty class owns that), so the rewritten rows
+    get fresh linenumbers above any natural value (base 1000)."""
+    import pyarrow.compute as pc
+
+    step = max(2, round(1 / frac))
+    n = len(tbl)
+    mask = pa.array([i % step == 0 for i in range(n)])
+    fresh = pa.array(
+        [1000 + i // step for i in range(n)],
+        type=tbl["l_linenumber"].type,
+    )
+    i = tbl.schema.get_field_index("l_linenumber")
+    new = pc.if_else(mask, fresh, tbl["l_linenumber"].combine_chunks())
+    return tbl.set_column(i, tbl.schema.field(i), new)
+
+
+def build_skewed(base: str, out: str, frac: float = 0.5) -> None:
+    """Copy ``base`` with one hot key absorbing ~``frac`` of events
+    (user_id), orders (o_custkey), and lineitem (l_orderkey)."""
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        src = os.path.join(base, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if t == "events":
+            pq.write_table(
+                _skew_column(pq.read_table(src), "user_id", frac), dst
+            )
+        elif t == "orders":
+            pq.write_table(
+                _skew_column(pq.read_table(src), "o_custkey", frac), dst
+            )
+        elif t == "lineitem":
+            tbl = _skew_column(pq.read_table(src), "l_orderkey", frac)
+            pq.write_table(_renumber_hot_linenumbers(tbl, frac), dst)
+        else:
+            shutil.copyfile(src, dst)
+    print(f"wrote skewed SF to {out}")
+
+
 if __name__ == "__main__":
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_dirty_sf"
-    build(base, out)
+    if len(sys.argv) > 3 and sys.argv[3] == "skew":
+        build_skewed(base, out)
+    else:
+        build(base, out)
