@@ -533,7 +533,11 @@ def simhash_fingerprints(
     column-level form).
     """
     lane_mask = F.lit(0x0000000100000001).cast("bigint")
-    toks = df.select(
+    # NULL-id rows are excluded (round 8, NULL-PK dirty class): the
+    # fingerprint is cited BY id downstream (join-backs, pair outputs) —
+    # an id-less fingerprint is undereferenceable, and a NULL group key
+    # here would merge all id-less docs' tokens into one phantom vote.
+    toks = df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("_tok"),
     ).select(F.col(id_col), F.xxhash64("_tok").alias("_h"))

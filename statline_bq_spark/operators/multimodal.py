@@ -126,7 +126,16 @@ def extract_features(
                 {"media_id": pdf[id_col].astype("int64"), "feature": feats}
             )
 
-    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+    # NULL-id rows are excluded (round 8, NULL-PK dirty class): the
+    # feature row is keyed by media_id (MEDIA_SCHEMA declares it
+    # non-null) — an id-less feature can't be joined back, and a NULL in
+    # the pandas batch would coerce the int64 id column to float64,
+    # corrupting 19-digit ids before the UDF even runs.
+    return (
+        df.filter(F.col(id_col).isNotNull())
+        .select(id_col, payload_col)
+        .mapInPandas(run, out_schema)
+    )
 
 
 def _parse_netpbm(b: bytes) -> tuple[int, int, bytes] | None:
@@ -346,7 +355,12 @@ def resize(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(run, RESIZED_SCHEMA)
+    # NULL-id rows excluded — same id contract as extract_features
+    return (
+        df.filter(F.col(id_col).isNotNull())
+        .select(id_col, payload_col)
+        .mapInPandas(run, RESIZED_SCHEMA)
+    )
 
 
 def frame_sample_plan(

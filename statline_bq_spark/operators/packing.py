@@ -130,6 +130,11 @@ def pack_sequences(
     """
     if capacity <= 0:
         raise ValueError("capacity must be positive")
+    # NULL-order-key rows are excluded (round 8, NULL-PK dirty class): the
+    # stream position is defined by the order key, and a NULL key's place
+    # in the concatenation is engine-defined (Spark sorts NULL first,
+    # ANSI-default engines last) — an id-less doc has no stable offset.
+    df = df.filter(F.col(order_key).isNotNull())
     out = _block_prefix_offsets(
         df,
         stream_key,

@@ -175,8 +175,14 @@ def reservoir_per_key(
     """
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     w = Window.partitionBy(key).orderBy(h, id_col)
+    # NULL-id rows are excluded (round 8, NULL-PK dirty class): md5(NULL)
+    # is NULL, and a NULL rank key sorts FIRST in Spark but LAST in
+    # ANSI-default engines — an id-less row would be "always sampled"
+    # here and "never sampled" there. No stable identity → no stable
+    # sample membership; callers triage NULL ids upstream.
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        df.filter(F.col(id_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )

@@ -37,7 +37,9 @@ from statline_bq_spark.functions.vectors import (
 )
 
 
-def _drop_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+def _drop_null_vectors(
+    df: DataFrame, vec_col: str, id_col: str | None = None
+) -> DataFrame:
     """Exclude rows whose embedding is NULL or carries ANY non-finite
     component — the uniform usable-vector contract for every search/fit
     path here. Real corpora carry NULL vectors and NaN/Inf-poisoned
@@ -54,7 +56,16 @@ def _drop_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     ``isNull`` explicitly: a NULL component would otherwise make the
     EXISTS three-valued-NULL — still dropped by the filter, but by
     accident, and diverging from any oracle that counts non-finite
-    components (NOT isfinite(NULL) is NULL, never TRUE)."""
+    components (NOT isfinite(NULL) is NULL, never TRUE).
+
+    ``id_col`` (round 8, found by the NULL-PK dirty class): search and
+    assignment paths that EMIT the row's id also require it non-NULL —
+    an id-less neighbor is undereferenceable, the JVM path's self-match
+    ``!=`` predicate and every SQL oracle's pair predicate already drop
+    it implicitly (NULL never equals or differs), and the NumPy/Arrow
+    paths would otherwise mangle NULL through an int64 cast. Fit-only
+    paths (centroids, codebooks) and storage transforms (quantization)
+    pass ``id_col=None``: content is usable regardless of identity."""
     c = F.col(vec_col)
     unusable = F.exists(
         c,
@@ -62,7 +73,10 @@ def _drop_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
         | F.isnan(x)
         | (F.abs(x) == F.lit(float("inf"))),
     )
-    return df.filter(c.isNotNull() & ~unusable)
+    cond = c.isNotNull() & ~unusable
+    if id_col is not None:
+        cond = F.col(id_col).isNotNull() & cond
+    return df.filter(cond)
 
 
 def _empty_topk_result(df: DataFrame) -> DataFrame:
@@ -95,14 +109,14 @@ def ann_cosine_topk(
     # norms are projected per SIDE ROW before the N×Q scoring join —
     # inline cosine would re-fold the corpus norm once per query
     q = F.broadcast(
-        _drop_null_vectors(queries, vec_col).select(
+        _drop_null_vectors(queries, vec_col, query_id_col).select(
             F.col(query_id_col).alias("q_id"),
             F.col(vec_col).alias("_q_vec"),
             l2_norm(F.col(vec_col)).alias("_q_nrm"),
         )
     )
     scored = (
-        _drop_null_vectors(corpus, vec_col)
+        _drop_null_vectors(corpus, vec_col, id_col)
         .select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("_c_vec"),
@@ -167,7 +181,7 @@ def ann_cosine_topk_np(
     import numpy as np
     import pandas as pd
 
-    q_rows = _drop_null_vectors(queries, vec_col).select(query_id_col, vec_col).collect()
+    q_rows = _drop_null_vectors(queries, vec_col, query_id_col).select(query_id_col, vec_col).collect()
     if not q_rows:
         return _empty_topk_result(corpus)
     q_ids = np.array([r[0] for r in q_rows], dtype="int64")
@@ -226,7 +240,7 @@ def ann_cosine_topk_np(
                 )
             yield pd.concat(frames, ignore_index=True)
 
-    cand = _drop_null_vectors(corpus, vec_col).select(id_col, vec_col).mapInPandas(
+    cand = _drop_null_vectors(corpus, vec_col, id_col).select(id_col, vec_col).mapInPandas(
         score, "q_id bigint, neighbor_id bigint, sim double"
     )
     w = Window.partitionBy("q_id").orderBy(
@@ -272,7 +286,7 @@ def ann_cosine_topk_arrow(
     import numpy as np
     import pyarrow as pa
 
-    q_rows = _drop_null_vectors(queries, vec_col).select(query_id_col, vec_col).collect()
+    q_rows = _drop_null_vectors(queries, vec_col, query_id_col).select(query_id_col, vec_col).collect()
     if not q_rows:
         return _empty_topk_result(corpus)
     q_ids = np.array([r[0] for r in q_rows], dtype="int64")
@@ -341,7 +355,7 @@ def ann_cosine_topk_arrow(
                 names=["q_id", "neighbor_id", "sim"],
             )
 
-    cand = _drop_null_vectors(corpus, vec_col).select(id_col, vec_col).mapInArrow(
+    cand = _drop_null_vectors(corpus, vec_col, id_col).select(id_col, vec_col).mapInArrow(
         score, "q_id bigint, neighbor_id bigint, sim double"
     )
     w = Window.partitionBy("q_id").orderBy(
@@ -420,8 +434,8 @@ def lsh_bucket_topk(
     all_planes = [
         _hyperplanes(dim, bits, seed + 7919 * t) for t in range(tables)
     ]
-    corpus = _drop_null_vectors(corpus, vec_col)
-    queries = _drop_null_vectors(queries, vec_col)
+    corpus = _drop_null_vectors(corpus, vec_col, id_col)
+    queries = _drop_null_vectors(queries, vec_col, query_id_col)
     # norms fold once per row BEFORE the bucket explode — inline cosine
     # would re-fold them per (table × candidate) pair in the verify step
     c = corpus.select(
@@ -532,7 +546,7 @@ def cosine_pairs_blocked(
     prunes nothing, so it is not the default.
     """
     spark = df.sparkSession
-    df = _drop_null_vectors(df, vec_col)
+    df = _drop_null_vectors(df, vec_col, id_col)
     grid = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
         "_bi int, _bj int",
@@ -724,7 +738,7 @@ def _assign_nearest_literal(
                 }
             )
 
-    return _drop_null_vectors(df, vec_col).select(id_col, vec_col).mapInPandas(
+    return _drop_null_vectors(df, vec_col, id_col).select(id_col, vec_col).mapInPandas(
         assign, f"{out_id} {out_type}, {out_vec} {vec_type}, label int"
     )
 
@@ -743,7 +757,7 @@ def _assign_to_centroids(
     # row norm folds once per vector, centroid norms once per centroid —
     # inline cosine would re-fold the row norm per (row × centroid) pair
     scored = (
-        _drop_null_vectors(df, vec_col)
+        _drop_null_vectors(df, vec_col, id_col)
         .select(
             F.col(id_col).alias("_aid"),
             F.col(vec_col).alias("_avec"),
@@ -1135,7 +1149,6 @@ def kmeans_assign(
     import numpy as np
 
     df = _drop_null_vectors(df, vec_col)
-    cols = list(df.columns)
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", cid int, dist2 double"
@@ -1148,37 +1161,48 @@ def kmeans_assign(
 
     expected_dim = cmat.shape[1]
 
+    # mapInArrow, not mapInPandas (round 8, found by the NULL-PK ×
+    # int64-edge dirty cross): the pandas serializer coerces a
+    # pass-through bigint column containing ANY null to float64, which
+    # silently corrupts 19-digit ids (2^63-1 is not float64-representable)
+    # and then fails Arrow's safe int64 re-conversion. Arrow RecordBatches
+    # carry nullable int64 exactly; the UDF touches ONLY the vector column
+    # and appends (cid, dist2) — every other column passes through
+    # bit-identical.
     def assign(batches):
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            if pdf.empty:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
+            vecs = rb.column(rb.schema.get_field_index(vec_col)).to_pylist()
             # dimension guard: a truncated/empty vector would make the
             # stacked batch ragged and crash the matmul (un-assignable
             # vectors are excluded, same as NULL/non-finite ones)
-            ok = pdf[vec_col].map(len) == expected_dim
-            if not ok.all():
-                pdf = pdf[ok]
-                if pdf.empty:
+            keep = [i for i, v in enumerate(vecs) if len(v) == expected_dim]
+            if len(keep) < rb.num_rows:
+                rb = rb.take(pa.array(keep, pa.int64()))
+                if rb.num_rows == 0:
                     continue
-            m = np.asarray(
-                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
-            )
+                vecs = [vecs[i] for i in keep]
+            m = np.asarray(vecs, dtype="float64")
             d = (
                 (m * m).sum(axis=1)[:, None]
                 - 2.0 * (m @ cmat.T)
                 + cn2[None, :]
             )
             cid = np.argmin(d, axis=1)
-            out = pdf[cols].copy()
-            out["cid"] = cid.astype("int32")
-            out["dist2"] = np.round(
+            dist2 = np.round(
                 np.maximum(d[np.arange(len(cid)), cid], 0.0), round_to
             )
-            yield out
+            rb = rb.append_column(
+                "cid", pa.array(cid.astype("int32"), pa.int32())
+            )
+            yield rb.append_column(
+                "dist2", pa.array(dist2, pa.float64())
+            )
 
-    return df.mapInPandas(assign, out_schema)
+    return df.mapInArrow(assign, out_schema)
 
 
 def ivf_kmeans_topk(
@@ -1382,10 +1406,15 @@ def quantize_embeddings(
     tie behavior differs between engines). The all-zero vector gets
     ``scale = 0`` and all-zero codes.
 
-    Formulated codegen-friendly (posexplode + window max + hash
-    re-aggregation on the SAME key — the window's exchange is reused, so
-    one shuffle total) rather than as interpreted higher-order array folds
-    (measured ~5× slower on hot paths).
+    Formulated as posexplode + hash aggregation with the per-vector
+    ``maxabs`` computed ONCE PER ROW as an array expression before the
+    explode (round 8; the previous window-max-over-surrogate shape
+    shuffled and sorted the full 64×-exploded relation just to attach
+    maxabs — with maxabs pre-attached, the groupBy's partial aggregate
+    collapses the exploded rows map-side and the exchange carries one
+    partial row per vector). The single interpreted higher-order pass
+    (one abs-fold over the array) is per-ROW, not per-component-row —
+    the hot per-component math stays codegen'd.
 
     Output: (id, n_dims, code_sum, code_min, code_max, scale_micros) — the
     verifiable integer facets of the codes; scale_micros =
@@ -1404,16 +1433,27 @@ def quantize_embeddings(
         _drop_null_vectors(df, vec_col)
         .select(F.col(id_col), F.col(vec_col))
         .withColumn("_rid", F.monotonically_increasing_id())
-        .select(F.col(id_col), "_rid", F.posexplode(vec_col).alias("_pos", "_vf"))
+        .withColumn(
+            "_maxabs",
+            F.array_max(
+                F.transform(
+                    F.col(vec_col), lambda x: F.abs(x.cast("double"))
+                )
+            ),
+        )
+        .select(
+            F.col(id_col),
+            "_rid",
+            "_maxabs",
+            F.posexplode(vec_col).alias("_pos", "_vf"),
+        )
         .withColumn("_v", F.col("_vf").cast("double"))
     )
-    win = Window.partitionBy("_rid")
-    with_max = ex.withColumn("_maxabs", F.max(F.abs(F.col("_v"))).over(win))
     code = F.when(F.col("_maxabs") == 0.0, F.lit(0)).otherwise(
         F.floor(F.col("_v") * 127.0 / F.col("_maxabs") + 0.5)
     ).cast("long")
     return (
-        with_max.withColumn("_code", code)
+        ex.withColumn("_code", code)
         .groupBy("_rid", id_col)
         .agg(
             F.count(F.lit(1)).alias("n_dims"),
@@ -1459,7 +1499,7 @@ def quantized_rerank_topk(
     import pandas as pd
 
     c = candidates if candidates is not None else 4 * k
-    q_rows = _drop_null_vectors(queries, vec_col).select(query_id_col, vec_col).collect()
+    q_rows = _drop_null_vectors(queries, vec_col, query_id_col).select(query_id_col, vec_col).collect()
     if not q_rows:
         return _empty_topk_result(corpus)
     q_ids = np.array([r[0] for r in q_rows], dtype="int64")
@@ -1526,7 +1566,7 @@ def quantized_rerank_topk(
                 )
             yield pd.concat(frames, ignore_index=True)
 
-    cand = _drop_null_vectors(corpus, vec_col).select(id_col, vec_col).mapInPandas(
+    cand = _drop_null_vectors(corpus, vec_col, id_col).select(id_col, vec_col).mapInPandas(
         score, "q_id bigint, neighbor_id bigint, sim double"
     )
     w = Window.partitionBy("q_id").orderBy(

@@ -67,6 +67,19 @@ def get_spark(
     )
     if not SparkSession.getActiveSession():
         builder = builder.master(master)
+        if master.startswith("local"):
+            # PySpark's default spark.driver.memory is 1g, and in local
+            # mode that IS the whole executor heap — found when the
+            # sf1.0 (6M-lineitem) bench OOMed in a pair-count hash
+            # aggregate that fits trivially in the machine's RAM (the
+            # spurious-OOM symptom: GCLocker retry failures on ~1 MB
+            # spill-buffer allocations). Heap is reserved lazily, so a
+            # roomy default costs nothing at small SF. Cluster deploys
+            # size executors via spark-submit and never hit this branch.
+            builder = builder.config(
+                "spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+            )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

