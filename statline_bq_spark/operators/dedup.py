@@ -340,6 +340,40 @@ def minhash_lsh_pairs(
     )
 
 
+def informative_doc_ids(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    df_cap: int = 128,
+) -> DataFrame:
+    """Doc ids carrying at least one INFORMATIVE gram (document frequency
+    ≤ ``df_cap``) — the universe over which capped-gram Jaccard
+    (:func:`ngram_jaccard_pairs`) is defined. A doc whose every gram is
+    boilerplate (df > cap) has an EMPTY capped gram set: exact capped
+    Jaccard can neither confirm nor deny its pairs, so quality contracts
+    that compare a discovery method (MinHash, SimHash) against the capped
+    truth must restrict both sides to this universe. Found by the round-8
+    content-skew probe: 50% of a corpus sharing one text makes MinHash
+    (correctly) emit ~n²/8 identical-doc pairs that the capped truth
+    (correctly) refuses to score — a precision contract comparing the two
+    raw sets is comparing different universes. Output: one column named
+    ``id_col``."""
+    inv = shingle_index(df, id_col=id_col, text_col=text_col, n=shingle_n)
+    heavy = (
+        inv.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > df_cap)
+        .select("_g")
+    )
+    return (
+        inv.join(F.broadcast(heavy), "_g", "left_anti")
+        .select(F.col("_id").alias(id_col))
+        .distinct()
+    )
+
+
 # --------------------------------------------------------------------------
 # exact n-gram Jaccard (inverted-index join baseline)
 # --------------------------------------------------------------------------

@@ -332,6 +332,23 @@ def test_hierarchy_stops_at_fixpoint(spark):
 
 # --- dedup internals --------------------------------------------------------
 
+def test_informative_doc_ids_excludes_boilerplate_only_docs(spark):
+    """Round-8 content-skew finding: a doc whose EVERY gram exceeds the
+    df cap has an empty capped gram set and is outside the capped-Jaccard
+    universe; a doc holding at least one rare gram stays in."""
+    boiler = "the same boilerplate text repeated everywhere"
+    rows = [(i, boiler) for i in range(10)]           # all-boilerplate docs
+    rows += [(100, boiler + " unique marker alpha")]  # boiler + rare grams
+    rows += [(101, "entirely distinct document body here")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    ids = {
+        r.doc_id
+        for r in dedup.informative_doc_ids(df, df_cap=5).collect()
+    }
+    assert 100 in ids and 101 in ids
+    assert not any(i in ids for i in range(10))
+
+
 def test_minhash_finds_planted_near_dupes(spark):
     base = read_table(spark, SF_SMOKE, "documents").limit(50)
     # plant near-duplicates: copy each doc with one token appended

@@ -976,9 +976,31 @@ def _renumber_hot_linenumbers(tbl: pa.Table, frac: float) -> pa.Table:
     return tbl.set_column(i, tbl.schema.field(i), new)
 
 
+def _skew_content(tbl: pa.Table, col: str, frac: float) -> pa.Table:
+    """Rewrite every ⌊1/frac⌋-th row's ``col`` to the FIRST row's value —
+    content skew with ids untouched: one boilerplate text (or one stuck
+    encoder output) held by ~frac of the corpus. Stresses the paths key
+    skew can't reach: exact-dedup groups of half the table, shingle
+    document frequencies at the df-cap, MinHash/SimHash bucket caps, and
+    IVF/k-means centroid collapse onto the hot vector."""
+    import pyarrow.compute as pc
+
+    tbl = tbl.combine_chunks()
+    arr = tbl[col].combine_chunks()
+    hot = arr[0]
+    step = max(2, round(1 / frac))
+    mask = pa.array([i % step == 0 for i in range(len(tbl))])
+    new = pc.if_else(mask, hot, arr)
+    i = tbl.schema.get_field_index(col)
+    return tbl.set_column(i, tbl.schema.field(i), new)
+
+
 def build_skewed(base: str, out: str, frac: float = 0.5) -> None:
-    """Copy ``base`` with one hot key absorbing ~``frac`` of events
-    (user_id), orders (o_custkey), and lineitem (l_orderkey)."""
+    """Copy ``base`` with one hot KEY absorbing ~``frac`` of events
+    (user_id), orders (o_custkey), and lineitem (l_orderkey), and one
+    hot VALUE absorbing ~``frac`` of documents (text) and embeddings
+    (embedding) — key-distribution and content-distribution stress in
+    one fixture."""
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         src = os.path.join(base, f"{t}.parquet")
@@ -994,6 +1016,14 @@ def build_skewed(base: str, out: str, frac: float = 0.5) -> None:
         elif t == "lineitem":
             tbl = _skew_column(pq.read_table(src), "l_orderkey", frac)
             pq.write_table(_renumber_hot_linenumbers(tbl, frac), dst)
+        elif t == "documents":
+            pq.write_table(
+                _skew_content(pq.read_table(src), "text", frac), dst
+            )
+        elif t == "embeddings":
+            pq.write_table(
+                _skew_content(pq.read_table(src), "embedding", frac), dst
+            )
         else:
             shutil.copyfile(src, dst)
     print(f"wrote skewed SF to {out}")
