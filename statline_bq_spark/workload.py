@@ -5189,8 +5189,15 @@ WITH c AS (
   -- un-scorable corpus rows survive (the engine's anti-join condition is
   -- NULL for them, so they never match); the join keeps NULL/zero-norm
   -- vectors away from list_cosine_similarity (which errors on NULL) by
-  -- filtering BEFORE the function is projected
-  SELECT DISTINCT c.vec_id
+  -- filtering BEFORE the function is projected.
+  -- Identity is (vec_id, vector), NOT vec_id alone: decontamination is
+  -- per ROW — a row is contaminated by ITS OWN content. A duplicated
+  -- vec_id carrying a clean vector next to a contaminated one (round-8
+  -- skew×dirty cross probe) must keep the clean row, exactly like the
+  -- engine's row-level left-anti; rows identical in BOTH id and vector
+  -- share one hits entry and one fate, which is the same thing. The
+  -- vector key is the list's text form (deterministic in DuckDB).
+  SELECT DISTINCT c.vec_id, CAST(c.v AS VARCHAR) AS vkey
   FROM c JOIN b ON c.scorable
   WHERE round(list_cosine_similarity(c.v, b.v), 4) >= 0.4
 )
@@ -5199,7 +5206,13 @@ SELECT label, count(*) AS n_survivors,
        CAST(((sum(CAST(vec_id AS HUGEINT)) % 1000000007) + 1000000007)
             % 1000000007 AS BIGINT) AS id_sum_mod
 FROM c
-WHERE vec_id NOT IN (SELECT vec_id FROM hits)
+-- NULL-safe NOT EXISTS, not NOT IN: a NULL vec_id in either side of a
+-- NOT IN poisons the whole membership test three-valued-ly
+WHERE NOT EXISTS (
+  SELECT 1 FROM hits h
+  WHERE h.vec_id IS NOT DISTINCT FROM c.vec_id
+    AND h.vkey IS NOT DISTINCT FROM CAST(c.v AS VARCHAR)
+)
 GROUP BY label
 """
 
