@@ -104,3 +104,32 @@ def test_query_matches_oracle_on_dirty_data_sf01(
     1677 session; the static one was passing by sort luck on the
     sf0.001 geometry)."""
     _check(spark, dirty_dir_sf01, name)
+
+
+_TZ_SENSITIVE = [
+    n for n in sorted(ORACLES)
+    if any(k in n for k in (
+        "session", "tumbling", "sliding", "gap", "daily", "asof",
+        "purchase", "timeline", "state_history", "transition", "busy",
+        "latest_event", "retention", "hourly", "running", "interval",
+        "epoch", "snapshot",
+    ))
+]
+
+
+@pytest.mark.parametrize("name", _TZ_SENSITIVE)
+def test_time_queries_hold_under_amsterdam_session_tz(
+    spark, dirty_dir, name
+):
+    """The driver runs a VANILLA session — whatever timezone the host
+    carries. Every timestamp column is NTZ and no query emits a raw
+    timestamp, so results must be session-TZ-invariant; this pins the
+    time-sensitive family against the oracle with the session forced to
+    Europe/Amsterdam (CBS's home zone, with the round-8 DST-instant
+    dirty rows in the fixture). First run: 33/33 no-divergence."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Europe/Amsterdam")
+    try:
+        _check(spark, dirty_dir, name)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
