@@ -133,3 +133,40 @@ def test_time_queries_hold_under_amsterdam_session_tz(
         _check(spark, dirty_dir, name)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+_ORDER_SENSITIVE = [
+    n for n in sorted(ORACLES)
+    if any(k in n for k in (
+        "epoch_shuffle", "packed", "reservoir", "rank", "topk", "top_",
+        "ngram", "minhash", "simhash", "winnow", "dedup", "session_paths",
+        "timeline", "quantization", "kmeans", "ivf", "split", "sample",
+        "neardup", "latest",
+    ))
+]
+
+
+@pytest.mark.parametrize("name", _ORDER_SENSITIVE)
+def test_order_sensitive_queries_hold_under_hostile_partitioning(
+    spark, dirty_dir, name
+):
+    """Partition-count invariance (round 8): a 1000-executor cluster
+    partitions nothing like local[32], so no result may depend on the
+    partitioning — the classic leaks are monotonically_increasing_id
+    ordering, per-partition first/limit picks, and float fold order.
+    Pins the order-sensitive family against the oracle with 7 shuffle
+    partitions, 64 KB scan splits, and AQE off. The full-registry probe
+    ran 230/230 green first (round-8 one-shot)."""
+    confs = {
+        "spark.sql.shuffle.partitions": "7",
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.files.maxPartitionBytes": "65536",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        _check(spark, dirty_dir, name)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
