@@ -170,3 +170,27 @@ def test_order_sensitive_queries_hold_under_hostile_partitioning(
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+_ARROW_UDF_FAMILY = [
+    n for n in sorted(ORACLES)
+    if any(k in n for k in (
+        "ann_", "arrow", "kmeans", "ivf", "multimodal", "udaf", "udtf",
+        "chunk", "quantized", "rerank",
+    ))
+]
+
+
+@pytest.mark.parametrize("name", _ARROW_UDF_FAMILY)
+def test_udf_paths_hold_under_tiny_arrow_batches(spark, dirty_dir, name):
+    """Arrow batch-size invariance (round 8): 7-row batches make every
+    mapInPandas / mapInArrow / UDTF path see many batches per partition
+    — anything assuming one batch per partition, or mishandling
+    per-batch top-k/pruning state, diverges here. Full-registry probe
+    ran 230/230 green first."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        _check(spark, dirty_dir, name)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)

@@ -1688,3 +1688,56 @@ def test_mixture_sample_matches_md5_threshold_mirror(spark, rows, alpha):
         u = int(hashlib.md5(f"mix{i}".encode()).hexdigest()[:4], 16) / 65536.0
         want[i] = u < rate
     assert got == want
+
+
+# --- shingle_index duplicate-id window guard (round 8) -----------------------
+
+doc_corpora = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # doc_id (small domain → guaranteed duplicates)
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=0,
+            max_size=8,
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(doc_corpora)
+@settings(**SETTINGS)
+def test_shingle_index_duplicate_ids_union_per_row(spark, corpus):
+    """Round-8 pin for the exchange-free shingle window: with the window
+    partitioned by doc_id and ordered by (row surrogate, position), a
+    duplicated doc_id's gram set must be exactly the UNION of its rows'
+    gram sets — no cross-row grams fabricated at row boundaries, none
+    lost. The reference is shingle_index itself over the same rows with
+    unique surrogate ids (one window per physical row by construction),
+    unioned per original id in Python."""
+    from statline_bq_spark.operators.dedup import shingle_index
+
+    rows = [
+        (i, doc_id, " ".join(toks))
+        for i, (doc_id, toks) in enumerate(corpus)
+    ]
+    df = spark.createDataFrame(rows, "row_id bigint, doc_id bigint, text string")
+
+    got = {}
+    for r in shingle_index(
+        df.select("doc_id", "text"), id_col="doc_id", text_col="text"
+    ).collect():
+        got.setdefault(r._id, set()).add(r._g)
+
+    per_row = {}
+    for r in shingle_index(
+        df.select("row_id", "text"), id_col="row_id", text_col="text"
+    ).collect():
+        per_row.setdefault(r._id, set()).add(r._g)
+    want = {}
+    for i, (doc_id, _toks) in enumerate(corpus):
+        if i in per_row:
+            want.setdefault(doc_id, set()).update(per_row[i])
+
+    assert got == want
