@@ -22,6 +22,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+#: Document-frequency cap of the capped-gram Jaccard universe. One
+#: constant on purpose: :func:`ngram_jaccard_pairs` (the exact truth),
+#: :func:`informative_doc_ids` (the comparable universe), and every
+#: DuckDB oracle mirroring them (``workload.py`` interpolates this into
+#: the SQL) must cap at the SAME value or the precision/recall quality
+#: contracts silently compare different universes.
+DEFAULT_DF_CAP = 128
+
 
 # --------------------------------------------------------------------------
 # shingling helpers (shared by minhash / jaccard)
@@ -346,7 +354,7 @@ def informative_doc_ids(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
-    df_cap: int = 128,
+    df_cap: int = DEFAULT_DF_CAP,
 ) -> DataFrame:
     """Doc ids carrying at least one INFORMATIVE gram (document frequency
     ≤ ``df_cap``) — the universe over which capped-gram Jaccard
@@ -385,7 +393,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.2,
-    df_cap: int = 128,
+    df_cap: int = DEFAULT_DF_CAP,
 ) -> DataFrame:
     """Exact Jaccard over token n-gram sets for every pair sharing ≥1 shingle.
 

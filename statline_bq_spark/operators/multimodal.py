@@ -165,25 +165,41 @@ def _parse_netpbm(b: bytes) -> tuple[int, int, bytes] | None:
     w, h, maxval = fields
     if w <= 0 or h <= 0 or not 0 < maxval <= 255:
         return None
-    pos += 1  # exactly one whitespace byte separates header from raster
+    # exactly one whitespace byte separates header from raster; a
+    # non-whitespace byte here means a malformed header that would
+    # otherwise silently shift the raster by one
+    if not b[pos : pos + 1].isspace():
+        return None
+    pos += 1
     n = w * h
     if is_rgb:
         raster = b[pos : pos + 3 * n]
         if len(raster) < 3 * n:
             return None
         gray = bytes(
-            (
-                299 * raster[3 * i]
-                + 587 * raster[3 * i + 1]
-                + 114 * raster[3 * i + 2]
+            min(
+                255,
+                (
+                    299 * raster[3 * i]
+                    + 587 * raster[3 * i + 1]
+                    + 114 * raster[3 * i + 2]
+                )
+                # fold the maxval<255 rescale into the luma divide so a
+                # full-bright maxval=100 pixel reads 255, not ~100
+                * 255
+                // (1000 * maxval),
             )
-            // 1000
             for i in range(n)
         )
     else:
-        gray = b[pos : pos + n]
-        if len(gray) < n:
+        raw = b[pos : pos + n]
+        if len(raw) < n:
             return None
+        gray = (
+            raw
+            if maxval == 255
+            else bytes(min(255, v * 255 // maxval) for v in raw)
+        )
     return w, h, gray
 
 

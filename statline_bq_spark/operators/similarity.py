@@ -1175,14 +1175,19 @@ def kmeans_assign(
         for rb in batches:
             if rb.num_rows == 0:
                 continue
-            vecs = rb.column(rb.schema.get_field_index(vec_col)).to_pylist()
+            cols = rb.columns
+            vecs = cols[rb.schema.get_field_index(vec_col)].to_pylist()
             # dimension guard: a truncated/empty vector would make the
             # stacked batch ragged and crash the matmul (un-assignable
             # vectors are excluded, same as NULL/non-finite ones)
             keep = [i for i, v in enumerate(vecs) if len(v) == expected_dim]
             if len(keep) < rb.num_rows:
-                rb = rb.take(pa.array(keep, pa.int64()))
-                if rb.num_rows == 0:
+                # Array.take (ancient API), not RecordBatch.take — the
+                # RecordBatch column-modification methods postdate the
+                # oldest pyarrow pyspark 4.x accepts
+                idx = pa.array(keep, pa.int64())
+                cols = [c.take(idx) for c in cols]
+                if not keep:
                     continue
                 vecs = [vecs[i] for i in keep]
             m = np.asarray(vecs, dtype="float64")
@@ -1195,11 +1200,15 @@ def kmeans_assign(
             dist2 = np.round(
                 np.maximum(d[np.arange(len(cid)), cid], 0.0), round_to
             )
-            rb = rb.append_column(
-                "cid", pa.array(cid.astype("int32"), pa.int32())
-            )
-            yield rb.append_column(
-                "dist2", pa.array(dist2, pa.float64())
+            # build the output batch with from_arrays (portable across
+            # every pyarrow pyspark supports) instead of append_column
+            yield pa.RecordBatch.from_arrays(
+                list(cols)
+                + [
+                    pa.array(cid.astype("int32"), pa.int32()),
+                    pa.array(dist2, pa.float64()),
+                ],
+                names=list(rb.schema.names) + ["cid", "dist2"],
             )
 
     return df.mapInArrow(assign, out_schema)

@@ -23,6 +23,26 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def _default_driver_mem() -> str:
+    """Local-mode driver-heap default: min(16g, ~60% of physical RAM).
+
+    16g is what the sf1.0 bench needs headroom for on the 128 GiB dev
+    box; on a smaller host an unclamped 16g heap would grow past
+    physical RAM under load and get OOM-killed by the OS — worse than
+    letting Spark spill inside a heap it can actually have. Whole-GiB
+    granularity, floor 1 GiB (PySpark's own default).
+    """
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) / (1024 * 1024)
+                    return f"{max(1, min(16, int(total_gib * 0.6)))}g"
+    except OSError:
+        pass
+    return "16g"
+
+
 def get_spark(
     app_name: str = "statline-bq-spark",
     *,
@@ -74,11 +94,19 @@ def get_spark(
             # aggregate that fits trivially in the machine's RAM (the
             # spurious-OOM symptom: GCLocker retry failures on ~1 MB
             # spill-buffer allocations). Heap is reserved lazily, so a
-            # roomy default costs nothing at small SF. Cluster deploys
-            # size executors via spark-submit and never hit this branch.
+            # roomy default costs nothing at small SF — but it is
+            # clamped to ~60% of physical RAM so a small host degrades
+            # to Spark-managed spill instead of an OS OOM-kill. This is
+            # a LOCAL-MODE lever only: cluster deploys size executors
+            # via spark-submit and never hit this branch, and even
+            # locally the setting is silently ignored if a JVM from a
+            # previous (stopped-but-not-exited) session is still alive
+            # — driver memory is a JVM-launch-time property.
             builder = builder.config(
                 "spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+                os.environ.get(
+                    "SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()
+                ),
             )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -57,6 +57,12 @@ from statline_bq_spark.operators.relational import (
 )
 from statline_bq_spark.operators.star import star_join
 
+#: Single source of truth for the capped-gram universe: the engine call
+#: sites pass it explicitly and the five f-string oracles interpolate it,
+#: so the df cap can never drift between the Spark side, the comparable
+#: universe (informative_doc_ids), and the DuckDB truth (ADVICE r8).
+_DF_CAP = dedup.DEFAULT_DF_CAP
+
 #: Explicit pivot-value list (the reference's measure dictionary analogue —
 #: never let pivot() run a discovery pass, SURVEY.md §7 risk register).
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -3235,7 +3241,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(d, shingle_n=3, threshold=0.2)
 
 
-ORACLE_NGRAM_JACCARD_PAIRS = """
+ORACLE_NGRAM_JACCARD_PAIRS = f"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
 ), idx AS (
@@ -3244,7 +3250,7 @@ WITH toks AS (
   SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS g
   FROM idx
 ), gok AS (
-  SELECT g FROM sh GROUP BY g HAVING count(*) <= 128
+  SELECT g FROM sh GROUP BY g HAVING count(*) <= {_DF_CAP}
 ), shc AS (
   SELECT sh.doc_id, sh.g FROM sh JOIN gok USING (g)
 ), sz AS (
@@ -3279,7 +3285,7 @@ def q_neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-ORACLE_NEARDUP_CLUSTERS = """
+ORACLE_NEARDUP_CLUSTERS = f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
 ), idx AS (
@@ -3288,7 +3294,7 @@ WITH RECURSIVE toks AS (
   SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS g
   FROM idx
 ), gok AS (
-  SELECT g FROM sh GROUP BY g HAVING count(*) <= 128
+  SELECT g FROM sh GROUP BY g HAVING count(*) <= {_DF_CAP}
 ), shc AS (
   SELECT sh.doc_id, sh.g FROM sh JOIN gok USING (g)
 ), sz AS (
@@ -4819,7 +4825,7 @@ def q_minhash_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     available via `dedup.minhash_lsh_pairs` and is unit-tested."""
     d = read_table(spark, sf, "documents")
     true_pairs = dedup.ngram_jaccard_pairs(
-        d, shingle_n=3, threshold=0.3
+        d, shingle_n=3, threshold=0.3, df_cap=_DF_CAP
     ).select("a", "b")
     mh = dedup.minhash_lsh_pairs(d, jaccard_threshold=0.3).select("a", "b")
     # precision is measured over the COMPARABLE universe: docs with ≥1
@@ -4829,7 +4835,7 @@ def q_minhash_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # correctly refuses to score them — judging one against the other
     # outside the shared universe is a category error, not low precision.
     # Recall is unaffected (true pairs only contain informative docs).
-    informative = dedup.informative_doc_ids(d, shingle_n=3)
+    informative = dedup.informative_doc_ids(d, shingle_n=3, df_cap=_DF_CAP)
     mh_cmp = mh.join(
         informative.withColumnRenamed("doc_id", "a"), "a"
     ).join(informative.withColumnRenamed("doc_id", "b"), "b")
@@ -4951,7 +4957,7 @@ def q_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-ORACLE_MINHASH_NEARDUP_PAIRS = """
+ORACLE_MINHASH_NEARDUP_PAIRS = f"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
 ), idx AS (
@@ -4960,7 +4966,7 @@ WITH toks AS (
   SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS g
   FROM idx
 ), gok AS (
-  SELECT g FROM sh GROUP BY g HAVING count(*) <= 128
+  SELECT g FROM sh GROUP BY g HAVING count(*) <= {_DF_CAP}
 ), shc AS (
   SELECT sh.doc_id, sh.g FROM sh JOIN gok USING (g)
 ), sz AS (
@@ -9995,7 +10001,7 @@ def q_minhash_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-ORACLE_MINHASH_RECALL_EVAL = """
+ORACLE_MINHASH_RECALL_EVAL = f"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
 ), idx AS (
@@ -10004,7 +10010,7 @@ WITH toks AS (
   SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS g
   FROM idx
 ), gok AS (
-  SELECT g FROM sh GROUP BY g HAVING count(*) <= 128
+  SELECT g FROM sh GROUP BY g HAVING count(*) <= {_DF_CAP}
 ), shc AS (
   SELECT sh.doc_id, sh.g FROM sh JOIN gok USING (g)
 ), sz AS (
@@ -10354,7 +10360,7 @@ def q_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-ORACLE_LEAKAGE_SAFE_SPLIT = """
+ORACLE_LEAKAGE_SAFE_SPLIT = f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
 ), idx AS (
@@ -10363,7 +10369,7 @@ WITH RECURSIVE toks AS (
   SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS g
   FROM idx
 ), gok AS (
-  SELECT g FROM sh GROUP BY g HAVING count(*) <= 128
+  SELECT g FROM sh GROUP BY g HAVING count(*) <= {_DF_CAP}
 ), shc AS (
   SELECT sh.doc_id, sh.g FROM sh JOIN gok USING (g)
 ), sz AS (

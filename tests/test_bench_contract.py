@@ -55,6 +55,49 @@ def test_session_factory_keeps_skew_mitigations_on():
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
 
 
+def test_default_driver_mem_clamps_to_host_ram():
+    """The local-mode heap default must track the HOST, not the dev box:
+    16g on a machine with less physical RAM gets the JVM OS-OOM-killed
+    under load instead of letting Spark spill (ADVICE r8)."""
+    from statline_bq_spark.session import _default_driver_mem
+
+    val = _default_driver_mem()
+    assert val.endswith("g")
+    gib = int(val[:-1])
+    assert 1 <= gib <= 16
+    with open("/proc/meminfo") as f:
+        total_gib = next(
+            int(line.split()[1]) / (1024 * 1024)
+            for line in f
+            if line.startswith("MemTotal:")
+        )
+    assert gib <= max(1, total_gib * 0.6)
+
+
+def test_df_cap_single_source_of_truth():
+    """The capped-gram universe cap must be ONE value across the engine
+    default, the comparable-universe helper, and every oracle mirroring
+    it (ADVICE r8: three independently-defaulted copies of 128)."""
+    import inspect
+
+    from statline_bq_spark import workload
+    from statline_bq_spark.operators import dedup
+
+    cap = dedup.DEFAULT_DF_CAP
+    sig = inspect.signature(dedup.ngram_jaccard_pairs)
+    assert sig.parameters["df_cap"].default == cap
+    sig = inspect.signature(dedup.informative_doc_ids)
+    assert sig.parameters["df_cap"].default == cap
+    for name in (
+        "ngram_jaccard_pairs",
+        "minhash_neardup_pairs",
+        "minhash_recall_eval",
+        "neardup_clusters",
+        "leakage_safe_split",
+    ):
+        assert f"<= {cap}" in workload.ORACLES[name], name
+
+
 def test_rows_only_queries_stay_out_of_the_oracle_dict():
     """The three *_raw bench twins are rows-only on purpose; everything
     else in the bench set must be oracle-backed."""

@@ -144,6 +144,32 @@ def test_decode_image_rejects_garbage_and_truncation():
     assert multimodal.decode_image(b"BM" + b"\x00" * 20) is None
 
 
+def test_decode_image_rescales_small_maxval():
+    """maxval<255 samples are intensity FRACTIONS of maxval (netpbm spec):
+    a full-bright maxval=100 pixel must read 255, not ~100 (ADVICE r8 —
+    the unscaled read biased every low-maxval image dark)."""
+    w, h, gray = multimodal.decode_image(b"P5 2 1 100\n" + bytes([100, 50]))
+    assert (w, h) == (2, 1)
+    assert list(gray) == [255, 50 * 255 // 100]
+    # P6: full-bright white at maxval=4 is full-bright white
+    w, h, gray = multimodal.decode_image(
+        b"P6 1 1 4\n" + bytes([4, 4, 4])
+    )
+    assert list(gray) == [255]
+
+
+def test_decode_image_rejects_nonwhitespace_header_terminator():
+    """The single byte after maxval must be whitespace; anything else is a
+    malformed header that would silently shift the raster (ADVICE r8)."""
+    assert multimodal.decode_image(b"P5 2 1 255X" + bytes([7, 9])) is None
+    # the well-formed twin decodes
+    assert multimodal.decode_image(b"P5 2 1 255\n" + bytes([7, 9])) == (
+        2,
+        1,
+        bytes([7, 9]),
+    )
+
+
 def test_image_decoder_end_to_end_spark(spark):
     """Round-8 directive: real bytes through the mapInPandas plumbing —
     a decodable PPM, a decodable BMP, an undecodable payload (NULL
