@@ -10,6 +10,16 @@ steady-state execution (shuffles, joins, aggregation) rather than one-off
 JVM/whole-stage-codegen compilation — the component that amortizes to zero
 on a long-lived cluster. Cold-run total is reported alongside in
 "cold_total_sec" for transparency.
+
+Measurement protocol (round 9 — this host's throughput swings up to ~60%
+between back-to-back runs, confirmed by a pure-CPU probe that slowed 27%
+on identical code): every query is timed min-of-3 ("queries", the primary
+wall estimate) with the median alongside ("queries_median", the
+spread evidence); a fixed pure-Python CPU probe is timed before and after
+the sweep ("cpu_probe_sec") so a slow-host capture is self-identifying.
+Wall time remains load-sensitive — the load-INDEPENDENT signals
+("shuffle_write_mb", "spilled_bytes_total") are the metrics to compare
+across rounds.
 """
 
 from __future__ import annotations
@@ -104,9 +114,24 @@ BENCH_QUERIES = (
 )
 
 
+def cpu_probe() -> float:
+    """Fixed pure-Python workload, seconds. Timed before and after the
+    sweep: the ratio between two captures of THIS number is host speed,
+    not engine speed — the round-8 audit measured it drifting 27% between
+    back-to-back runs, which is the scale factor to mentally divide out
+    of any cross-round wall-time comparison."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(20_000_000):
+        acc = (acc * 1103515245 + i) & 0xFFFFFFFFFFFF
+    assert acc >= 0
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    probe_start = cpu_probe()
     spark = get_spark(
         "statline-bq-spark-bench", extra_conf={"spark.ui.enabled": "true"}
     )
@@ -120,27 +145,24 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).count()
         cold_total += time.perf_counter() - t0
 
-    # Timed pass: min of 2 runs per query, plus an adaptive 3rd when the
-    # first two disagree by >15% (a disagreement that large means at least
-    # one run was perturbed — GC debt, codegen cache miss, or external
-    # machine load; BENCH_r05 shipped a 23% phantom regression from a
-    # loaded capture box). The min of the agreeing runs is the
-    # steady-state estimate.
+    # Timed pass: min-of-3 per query (round 9; min-of-2-plus-adaptive-3rd
+    # still shipped two load-polluted captures — r7 loadavg 8.65, r8
+    # loadavg 6.94 — and two quiet runs of identical code measured 62%
+    # apart). The min is the steady-state estimate; the median is kept
+    # alongside as the spread evidence.
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     shuffle_mb: dict[str, float] = {}
     before = metrics.totals()
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            runs.append(time.perf_counter() - t0)
-        if max(runs) > 1.15 * min(runs):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
+        medians[name] = round(sorted(runs)[1], 3)
         after = metrics.totals()
         if after and before:
             # report per-run shuffle write (counters are per-execution)
@@ -157,7 +179,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
         "cold_total_sec": round(cold_total, 3),
+        "cpu_probe_sec": {"start": probe_start, "end": cpu_probe()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     try:

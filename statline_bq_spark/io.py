@@ -36,6 +36,21 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+#: Chaos-testing hook: when set, every ``read_table`` scan is passed
+#: through ``fn(df, name) -> DataFrame`` before being returned. The
+#: retry-invariance sweep (tests/test_retry_parity.py) uses it to inject
+#: a once-failing task into every scan — the cluster reality (task
+#: retries, speculative re-execution) that local[32]'s default
+#: fail-fast scheduler never exercises. Production leaves it None.
+_SCAN_WRAPPER = None
+
+
+def set_scan_wrapper(fn) -> None:
+    """Install (or with ``None`` clear) the chaos scan wrapper."""
+    global _SCAN_WRAPPER
+    _SCAN_WRAPPER = fn
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Equivalent of the reference's per-table Parquet read;
     Catalyst owns pushdown/pruning from here.
@@ -57,8 +72,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts",
                 F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
             )
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    if _SCAN_WRAPPER is not None:
+        df = _SCAN_WRAPPER(df, name)
+    return df
 
 
 def read_tables(

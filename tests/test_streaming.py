@@ -636,6 +636,55 @@ def test_incremental_pipeline_resumes_exactly_once(spark, events_dir, tmp_path):
     assert per_date == {"20240101": n_even, "20240102": n_full - n_even}
 
 
+def test_incremental_pipeline_replays_batch_killed_mid_stream(
+    spark, events_dir, tmp_path
+):
+    """Crash DURING an uncommitted micro-batch → restart → replay, exactly
+    once. The resume test above covers a clean stop; this covers the
+    cluster reality the round-9 retry program targets: the driver dies
+    while batch 0 is in flight (here: the transform raises before the
+    sink write, so the checkpoint has the batch planned but NOT
+    committed). On restart from the same checkpoint Structured Streaming
+    must re-run the batch and the sink must end up with each input row
+    exactly once — the streaming analogue of the reference's idempotent
+    re-run (S19, reference ``main.py:38-95``)."""
+    import os as _os
+
+    src = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    full = spark.read.parquet(events_dir)
+    schema = full.schema
+    full.write.parquet(src)
+    flag = tmp_path / "crashed_once"
+
+    def crash_once_then_stamp(df):
+        # driver-side chaos: first attempt dies before anything reaches
+        # the sink; the flag file survives the query's death so the
+        # replay attempt passes
+        if not flag.exists():
+            flag.touch()
+            raise RuntimeError("chaos: driver killed mid-batch")
+        return ingest.snapshot_with_load_date(df, "20240101")
+
+    q = ingest.incremental_parquet_pipeline(
+        spark, src, schema, out_dir, ckpt, transform=crash_once_then_stamp
+    )
+    with pytest.raises(Exception, match="chaos"):
+        q.awaitTermination(600)
+    # the crash preceded the sink write: nothing was committed
+    assert not _os.path.exists(out_dir)
+
+    q2 = ingest.incremental_parquet_pipeline(
+        spark, src, schema, out_dir, ckpt, transform=crash_once_then_stamp
+    )
+    assert q2.awaitTermination(600)
+    out = spark.read.parquet(out_dir)
+    n = full.count()
+    assert out.count() == n  # replayed batch landed...
+    assert out.select("event_id").distinct().count() == n  # ...exactly once
+
+
 def test_tumbling_agg_state_recovers_across_restart(spark, events_dir, tmp_path):
     """Windowed-aggregation state survives a stop/restart: windows left
     open at the end of run 1 must close with CORRECT totals when run 2's
