@@ -1029,10 +1029,82 @@ def build_skewed(base: str, out: str, frac: float = 0.5) -> None:
     print(f"wrote skewed SF to {out}")
 
 
+# --------------------------------------------------------------------------
+# tie-storm + signed-zero/subnormal fixture (round 9)
+# --------------------------------------------------------------------------
+#
+# The dirty catalog stresses VALUES, the skew catalog stresses KEY/CONTENT
+# distribution; this one stresses ORDER-BY and MEASURE columns: ~frac of
+# each table's ranking/measure column snapped to one constant, so every
+# rank/row_number/percentile/top-k tie-break actually fires (tie-luck on
+# clean data has hidden real bugs twice — round 7b's session-island scans
+# and the round-8 NULL-ordering family both only surfaced once ties
+# existed). Plus the IEEE corners the NaN/Inf dirty class doesn't reach:
+# signed zeros (-0.0 stringifies differently from 0.0 in both engines'
+# comparators) and subnormals (round(±1e-310, k) collapses to ±0.0), so a
+# query emitting an un-normalized zero diverges between an engine that
+# keeps the sign and one that drops it.
+
+
+def _seed_special_doubles(tbl: pa.Table, col: str) -> pa.Table:
+    """Plant signed zeros and subnormals at deterministic rows of a
+    double column (non-null positions untouched otherwise)."""
+    tbl = tbl.combine_chunks()
+    vals = tbl[col].combine_chunks().to_pylist()
+    specials = (-0.0, 0.0, 5e-324, -5e-324, 1e-310, -1e-310)
+    n = len(vals)
+    for j, v in enumerate(specials):
+        pos = 17 * (j + 1)
+        if pos < n:
+            vals[pos] = v
+    i = tbl.schema.get_field_index(col)
+    return tbl.set_column(
+        i, tbl.schema.field(i), pa.array(vals, type=tbl.schema.field(i).type)
+    )
+
+
+def build_ties(base: str, out: str, frac: float = 0.4) -> None:
+    """Copy ``base`` with tie storms on the ordering/measure columns —
+    events.ts, orders.o_totalprice, lineitem.l_extendedprice/l_quantity,
+    documents.n_chars snapped to their minimum for ~``frac`` of rows,
+    ~30% of embeddings sharing one exact vector (distance ties at every
+    top-k boundary) — plus signed-zero/subnormal seeds in the double
+    measures (events.value, l_discount, l_tax)."""
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        src = os.path.join(base, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if t == "events":
+            tbl = _skew_column(pq.read_table(src), "ts", frac)
+            pq.write_table(_seed_special_doubles(tbl, "value"), dst)
+        elif t == "orders":
+            pq.write_table(
+                _skew_column(pq.read_table(src), "o_totalprice", frac), dst
+            )
+        elif t == "lineitem":
+            tbl = _skew_column(pq.read_table(src), "l_extendedprice", frac)
+            tbl = _skew_column(tbl, "l_quantity", frac)
+            tbl = _seed_special_doubles(tbl, "l_discount")
+            pq.write_table(_seed_special_doubles(tbl, "l_tax"), dst)
+        elif t == "documents":
+            pq.write_table(
+                _skew_column(pq.read_table(src), "n_chars", frac), dst
+            )
+        elif t == "embeddings":
+            pq.write_table(
+                _skew_content(pq.read_table(src), "embedding", 0.3), dst
+            )
+        else:
+            shutil.copyfile(src, dst)
+    print(f"wrote tie-storm SF to {out}")
+
+
 if __name__ == "__main__":
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_dirty_sf"
     if len(sys.argv) > 3 and sys.argv[3] == "skew":
         build_skewed(base, out)
+    elif len(sys.argv) > 3 and sys.argv[3] == "ties":
+        build_ties(base, out)
     else:
         build(base, out)
