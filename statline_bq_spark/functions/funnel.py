@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from statline_bq_spark.functions.text import safe_size
 from statline_bq_spark.functions.text import tokens as _tokens
 
 #: Rule names in cascade order (rule i only sees rule i-1's survivors).
@@ -35,13 +36,16 @@ def funnel_counters(df: DataFrame, text_col: str = "text") -> DataFrame:
     Counter rows from any slicing of the input sum to the whole-corpus
     counters — the associativity the streaming monitor rides on."""
     toks = _tokens(text_col)
+    # safe_size, not F.size: legacy (ANSI-off) sessions return -1 for a
+    # NULL array, which would count NULL-text docs as length--1 survivors
+    # instead of rule-0 drops (round-9 ANSI-off sweep)
     feat = df.select(
-        F.size(toks).alias("n_tok"),
+        safe_size(toks).alias("n_tok"),
         F.length(F.regexp_replace(text_col, r"\s", "")).alias("n_chr"),
-        F.size(
+        safe_size(
             F.filter(toks, lambda t: t.rlike("^[A-Za-z]+[.,!?;:]?$"))
         ).alias("n_alpha"),
-        F.size(
+        safe_size(
             F.filter(
                 toks, lambda t: F.lower(t).isin("the", "a", "of", "and", "to", "in")
             )

@@ -30,23 +30,38 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def safe_size(col: Column | str) -> Column:
+    """NULL-safe array length: a NULL array is NULL in EVERY session mode.
+
+    Plain ``F.size`` returns -1 for NULL input when
+    ``spark.sql.ansi.enabled`` is false (the legacy ``sizeOfNull``
+    behavior every Spark 3.x cluster defaults to) — and the driver owns
+    the session, so the engine may not assume either mode. Found by the
+    round-9 ANSI-off sweep: 13 queries emitted -1 token/dim counts for
+    NULL-text/NULL-embedding rows under a legacy-mode session. The
+    CASE WHEN stays inside whole-stage codegen.
+    """
+    c = _col(col)
+    return F.when(c.isNotNull(), F.size(c))
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization → array<string>."""
     return F.split(F.trim(_col(col)), "\\s+")
 
 
 def token_count(col: Column | str) -> Column:
-    """Number of whitespace-delimited tokens."""
-    return F.size(tokens(col))
+    """Number of whitespace-delimited tokens (NULL text → NULL)."""
+    return safe_size(tokens(col))
 
 
 def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
     """Fraction of tokens that are stopwords (higher-order ``filter``, no UDF)."""
     toks = tokens(col)
-    stops = F.size(
+    stops = safe_size(
         F.filter(toks, lambda t: F.lower(t).isin(*stopwords))
     )
-    return stops.cast("double") / F.size(toks).cast("double")
+    return stops.cast("double") / safe_size(toks).cast("double")
 
 
 def quality_score(col: Column | str, min_tokens: int = 20, max_tokens: int = 1000) -> Column:
@@ -98,8 +113,9 @@ def bpe_ish_tokens(col: Column | str) -> Column:
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:
-    """Number of BPE-ish pre-tokens (≥ whitespace token count by design)."""
-    return F.size(bpe_ish_tokens(col))
+    """Number of BPE-ish pre-tokens (≥ whitespace token count by design;
+    NULL text → NULL in every session mode)."""
+    return safe_size(bpe_ish_tokens(col))
 
 
 def chunk_words(

@@ -27,6 +27,7 @@ from statline_bq_spark.functions.text import (
     chunk_words,
     lang_id,
     quality_score,
+    safe_size,
     stopword_ratio,
     token_count,
 )
@@ -952,9 +953,10 @@ WITH long AS (
   VALUES ('l_quantity', 0), ('l_extendedprice', 2), ('l_discount', 2), ('l_tax', 2)
 )
 SELECT l_orderkey, l_linenumber, long.measure,
+       -- + 0.0: DuckDB round keeps -0.0, Spark round normalizes it
        CASE WHEN decimals = 0 THEN round(value, 0)
             WHEN decimals = 2 THEN round(value, 2)
-            ELSE round(value, 4) END AS value_rounded,
+            ELSE round(value, 4) END + 0.0 AS value_rounded,
        decimals
 FROM long JOIN meta ON long.measure = meta.measure
 """
@@ -2984,7 +2986,8 @@ def q_matryoshka_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     )
     return emb.select(
         "vec_id",
-        F.size("embedding").alias("full_dim"),
+        # safe_size: legacy (ANSI-off) sessions read size(NULL) as -1
+        safe_size("embedding").alias("full_dim"),
         fr(F.when(head_ok, vectors.l2_norm(head))).alias("head_norm"),
         # Un-normalizable rows (NULL embedding, zero-norm or non-finite
         # head) emit a NULL head_unit, not '': concat_ws silently drops
@@ -4791,7 +4794,7 @@ def q_array_stats_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     )
     return emb.select(
         "vec_id",
-        F.size(v).alias("dim"),
+        safe_size(v).alias("dim"),
         F.round(l1, 4).alias("l1_norm"),
         F.round(amax, 4).alias("abs_max"),
         # + 0.0 canonicalizes IEEE negative zero (round can yield -0.0
@@ -5456,36 +5459,38 @@ def q_profile_lineitem(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_PROFILE_LINEITEM = """
 -- n_nulls coalesced: zero input rows = zero nulls (sum over empty is
 -- NULL; Spark's profile counts 0) — empty-corpus probe, round 7b
+-- + 0.0 on min/max/mean: DuckDB's round keeps IEEE -0.0 (a -0.0 or
+-- negative-subnormal extremum), Spark's round normalizes it (round 9)
 SELECT 'l_quantity' AS column, count(*) AS n_rows,
        CAST(coalesce(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls,
        count(DISTINCT l_quantity) AS n_distinct,
-       round(CAST(min(l_quantity) AS DOUBLE), 4) AS min_v,
-       round(CAST(max(l_quantity) AS DOUBLE), 4) AS max_v,
-       round(CAST(sum(CAST(CASE WHEN isfinite(l_quantity) AND abs(l_quantity) < 1e14 THEN l_quantity END AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4) AS mean_v
+       round(CAST(min(l_quantity) AS DOUBLE), 4) + 0.0 AS min_v,
+       round(CAST(max(l_quantity) AS DOUBLE), 4) + 0.0 AS max_v,
+       round(CAST(sum(CAST(CASE WHEN isfinite(l_quantity) AND abs(l_quantity) < 1e14 THEN l_quantity END AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4) + 0.0 AS mean_v
 FROM lineitem
 UNION ALL
 SELECT 'l_extendedprice', count(*),
        CAST(coalesce(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
        count(DISTINCT l_extendedprice),
-       round(CAST(min(l_extendedprice) AS DOUBLE), 4),
-       round(CAST(max(l_extendedprice) AS DOUBLE), 4),
-       round(CAST(sum(CAST(CASE WHEN isfinite(l_extendedprice) AND abs(l_extendedprice) < 1e14 THEN l_extendedprice END AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4)
+       round(CAST(min(l_extendedprice) AS DOUBLE), 4) + 0.0,
+       round(CAST(max(l_extendedprice) AS DOUBLE), 4) + 0.0,
+       round(CAST(sum(CAST(CASE WHEN isfinite(l_extendedprice) AND abs(l_extendedprice) < 1e14 THEN l_extendedprice END AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4) + 0.0
 FROM lineitem
 UNION ALL
 SELECT 'l_discount', count(*),
        CAST(coalesce(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
        count(DISTINCT l_discount),
-       round(CAST(min(l_discount) AS DOUBLE), 4),
-       round(CAST(max(l_discount) AS DOUBLE), 4),
-       round(CAST(sum(CAST(CASE WHEN isfinite(l_discount) AND abs(l_discount) < 1e14 THEN l_discount END AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4)
+       round(CAST(min(l_discount) AS DOUBLE), 4) + 0.0,
+       round(CAST(max(l_discount) AS DOUBLE), 4) + 0.0,
+       round(CAST(sum(CAST(CASE WHEN isfinite(l_discount) AND abs(l_discount) < 1e14 THEN l_discount END AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4) + 0.0
 FROM lineitem
 UNION ALL
 SELECT 'l_tax', count(*),
        CAST(coalesce(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
        count(DISTINCT l_tax),
-       round(CAST(min(l_tax) AS DOUBLE), 4),
-       round(CAST(max(l_tax) AS DOUBLE), 4),
-       round(CAST(sum(CAST(CASE WHEN isfinite(l_tax) AND abs(l_tax) < 1e14 THEN l_tax END AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4)
+       round(CAST(min(l_tax) AS DOUBLE), 4) + 0.0,
+       round(CAST(max(l_tax) AS DOUBLE), 4) + 0.0,
+       round(CAST(sum(CAST(CASE WHEN isfinite(l_tax) AND abs(l_tax) < 1e14 THEN l_tax END AS DECIMAL(20,6))) / count(*) AS DOUBLE), 4) + 0.0
 FROM lineitem
 """
 
@@ -9963,10 +9968,13 @@ def q_ignore_nulls_fill(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_IGNORE_NULLS_FILL = """
 SELECT user_id, event_id, event_type,
+       -- + 0.0 canonicalizes IEEE negative zero: a carried-forward
+       -- -0.0 purchase survives DuckDB's round but Spark's round
+       -- normalizes it (round-9 tie-storm sweep)
        round(last_value(CASE WHEN event_type = 'purchase' THEN value END
                         IGNORE NULLS) OVER (
            PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) + 0.0
          AS last_purchase_value
 FROM events WHERE ts IS NOT NULL  -- clock-less events are un-orderable
 """

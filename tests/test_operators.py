@@ -1736,6 +1736,33 @@ def test_pack_sequences_null_token_count_is_zero_length_placeholder(spark):
     assert got == {1: (0, 0, 2), 2: (5, 1, 1), 3: (5, 1, 2)}
 
 
+def test_token_counts_are_session_mode_invariant(spark):
+    """NULL text must count NULL tokens under BOTH ANSI settings: plain
+    F.size reads -1 for a NULL array on legacy (ANSI-off, every Spark
+    3.x cluster) sessions — the round-9 ANSI-off sweep caught 13 queries
+    emitting -1 token/dim counts. safe_size pins the contract."""
+    from statline_bq_spark.functions.text import (
+        bpe_ish_token_count,
+        safe_size,
+        token_count,
+    )
+
+    df = spark.createDataFrame([("a b c",), (None,)], "text string")
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        for mode in ("false", "true"):
+            spark.conf.set("spark.sql.ansi.enabled", mode)
+            rows = df.select(
+                token_count("text").alias("n"),
+                bpe_ish_token_count("text").alias("b"),
+                safe_size(F.split("text", " ")).alias("s"),
+            ).collect()
+            got = {(r.n, r.b, r.s) for r in rows}
+            assert got == {(3, 3, 3), (None, None, None)}, (mode, got)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
 def test_kmeans_parallel_tiny_corpus_pads_to_k(spark):
     """k larger than the distinct-vector count: the k-means|| pool cycles
     its candidates so the codebook still has exactly k rows (duplicate
