@@ -218,6 +218,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     jaccard_threshold: float = 0.5,
     max_bucket_size: int = 1000,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding, verified with the
     exact shingle-set Jaccard.
@@ -236,7 +237,11 @@ def minhash_lsh_pairs(
     cost is proportional to candidates, not corpus.
     """
     r = num_perm // bands
-    inv = shingle_index(df, id_col=id_col, text_col=text_col, n=shingle_n)
+    inv = (
+        shingles
+        if shingles is not None
+        else shingle_index(df, id_col=id_col, text_col=text_col, n=shingle_n)
+    )
     sig = inv.groupBy("_id").agg(
         *[
             F.min(F.xxhash64(F.lit(i), "_g")).alias(f"_h{i}")
@@ -355,6 +360,7 @@ def informative_doc_ids(
     text_col: str = "text",
     shingle_n: int = 3,
     df_cap: int = DEFAULT_DF_CAP,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Doc ids carrying at least one INFORMATIVE gram (document frequency
     ≤ ``df_cap``) — the universe over which capped-gram Jaccard
@@ -367,8 +373,15 @@ def informative_doc_ids(
     (correctly) emit ~n²/8 identical-doc pairs that the capped truth
     (correctly) refuses to score — a precision contract comparing the two
     raw sets is comparing different universes. Output: one column named
-    ``id_col``."""
-    inv = shingle_index(df, id_col=id_col, text_col=text_col, n=shingle_n)
+    ``id_col``. Pass ``shingles`` (a prebuilt :func:`shingle_index` of
+    the SAME df/columns/n) to share the index subtree with sibling
+    consumers — see :func:`ngram_jaccard_pairs` on why sharing the
+    OBJECT matters."""
+    inv = (
+        shingles
+        if shingles is not None
+        else shingle_index(df, id_col=id_col, text_col=text_col, n=shingle_n)
+    )
     heavy = (
         inv.groupBy("_g")
         .agg(F.count(F.lit(1)).alias("_df"))
@@ -394,6 +407,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.2,
     df_cap: int = DEFAULT_DF_CAP,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over token n-gram sets for every pair sharing ≥1 shingle.
 
@@ -420,8 +434,25 @@ def ngram_jaccard_pairs(
     index shuffles 8-byte keys and the per-pair common counts come from
     long equality — identical Jaccard values modulo a ~2⁻⁶⁴ collision
     probability.
+
+    ``shingles``: a prebuilt :func:`shingle_index` DataFrame (same
+    df/columns/n) to use instead of building one — the composition
+    handle for pipelines that index once and feed several consumers
+    (e.g. a CHECKPOINTED index driving both LSH discovery and exact
+    verification without re-reading the corpus). Measured at sf0.1
+    (round 9): merely sharing the un-materialized object does NOT
+    dedupe work (each consumer compiles its own stages; 53.7 MB shuffle
+    either way), and ``.persist()`` of the exploded index is a net LOSS
+    (71 MB — materialization defeats the map-side partial aggregates),
+    so recomputing per consumer is the right default and callers should
+    reach for this parameter only with a checkpointed/persisted index
+    whose scan they've already paid.
     """
-    inv = shingle_index(df, id_col=id_col, text_col=text_col, n=shingle_n)
+    inv = (
+        shingles
+        if shingles is not None
+        else shingle_index(df, id_col=id_col, text_col=text_col, n=shingle_n)
+    )
     # The df cap names the HEAVY grams (df > cap) and broadcast-anti-joins
     # them away. The heavy set is small by construction — heavy hitters
     # above a frequency floor — so the broadcast always fits, and the

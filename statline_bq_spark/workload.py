@@ -4827,10 +4827,18 @@ def q_minhash_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     arithmetic; measured 1.0/1.0 at sf0.01). The raw pair output stays
     available via `dedup.minhash_lsh_pairs` and is unit-tested."""
     d = read_table(spark, sf, "documents")
+    # ONE shingle index feeds all three consumers (truth, discovery,
+    # universe): the explicit handle documents that they MUST agree on
+    # (id_col, text_col, n) — recompute-per-consumer stays the execution
+    # strategy (see ngram_jaccard_pairs' shingles note: sharing or
+    # persisting measured neutral-to-worse at sf0.1)
+    inv = dedup.shingle_index(d, id_col="doc_id", text_col="text", n=3)
     true_pairs = dedup.ngram_jaccard_pairs(
-        d, shingle_n=3, threshold=0.3, df_cap=_DF_CAP
+        d, shingle_n=3, threshold=0.3, df_cap=_DF_CAP, shingles=inv
     ).select("a", "b")
-    mh = dedup.minhash_lsh_pairs(d, jaccard_threshold=0.3).select("a", "b")
+    mh = dedup.minhash_lsh_pairs(
+        d, jaccard_threshold=0.3, shingles=inv
+    ).select("a", "b")
     # precision is measured over the COMPARABLE universe: docs with ≥1
     # informative (df ≤ cap) gram. On a boilerplate-dominated corpus
     # (round-8 content-skew probe: 50% of docs sharing one text) MinHash
@@ -4838,7 +4846,9 @@ def q_minhash_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # correctly refuses to score them — judging one against the other
     # outside the shared universe is a category error, not low precision.
     # Recall is unaffected (true pairs only contain informative docs).
-    informative = dedup.informative_doc_ids(d, shingle_n=3, df_cap=_DF_CAP)
+    informative = dedup.informative_doc_ids(
+        d, shingle_n=3, df_cap=_DF_CAP, shingles=inv
+    )
     mh_cmp = mh.join(
         informative.withColumnRenamed("doc_id", "a"), "a"
     ).join(informative.withColumnRenamed("doc_id", "b"), "b")
@@ -9990,11 +10000,12 @@ def q_minhash_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     pair set the banding FINDS (recall ≥ 80% pinned). The exact pair
     count is SQL-derivable; hash-dependent counts stay out of the output."""
     d = read_table(spark, sf, "documents")
-    exact = dedup.ngram_jaccard_pairs(d, shingle_n=3, threshold=0.3).select(
-        "a", "b"
-    )
+    inv = dedup.shingle_index(d, id_col="doc_id", text_col="text", n=3)
+    exact = dedup.ngram_jaccard_pairs(
+        d, shingle_n=3, threshold=0.3, shingles=inv
+    ).select("a", "b")
     mh = dedup.minhash_lsh_pairs(
-        d, shingle_n=3, jaccard_threshold=0.3
+        d, shingle_n=3, jaccard_threshold=0.3, shingles=inv
     ).select("a", "b")
     hits = mh.join(exact, ["a", "b"])
     return (
