@@ -753,6 +753,64 @@ def test_tumbling_agg_state_recovers_across_restart(spark, events_dir, tmp_path)
         assert k in got
 
 
+def test_stateful_restart_survives_shuffle_partition_change(
+    spark, events_dir, tmp_path
+):
+    """Restart a stateful stream with a DIFFERENT spark.sql.shuffle.partitions
+    — the redeploy-with-new-conf reality: operators are rescaled, but the
+    state-store partition count is pinned by the checkpoint
+    (sql.streaming.numShufflePartitions recorded at first run), so run 2
+    must recover and close run 1's open windows with correct totals even
+    though the session now asks for 7 partitions instead of 32."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    full = spark.read.parquet(events_dir)
+    schema = full.schema
+    cut = "2024-01-16 00:00:00"
+    early = full.filter(F.col("ts") < cut)
+    late = full.filter(F.col("ts") >= cut)
+    early.write.parquet(src)
+
+    def run():
+        stream = windows.read_event_stream(spark, src, schema)
+        q = (
+            windows.tumbling_counts(stream, watermark="0 seconds")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    run()
+    late.write.mode("append").parquet(src)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    max_ts = full.agg(F.max("ts")).collect()[0][0]
+    batch = (
+        full.groupBy(F.window("ts", "1 hour").alias("window"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("window.end") <= F.lit(max_ts))
+    )
+    want = {
+        (r["window"]["start"], r.event_type): r.n_events
+        for r in batch.collect()
+    }
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == want
+
+
 def test_neardup_filter_state_survives_restart(spark, tmp_path):
     """The online dedup filter must keep suppressing duplicates ACROSS a
     stop/restart: a fingerprint admitted in run 1 (still inside the
