@@ -282,8 +282,19 @@ def main() -> None:
             prev = dt
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "STRESS.md")
+    # preserve the hand-maintained sf1.0 section (round 8/9): everything
+    # from its heading onward survives a table regen
+    tail = ""
+    try:
+        with open(path) as f:
+            old = f.read()
+        idx = old.find("## sf1.0")
+        if idx >= 0:
+            tail = "\n" + old[idx:].rstrip() + "\n"
+    except OSError:
+        pass
     with open(path, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + tail)
     print(f"wrote {path}")
 
 
