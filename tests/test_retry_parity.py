@@ -127,3 +127,25 @@ def test_injection_actually_fails_and_retries(retry_spark, dirty_dir):
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle_under_task_retry(retry_spark, dirty_dir, name):
     _check(retry_spark, dirty_dir, name)
+
+
+@pytest.fixture(scope="session")
+def skewed_dir(tmp_path_factory):
+    sys.path.insert(0, os.path.join(_REPO, "tools"))
+    from dirty_sf import build_skewed
+
+    out = str(tmp_path_factory.mktemp("retry_skew_sf"))
+    build_skewed(f"{TESTDATA}/sf0.001", out)
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle_under_retry_on_skewed_keys(
+    retry_spark, skewed_dir, name
+):
+    """Retry × hot-key cross: the combination a busy cluster actually
+    sees — the task over the dominating partition is exactly the one
+    most likely to be preempted/OOM-killed and re-run. First probed
+    ad hoc in round 9 (230/230 with the driver-shape comparator);
+    pinned here."""
+    _check(retry_spark, skewed_dir, name)
