@@ -1182,13 +1182,13 @@ def kmeans_assign(
             # vectors are excluded, same as NULL/non-finite ones)
             keep = [i for i, v in enumerate(vecs) if len(v) == expected_dim]
             if len(keep) < rb.num_rows:
+                if not keep:
+                    continue
                 # Array.take (ancient API), not RecordBatch.take — the
                 # RecordBatch column-modification methods postdate the
                 # oldest pyarrow pyspark 4.x accepts
                 idx = pa.array(keep, pa.int64())
                 cols = [c.take(idx) for c in cols]
-                if not keep:
-                    continue
                 vecs = [vecs[i] for i in keep]
             m = np.asarray(vecs, dtype="float64")
             d = (

@@ -24,23 +24,35 @@ DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
 def _default_driver_mem() -> str:
-    """Local-mode driver-heap default: min(16g, ~60% of physical RAM).
+    """Local-mode driver-heap default: min(16g, ~60% of MemTotal,
+    ~80% of MemAvailable).
 
     16g is what the sf1.0 bench needs headroom for on the 128 GiB dev
     box; on a smaller host an unclamped 16g heap would grow past
     physical RAM under load and get OOM-killed by the OS — worse than
-    letting Spark spill inside a heap it can actually have. Whole-GiB
-    granularity, floor 1 GiB (PySpark's own default).
+    letting Spark spill inside a heap it can actually have. On a
+    co-tenanted host MemTotal alone over-promises: 60% of a 128 GiB box
+    with 4 GiB actually free is still an un-grantable heap, so the
+    MemAvailable bound (when /proc/meminfo reports it) caps to what the
+    OS can grant right now (round-9 advice). Whole-GiB granularity,
+    floor 1 GiB (PySpark's own default).
     """
+    total_kib = avail_kib = None
     try:
         with open("/proc/meminfo") as f:
             for line in f:
                 if line.startswith("MemTotal:"):
-                    total_gib = int(line.split()[1]) / (1024 * 1024)
-                    return f"{max(1, min(16, int(total_gib * 0.6)))}g"
+                    total_kib = int(line.split()[1])
+                elif line.startswith("MemAvailable:"):
+                    avail_kib = int(line.split()[1])
     except OSError:
         pass
-    return "16g"
+    if total_kib is None:
+        return "16g"
+    gib = total_kib / (1024 * 1024) * 0.6
+    if avail_kib is not None:
+        gib = min(gib, avail_kib / (1024 * 1024) * 0.8)
+    return f"{max(1, min(16, int(gib)))}g"
 
 
 def get_spark(

@@ -14,6 +14,30 @@ SF_SMOKE = f"{TESTDATA}/sf0.001"
 SF_ORACLE = f"{TESTDATA}/sf0.01"
 
 
+def pytest_collection_modifyitems(config, items):
+    """Fail fast if a standalone-only sweep env var is set while other
+    modules are collected (ADVICE r9): the retry sweep installs a
+    process-global chaos scan wrapper from a session-scoped fixture, so
+    mixing it with other modules on a fail-fast shared session would
+    leave the wrapper installed for every later scan."""
+    standalone = {
+        "SPARK_GRAFT_RETRY": "test_retry_parity.py",
+    }
+    for var, module in standalone.items():
+        if not os.environ.get(var):
+            continue
+        foreign = {
+            os.path.basename(str(i.fspath))
+            for i in items
+            if os.path.basename(str(i.fspath)) != module
+        }
+        if foreign:
+            raise pytest.UsageError(
+                f"{var}=1 requires running {module} standalone; "
+                f"also collected: {', '.join(sorted(foreign)[:5])}"
+            )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("statline-bq-spark-tests")

@@ -58,20 +58,28 @@ def test_session_factory_keeps_skew_mitigations_on():
 def test_default_driver_mem_clamps_to_host_ram():
     """The local-mode heap default must track the HOST, not the dev box:
     16g on a machine with less physical RAM gets the JVM OS-OOM-killed
-    under load instead of letting Spark spill (ADVICE r8)."""
+    under load instead of letting Spark spill (ADVICE r8). On a
+    co-tenanted host it must also respect what the OS can grant NOW —
+    MemAvailable, not just MemTotal (ADVICE r9). The bound uses the
+    current /proc/meminfo snapshot with slack for MemAvailable drift
+    between the function's read and the test's re-read."""
     from statline_bq_spark.session import _default_driver_mem
 
     val = _default_driver_mem()
     assert val.endswith("g")
     gib = int(val[:-1])
     assert 1 <= gib <= 16
+    total_gib = avail_gib = None
     with open("/proc/meminfo") as f:
-        total_gib = next(
-            int(line.split()[1]) / (1024 * 1024)
-            for line in f
-            if line.startswith("MemTotal:")
-        )
+        for line in f:
+            if line.startswith("MemTotal:"):
+                total_gib = int(line.split()[1]) / (1024 * 1024)
+            elif line.startswith("MemAvailable:"):
+                avail_gib = int(line.split()[1]) / (1024 * 1024)
     assert gib <= max(1, total_gib * 0.6)
+    if avail_gib is not None:
+        # +2 GiB slack: MemAvailable moves between the two reads
+        assert gib <= max(1, avail_gib * 0.8 + 2)
 
 
 def test_df_cap_single_source_of_truth():

@@ -283,18 +283,23 @@ def main() -> None:
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "STRESS.md")
     # preserve the hand-maintained sf1.0 section (round 8/9): everything
-    # from its heading onward survives a table regen
+    # from its heading onward survives a table regen — unless the
+    # generated lines ever start emitting that heading themselves, in
+    # which case appending the preserved tail would duplicate it
+    # silently (ADVICE r9)
+    body = "\n".join(lines)
     tail = ""
-    try:
-        with open(path) as f:
-            old = f.read()
-        idx = old.find("## sf1.0")
-        if idx >= 0:
-            tail = "\n" + old[idx:].rstrip() + "\n"
-    except OSError:
-        pass
+    if "## sf1.0" not in body:
+        try:
+            with open(path) as f:
+                old = f.read()
+            idx = old.find("## sf1.0")
+            if idx >= 0:
+                tail = "\n" + old[idx:].rstrip() + "\n"
+        except OSError:
+            pass
     with open(path, "w") as f:
-        f.write("\n".join(lines) + "\n" + tail)
+        f.write(body + "\n" + tail)
     print(f"wrote {path}")
 
 
