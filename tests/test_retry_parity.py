@@ -21,7 +21,10 @@ dirty sweep — any retry-dependent output diverges.
 Reference analogue: the re-runnable page fetch (reference
 ``statline.py:468-473``) is retry-safe by construction because pages are
 pure functions of (url, offset); the engine must give the same guarantee
-for every operator.
+for every operator. Round 10 extends the axis to the INGEST path itself —
+the mapInPandas page fetcher, the DSv2 batch partition reader, and a
+streaming microbatch over the DSv2 source each run with a genuinely
+failed-and-retried task and must emit every page exactly once.
 
 MUST RUN STANDALONE (`pytest tests/test_retry_parity.py`): the retrying
 master can only be set at session creation, and the shared conftest
@@ -149,3 +152,217 @@ def test_query_matches_oracle_under_retry_on_skewed_keys(
     ad hoc in round 9 (230/230 with the driver-shape comparator);
     pinned here."""
     _check(retry_spark, skewed_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Ingest-path retry invariance (round 10): the reference's CORE idempotency
+# property is that a page fetch is a pure function of (url, offset)
+# (reference ``statline.py:468-473``), so a retried fetch task re-emits
+# exactly its page — no dups, no holes. The r9 chaos hook covered only
+# ``io.read_table`` parquet scans; these tests put a genuinely
+# failed-and-retried task inside the OData ingest itself: the
+# ``fetch_pages_to_df`` mapInPandas fetcher, the DSv2 batch partition
+# reader, and a streaming microbatch over the DSv2 source.
+# ---------------------------------------------------------------------------
+
+_PAGE = 10_000  # v3 page size (odata.PAGE_SIZE_V3)
+
+
+def test_fetch_pages_under_task_retry(retry_spark, tmp_path):
+    """fetch_pages_to_df with EVERY fetch task killed on attempt 0: the
+    retried task re-GETs its page URL and the result must be exactly the
+    union of all pages. The fake transport is a pure function of the
+    URL's $skip — precisely the property that makes the reference's
+    dask-bag fetch re-runnable — and drops a marker per injected failure
+    so a vacuous injection can't pass silently."""
+    from statline_bq_spark.sources import odata as odata_mod
+    from statline_bq_spark.sources.odata import PAGE_SIZE_V3, fetch_pages_to_df
+
+    assert PAGE_SIZE_V3 == _PAGE
+    n_rows = 25_000  # 3 pages: 10k + 10k + 5k
+    marker_dir = tmp_path / "failures"
+    marker_dir.mkdir()
+    mdir = str(marker_dir)
+
+    class _Resp:
+        def __init__(self, payload):
+            self._p = payload
+
+        def json(self):
+            return self._p
+
+    class _FakeRequests:
+        """Deterministic offline transport: rows are a pure function of
+        the $skip offset; attempt 0 of every task dies mid-GET."""
+
+        @staticmethod
+        def get(url, timeout=None):
+            import os as _os
+
+            from pyspark import TaskContext
+
+            tc = TaskContext.get()
+            skip = int(url.split("$skip=")[1].split("&")[0])
+            if tc is not None and tc.attemptNumber() == 0:
+                with open(
+                    _os.path.join(mdir, f"fail-{tc.partitionId()}"), "w"
+                ) as fh:
+                    fh.write(url)
+                raise ConnectionError(
+                    f"chaos: injected fetch failure at $skip={skip}"
+                )
+            rows = [
+                {"Id": i, "Value": float(i) * 0.5}
+                for i in range(skip, min(skip + _PAGE, n_rows))
+            ]
+            return _Resp({"value": rows})
+
+    real = odata_mod._requests
+    odata_mod._requests = lambda: _FakeRequests
+    try:
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("Id", IntegerType()),
+                StructField("Value", DoubleType()),
+            ]
+        )
+        df = fetch_pages_to_df(
+            retry_spark, "https://example.invalid/TypedDataSet",
+            n_rows, "v3", schema=schema,
+        )
+        got = sorted((r.Id, r.Value) for r in df.collect())
+    finally:
+        odata_mod._requests = real
+    assert got == [(i, i * 0.5) for i in range(n_rows)]  # no dups, no holes
+    # every page task really failed once and was retried
+    markers = sorted(p.name for p in marker_dir.iterdir())
+    assert len(markers) == 3
+
+
+def _write_pages(spool, n_pages=3, rows_per_page=40):
+    import json as _json
+
+    expected = []
+    for p in range(n_pages):
+        with open(f"{spool}/page-{p:04d}.ndjson", "w") as fh:
+            for i in range(rows_per_page):
+                rid = p * rows_per_page + i
+                row = {"Id": rid, "Region": f"R{rid % 5}", "Value": rid * 1.5}
+                fh.write(_json.dumps(row) + "\n")
+                expected.append((rid, f"R{rid % 5}", rid * 1.5))
+    return expected
+
+
+def test_dsv2_batch_reader_under_task_retry(retry_spark, tmp_path):
+    """The DSv2 partition reader (one page file == one input partition)
+    with EVERY read task killed on attempt 0 before yielding a row: the
+    retried task must re-read exactly its page."""
+    from statline_bq_spark.sources.odata_source import (
+        ODataDataSource,
+        ODataReader,
+    )
+
+    spool = tmp_path / "pages"
+    spool.mkdir()
+    expected = _write_pages(str(spool))
+    marker_dir = tmp_path / "failures"
+    marker_dir.mkdir()
+    mdir = str(marker_dir)
+
+    class ChaosReader(ODataReader):
+        def read(self, partition):
+            import os as _os
+
+            from pyspark import TaskContext
+
+            tc = TaskContext.get()
+            if tc is not None and tc.attemptNumber() == 0:
+                with open(
+                    _os.path.join(mdir, f"fail-{tc.partitionId()}"), "w"
+                ) as fh:
+                    fh.write(str(partition.file))
+                raise RuntimeError("chaos: injected page-read failure")
+            yield from super().read(partition)
+
+    class ChaosODataSource(ODataDataSource):
+        @classmethod
+        def name(cls):
+            return "cbs_odata_chaos"
+
+        def reader(self, schema):
+            return ChaosReader(schema, dict(self.options))
+
+    retry_spark.dataSource.register(ChaosODataSource)
+    df = (
+        retry_spark.read.format("cbs_odata_chaos")
+        .schema("Id INT, Region STRING, Value DOUBLE")
+        .option("path", str(spool))
+        .load()
+    )
+    got = sorted((r.Id, r.Region, r.Value) for r in df.collect())
+    assert got == sorted(expected)
+    assert len(list(marker_dir.iterdir())) == 3  # one injected kill per page
+
+
+def test_dsv2_stream_microbatch_under_task_retry(retry_spark, tmp_path):
+    """Streaming ingest with a microbatch task killed on attempt 0: the
+    replayed task must re-emit its partition exactly once into the sink
+    (reference analogue: the incremental skip re-run, ``main.py:38-95``,
+    must not double-ingest on retry)."""
+    from pyspark import TaskContext  # noqa: F401 (executor-side import)
+
+    from statline_bq_spark.sources.odata_source import ODataDataSource
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    expected = _write_pages(str(spool))
+    marker_dir = tmp_path / "failures"
+    marker_dir.mkdir()
+    mdir = str(marker_dir)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    retry_spark.dataSource.register(ODataDataSource)
+    sdf = (
+        retry_spark.readStream.format("cbs_odata")
+        .schema("Id INT, Region STRING, Value DOUBLE")
+        .option("path", str(spool))
+        .load()
+    )
+
+    def shim(batches):
+        import os as _os
+
+        from pyspark import TaskContext as _TC
+
+        tc = _TC.get()
+        if tc is not None and tc.partitionId() == 0 and tc.attemptNumber() == 0:
+            with open(
+                _os.path.join(mdir, f"fail-{tc.stageId()}-0"), "w"
+            ) as fh:
+                fh.write("killed")
+            raise RuntimeError("chaos: injected microbatch task failure")
+        yield from batches
+
+    q = (
+        sdf.mapInArrow(shim, sdf.schema)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.Id, r.Region, r.Value)
+        for r in retry_spark.read.parquet(out).collect()
+    )
+    assert got == sorted(expected)  # exactly once, despite the retry
+    assert len(list(marker_dir.iterdir())) >= 1  # injection really fired
