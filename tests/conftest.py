@@ -40,7 +40,12 @@ def pytest_collection_modifyitems(config, items):
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("statline-bq-spark-tests")
+    # UI on: the shuffle-budget regression net (tests/test_shuffle_budget.py)
+    # reads per-stage shuffle-write counters from the UI REST API, the same
+    # load-independent signal bench.py records.
+    s = get_spark(
+        "statline-bq-spark-tests", extra_conf={"spark.ui.enabled": "true"}
+    )
     yield s
 
 
