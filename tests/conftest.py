@@ -22,6 +22,7 @@ def pytest_collection_modifyitems(config, items):
     leave the wrapper installed for every later scan."""
     standalone = {
         "SPARK_GRAFT_RETRY": "test_retry_parity.py",
+        "SPARK_GRAFT_SPILL": "test_spill_parity.py",
     }
     for var, module in standalone.items():
         if not os.environ.get(var):
