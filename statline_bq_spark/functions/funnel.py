@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from statline_bq_spark.functions.text import safe_size
+from statline_bq_spark.functions.text import ascii_fold, safe_size
 from statline_bq_spark.functions.text import tokens as _tokens
 
 #: Rule names in cascade order (rule i only sees rule i-1's survivors).
@@ -46,8 +46,14 @@ def funnel_counters(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.filter(toks, lambda t: t.rlike("^[A-Za-z]+[.,!?;:]?$"))
         ).alias("n_alpha"),
         safe_size(
+            # ascii_fold, not lower(): full Unicode lowering is
+            # engine-divergent exactly at tokens that fold INTO the ASCII
+            # stopword list ('İN' — round-10 locale fixture; see text.py)
             F.filter(
-                toks, lambda t: F.lower(t).isin("the", "a", "of", "and", "to", "in")
+                toks,
+                lambda t: ascii_fold(t).isin(
+                    "the", "a", "of", "and", "to", "in"
+                ),
             )
         ).alias("n_stop"),
     )

@@ -15,6 +15,25 @@ from pyspark.sql import functions as F
 #: Small deterministic English stopword list used for ratio features.
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_fold(col: Column | str) -> Column:
+    """ASCII-only case fold: [A-Z] → [a-z], every other codepoint untouched.
+
+    Full Unicode case mapping is locale/context-sensitive AND
+    engine-divergent — Java (Spark) lowers 'İ' to 'i̇' (i + combining dot)
+    where utf8proc (DuckDB) gives plain 'i', so under full lower() the
+    Turkish 'İN' IS the ASCII stopword 'in' on one engine and isn't on
+    the other (round-10 locale fixture; it falsified the round-6 claim
+    that a non-ASCII token can never fold into an ASCII stopword). A
+    reproducible pipeline matches ASCII word lists with an ASCII fold —
+    deterministic on every engine and every locale; translate() is
+    per-codepoint in both engines.
+    """
+    return F.translate(_col(col), _ASCII_UPPER, _ASCII_LOWER)
+
 #: Marker words for the rule-based language-ID heuristic. Deterministic and
 #: SQL-expressible — a stand-in for an n-gram model; the per-language marker
 #: lists are the tunable surface.
@@ -56,10 +75,16 @@ def token_count(col: Column | str) -> Column:
 
 
 def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
-    """Fraction of tokens that are stopwords (higher-order ``filter``, no UDF)."""
+    """Fraction of tokens that are stopwords (higher-order ``filter``, no UDF).
+
+    Membership folds case via :func:`ascii_fold`, not full lower(): the
+    stopword list is ASCII, and full Unicode lowering is engine-divergent
+    exactly at the tokens that fold INTO the list ('İN' → 'in' under
+    utf8proc but 'i̇n' under Java — round-10 locale fixture).
+    """
     toks = tokens(col)
     stops = safe_size(
-        F.filter(toks, lambda t: F.lower(t).isin(*stopwords))
+        F.filter(toks, lambda t: ascii_fold(t).isin(*stopwords))
     )
     return stops.cast("double") / safe_size(toks).cast("double")
 

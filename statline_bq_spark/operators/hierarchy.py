@@ -32,13 +32,20 @@ def hierarchy_closure(
 
     Input: ``edges(child, parent)`` — one row per direct link.
     Output: ``(child, ancestor, depth)`` — every ancestor at every distance,
-    depth ≥ 1, capped at ``max_depth``.
+    depth ≥ 1, capped at ``max_depth``. SET semantics: a transitive
+    closure is a set of (child, ancestor, depth) facts, so duplicate
+    edges (double-loaded dimension rows — round-10 row-duplication
+    fixture) and diamond-shaped multi-paths collapse instead of
+    multiplying. This is also the scale property: bag closure grows as
+    #paths (exponential on dense graphs), set closure as #pairs — the
+    per-level ``distinct`` is what makes iterative closure viable at all
+    on large graphs (classic semi-naive evaluation).
     """
     base = edges.select(
         F.col(child_col).alias("child"),
         F.col(parent_col).alias("ancestor"),
         F.lit(1).alias("depth"),
-    )
+    ).distinct()
     closure = base
     frontier = base
     for level in range(2, max_depth + 1):
@@ -54,6 +61,7 @@ def hierarchy_closure(
                 F.col("e.ancestor").alias("ancestor"),
                 F.lit(level).alias("depth"),
             )
+            .distinct()
         )
         if step.isEmpty():
             break

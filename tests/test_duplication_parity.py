@@ -1,0 +1,81 @@
+"""Whole-table row-duplication oracle sweep (opt-in: SPARK_GRAFT_DUP=1).
+
+Every row of every table appears exactly twice (``tools/dirty_sf.
+build_duplicated``) — the bulk double-load / replayed-ingest shape. Both
+engines read identical duplicated parquet, so agreement is only at risk
+where a query/oracle pair is semantically under-specified about row
+multiplicity. The round-10 first run of this probe found EIGHT live
+divergences, all real semantic gaps:
+
+- the four ANN set/recall contracts ranked the PHYSICAL corpus, so
+  duplicated rows landed twice in top-k lists and fanned out the hits
+  equi-join (the exact revisit the round-8 assumption note in
+  ``_sql_expected_topk_summary`` predicted) — contracts now rank the
+  logical corpus via ``.distinct()``;
+- ``hierarchy_closure`` computed a BAG closure (multiplicity = #paths,
+  exponential on duplicated edges) while the oracle followed table-join
+  paths — both sides now use set semantics, which is also the
+  termination/scale property of semi-naive closure;
+- the session oracles' per-row lag scans lost their total order on
+  full-row ties (both tiebreak columns duplicated) and could strand a
+  twin in the previous session — both oracles now compute islands over
+  DISTINCT timestamps and join rows back;
+- ``large_order_customers`` / ``nations_covering_all_segments`` oracles
+  aggregated AFTER the dimension join, scaling counts by the decode
+  fan-out where the engine aggregates first — oracles now mirror the
+  engine's agg-first order.
+
+~12 min per SF; opt-in like the other sweep families.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+from statline_bq_spark.workload import ORACLES
+
+from tests.conftest import TESTDATA
+from tests.test_dirty_parity import _check
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_DUP"),
+    reason="row-duplication sweep is opt-in (SPARK_GRAFT_DUP=1); "
+    "clean sf0.01 runs in test_oracle_parity",
+)
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="session")
+def dup_dir(tmp_path_factory):
+    sys.path.insert(0, os.path.join(_REPO, "tools"))
+    from dirty_sf import build_duplicated
+
+    out = str(tmp_path_factory.mktemp("dup_sf"))
+    build_duplicated(f"{TESTDATA}/sf0.001", out)
+    return out
+
+
+@pytest.fixture(scope="session")
+def dup_dir_sf01(tmp_path_factory):
+    sys.path.insert(0, os.path.join(_REPO, "tools"))
+    from dirty_sf import build_duplicated
+
+    out = str(tmp_path_factory.mktemp("dup_sf01"))
+    build_duplicated(f"{TESTDATA}/sf0.01", out)
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle_on_duplicated_rows(spark, dup_dir, name):
+    _check(spark, dup_dir, name)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle_on_duplicated_rows_sf01(
+    spark, dup_dir_sf01, name
+):
+    _check(spark, dup_dir_sf01, name)

@@ -1763,6 +1763,32 @@ def test_token_counts_are_session_mode_invariant(spark):
         spark.conf.set("spark.sql.ansi.enabled", prev)
 
 
+def test_stopword_fold_is_ascii_only(spark):
+    """Stopword membership folds [A-Z] only (text.ascii_fold): full
+    Unicode lower() is engine-divergent exactly at tokens that fold INTO
+    the ASCII stopword list — DuckDB (utf8proc simple mapping) lowers
+    Turkish 'İN' to 'in' while Spark (Java full mapping) gives 'i̇n',
+    so a lower()-based ratio disagrees with any utf8proc-based oracle
+    (round-10 locale fixture, caught live in quality_scores). Under the
+    ASCII fold 'İN' is NOT a stopword and 'IN'/'in'/'The' are, on every
+    engine, in every locale."""
+    from statline_bq_spark.functions.text import ascii_fold, stopword_ratio
+
+    df = spark.createDataFrame(
+        [("İN ıN IN in The THE of",), ("ΑΣ ß ﬁn",)], "text string"
+    )
+    rows = df.select(
+        F.round(stopword_ratio("text"), 4).alias("r"),
+        ascii_fold(F.col("text")).alias("f"),
+    ).collect()
+    got = {(r.r, r.f) for r in rows}
+    # 5 of 7 stopwords (IN, in, The, THE, of — İN and ıN excluded)
+    assert got == {
+        (round(5 / 7, 4), "İn ın in in the the of"),
+        (0.0, "ΑΣ ß ﬁn"),
+    }, got
+
+
 def test_kmeans_parallel_tiny_corpus_pads_to_k(spark):
     """k larger than the distinct-vector count: the k-means|| pool cycles
     its candidates so the codebook still has exactly k rows (duplicate

@@ -34,15 +34,21 @@ from tests.conftest import SF_ORACLE
 _MANIFEST = os.path.join(os.path.dirname(__file__), "shuffle_manifest.json")
 
 with open(_MANIFEST) as _f:
-    _PINNED: dict[str, int] = json.load(_f)["shuffle_write_bytes"]
+    _M = json.load(_f)
+_PINNED: dict[str, int] = _M["shuffle_write_bytes"]
+_PINNED_INPUT: dict[str, int] = _M.get("input_bytes", {})
 
 ABS_FLOOR = 4096
 REL_BAND = 0.25
+#: Input bytes get a wider floor: parquet reads re-touch footers and
+#: dictionary pages in row-group-order-dependent ways, so small scans
+#: jitter by a few KB where shuffle writes are byte-stable.
+INPUT_ABS_FLOOR = 65536
 
 
-def _shuffle_total(spark) -> int | None:
-    """Cumulative shuffle-write bytes over completed stages (UI REST API,
-    same counter bench.py records). None when the UI is unreachable."""
+def _totals(spark) -> tuple[int, int] | None:
+    """Cumulative (shuffle-write, input) bytes over completed stages (UI
+    REST API, same counters bench.py records). None when unreachable."""
     import urllib.request
 
     url = (
@@ -53,18 +59,21 @@ def _shuffle_total(spark) -> int | None:
         stages = json.load(urllib.request.urlopen(url, timeout=10))
     except Exception:
         return None
-    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    return (
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        sum(s.get("inputBytes", 0) for s in stages),
+    )
 
 
-def _settled_total(spark) -> int | None:
+def _settled_totals(spark) -> tuple[int, int] | None:
     """Poll until two consecutive reads agree — the status store updates
     asynchronously after the action returns."""
-    prev = _shuffle_total(spark)
+    prev = _totals(spark)
     if prev is None:
         return None
     for _ in range(20):
         time.sleep(0.05)
-        cur = _shuffle_total(spark)
+        cur = _totals(spark)
         if cur == prev:
             return cur
         prev = cur
@@ -73,17 +82,17 @@ def _settled_total(spark) -> int | None:
 
 @pytest.fixture(scope="module")
 def budget_spark(spark):
-    if spark.sparkContext.uiWebUrl is None or _shuffle_total(spark) is None:
+    if spark.sparkContext.uiWebUrl is None or _totals(spark) is None:
         pytest.skip("UI REST API unreachable; shuffle counters unavailable")
     return spark
 
 
 @pytest.mark.parametrize("name", sorted(_PINNED))
 def test_query_shuffle_within_budget(budget_spark, name):
-    before = _settled_total(budget_spark)
+    before = _settled_totals(budget_spark)
     QUERIES[name](budget_spark, SF_ORACLE).count()
-    after = _settled_total(budget_spark)
-    got = after - before
+    after = _settled_totals(budget_spark)
+    got = after[0] - before[0]
     pinned = _PINNED[name]
     band = max(ABS_FLOOR, int(pinned * REL_BAND))
     assert abs(got - pinned) <= band, (
@@ -92,6 +101,16 @@ def test_query_shuffle_within_budget(budget_spark, name):
         "and either fix the exchange or regenerate the manifest "
         "(tools/gen_shuffle_manifest.py) if intended"
     )
+    if name in _PINNED_INPUT:
+        got_in = after[1] - before[1]
+        pinned_in = _PINNED_INPUT[name]
+        band_in = max(INPUT_ABS_FLOOR, int(pinned_in * REL_BAND))
+        assert abs(got_in - pinned_in) <= band_in, (
+            f"{name}: input {got_in} bytes vs pinned {pinned_in} "
+            f"(band ±{band_in}) — the SCAN widened (dropped column prune "
+            "or un-pushed filter); check ReadSchema/PushedFilters in "
+            "explain('formatted'), or regenerate the manifest if intended"
+        )
 
 
 def test_manifest_covers_all_headliners():

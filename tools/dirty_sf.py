@@ -1099,6 +1099,115 @@ def build_ties(base: str, out: str, frac: float = 0.4) -> None:
     print(f"wrote tie-storm SF to {out}")
 
 
+# --------------------------------------------------------------------------
+# whole-table row-duplication fixture (round 10)
+# --------------------------------------------------------------------------
+#
+# Every row of every table appears exactly `copies` times — the bulk
+# double-load / replayed-ingest failure mode. Both engines see identical
+# duplicated parquet, so divergence requires a query/oracle semantic gap
+# that only full-row ties expose: an under-specified row_number pick
+# between bit-identical rows is value-neutral, but anything keyed on
+# physical row identity (monotonically_increasing_id leakage, first-wins
+# aggregates over nondeterministic order) or asymmetric DISTINCT
+# placement would surface here.
+
+
+def build_duplicated(base: str, out: str, copies: int = 2) -> None:
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        tbl = pq.read_table(os.path.join(base, f"{t}.parquet"))
+        pq.write_table(
+            pa.concat_tables([tbl] * copies),
+            os.path.join(out, f"{t}.parquet"),
+        )
+    print(f"wrote {copies}x row-duplicated SF to {out}")
+
+
+# --------------------------------------------------------------------------
+# locale / case-mapping fixture (round 10)
+# --------------------------------------------------------------------------
+#
+# The round-6 dirty rows bait case-mapping in documents.text; this
+# fixture targets the remaining casefold surfaces: the NAME columns that
+# flow through upper()/length()/reverse() (supplier_codes), and the
+# tokenizer stopword path `lower(tok).isin(...)` where Spark (Java
+# Locale.ROOT full case mapping) and DuckDB (utf8proc simple mapping)
+# genuinely disagree:
+#   lower('İ')  = 'i̇' (i + U+0307) in Spark vs 'i' in DuckDB
+#   upper('ß')  = 'SS' in Spark vs 'ẞ' in DuckDB
+#   upper('ﬁ')  = 'FI' in Spark vs 'ﬁ' in DuckDB
+#   reverse()   = codepoint-reverse in Spark vs grapheme-reverse in DuckDB
+# The killer stopword bait is 'İN': DuckDB lowers it INTO the stopword
+# list ('in'), Spark lowers it past ('i̇n').
+
+_LOCALE_BASE = 20_000_000
+
+
+def build_locale(base: str, out: str) -> None:
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        src = os.path.join(base, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        tbl = pq.read_table(src)
+        if t == "documents":
+            rows = [
+                # Turkish dotted/dotless pairs + the İN stopword bait
+                {"doc_id": _LOCALE_BASE + 0,
+                 "text": "İN ıN IN in İstanbul ILIK ılık I ı İ i̇",
+                 "lang": "tr", "source": "locale", "n_chars": 40},
+                # sharp-s / ligature expansion bait (token-count-neutral)
+                {"doc_id": _LOCALE_BASE + 1,
+                 "text": "ß ẞ ﬁre ﬂour ﬃ STRAẞE straße oﬃce",
+                 "lang": "de", "source": "locale", "n_chars": 36},
+                # Greek final sigma both cased ways + fullwidth Latin
+                {"doc_id": _LOCALE_BASE + 2,
+                 "text": "ΟΔΥΣΣΕΥΣ οδυσσεύς ΑΣ ας Σ ς ＴＨＥ ｔｏ",
+                 "lang": "el", "source": "locale", "n_chars": 36},
+                # titlecase digraphs (initcap surface) + Kelvin/Angstrom
+                # signs (NFKC-distinct lookalikes of K and Å)
+                {"doc_id": _LOCALE_BASE + 3,
+                 "text": "ǅevad ǄURO ǆuro K Å THE The the OF of",
+                 "lang": "hr", "source": "locale", "n_chars": 37},
+            ]
+        elif t == "supplier":
+            # names flow through upper()/length()/reverse(): sharp-s,
+            # dotted-İ, ligature, final-sigma, and a combining-mark tail
+            # (grapheme- vs codepoint-reverse bait)
+            rows = [
+                {"s_suppkey": _LOCALE_BASE + i, "s_name": n,
+                 "s_nationkey": 1, "s_acctbal": 10.0 + i}
+                for i, n in enumerate(
+                    ["Straße ß Supply", "İstanbul ﬁrm", "ΟΔΥΣΣΕΥΣ ας",
+                     "Supplier#i̇ẞe", "Naïve Co é"]
+                )
+            ]
+        elif t == "customer":
+            rows = [
+                {"c_custkey": _LOCALE_BASE + i, "c_name": n,
+                 "c_nationkey": 1, "c_acctbal": 50.0 + i,
+                 "c_mktsegment": "BUILDING"}
+                for i, n in enumerate(
+                    ["Customer#ßİ", "Customer#ﬁﬂ", "Customer#Σς"]
+                )
+            ]
+        elif t == "part":
+            rows = [
+                {"p_partkey": _LOCALE_BASE + i, "p_name": n,
+                 "p_brand": "Brand#55", "p_type": "LOCALE BRUSHED TIN",
+                 "p_size": 7, "p_retailprice": 900.0 + i}
+                for i, n in enumerate(
+                    ["straße ﬁtting ß", "İstanbul ǅig", "ΑΣ σﬁt"]
+                )
+            ]
+        else:
+            shutil.copyfile(src, dst)
+            continue
+        extra = pa.Table.from_pylist(rows, schema=tbl.schema)
+        pq.write_table(pa.concat_tables([tbl, extra]), dst)
+    print(f"wrote locale/case-mapping SF to {out}")
+
+
 if __name__ == "__main__":
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_dirty_sf"
@@ -1106,5 +1215,9 @@ if __name__ == "__main__":
         build_skewed(base, out)
     elif len(sys.argv) > 3 and sys.argv[3] == "ties":
         build_ties(base, out)
+    elif len(sys.argv) > 3 and sys.argv[3] == "dup":
+        build_duplicated(base, out)
+    elif len(sys.argv) > 3 and sys.argv[3] == "locale":
+        build_locale(base, out)
     else:
         build(base, out)

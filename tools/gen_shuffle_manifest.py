@@ -39,22 +39,30 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     metrics = StageMetrics(spark)
-    out: dict[str, int] = {}
+    shuffle: dict[str, int] = {}
+    scan: dict[str, int] = {}
     before = metrics.totals()
     assert before, "UI REST API unreachable — cannot measure shuffle"
     for name in BENCH_QUERIES:
         QUERIES[name](spark, SF_DIR).count()
         after = metrics.totals()
-        out[name] = after["shuffle_write"] - before["shuffle_write"]
+        shuffle[name] = after["shuffle_write"] - before["shuffle_write"]
+        # input bytes pin SCAN width: a dropped column prune / un-pushed
+        # filter widens the parquet read without touching shuffle
+        scan[name] = after["input"] - before["input"]
         before = after
     path = os.path.join(_REPO, "tests", "shuffle_manifest.json")
     with open(path, "w") as f:
         json.dump(
-            {"sf_dir": SF_DIR, "shuffle_write_bytes": out}, f, indent=1,
-            sort_keys=True,
+            {
+                "sf_dir": SF_DIR,
+                "shuffle_write_bytes": shuffle,
+                "input_bytes": scan,
+            },
+            f, indent=1, sort_keys=True,
         )
         f.write("\n")
-    print(f"wrote {path} ({len(out)} queries)")
+    print(f"wrote {path} ({len(shuffle)} queries)")
 
 
 if __name__ == "__main__":
