@@ -39,6 +39,28 @@ def pytest_collection_modifyitems(config, items):
             )
 
 
+def pytest_sessionstart(session):
+    """Create the shared SparkSession EAGERLY, with the UI enabled.
+
+    Session confs like spark.ui.enabled are launch-time-only, and
+    several modules call get_spark() directly inside tests — whichever
+    runs first would otherwise fix the session's confs for the whole
+    run (observed: test_bench_contract's UI-less session made every
+    shuffle-budget test silently skip in the full suite while the
+    module passed standalone). Standalone sweeps that must own the
+    session's launch parameters (retrying master, starved heap) are
+    exempt — their env vars already force a single-module run via
+    pytest_collection_modifyitems above.
+    """
+    if os.environ.get("SPARK_GRAFT_RETRY") or os.environ.get(
+        "SPARK_GRAFT_SPILL"
+    ):
+        return
+    get_spark(
+        "statline-bq-spark-tests", extra_conf={"spark.ui.enabled": "true"}
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     # UI on: the shuffle-budget regression net (tests/test_shuffle_budget.py)

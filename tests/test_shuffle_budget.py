@@ -8,15 +8,24 @@ pushed-down filter un-pushing) in an untimed change would stay invisible
 for a whole round. This test runs every headline query at sf0.01 against
 the pinned per-query budget in shuffle_manifest.json.
 
+Measurement is scoped to the QUERY'S OWN stages via a Spark job group
+(jobs REST API → stageIds → per-stage counters), not global
+before/after deltas: the suite's shared session can complete unrelated
+stages asynchronously (a prior module's streaming sink, a lingering
+job), and a global delta pollutes small budgets — observed live when an
+83-byte pin failed only in the full-suite context while the module
+passed standalone.
+
 On a regression: if the movement is INTENDED (a deliberate plan change),
 regenerate with ``python tools/gen_shuffle_manifest.py`` and review the
 diff like a lockfile; if not, the offending exchange is new — find it with
 ``.explain("formatted")`` before it ships.
 
-Tolerance: ±25% relative with a 4 KiB absolute floor. Compressed exchange
-sizes jitter slightly with row order; a genuinely new exchange at sf0.01
-moves a query by tens of KB to MB — well past the band. Queries pinned at
-~59 bytes (single-partition final count aggs) get the floor.
+Tolerance: ±25% relative with a 4 KiB absolute floor on shuffle bytes.
+Compressed exchange sizes jitter slightly with row order; a genuinely
+new exchange at sf0.01 moves a query by tens of KB to MB — well past
+the band. Input bytes get a wider 64 KiB floor: parquet reads re-touch
+footers and dictionary pages in row-group-order-dependent ways.
 """
 
 from __future__ import annotations
@@ -24,6 +33,8 @@ from __future__ import annotations
 import json
 import os
 import time
+import urllib.request
+import uuid
 
 import pytest
 
@@ -40,59 +51,72 @@ _PINNED_INPUT: dict[str, int] = _M.get("input_bytes", {})
 
 ABS_FLOOR = 4096
 REL_BAND = 0.25
-#: Input bytes get a wider floor: parquet reads re-touch footers and
-#: dictionary pages in row-group-order-dependent ways, so small scans
-#: jitter by a few KB where shuffle writes are byte-stable.
 INPUT_ABS_FLOOR = 65536
 
 
-def _totals(spark) -> tuple[int, int] | None:
-    """Cumulative (shuffle-write, input) bytes over completed stages (UI
-    REST API, same counters bench.py records). None when unreachable."""
-    import urllib.request
-
+def _api(spark, path: str):
     url = (
         f"{spark.sparkContext.uiWebUrl}/api/v1/applications/"
-        f"{spark.sparkContext.applicationId}/stages?status=complete"
+        f"{spark.sparkContext.applicationId}/{path}"
     )
+    return json.load(urllib.request.urlopen(url, timeout=10))
+
+
+def _grouped_query_bytes(spark, fn) -> tuple[int, int]:
+    """(shuffle-write, input) bytes over exactly the stages of the jobs
+    this call runs, identified by a unique job group."""
+    sc = spark.sparkContext
+    group = f"budget-{uuid.uuid4().hex[:12]}"
+    sc.setJobGroup(group, "shuffle-budget measurement")
     try:
-        stages = json.load(urllib.request.urlopen(url, timeout=10))
-    except Exception:
-        return None
-    return (
-        sum(s.get("shuffleWriteBytes", 0) for s in stages),
-        sum(s.get("inputBytes", 0) for s in stages),
-    )
-
-
-def _settled_totals(spark) -> tuple[int, int] | None:
-    """Poll until two consecutive reads agree — the status store updates
-    asynchronously after the action returns."""
-    prev = _totals(spark)
-    if prev is None:
-        return None
-    for _ in range(20):
+        fn()
+    finally:
+        sc.setJobGroup("", "")
+    # status-store updates are async: poll until the group's jobs are all
+    # succeeded and their stages are all visible as complete
+    stage_ids: set[int] = set()
+    for _ in range(100):
+        jobs = [j for j in _api(spark, "jobs") if j.get("jobGroup") == group]
+        if jobs and all(j.get("status") == "SUCCEEDED" for j in jobs):
+            stage_ids = {s for j in jobs for s in j.get("stageIds", [])}
+            stages = _api(spark, "stages?status=complete")
+            seen = {s["stageId"] for s in stages}
+            # skipped stages (reused exchanges) never complete; require
+            # only that no PENDING members of the group's jobs remain
+            active = {s["stageId"] for s in _api(spark, "stages?status=active")}
+            if not (stage_ids & active):
+                shuffle = sum(
+                    s.get("shuffleWriteBytes", 0)
+                    for s in stages
+                    if s["stageId"] in stage_ids
+                )
+                inp = sum(
+                    s.get("inputBytes", 0)
+                    for s in stages
+                    if s["stageId"] in stage_ids
+                )
+                _ = seen  # (kept for debuggability)
+                return shuffle, inp
         time.sleep(0.05)
-        cur = _totals(spark)
-        if cur == prev:
-            return cur
-        prev = cur
-    return prev
+    raise TimeoutError(f"job group {group} never settled in the status store")
 
 
 @pytest.fixture(scope="module")
 def budget_spark(spark):
-    if spark.sparkContext.uiWebUrl is None or _totals(spark) is None:
+    if spark.sparkContext.uiWebUrl is None:
+        pytest.skip("UI disabled; shuffle counters unavailable")
+    try:
+        _api(spark, "jobs?status=succeeded")
+    except Exception:
         pytest.skip("UI REST API unreachable; shuffle counters unavailable")
     return spark
 
 
 @pytest.mark.parametrize("name", sorted(_PINNED))
 def test_query_shuffle_within_budget(budget_spark, name):
-    before = _settled_totals(budget_spark)
-    QUERIES[name](budget_spark, SF_ORACLE).count()
-    after = _settled_totals(budget_spark)
-    got = after[0] - before[0]
+    got, got_in = _grouped_query_bytes(
+        budget_spark, lambda: QUERIES[name](budget_spark, SF_ORACLE).count()
+    )
     pinned = _PINNED[name]
     band = max(ABS_FLOOR, int(pinned * REL_BAND))
     assert abs(got - pinned) <= band, (
@@ -102,7 +126,6 @@ def test_query_shuffle_within_budget(budget_spark, name):
         "(tools/gen_shuffle_manifest.py) if intended"
     )
     if name in _PINNED_INPUT:
-        got_in = after[1] - before[1]
         pinned_in = _PINNED_INPUT[name]
         band_in = max(INPUT_ABS_FLOOR, int(pinned_in * REL_BAND))
         assert abs(got_in - pinned_in) <= band_in, (
