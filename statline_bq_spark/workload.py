@@ -368,18 +368,31 @@ def q_star_schema_agg(spark: SparkSession, sf: str) -> DataFrame:
         ],
     )
     return joined.groupBy("r_name", "n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        # revenue sums a FRACTIONAL product, so a raw double sum is
+        # summation-order-sensitive — the round-10 mixed-duplication
+        # probe caught a 1-cent split at a round(,2) boundary between
+        # Spark's partial-agg order and DuckDB's. Per-row DECIMAL(20,6)
+        # quantization (the _dec_sum house idiom) makes the sum exact
+        # and order-independent. total_qty stays a plain sum: quantities
+        # are integer-valued doubles, exact at any order within 2^53.
+        F.round(
+            F.sum(
+                _quantizable(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(20,6)")
+            ).cast("double"),
+            2,
+        ).alias("revenue"),
         F.round(F.sum("l_quantity"), 2).alias("total_qty"),
         F.count(F.lit(1)).alias("n_items"),
         F.countDistinct("o_orderkey").alias("n_orders"),
     )
 
 
-ORACLE_STAR_SCHEMA_AGG = """
+ORACLE_STAR_SCHEMA_AGG = f"""
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(CAST(CAST(sum(CAST({_sql_quantizable('l_extendedprice * (1 - l_discount)')}
+             AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE), 2) AS revenue,
        round(sum(l_quantity), 2) AS total_qty,
        count(*) AS n_items,
        count(DISTINCT o_orderkey) AS n_orders

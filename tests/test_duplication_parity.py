@@ -79,3 +79,25 @@ def test_query_matches_oracle_on_duplicated_rows_sf01(
     spark, dup_dir_sf01, name
 ):
     _check(spark, dup_dir_sf01, name)
+
+
+@pytest.fixture(scope="session")
+def mixdup_dir(tmp_path_factory):
+    sys.path.insert(0, os.path.join(_REPO, "tools"))
+    from dirty_sf import build_mixed_duplicated
+
+    out = str(tmp_path_factory.mktemp("mixdup_sf"))
+    build_mixed_duplicated(f"{TESTDATA}/sf0.001", out)
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle_on_mixed_multiplicities(
+    spark, mixdup_dir, name
+):
+    """Asymmetric duplication (×3 facts / ×2 mids / 2 dim rows): the
+    uniform 2× sweep above scales every aggregate identically, which
+    cancels in ratios and orderings — uneven fan-out is what actually
+    stresses summation order and per-branch multiplicities. First run
+    caught the flagship's order-sensitive double revenue sum."""
+    _check(spark, mixdup_dir, name)

@@ -1124,6 +1124,30 @@ def build_duplicated(base: str, out: str, copies: int = 2) -> None:
     print(f"wrote {copies}x row-duplicated SF to {out}")
 
 
+def build_mixed_duplicated(base: str, out: str) -> None:
+    """ASYMMETRIC multiplicities: every 5th fact row ×3, every 3rd
+    orders/customer row ×2, two duplicated rows per code dim. The
+    uniform 2× copy scales every aggregate by the same factor, which
+    cancels in ratios and rank orders; uneven fan-out does not — the
+    first run of this fixture caught the flagship star aggregate's raw
+    double revenue sum splitting a cent at a round(,2) boundary on
+    summation order (fixed via per-row DECIMAL(20,6) quantization)."""
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        tbl = pq.read_table(os.path.join(base, f"{t}.parquet"))
+        n = len(tbl)
+        if t in ("lineitem", "events", "documents", "embeddings"):
+            extra = tbl.take(list(range(0, n, 5)) * 2)
+        elif t in ("orders", "customer"):
+            extra = tbl.take(list(range(0, n, 3)))
+        else:
+            extra = tbl.take(list(range(0, min(2, n))))
+        pq.write_table(
+            pa.concat_tables([tbl, extra]), os.path.join(out, f"{t}.parquet")
+        )
+    print(f"wrote mixed-multiplicity duplicated SF to {out}")
+
+
 # --------------------------------------------------------------------------
 # locale / case-mapping fixture (round 10)
 # --------------------------------------------------------------------------
