@@ -57,11 +57,20 @@ def safe_size(col: Column | str) -> Column:
     behavior every Spark 3.x cluster defaults to) — and the driver owns
     the session, so the engine may not assume either mode. Found by the
     round-9 ANSI-off sweep: 13 queries emitted -1 token/dim counts for
-    NULL-text/NULL-embedding rows under a legacy-mode session. The
-    CASE WHEN stays inside whole-stage codegen.
+    NULL-text/NULL-embedding rows under a legacy-mode session.
+
+    ``nullif(size(c), -1)``, not ``CASE WHEN c IS NOT NULL THEN size(c)``
+    (round 11): both are NULL exactly when ``c`` is NULL in either session
+    mode (size never returns -1 for a real array; under ANSI size(NULL) is
+    already NULL), but the CASE form put ``c`` in a *conditional* branch,
+    which blocks whole-stage-codegen subexpression elimination — every
+    ``safe_size(filter(split(...)))`` call site was re-evaluating the
+    split and the interpreted filter pass twice per row. With the
+    argument in an unconditional position the common subexpressions are
+    hoisted and shared: measured 0.50s → 0.33s on a two-feature sf0.1
+    token projection, identical outputs.
     """
-    c = _col(col)
-    return F.when(c.isNotNull(), F.size(c))
+    return F.nullif(F.size(_col(col)), F.lit(-1))
 
 
 def tokens(col: Column | str) -> Column:
