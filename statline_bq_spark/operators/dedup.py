@@ -271,7 +271,11 @@ def minhash_lsh_pairs(
         # partitioning.
         docsets = _shingle_sets(df, id_col=id_col, text_col=text_col, n=shingle_n)
         inv = docsets.select("_id", F.explode("_gs").alias("_g"))
+    # _sz (per-doc gram-set size) rides the same hash aggregate as the
+    # minhashes — one extra count column, no extra pass — to power the
+    # size-ratio candidate prefilter below (round 11).
     sig = inv.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_sz"),
         *[
             F.min(F.xxhash64(F.lit(i), "_g")).alias(f"_h{i}")
             for i in range(num_perm)
@@ -290,8 +294,8 @@ def minhash_lsh_pairs(
         ]
     )
     buckets = sig.select(
-        "_id", F.explode(band_structs).alias("band")
-    ).select("_id", "band.band_id", "band.band_hash")
+        "_id", "_sz", F.explode(band_structs).alias("band")
+    ).select("_id", "_sz", "band.band_id", "band.band_hash")
 
     # Cap degenerate buckets (boilerplate clusters) to keep the self-join
     # from going quadratic on one key; AQE skew-join splits the rest.
@@ -329,17 +333,38 @@ def minhash_lsh_pairs(
     # then dedups pairs that collide in several bands.
     members = (
         buckets.groupBy("band_id", "band_hash")
-        .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_id", "_sz"))).alias("_ids")
+        )
         .filter(F.size("_ids") >= 2)
     )
+    # Size-ratio prefilter on the enumerated candidates (round 11):
+    # jaccard ≤ min(|A|,|B|)/max(|A|,|B|) and the verify's final filter is
+    # round(jaccard,4) ≥ threshold, so (monotone round) dropping pairs
+    # whose rounded ratio bound misses the threshold loses nothing. The
+    # two set sizes are already on the bucket row; the filter runs in the
+    # same codegen stage as the generators, BEFORE the distinct()'s
+    # exchange and the two corpus-sized verify joins — fewer candidate
+    # rows shuffled and merge-joined (guide §2.3/§3).
     candidates = (
-        members.select("_ids", F.posexplode("_ids").alias("_i", "_a"))
+        members.select("_ids", F.posexplode("_ids").alias("_i", "_x"))
         .select(
-            F.col("_a").alias("a"),
+            F.col("_x._id").alias("a"),
+            F.col("_x._sz").alias("_sa"),
             F.explode(
                 F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
-            ).alias("b"),
+            ).alias("_y"),
         )
+        .select("a", F.col("_y._id").alias("b"), "_sa", F.col("_y._sz").alias("_sb"))
+        .filter(
+            F.round(
+                F.least("_sa", "_sb").cast("double")
+                / F.greatest("_sa", "_sb").cast("double"),
+                4,
+            )
+            >= F.lit(jaccard_threshold)
+        )
+        .select("a", "b")
         .distinct()
     )
 
@@ -547,12 +572,30 @@ def ngram_jaccard_pairs(
             F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
         ).alias("_y"),
     )
+    # Size-ratio prefilter BEFORE the (a, b) aggregate's exchange
+    # (round 11): jaccard(A,B) = |A∩B| / |A∪B| ≤ min(|A|,|B|) /
+    # max(|A|,|B|), and round() is monotone, so any pair whose rounded
+    # upper bound is under the threshold can be dropped with zero false
+    # negatives — before its duplicate gram hits count even enter the
+    # pair shuffle. Pure codegen'd comparison on two ints already on the
+    # row; cuts shuffled pair rows wherever the corpus mixes document
+    # lengths (guide §2.3: shuffle fewer bytes).
+    pairs = pairs.select(
+        "a", F.col("_y._id").alias("b"), "_sa", F.col("_y._sz").alias("_sb")
+    ).filter(
+        F.round(
+            F.least("_sa", "_sb").cast("double")
+            / F.greatest("_sa", "_sb").cast("double"),
+            4,
+        )
+        >= F.lit(threshold)
+    )
     # Sizes arrived with the pair, so one hash aggregate finishes the
     # query: group on (a, b) — _sa/_sb are functionally dependent, kept
     # as grouping cols to stay in the same codegen'd agg — count common
     # grams, compute Jaccard inline, filter. No join after enumeration.
     return (
-        pairs.select("a", F.col("_y._id").alias("b"), "_sa", F.col("_y._sz").alias("_sb"))
+        pairs
         .groupBy("a", "b", "_sa", "_sb")
         .agg(F.count(F.lit(1)).alias("common"))
         .withColumn(
