@@ -856,7 +856,13 @@ def passage_dup_stats(
     then 8-byte gram hashes everywhere), one gram document-frequency
     aggregate, one gram-keyed join back — the index's exchange by gram is
     identical for the aggregate and the join probe, so Spark reuses it
-    (ReusedExchange); nothing ever shuffles text.
+    (ReusedExchange); nothing ever shuffles text. (Round 11 measured the
+    tempting alternative — n_shared = n_grams − #{df==1 grams owned},
+    one gram-keyed aggregate, no join-back — 13% SLOWER at sf0.1 with
+    identical output: the join-back's final groupBy(_id) already
+    partially combines to doc-level rows map-side, so the "second
+    full-index shuffle" it was meant to remove never existed, while the
+    min(_id) owner aggregate widened the gram exchange's partial rows.)
     """
     inv = shingle_index(df, id_col=id_col, text_col=text_col, n=n)
     # merge hint: gram_df is corpus-sized (one row per distinct gram) — a
@@ -982,6 +988,10 @@ def fuzzy_pairs(
     grams = (
         df.select(
             F.col(id_col).alias("_id"),
+            # String length rides the index (functionally dependent on
+            # _id, so the distinct is unchanged) to power the
+            # length-difference prefilter at pair-enumeration time.
+            F.length(str_col).alias("_len"),
             # Guard: sequence(1, 0) DESCENDS ([1, 0]) — for strings
             # shorter than q it would emit the whole short string (and ''
             # for empty names) as phantom grams instead of none. The
@@ -1008,12 +1018,34 @@ def fuzzy_pairs(
         .select("_g")
     )
     capped = grams.join(F.broadcast(heavy), "_g", "left_anti")
+    # Candidate pairs from per-gram member ARRAYS, not an index self-join
+    # (round 11; same reshape as ngram/minhash/simhash): one groupBy
+    # collects the (≤ df_cap, enforced above) (id, len) structs per gram
+    # and two chained generators enumerate the ordered pairs in codegen —
+    # the self-join formulation shuffled the capped index twice and
+    # sorted both sides. The Levenshtein length lower bound
+    # (|len(a)−len(b)| ≤ max_dist, formerly applied after the name joins)
+    # now drops candidates in the same stage, BEFORE the distinct()'s
+    # exchange and the two verify joins — identical final predicate, so
+    # no result movement, just fewer rows shuffled and joined.
+    members = (
+        capped.groupBy("_g")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_id", "_len"))).alias("_ids")
+        )
+        .filter(F.size("_ids") >= 2)
+    )
     cand = (
-        capped.select(F.col("_g"), F.col("_id").alias("a"))
-        # merge hint: corpus-sized gram index, same rationale as above
-        .join(capped.select(F.col("_g"), F.col("_id").alias("b")).hint("merge"), "_g")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        members.select("_ids", F.posexplode("_ids").alias("_i", "_x"))
+        .select(
+            F.col("_x._id").alias("a"),
+            F.col("_x._len").alias("_la"),
+            F.explode(
+                F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
+            ).alias("_y"),
+        )
+        .filter(F.abs(F.col("_la") - F.col("_y._len")) <= max_dist)
+        .select("a", F.col("_y._id").alias("b"))
         .distinct()
     )
     na = df.select(F.col(id_col).alias("a"), F.col(str_col).alias("_sa"))
@@ -1021,9 +1053,6 @@ def fuzzy_pairs(
     return (
         cand.join(na, "a")
         .join(nb, "b")
-        .filter(
-            F.abs(F.length("_sa") - F.length("_sb")) <= max_dist
-        )
         .withColumn("dist", F.levenshtein("_sa", "_sb"))
         .filter(F.col("dist") <= max_dist)
         .select("a", "b", "dist")
