@@ -77,6 +77,21 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce floor 256k (default 1m), env-overridable. The floor only
+        # binds when a stage's total shuffle bytes are small — exactly the
+        # engine's CPU-dense 8-byte-hash index stages (dedup pair
+        # enumeration, shingle windows), which the 1m default was
+        # serializing onto 3 of 32 local cores while per-row compute, not
+        # bytes, was the cost. At cluster scale partitions sit far above
+        # either floor, so the setting is inert there. Measured at sf0.1
+        # (round 11, min-of-5 noop, repeated): ngram 1.77→0.94-1.05s,
+        # minhash 1.30→1.14-1.18s, no query outside noise in the other
+        # direction; 128k measured WORSE than the default (block/task
+        # overhead dominates), 512k consistently behind 256k.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "256k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
