@@ -51,6 +51,18 @@ def set_scan_wrapper(fn) -> None:
     _SCAN_WRAPPER = fn
 
 
+#: Parquet schema memo keyed on (path). Schema-ONCE, not data caching:
+#: ``spark.read.parquet(path)`` re-infers the schema on every call, which
+#: fires a footer-reading job + file listing — measured 55-70 ms per
+#: read_table call (round 11), paid 1-5× per query build. Passing the
+#: remembered StructType skips inference entirely; every query still
+#: scans the parquet fresh. This mirrors the reference's schema-once
+#: policy (S9) at the read side. Keyed per full path, so different SF
+#: dirs / fixture copies never collide; static test data never changes
+#: schema under one process.
+_SCHEMA_CACHE: dict = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Equivalent of the reference's per-table Parquet read;
     Catalyst owns pushdown/pruning from here.
@@ -63,17 +75,21 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reference's schema policy of explicitly coercing what the source
     declares oddly (reference ``utils.py:123-129``, ``statline.py:304-306``).
     """
+    path = table_path(sf_dir, name)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts",
-                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-            )
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is not None:
+        df = spark.read.schema(schema).parquet(path)
     else:
-        df = spark.read.parquet(table_path(sf_dir, name))
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
     if _SCAN_WRAPPER is not None:
         df = _SCAN_WRAPPER(df, name)
     return df
