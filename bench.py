@@ -215,7 +215,9 @@ def main() -> None:
         # 5-min loadavg after spark.stop() should be this process's own
         # wake; well above cpus/4 means someone else was on the host
         polluted = polluted or la[1] > cpus / 4
-    except OSError:
+    except (OSError, ValueError):
+        # ValueError: non-numeric SPARK_GRAFT_CPUS must not kill the run
+        # AFTER the timed sweep and lose the artifact (ADVICE r10).
         pass
     # Self-identifying capture quality (round-10 directive): a polluted
     # capture still prints (the driver needs an artifact) but is tagged
