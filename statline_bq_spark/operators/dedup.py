@@ -323,10 +323,15 @@ def minhash_lsh_pairs(
     # construction (heavy hitters over a frequency floor), the groupBy
     # ships map-side-combined partials, and the anti-join is map-side —
     # so the bucket stream never shuffles for the cap. The signature
-    # pipeline feeds three consumers (heavy + both self-join sides), but
-    # its groupBy(_id) exchange is identical in each and Spark reuses it
-    # (ReusedExchange); an eager localCheckpoint here measured ~60%
-    # SLOWER cold at sf0.1 and adds a materialization barrier.
+    # aggregate feeds two consumers (the heavy census prunes _sz away, so
+    # the canonicalized subtrees differ and NO ReusedExchange fires — the
+    # 32-min aggregate genuinely runs twice, see
+    # plans/r11/minhash_pairs_raw_after.txt). Measured round 11: a lazy
+    # localCheckpoint of `sig` to kill the duplicate was collect-identical
+    # but slightly SLOWER (min-of-5 noop 1.76 -> 1.83 s at sf0.1) — the
+    # duplicated agg reads the already-checkpointed shingle blocks and is
+    # cheaper than the extra materialization barrier, so it stays; an
+    # eager localCheckpoint measured ~60% slower cold.
     heavy = (
         buckets.groupBy("band_id", "band_hash")
         .agg(F.count(F.lit(1)).alias("_n"))
