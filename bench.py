@@ -19,9 +19,13 @@ spread evidence); a fixed pure-Python CPU probe is timed before and after
 the sweep ("cpu_probe_sec") so a slow-host capture is self-identifying.
 Both probes run with NO Spark JVM resident (the end probe fires after
 spark.stop(), round 10) so they measure comparable host states. A capture
-whose end probe drifts >15% above the start, or whose 5-min loadavg
-exceeds cpus/4 after the JVM is gone, is tagged "polluted": true — the
-artifact still prints, but re-run on a quiet host for the headline number.
+whose end probe drifts >15% above the start, whose 5-min loadavg exceeds
+cpus/4 after the JVM is gone, or whose hypervisor steal time exceeds 2%
+of all host cycles over the capture window ("steal_pct", round 11 — steal
+is invisible to both loadavg and probe drift, and measured 5-12% steal
+made two same-code captures land 16.7 s vs 29.2 s) is tagged
+"polluted": true — the artifact still prints, but re-run on a quiet host
+for the headline number.
 Wall time remains load-sensitive — the load-INDEPENDENT signals
 ("shuffle_write_mb", "spilled_bytes_total") are the metrics to compare
 across rounds.
@@ -119,6 +123,24 @@ BENCH_QUERIES = (
 )
 
 
+def cpu_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat, or None off-Linux.
+
+    Hypervisor steal is invisible to loadavg AND to probe start/end drift
+    (constant steal slows both probes equally), yet it is exactly what
+    made two same-code captures land 16.7 s vs 29.2 s in the round-11
+    post-reboot window (sampled 5-12% steal under load). Sampling the
+    counter around the sweep makes that failure mode self-identifying."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def cpu_probe() -> float:
     """Fixed pure-Python workload, seconds. Timed before and after the
     sweep: the ratio between two captures of THIS number is host speed,
@@ -136,6 +158,7 @@ def cpu_probe() -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    ticks_start = cpu_ticks()
     probe_start = cpu_probe()
     spark = get_spark(
         "statline-bq-spark-bench", extra_conf={"spark.ui.enabled": "true"}
@@ -205,6 +228,20 @@ def main() -> None:
         out["spilled_bytes_total"] = spill_total
     out["cpu_probe_sec"] = {"start": probe_start, "end": probe_end}
     polluted = probe_end > probe_start * 1.15
+    ticks_end = cpu_ticks()
+    if ticks_start and ticks_end and ticks_end[1] > ticks_start[1]:
+        steal_pct = round(
+            100.0
+            * (ticks_end[0] - ticks_start[0])
+            / (ticks_end[1] - ticks_start[1]),
+            2,
+        )
+        out["steal_pct"] = steal_pct
+        # >2% of ALL host cycles stolen over the whole capture window means
+        # a noisy hypervisor neighbor; walls are inflated and run-to-run
+        # variance explodes (measured: 5-12% steal <=> same-code totals
+        # 16.7 s vs 29.2 s). Loadavg and probe drift both miss this.
+        polluted = polluted or steal_pct > 2.0
     try:
         # 1/5/15-min load averages at capture end: a reading well above
         # this process's own footprint flags an inflated capture (the

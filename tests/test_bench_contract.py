@@ -37,6 +37,22 @@ def test_stage_metrics_tolerates_missing_ui():
     assert m.totals() == {}
 
 
+def test_cpu_ticks_sane_or_absent():
+    """cpu_ticks must never raise (it runs after the timed sweep; an
+    exception there would lose the artifact) and, where /proc/stat
+    exists, must return monotone non-negative counters with
+    steal <= total."""
+    t0 = bench.cpu_ticks()
+    if t0 is None:  # non-Linux: degrading to None is the contract
+        return
+    steal0, total0 = t0
+    assert 0 <= steal0 <= total0
+    t1 = bench.cpu_ticks()
+    assert t1 is not None
+    steal1, total1 = t1
+    assert steal1 >= steal0 and total1 >= total0
+
+
 def test_session_factory_keeps_skew_mitigations_on():
     """Skewed-key contract (round 8). Measured on a build_skewed copy of
     sf0.1 (one user/customer/order key holding ~50% of events/orders/
