@@ -90,6 +90,12 @@ def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) ->
     stopword list is ASCII, and full Unicode lowering is engine-divergent
     exactly at the tokens that fold INTO the list ('İN' → 'in' under
     utf8proc but 'i̇n' under Java — round-10 locale fixture).
+
+    Consequence for CUSTOM ``stopwords`` (ADVICE r10): because the token
+    is ascii-folded before membership, a non-ASCII stopword entry (e.g.
+    'über') can never match a cased token ('Über' folds to 'uber', which
+    is not in the list). Custom lists must be ASCII, or pre-folded with
+    the same :func:`ascii_fold` transform.
     """
     toks = tokens(col)
     stops = safe_size(
