@@ -136,7 +136,11 @@ def cpu_ticks() -> tuple[int, int] | None:
             parts = f.readline().split()
         vals = [int(x) for x in parts[1:]]
         steal = vals[7] if len(vals) > 7 else 0
-        return steal, sum(vals)
+        # Denominator: user..steal only (first 8 fields). guest/guest_nice
+        # are already accounted inside user/nice, so including them would
+        # double-count guest ticks and deflate steal_pct on hosts running
+        # nested VMs (ADVICE r11).
+        return steal, sum(vals[:8])
     except (OSError, ValueError, IndexError):
         return None
 
@@ -262,9 +266,9 @@ def main() -> None:
     out["polluted"] = polluted
     if polluted:
         print(
-            "bench: capture flagged polluted (probe drift >15% or "
-            "loadavg5 high) — re-run on a quiet host for the headline "
-            "number",
+            "bench: capture flagged polluted (probe drift >15%, "
+            "steal >2%, or loadavg5 high) — re-run on a quiet host "
+            "for the headline number",
             file=sys.stderr,
         )
     print(json.dumps(out))

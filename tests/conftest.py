@@ -61,6 +61,39 @@ def pytest_sessionstart(session):
     )
 
 
+def pytest_sessionfinish(session, exitstatus):
+    """Stop the shared SparkSession INSIDE pytest, not at interpreter exit.
+
+    The round-11 driver verify run ended with a JVM teardown race:
+    ``RejectedExecutionException ... TaskResultGetter`` from a task
+    status update arriving after the scheduler pool terminated, while
+    the SparkContext was being torn down by the JVM shutdown hook as the
+    Python interpreter exited. Stopping here is orderly: first stop any
+    streaming query a test left running (`awaitTermination(timeout)`
+    returning False leaves the query alive), then silence the known-
+    benign shutdown-path ERROR logs, then stop the session while the
+    interpreter is still fully alive. Every step tolerates failure —
+    teardown must never turn a green suite red.
+    """
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+    except Exception:
+        return
+    if s is None:
+        return
+    for step in (
+        lambda: [q.stop() for q in s.streams.active],
+        lambda: s.sparkContext.setLogLevel("OFF"),
+        lambda: s.stop(),
+    ):
+        try:
+            step()
+        except Exception:
+            pass
+
+
 @pytest.fixture(scope="session")
 def spark():
     # UI on: the shuffle-budget regression net (tests/test_shuffle_budget.py)

@@ -130,3 +130,39 @@ def test_rows_only_queries_stay_out_of_the_oracle_dict():
             assert n not in ORACLES
         else:
             assert n in ORACLES, f"{n} lost its oracle"
+
+
+def test_localcheckpoints_stay_lazy_and_timer_wraps_construction():
+    """Anti-eager-barrier gate (VERDICT r11 #7). The shared-subtree
+    localCheckpoints in the dedup/analytic query paths must stay
+    eager=False: an accidental eager=True adds a blocking materialization
+    pass per consumer chain that would surface only as a wall regression
+    now that the 'no Scan ExistingRDD' plan gate is retired. And bench's
+    timer must keep wrapping query CONSTRUCTION (where a lazy
+    checkpoint's upstream stages execute under AQE) together with the
+    action — otherwise checkpoint work would escape the timed region."""
+    import os
+    import re
+
+    from statline_bq_spark.operators import analytic, dedup
+
+    for mod in (dedup, analytic):
+        src = open(mod.__file__).read()
+        calls = re.findall(r"localCheckpoint\(([^)]*)\)", src)
+        assert calls, f"no localCheckpoint sites found in {mod.__name__}"
+        for args in calls:
+            assert args.strip() == "eager=False", (
+                f"{mod.__name__}: localCheckpoint({args}) — query-path "
+                "checkpoints must be lazy (eager=False)"
+            )
+    bench_src = open(
+        os.path.join(os.path.dirname(bench.__file__), "bench.py")
+    ).read()
+    timed = re.search(
+        r"t0 = time\.perf_counter\(\)\n\s+fn\(spark, sf_dir\)\.count\(\)",
+        bench_src,
+    )
+    assert timed, (
+        "bench.py timed region no longer wraps construction+action "
+        "(fn(spark, sf_dir).count() inside the perf_counter window)"
+    )
