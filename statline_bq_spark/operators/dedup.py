@@ -100,32 +100,39 @@ def _shingle_sets(
     # completeness check at partition end). _rid is projected BELOW the
     # generator — in the same select as posexplode it would evaluate once
     # per exploded token.
+    #
+    # Expression-batched construction (round 12, guide §1/§7.1 driver
+    # floor): each F.* Column call is a py4j round trip (~0.5 ms), and
+    # this subtree is rebuilt by every dedup query — SQL strings via
+    # selectExpr build the IDENTICAL expression tree in one round trip
+    # per projection. Literal typing checked: SQL integer literals are
+    # IntegerType exactly like F.lit(int), '' is StringType, and the
+    # window-spec text resolves to the same WindowSpecDefinition, so
+    # plans and results are byte-identical (snapshot-verified).
     toks = (
-        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
-        .withColumn("_rid", F.monotonically_increasing_id())
-        .select(
+        df.selectExpr(f"`{id_col}` AS _id", f"`{text_col}` AS _t")
+        .selectExpr("_id", "_t", "monotonically_increasing_id() AS _rid")
+        .selectExpr(
             "_id",
             "_rid",
-            F.posexplode(F.split(F.trim(F.col("_t")), "\\s+")).alias(
-                "_pos", "_tok"
-            ),
+            "posexplode(split(trim(_t), '\\\\s+')) AS (_pos, _tok)",
         )
     )
-    w = Window.partitionBy("_id").orderBy("_rid", "_pos")
-    leads = [F.lead("_tok", j).over(w) for j in range(1, n)]
+    over = "OVER (PARTITION BY _id ORDER BY _rid, _pos)"
+    gram_args = ", ".join(
+        ["_tok"] + [f"lead(_tok, {j}) {over}" for j in range(1, n)]
+    )
     # n=1 (unigrams) has no lead columns: the gram is the token itself and
     # the completeness filter degenerates to "token non-empty" (split of
     # empty/whitespace text yields a single '' token, which the n>=2 path
     # also drops via its cross-row/NULL last-_rid guard).
     completeness = (
-        F.lead("_rid", n - 1).over(w) == F.col("_rid")
-        if leads
-        else F.col("_tok") != F.lit("")
+        f"(lead(_rid, {n - 1}) {over} = _rid)" if n > 1 else "(_tok != '')"
     )
-    grams = toks.select(
+    grams = toks.selectExpr(
         "_id",
-        F.xxhash64("_tok", *leads).alias("_g"),
-        completeness.alias("_ok"),
+        f"xxhash64({gram_args}) AS _g",
+        f"{completeness} AS _ok",
     ).filter(F.col("_ok"))
     return grams.groupBy("_id").agg(F.collect_set("_g").alias("_gs"))
 
@@ -293,27 +300,29 @@ def minhash_lsh_pairs(
     # _sz (per-doc gram-set size) rides the same hash aggregate as the
     # minhashes — one extra count column, no extra pass — to power the
     # size-ratio candidate prefilter below (round 11).
+    # Expression-batched (round 12): one F.expr per aggregate instead of
+    # min(xxhash64(lit, col)).alias() chains — 4 py4j round trips → 1 per
+    # permutation; SQL integer literals are IntegerType exactly like
+    # F.lit(int), so the xxhash64 seeds hash identically.
     sig = inv.groupBy("_id").agg(
-        F.count(F.lit(1)).alias("_sz"),
+        F.expr("count(1) AS _sz"),
         *[
-            F.min(F.xxhash64(F.lit(i), "_g")).alias(f"_h{i}")
+            F.expr(f"min(xxhash64({i}, _g)) AS _h{i}")
             for i in range(num_perm)
-        ]
+        ],
     )
 
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(*[F.col(f"_h{b * r + j}") for j in range(r)]).alias(
-                    "band_hash"
-                ),
-            )
-            for b in range(bands)
-        ]
+    # One parsed expression for the whole band array (was ~8 py4j calls
+    # per band): struct literals/fields and xxhash64 arg lists are
+    # type-identical to the Column form.
+    band_parts = ", ".join(
+        "struct({b} AS band_id, xxhash64({hs}) AS band_hash)".format(
+            b=b, hs=", ".join(f"_h{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
     )
-    buckets = sig.select(
-        "_id", "_sz", F.explode(band_structs).alias("band")
+    buckets = sig.selectExpr(
+        "_id", "_sz", f"explode(array({band_parts})) AS band"
     ).select("_id", "_sz", "band.band_id", "band.band_hash")
 
     # Cap degenerate buckets (boilerplate clusters) to keep the self-join
@@ -334,7 +343,7 @@ def minhash_lsh_pairs(
     # eager localCheckpoint measured ~60% slower cold.
     heavy = (
         buckets.groupBy("band_id", "band_hash")
-        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.expr("count(1) AS _n"))
         .filter(F.col("_n") > max_bucket_size)
         .select("band_id", "band_hash")
     )
@@ -370,23 +379,23 @@ def minhash_lsh_pairs(
     # same codegen stage as the generators, BEFORE the distinct()'s
     # exchange and the two corpus-sized verify joins — fewer candidate
     # rows shuffled and merge-joined (guide §2.3/§3).
+    # Expression-batched enumeration (round 12): selectExpr strings build
+    # the identical generator/prefilter tree in one round trip per
+    # projection. least/greatest over two count(1) bigints divide to
+    # DOUBLE under Spark's fractional `/` exactly like the explicit
+    # .cast("double") pair did; the threshold keeps its D suffix so the
+    # literal stays DoubleType like F.lit(float).
     candidates = (
-        members.select("_ids", F.posexplode("_ids").alias("_i", "_x"))
-        .select(
-            F.col("_x._id").alias("a"),
-            F.col("_x._sz").alias("_sa"),
-            F.explode(
-                F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
-            ).alias("_y"),
+        members.selectExpr("_ids", "posexplode(_ids) AS (_i, _x)")
+        .selectExpr(
+            "_x._id AS a",
+            "_x._sz AS _sa",
+            "explode(slice(_ids, _i + 2, size(_ids))) AS _y",
         )
-        .select("a", F.col("_y._id").alias("b"), "_sa", F.col("_y._sz").alias("_sb"))
+        .selectExpr("a", "_y._id AS b", "_sa", "_y._sz AS _sb")
         .filter(
-            F.round(
-                F.least("_sa", "_sb").cast("double")
-                / F.greatest("_sa", "_sb").cast("double"),
-                4,
-            )
-            >= F.lit(jaccard_threshold)
+            "round(least(_sa, _sb) / greatest(_sa, _sb), 4)"
+            f" >= {float(jaccard_threshold)!r}D"
         )
         .select("a", "b")
         .distinct()
@@ -409,26 +418,23 @@ def minhash_lsh_pairs(
         if docsets is not None
         else inv.groupBy("_id").agg(F.collect_list("_g").alias("_grams"))
     )
-    ga = docgrams.select(
-        F.col("_id").alias("a"), F.col("_grams").alias("_ga")
-    ).hint("merge")
-    gb = docgrams.select(
-        F.col("_id").alias("b"), F.col("_grams").alias("_gb")
-    ).hint("merge")
-    common = F.size(F.array_intersect("_ga", "_gb"))
-    sa, sb = F.size("_ga"), F.size("_gb")
+    ga = docgrams.selectExpr("_id AS a", "_grams AS _ga").hint("merge")
+    gb = docgrams.selectExpr("_id AS b", "_grams AS _gb").hint("merge")
+    # common appears twice in the SQL text exactly as the shared Column
+    # subtree did — identical expression tree, codegen subexpression
+    # elimination still fires; int sizes divide to double implicitly like
+    # the explicit casts (round 12 expression batching).
+    common = "size(array_intersect(_ga, _gb))"
     return (
         candidates.join(ga, "a")
         .join(gb, "b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                common.cast("double")
-                / (sa + sb - common).cast("double"),
-                4,
-            ),
+        .selectExpr(
+            "a",
+            "b",
+            f"round({common} / (size(_ga) + size(_gb) - {common}), 4)"
+            " AS jaccard",
         )
-        .filter(F.col("jaccard") >= jaccard_threshold)
+        .filter(f"jaccard >= {float(jaccard_threshold)!r}D")
         .select("a", "b", "jaccard")
     )
 
@@ -464,7 +470,7 @@ def informative_doc_ids(
     )
     heavy = (
         inv.groupBy("_g")
-        .agg(F.count(F.lit(1)).alias("_df"))
+        .agg(F.expr("count(1) AS _df"))
         .filter(F.col("_df") > df_cap)
         .select("_g")
     )
@@ -555,7 +561,7 @@ def ngram_jaccard_pairs(
     # memory stays bounded no matter how pathological the corpus.
     heavy = (
         inv.groupBy("_g")
-        .agg(F.count(F.lit(1)).alias("_df"))
+        .agg(F.expr("count(1) AS _df"))
         .filter(F.col("_df") > df_cap)
         .select("_g")
     )
@@ -570,9 +576,7 @@ def ngram_jaccard_pairs(
     withsz = (
         capped.groupBy("_id")
         .agg(F.collect_list("_g").alias("_cg"))
-        .select(
-            "_id", F.size("_cg").alias("_sz"), F.explode("_cg").alias("_g")
-        )
+        .selectExpr("_id", "size(_cg) AS _sz", "explode(_cg) AS _g")
     )
     # Candidate pairs from per-gram doc ARRAYS, not an index self-join:
     # one groupBy(_g) collects the (≤ df_cap) (doc, set-size) structs
@@ -597,15 +601,11 @@ def ngram_jaccard_pairs(
         )
         .filter(F.size("_ids") >= 2)
     )
-    anchored = grouped.select(
-        "_ids", F.posexplode("_ids").alias("_i", "_x")
-    )
-    pairs = anchored.select(
-        F.col("_x._id").alias("a"),
-        F.col("_x._sz").alias("_sa"),
-        F.explode(
-            F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
-        ).alias("_y"),
+    anchored = grouped.selectExpr("_ids", "posexplode(_ids) AS (_i, _x)")
+    pairs = anchored.selectExpr(
+        "_x._id AS a",
+        "_x._sz AS _sa",
+        "explode(slice(_ids, _i + 2, size(_ids))) AS _y",
     )
     # Size-ratio prefilter BEFORE the (a, b) aggregate's exchange
     # (round 11): jaccard(A,B) = |A∩B| / |A∪B| ≤ min(|A|,|B|) /
@@ -615,15 +615,14 @@ def ngram_jaccard_pairs(
     # pair shuffle. Pure codegen'd comparison on two ints already on the
     # row; cuts shuffled pair rows wherever the corpus mixes document
     # lengths (guide §2.3: shuffle fewer bytes).
-    pairs = pairs.select(
-        "a", F.col("_y._id").alias("b"), "_sa", F.col("_y._sz").alias("_sb")
+    # selectExpr/SQL-string form (round 12): int sizes divide to double
+    # implicitly exactly like the explicit casts; threshold keeps the D
+    # suffix so the literal stays DoubleType like F.lit(float).
+    pairs = pairs.selectExpr(
+        "a", "_y._id AS b", "_sa", "_y._sz AS _sb"
     ).filter(
-        F.round(
-            F.least("_sa", "_sb").cast("double")
-            / F.greatest("_sa", "_sb").cast("double"),
-            4,
-        )
-        >= F.lit(threshold)
+        "round(least(_sa, _sb) / greatest(_sa, _sb), 4)"
+        f" >= {float(threshold)!r}D"
     )
     # Sizes arrived with the pair, so one hash aggregate finishes the
     # query: group on (a, b) — _sa/_sb are functionally dependent, kept
@@ -632,18 +631,15 @@ def ngram_jaccard_pairs(
     return (
         pairs
         .groupBy("a", "b", "_sa", "_sb")
-        .agg(F.count(F.lit(1)).alias("common"))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("common").cast("double")
-                / (F.col("_sa") + F.col("_sb") - F.col("common")).cast(
-                    "double"
-                ),
-                4,
-            ),
+        .agg(F.expr("count(1) AS common"))
+        .selectExpr(
+            "a",
+            "b",
+            "_sa",
+            "_sb",
+            "round(common / (_sa + _sb - common), 4) AS jaccard",
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(f"jaccard >= {float(threshold)!r}D")
         .select("a", "b", "jaccard")
     )
 
@@ -715,27 +711,29 @@ def simhash_fingerprints(
     of interpreted per-element array folds (``simhash64`` remains as the
     column-level form).
     """
-    lane_mask = F.lit(0x0000000100000001).cast("bigint")
     # NULL-id rows are excluded (round 8, NULL-PK dirty class): the
     # fingerprint is cited BY id downstream (join-backs, pair outputs) —
     # an id-less fingerprint is undereferenceable, and a NULL group key
     # here would merge all id-less docs' tokens into one phantom vote.
-    toks = df.filter(F.col(id_col).isNotNull()).select(
-        F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("_tok"),
-    ).select(F.col(id_col), F.xxhash64("_tok").alias("_h"))
+    #
+    # Expression-batched (round 12): the 32 lane sums built ~160 py4j
+    # round trips as Columns; one parsed array(...) aggregate builds the
+    # identical tree in one. 4294967297L == F.lit(0x0000000100000001)
+    # .cast("bigint") (both LongType), & is bitwiseAND.
+    toks = (
+        df.filter(F.col(id_col).isNotNull())
+        .selectExpr(
+            f"`{id_col}`",
+            f"explode(split(trim(`{text_col}`), '\\\\s+')) AS _tok",
+        )
+        .selectExpr(f"`{id_col}`", "xxhash64(_tok) AS _h")
+    )
+    lane_sums = ", ".join(
+        f"sum(shiftrightunsigned(_h, {j}) & 4294967297L)" for j in range(32)
+    )
     votes = toks.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.array(
-            *[
-                F.sum(
-                    F.shiftrightunsigned(F.col("_h"), j).bitwiseAND(
-                        lane_mask
-                    )
-                )
-                for j in range(32)
-            ]
-        ).alias("_s"),
+        F.expr("count(1) AS _n"),
+        F.expr(f"array({lane_sums}) AS _s"),
     )
     # Unpack the lanes and fold the 64 vote bits into one bigint with
     # higher-order functions over the 32-element sum array: a handful of
@@ -744,29 +742,21 @@ def simhash_fingerprints(
     # every bench/interactive run). The interpreted lambda runs once per
     # DOC (post-aggregation), not per token — the volume path above stays
     # whole-stage-codegen'd.
-    low32 = F.lit(0xFFFFFFFF).cast("bigint")
-    one = F.lit(1).cast("bigint")
-    zero = F.lit(0).cast("bigint")
-    n = F.col("_n")
-    fp = F.aggregate(
-        F.transform(
-            F.col("_s"),
-            lambda s, i: F.when(
-                s.bitwiseAND(low32) * 2 > n,
-                F.call_function("shiftleft", one, i),
-            )
-            .otherwise(zero)
-            .bitwiseOR(
-                F.when(
-                    F.shiftrightunsigned(s, 32) * 2 > n,
-                    F.call_function("shiftleft", one, i + 32),
-                ).otherwise(zero)
-            ),
-        ),
-        zero,
-        lambda acc, x: acc.bitwiseOR(x),
+    # One parsed expression for the whole unpack-and-fold (round 12):
+    # SQL lambda syntax builds the identical higher-order tree the py4j
+    # lambda-builder assembled one node at a time. 4294967295L ==
+    # F.lit(0xFFFFFFFF).cast("bigint"); CASE WHEN == F.when/otherwise;
+    # the two-arg transform lambda is (element, index) in both forms.
+    fp = (
+        "aggregate("
+        "  transform(_s, (s, i) ->"
+        "    (CASE WHEN (s & 4294967295L) * 2 > _n"
+        "          THEN shiftleft(1L, i) ELSE 0L END)"
+        "    | (CASE WHEN shiftrightunsigned(s, 32) * 2 > _n"
+        "            THEN shiftleft(1L, i + 32) ELSE 0L END)),"
+        "  0L, (acc, x) -> acc | x)"
     )
-    return votes.select(F.col(id_col), fp.alias("simhash"))
+    return votes.selectExpr(f"`{id_col}`", f"{fp} AS simhash")
 
 
 def simhash_neardup_pairs(
@@ -802,19 +792,19 @@ def simhash_neardup_pairs(
     fps = simhash_fingerprints(
         df, id_col=id_col, text_col=text_col
     ).localCheckpoint(eager=False)
-    block_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("block_id"),
-                F.shiftrightunsigned(F.col("simhash"), b * width)
-                .bitwiseAND(F.lit((1 << width) - 1).cast("bigint"))
-                .alias("block_val"),
-            )
-            for b in range(blocks)
-        ]
+    # One parsed expression for the block array (round 12, same batching
+    # as minhash's band structs): SQL int literals match F.lit(int) and
+    # {mask}L matches .cast("bigint") exactly.
+    mask = (1 << width) - 1
+    block_parts = ", ".join(
+        f"struct({b} AS block_id,"
+        f" shiftrightunsigned(simhash, {b * width}) & {mask}L AS block_val)"
+        for b in range(blocks)
     )
-    buckets = fps.select(
-        F.col(id_col).alias("_id"), "simhash", F.explode(block_structs).alias("blk")
+    buckets = fps.selectExpr(
+        f"`{id_col}` AS _id",
+        "simhash",
+        f"explode(array({block_parts})) AS blk",
     ).select("_id", "simhash", "blk.block_id", "blk.block_val")
     # Cap degenerate buckets by naming the HEAVY ones (> max_bucket_size
     # members, small by construction) and broadcast-anti-joining them away
@@ -825,7 +815,7 @@ def simhash_neardup_pairs(
     # slower cold at sf0.1 and adds a materialization barrier.
     heavy = (
         buckets.groupBy("block_id", "block_val")
-        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.expr("count(1) AS _n"))
         .filter(F.col("_n") > max_bucket_size)
         .select("block_id", "block_val")
     )
@@ -853,24 +843,18 @@ def simhash_neardup_pairs(
         )
         .filter(F.size("_ms") >= 2)
     )
-    anchored = members.select(
-        "_ms", F.posexplode("_ms").alias("_i", "_x")
-    )
+    anchored = members.selectExpr("_ms", "posexplode(_ms) AS (_i, _x)")
     return (
-        anchored.select(
+        anchored.selectExpr(
             "_x",
-            F.explode(
-                F.slice(F.col("_ms"), F.col("_i") + 2, F.size("_ms"))
-            ).alias("_y"),
+            "explode(slice(_ms, _i + 2, size(_ms))) AS _y",
         )
-        .select(
-            F.col("_x._id").alias("a"),
-            F.col("_y._id").alias("b"),
-            F.bit_count(
-                F.col("_x.simhash").bitwiseXOR(F.col("_y.simhash"))
-            ).alias("hamming"),
+        .selectExpr(
+            "_x._id AS a",
+            "_y._id AS b",
+            "bit_count(_x.simhash ^ _y.simhash) AS hamming",
         )
-        .filter(F.col("hamming") <= max_hamming)
+        .filter(f"hamming <= {int(max_hamming)}")
         .distinct()
     )
 
@@ -920,20 +904,25 @@ def passage_dup_stats(
     # merge hint: gram_df is corpus-sized (one row per distinct gram) — a
     # borderline size estimate must not tempt the planner into
     # driver-broadcasting it (same hazard as the minhash verify joins).
-    gram_df = inv.groupBy("_g").agg(F.count(F.lit(1)).alias("_df")).hint("merge")
-    flagged = inv.join(gram_df, "_g").select(
-        "_id", (F.col("_df") >= 2).cast("int").alias("_s")
+    gram_df = (
+        inv.groupBy("_g").agg(F.expr("count(1) AS _df")).hint("merge")
     )
-    return flagged.groupBy("_id").agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        F.sum("_s").cast("bigint").alias("n_shared"),
-    ).select(
-        F.col("_id").alias(id_col),
-        "n_grams",
-        "n_shared",
-        (F.col("n_shared").cast("double") / F.col("n_grams").cast("double")).alias(
-            "shared_ratio"
-        ),
+    flagged = inv.join(gram_df, "_g").selectExpr(
+        "_id", "CAST(_df >= 2 AS int) AS _s"
+    )
+    return (
+        flagged.groupBy("_id")
+        .agg(
+            F.expr("count(1) AS n_grams"),
+            F.expr("CAST(sum(_s) AS bigint) AS n_shared"),
+        )
+        .selectExpr(
+            f"_id AS `{id_col}`",
+            "n_grams",
+            "n_shared",
+            "CAST(n_shared AS double) / CAST(n_grams AS double)"
+            " AS shared_ratio",
+        )
     )
 
 
@@ -1070,7 +1059,7 @@ def fuzzy_pairs(
     # the cap (same design as ngram_jaccard_pairs).
     heavy = (
         grams.groupBy("_g")
-        .agg(F.count(F.lit(1)).alias("_df"))
+        .agg(F.expr("count(1) AS _df"))
         .filter(F.col("_df") > df_cap)
         .select("_g")
     )
@@ -1093,24 +1082,22 @@ def fuzzy_pairs(
         .filter(F.size("_ids") >= 2)
     )
     cand = (
-        members.select("_ids", F.posexplode("_ids").alias("_i", "_x"))
-        .select(
-            F.col("_x._id").alias("a"),
-            F.col("_x._len").alias("_la"),
-            F.explode(
-                F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
-            ).alias("_y"),
+        members.selectExpr("_ids", "posexplode(_ids) AS (_i, _x)")
+        .selectExpr(
+            "_x._id AS a",
+            "_x._len AS _la",
+            "explode(slice(_ids, _i + 2, size(_ids))) AS _y",
         )
-        .filter(F.abs(F.col("_la") - F.col("_y._len")) <= max_dist)
-        .select("a", F.col("_y._id").alias("b"))
+        .filter(f"abs(_la - _y._len) <= {int(max_dist)}")
+        .selectExpr("a", "_y._id AS b")
         .distinct()
     )
-    na = df.select(F.col(id_col).alias("a"), F.col(str_col).alias("_sa"))
-    nb = df.select(F.col(id_col).alias("b"), F.col(str_col).alias("_sb"))
+    na = df.selectExpr(f"`{id_col}` AS a", f"`{str_col}` AS _sa")
+    nb = df.selectExpr(f"`{id_col}` AS b", f"`{str_col}` AS _sb")
     return (
         cand.join(na, "a")
         .join(nb, "b")
-        .withColumn("dist", F.levenshtein("_sa", "_sb"))
-        .filter(F.col("dist") <= max_dist)
+        .selectExpr("a", "b", "levenshtein(_sa, _sb) AS dist")
+        .filter(f"dist <= {int(max_dist)}")
         .select("a", "b", "dist")
     )
