@@ -1348,12 +1348,28 @@ def ivf_topk(
     # (None, vec) entry would crash the sort below. NULL-label rows stay
     # searchable — the assignment step below routes every corpus row to
     # its nearest NON-NULL-label centroid.
+    #
+    # The LONG form (label, pos, centroid_val) is collected and the
+    # vectors assembled driver-side (round 12): the previous
+    # _centroid_vectors re-aggregation (groupBy(label) + collect_list +
+    # array_sort + transform) added a second exchange to the codebook
+    # job only to reshape nlist×dim tiny rows the driver is about to
+    # collect anyway — same values (pos-sorted, round-6 means over
+    # usable vectors), one exchange fewer in the blocking collect.
+    by_label: dict[int, dict[int, float]] = {}
+    for r in centroids_by_label(
+        _drop_null_vectors(corpus, vec_col),
+        label_col=label_col,
+        vec_col=vec_col,
+        round_to=6,
+    ).collect():
+        if r["label"] is not None:
+            by_label.setdefault(r["label"], {})[r["pos"]] = float(
+                r["centroid_val"]
+            )
     labeled = sorted(
-        (r["label"], [float(x) for x in r["_cvec"]])
-        for r in _centroid_vectors(
-            corpus, label_col=label_col, vec_col=vec_col
-        ).collect()
-        if r["label"] is not None
+        (lbl, [vals[p] for p in sorted(vals)])
+        for lbl, vals in by_label.items()
     )
     if not labeled:
         # no inverted lists (empty corpus, all embeddings NULL, or all
