@@ -55,6 +55,31 @@ def cosine_from_norms(
     return F.try_divide(dot(a, b), na * nb)
 
 
+def dot_sql(a: str, b: str) -> str:
+    """SQL-text twin of :func:`dot` (round 12 driver-floor batching): the
+    string parses to the IDENTICAL zip_with/aggregate tree — 0.0D is the
+    DoubleType literal F.lit(0.0) builds, CAST matches _as_double_array,
+    and the lambdas are the same two-arg/fold shapes — but costs ONE py4j
+    round trip where the Column form pays ~20 (each F.* call and lambda
+    variable is a gateway call). Args are raw SQL fragments (column names
+    pre-backticked by the caller if needed)."""
+    return (
+        f"aggregate(zip_with(CAST({a} AS array<double>), "
+        f"CAST({b} AS array<double>), (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def l2_norm_sql(a: str) -> str:
+    """SQL-text twin of :func:`l2_norm`."""
+    return f"sqrt({dot_sql(a, a)})"
+
+
+def cosine_from_norms_sql(a: str, b: str, na: str, nb: str) -> str:
+    """SQL-text twin of :func:`cosine_from_norms`."""
+    return f"try_divide({dot_sql(a, b)}, {na} * {nb})"
+
+
 def truncate_dims(a: Column | str, k: int) -> Column:
     """First ``k`` dimensions of an embedding (matryoshka-style truncation:
     MRL-trained models pack coarse-to-fine information so the head is a

@@ -216,26 +216,31 @@ def semantic_decontaminate(
     the benchmark outgrows broadcast range, swap in the blocked grid of
     ``cosine_pairs_blocked`` with benchmark-side blocks.
     """
-    from statline_bq_spark.functions.vectors import cosine_from_norms, l2_norm
+    from statline_bq_spark.functions.vectors import (
+        cosine_from_norms_sql,
+        l2_norm_sql,
+    )
 
-    def _usable(c: Column) -> Column:
+    def _usable(c: str) -> str:
         # NULL, zero-norm (cosine NULL via try_divide) and NaN/Inf-
         # poisoned vectors are un-scorable. The explicit non-finite guard
         # matters because a NaN cosine is NOT NULL: Spark evaluates
         # NaN >= threshold as TRUE (NaN sorts greatest), which would
         # silently DROP every encoder-failed corpus row as 'contaminated'
         # — un-scorable rows must SURVIVE (contamination unproven).
-        return c.isNotNull() & ~F.exists(
-            c,
-            lambda x: x.isNull()
-            | F.isnan(x)
-            | (F.abs(x) == F.lit(float("inf"))),
+        # (SQL-text form, round 12: identical IsNotNull/Not(Exists) tree,
+        # one py4j round trip; CAST('Infinity' AS DOUBLE) folds to the
+        # Infinity literal.)
+        return (
+            f"(`{c}` IS NOT NULL) AND (NOT exists(`{c}`,"
+            " x -> (isnull(x) OR isnan(x))"
+            " OR abs(x) = CAST('Infinity' AS DOUBLE)))"
         )
 
     b = F.broadcast(
-        benchmark.filter(_usable(F.col(vec_col))).select(
-            F.col(vec_col).alias("_b_vec"),
-            l2_norm(F.col(vec_col)).alias("_b_nrm"),
+        benchmark.filter(_usable(vec_col)).selectExpr(
+            f"`{vec_col}` AS _b_vec",
+            f"{l2_norm_sql(f'`{vec_col}`')} AS _b_nrm",
         )
     )
     # The corpus-side guard AND norm are PROJECTED once per row before
@@ -248,20 +253,21 @@ def semantic_decontaminate(
     # pair and SURVIVE; cosine_from_norms is the same try_divide
     # expression with the side norms precomputed, so the rounded
     # similarity is bit-identical.
-    guarded = corpus.withColumn(
-        "_usable_vec", _usable(F.col(vec_col))
-    ).withColumn("_c_nrm", l2_norm(F.col(vec_col)))
+    guarded = corpus.selectExpr(
+        "*",
+        f"({_usable(vec_col)}) AS _usable_vec",
+        f"{l2_norm_sql(f'`{vec_col}`')} AS _c_nrm",
+    )
     return (
         guarded.join(
             b,
             F.col("_usable_vec")
             & (
                 F.round(
-                    cosine_from_norms(
-                        F.col(vec_col),
-                        F.col("_b_vec"),
-                        F.col("_c_nrm"),
-                        F.col("_b_nrm"),
+                    F.expr(
+                        cosine_from_norms_sql(
+                            f"`{vec_col}`", "_b_vec", "_c_nrm", "_b_nrm"
+                        )
                     ),
                     4,
                 )

@@ -32,8 +32,10 @@ from pyspark.sql import functions as F
 
 from statline_bq_spark.functions.vectors import (
     cosine_from_norms,
+    cosine_from_norms_sql,
     cosine_similarity,
     l2_norm,
+    l2_norm_sql,
 )
 
 
@@ -66,16 +68,17 @@ def _drop_null_vectors(
     paths would otherwise mangle NULL through an int64 cast. Fit-only
     paths (centroids, codebooks) and storage transforms (quantization)
     pass ``id_col=None``: content is usable regardless of identity."""
-    c = F.col(vec_col)
-    unusable = F.exists(
-        c,
-        lambda x: x.isNull()
-        | F.isnan(x)
-        | (F.abs(x) == F.lit(float("inf"))),
+    # SQL-text form (round 12 driver-floor batching): parses to the
+    # identical IsNotNull/Not(Exists(lambda)) tree in one py4j round trip
+    # per filter; CAST('Infinity' AS DOUBLE) constant-folds to the same
+    # Infinity literal F.lit(float('inf')) builds.
+    unusable = (
+        f"exists(`{vec_col}`, x -> (isnull(x) OR isnan(x))"
+        " OR abs(x) = CAST('Infinity' AS DOUBLE))"
     )
-    cond = c.isNotNull() & ~unusable
+    cond = f"((`{vec_col}` IS NOT NULL) AND (NOT {unusable}))"
     if id_col is not None:
-        cond = F.col(id_col).isNotNull() & cond
+        cond = f"(`{id_col}` IS NOT NULL) AND {cond}"
     return df.filter(cond)
 
 
@@ -108,28 +111,28 @@ def ann_cosine_topk(
     """
     # norms are projected per SIDE ROW before the N×Q scoring join —
     # inline cosine would re-fold the corpus norm once per query
+    # (SQL-text projections, round 12: identical trees, one round trip)
     q = F.broadcast(
-        _drop_null_vectors(queries, vec_col, query_id_col).select(
-            F.col(query_id_col).alias("q_id"),
-            F.col(vec_col).alias("_q_vec"),
-            l2_norm(F.col(vec_col)).alias("_q_nrm"),
+        _drop_null_vectors(queries, vec_col, query_id_col).selectExpr(
+            f"`{query_id_col}` AS q_id",
+            f"`{vec_col}` AS _q_vec",
+            f"{l2_norm_sql(f'`{vec_col}`')} AS _q_nrm",
         )
     )
     scored = (
         _drop_null_vectors(corpus, vec_col, id_col)
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("_c_vec"),
-            l2_norm(F.col(vec_col)).alias("_c_nrm"),
+        .selectExpr(
+            f"`{id_col}` AS neighbor_id",
+            f"`{vec_col}` AS _c_vec",
+            f"{l2_norm_sql(f'`{vec_col}`')} AS _c_nrm",
         )
         .join(q, F.col("neighbor_id") != F.col("q_id"), "inner")
         .withColumn(
             "_sim",
-            cosine_from_norms(
-                F.col("_c_vec"),
-                F.col("_q_vec"),
-                F.col("_c_nrm"),
-                F.col("_q_nrm"),
+            F.expr(
+                cosine_from_norms_sql(
+                    "_c_vec", "_q_vec", "_c_nrm", "_q_nrm"
+                )
             ),
         )
     )
@@ -777,20 +780,22 @@ def _assign_to_centroids(
     # inline cosine would re-fold the row norm per (row × centroid) pair
     scored = (
         _drop_null_vectors(df, vec_col, id_col)
-        .select(
-            F.col(id_col).alias("_aid"),
-            F.col(vec_col).alias("_avec"),
-            l2_norm(F.col(vec_col)).alias("_anrm"),
+        .selectExpr(
+            f"`{id_col}` AS _aid",
+            f"`{vec_col}` AS _avec",
+            f"{l2_norm_sql(f'`{vec_col}`')} AS _anrm",
         )
         .join(
             F.broadcast(
-                centroids.withColumn("_cnrm", l2_norm(F.col("_cvec")))
+                centroids.selectExpr(
+                    "*", f"{l2_norm_sql('_cvec')} AS _cnrm"
+                )
             )
         )
         .withColumn(
             "_csim",
-            cosine_from_norms(
-                F.col("_avec"), F.col("_cvec"), F.col("_anrm"), F.col("_cnrm")
+            F.expr(
+                cosine_from_norms_sql("_avec", "_cvec", "_anrm", "_cnrm")
             ),
         )
     )
@@ -1281,25 +1286,24 @@ def ivf_kmeans_topk(
     )
     query_probes = _assign_to_centroids(
         queries, cents, id_col=query_id_col, vec_col=vec_col, nprobe=nprobe
-    ).select(
-        F.col(query_id_col).alias("q_id"),
-        F.col(vec_col).alias("_q_vec"),
-        l2_norm(F.col(vec_col)).alias("_q_nrm"),
+    ).selectExpr(
+        f"`{query_id_col}` AS q_id",
+        f"`{vec_col}` AS _q_vec",
+        f"{l2_norm_sql(f'`{vec_col}`')} AS _q_nrm",
         "label",
     )
     candidates = (
         # the corpus norm folds once per inverted-list row, pre-join
-        corpus_lists.withColumn("_c_nrm", l2_norm(F.col("_c_vec")))
+        corpus_lists.selectExpr("*", f"{l2_norm_sql('_c_vec')} AS _c_nrm")
         .join(query_probes, "label")
         .filter(F.col("neighbor_id") != F.col("q_id"))
         .dropDuplicates(["q_id", "neighbor_id"])
         .withColumn(
             "_sim",
-            cosine_from_norms(
-                F.col("_c_vec"),
-                F.col("_q_vec"),
-                F.col("_c_nrm"),
-                F.col("_q_nrm"),
+            F.expr(
+                cosine_from_norms_sql(
+                    "_c_vec", "_q_vec", "_c_nrm", "_q_nrm"
+                )
             ),
         )
     )
@@ -1404,25 +1408,24 @@ def ivf_topk(
     )
     query_probes = _assign_to_centroids(
         queries, cents, id_col=query_id_col, vec_col=vec_col, nprobe=nprobe
-    ).select(
-        F.col(query_id_col).alias("q_id"),
-        F.col(vec_col).alias("_q_vec"),
-        l2_norm(F.col(vec_col)).alias("_q_nrm"),
+    ).selectExpr(
+        f"`{query_id_col}` AS q_id",
+        f"`{vec_col}` AS _q_vec",
+        f"{l2_norm_sql(f'`{vec_col}`')} AS _q_nrm",
         "label",
     )
     candidates = (
         # the corpus norm folds once per inverted-list row, pre-join
-        corpus_lists.withColumn("_c_nrm", l2_norm(F.col("_c_vec")))
+        corpus_lists.selectExpr("*", f"{l2_norm_sql('_c_vec')} AS _c_nrm")
         .join(query_probes, "label")
         .filter(F.col("neighbor_id") != F.col("q_id"))
         .dropDuplicates(["q_id", "neighbor_id"])
         .withColumn(
             "_sim",
-            cosine_from_norms(
-                F.col("_c_vec"),
-                F.col("_q_vec"),
-                F.col("_c_nrm"),
-                F.col("_q_nrm"),
+            F.expr(
+                cosine_from_norms_sql(
+                    "_c_vec", "_q_vec", "_c_nrm", "_q_nrm"
+                )
             ),
         )
     )
@@ -1704,10 +1707,10 @@ def ivf_index_topk(
     )
     probes = _assign_to_centroids(
         queries, cents, id_col=query_id_col, vec_col=vec_col, nprobe=nprobe
-    ).select(
-        F.col(query_id_col).alias("q_id"),
-        F.col(vec_col).alias("_q_vec"),
-        l2_norm(F.col(vec_col)).alias("_q_nrm"),
+    ).selectExpr(
+        f"`{query_id_col}` AS q_id",
+        f"`{vec_col}` AS _q_vec",
+        f"{l2_norm_sql(f'`{vec_col}`')} AS _q_nrm",
         "label",
     )
     probe_labels = sorted(

@@ -293,16 +293,13 @@ def _finite_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     old list_filter-count form, a silent cross-engine divergence. The
     size clause enforces the corpus's declared dimensionality
     (:data:`_EMB_DIM`): an empty or truncated vector is un-scorable."""
-    c = F.col(vec_col)
+    # SQL-text form (round 12 driver-floor batching): identical
+    # And(And(IsNotNull, size=dim), Not(Exists)) tree, one py4j round trip
     return df.filter(
-        c.isNotNull()
-        & (F.size(c) == F.lit(_EMB_DIM))
-        & ~F.exists(
-            c,
-            lambda x: x.isNull()
-            | F.isnan(x)
-            | (F.abs(x) == F.lit(float("inf"))),
-        )
+        f"((`{vec_col}` IS NOT NULL)"
+        f" AND size(`{vec_col}`) = {int(_EMB_DIM)})"
+        f" AND (NOT exists(`{vec_col}`, x -> (isnull(x) OR isnan(x))"
+        " OR abs(x) = CAST('Infinity' AS DOUBLE)))"
     )
 
 
@@ -8023,37 +8020,40 @@ def q_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
     window would shuffle every scored candidate row into |Q| partitions
     (a skewed exchange at 100×); `max_by` reduces map-side, so the
     exchange carries one partial row per (query, input partition)."""
-    from statline_bq_spark.functions.vectors import cosine_from_norms, l2_norm
+    from statline_bq_spark.functions.vectors import (
+        cosine_from_norms_sql,
+        l2_norm_sql,
+    )
 
     # usable vectors only on BOTH sides: a NaN-component corpus vector
     # yields a NaN similarity, and Spark's max_by ranks NaN greatest —
     # the poisoned row would become every query's "hard negative".
     # Norms fold once per SIDE ROW before the N×Q join (cosine_from_norms)
     # — the inline cosine re-folded the corpus norm once per query.
+    # (SQL-text projections, round 12: identical trees, one round trip.)
     e = _finite_vectors(read_table(spark, sf, "embeddings"))
     q = F.broadcast(
-        e.filter(F.col("vec_id") < 20).select(
-            F.col("vec_id").alias("q_id"),
-            F.col("label").alias("q_label"),
-            F.col("embedding").alias("_q_vec"),
-            l2_norm(F.col("embedding")).alias("_q_nrm"),
+        e.filter(F.col("vec_id") < 20).selectExpr(
+            "vec_id AS q_id",
+            "label AS q_label",
+            "embedding AS _q_vec",
+            f"{l2_norm_sql('embedding')} AS _q_nrm",
         )
     )
     scored = (
-        e.select(
-            F.col("vec_id").alias("neg_id"),
-            F.col("label").alias("neg_label"),
-            F.col("embedding").alias("_c_vec"),
-            l2_norm(F.col("embedding")).alias("_c_nrm"),
+        e.selectExpr(
+            "vec_id AS neg_id",
+            "label AS neg_label",
+            "embedding AS _c_vec",
+            f"{l2_norm_sql('embedding')} AS _c_nrm",
         )
         .join(q, F.col("neg_label") != F.col("q_label"), "inner")
         .withColumn(
             "_sim",
-            cosine_from_norms(
-                F.col("_c_vec"),
-                F.col("_q_vec"),
-                F.col("_c_nrm"),
-                F.col("_q_nrm"),
+            F.expr(
+                cosine_from_norms_sql(
+                    "_c_vec", "_q_vec", "_c_nrm", "_q_nrm"
+                )
             ),
         )
     )
