@@ -17,9 +17,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from statline_bq_spark.functions.text import ascii_fold
-from statline_bq_spark.functions.text import tokens as _tokens
-
 #: Rule names in cascade order (rule i only sees rule i-1's survivors).
 RULES = (
     "too_short",
@@ -45,50 +42,47 @@ def funnel_counters(df: DataFrame, text_col: str = "text") -> DataFrame:
     # x is NULL, so the guard is equivalent — each regex/filter pass runs
     # exactly once per row: measured 0.64s → 0.34s on the sf0.1 feature
     # projection, identical counters.
-    tk = F.col("_toks")
-    feat = df.select(
-        F.col(text_col).alias("_text"), _tokens(text_col).alias("_toks")
-    ).select(
-        # NULL-guarded sizes, not bare F.size: legacy (ANSI-off) sessions
+    #
+    # SQL-text construction (round 12 driver-floor batching): identical
+    # trees, one py4j round trip per projection/aggregate instead of one
+    # per Column node — CASE WHEN matches F.when-without-otherwise, RLIKE
+    # matches Column.rlike, translate(...) is ascii_fold, IN is .isin,
+    # D-suffixed literals match F.lit(float).
+    feat = df.selectExpr(
+        f"`{text_col}` AS _text",
+        f"split(trim(`{text_col}`), '\\\\s+') AS _toks",
+    ).selectExpr(
+        # NULL-guarded sizes, not bare size(): legacy (ANSI-off) sessions
         # return -1 for a NULL array, which would count NULL-text docs as
         # length--1 survivors instead of rule-0 drops (round-9 ANSI-off
         # sweep). safe_size semantics, on the attribute.
-        F.when(tk.isNotNull(), F.size(tk)).alias("n_tok"),
-        F.length(F.regexp_replace("_text", r"\s", "")).alias("n_chr"),
-        F.when(
-            tk.isNotNull(),
-            F.size(F.filter(tk, lambda t: t.rlike("^[A-Za-z]+[.,!?;:]?$"))),
-        ).alias("n_alpha"),
-        F.when(
-            tk.isNotNull(),
-            F.size(
-                # ascii_fold, not lower(): full Unicode lowering is
-                # engine-divergent exactly at tokens that fold INTO the
-                # ASCII stopword list ('İN' — round-10 locale fixture;
-                # see text.py)
-                F.filter(
-                    tk,
-                    lambda t: ascii_fold(t).isin(
-                        "the", "a", "of", "and", "to", "in"
-                    ),
-                )
-            ),
-        ).alias("n_stop"),
+        "CASE WHEN _toks IS NOT NULL THEN size(_toks) END AS n_tok",
+        "length(regexp_replace(_text, '\\\\s', '')) AS n_chr",
+        "CASE WHEN _toks IS NOT NULL THEN size(filter(_toks,"
+        " t -> t RLIKE '^[A-Za-z]+[.,!?;:]?$')) END AS n_alpha",
+        # ascii_fold, not lower(): full Unicode lowering is
+        # engine-divergent exactly at tokens that fold INTO the ASCII
+        # stopword list ('İN' — round-10 locale fixture; see text.py)
+        "CASE WHEN _toks IS NOT NULL THEN size(filter(_toks,"
+        " t -> translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+        " 'abcdefghijklmnopqrstuvwxyz')"
+        " IN ('the', 'a', 'of', 'and', 'to', 'in'))) END AS n_stop",
     )
-    mean_wl = F.col("n_chr") / F.col("n_tok")
     flags = [
-        F.col("n_tok") < 15,
-        mean_wl < 3.0,
-        mean_wl > 10.0,
-        F.col("n_alpha") * 10 < F.col("n_tok") * 8,
-        F.col("n_stop") < 2,
+        "n_tok < 15",
+        "(n_chr / n_tok) < 3.0D",
+        "(n_chr / n_tok) > 10.0D",
+        "n_alpha * 10 < n_tok * 8",
+        "n_stop < 2",
     ]
-    aggs = [F.count(F.lit(1)).alias("s0")]
-    alive = F.lit(True)
+    aggs = [F.expr("count(1) AS s0")]
+    alive = "true"
     for i, f in enumerate(flags, start=1):
-        aggs.append(F.sum((alive & f).cast("bigint")).alias(f"d{i}"))
-        alive = alive & ~f
-        aggs.append(F.sum(alive.cast("bigint")).alias(f"s{i}"))
+        aggs.append(
+            F.expr(f"sum(CAST(({alive} AND ({f})) AS bigint)) AS d{i}")
+        )
+        alive = f"{alive} AND (NOT ({f}))"
+        aggs.append(F.expr(f"sum(CAST({alive} AS bigint)) AS s{i}"))
     return feat.agg(*aggs)
 
 
@@ -97,7 +91,10 @@ def report_from_counters(counters: DataFrame) -> DataFrame:
     (stage, rule, n_in, n_dropped, n_out) funnel report."""
     cols = ["s0"] + [c for i in range(1, 6) for c in (f"d{i}", f"s{i}")]
     merged = counters.agg(
-        *[F.coalesce(F.sum(c), F.lit(0)).cast("bigint").alias(c) for c in cols]
+        *[
+            F.expr(f"CAST(coalesce(sum({c}), 0) AS bigint) AS {c}")
+            for c in cols
+        ]
     )
     stack_args = ", ".join(
         f"{i}, '{RULES[i - 1]}', s{i - 1}, d{i}, s{i}" for i in range(1, 6)
