@@ -78,6 +78,80 @@ def tokens(col: Column | str) -> Column:
     return F.split(F.trim(_col(col)), "\\s+")
 
 
+# -- SQL-text twins (round 12 driver-floor batching) -----------------------
+# Each *_sql function returns the SQL TEXT of its Column twin: parsed in
+# ONE py4j round trip at the call site (F.expr/selectExpr) where the
+# Column form pays one gateway call per expression node. Literal typing
+# matches exactly (D-suffix == F.lit(float), bare ints == F.lit(int),
+# nullif/size/translate/IN are the same functions). Args are raw SQL
+# fragments — pre-backtick column names that need it.
+
+
+def tokens_sql(col: str) -> str:
+    """SQL-text twin of :func:`tokens`."""
+    return f"split(trim({col}), '\\\\s+')"
+
+
+def safe_size_sql(arr: str) -> str:
+    """SQL-text twin of :func:`safe_size`."""
+    return f"nullif(size({arr}), -1)"
+
+
+def ascii_fold_sql(col: str) -> str:
+    """SQL-text twin of :func:`ascii_fold`."""
+    return f"translate({col}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+
+
+def stopword_ratio_sql(
+    col: str, stopwords: tuple[str, ...] = STOPWORDS
+) -> str:
+    """SQL-text twin of :func:`stopword_ratio` (same ASCII-fold membership
+    and NULL-safe sizes; double division is bit-identical)."""
+    toks = tokens_sql(col)
+    members = ", ".join(f"'{s}'" for s in stopwords)
+    stops = safe_size_sql(
+        f"filter({toks}, t -> {ascii_fold_sql('t')} IN ({members}))"
+    )
+    return (
+        f"CAST({stops} AS double) / CAST({safe_size_sql(toks)} AS double)"
+    )
+
+
+def quality_score_sql(
+    col: str, min_tokens: int = 20, max_tokens: int = 1000
+) -> str:
+    """SQL-text twin of :func:`quality_score` (0.5·x commutes bit-exactly,
+    so operand order differences cannot move the double result)."""
+    n = safe_size_sql(tokens_sql(col))
+    length_ok = (
+        f"CASE WHEN {n} BETWEEN {int(min_tokens)} AND {int(max_tokens)}"
+        " THEN 1.0D ELSE 0.0D END"
+    )
+    return f"0.5D * ({stopword_ratio_sql(col)}) + 0.5D * ({length_ok})"
+
+
+def script_char_count_sql(col: str, script: str) -> str:
+    """SQL-text twin of :func:`script_char_count`."""
+    return f"length(regexp_replace({col}, '[^{SCRIPT_RANGES[script]}]', ''))"
+
+
+def dominant_script_sql(col: str) -> str:
+    """SQL-text twin of :func:`dominant_script` (same fixed iteration
+    order and tie-break)."""
+    scripts = [s for s in SCRIPT_RANGES if s != "digit"]
+    best = (
+        "greatest("
+        + ", ".join(script_char_count_sql(col, s) for s in scripts)
+        + ")"
+    )
+    whens = " ".join(
+        f"WHEN ({script_char_count_sql(col, s)} = {best})"
+        f" AND ({best} > 0) THEN '{s}'"
+        for s in scripts
+    )
+    return f"CASE {whens} ELSE 'none' END"
+
+
 def token_count(col: Column | str) -> Column:
     """Number of whitespace-delimited tokens (NULL text → NULL)."""
     return safe_size(tokens(col))

@@ -1476,38 +1476,41 @@ def quantize_embeddings(
     # maxabs/code stream. The surrogate never reaches the output.
     # (the surrogate projects BELOW the generator — in the same select
     # as posexplode it would evaluate once per exploded component)
+    # (SQL-text construction, round 12: identical trees — D-suffixed
+    # literals match F.lit(float), CASE matches when/otherwise, the
+    # int-vs-bigint branch coercion and the final CAST are unchanged.)
     ex = (
         _drop_null_vectors(df, vec_col)
         .select(F.col(id_col), F.col(vec_col))
-        .withColumn("_rid", F.monotonically_increasing_id())
-        .withColumn(
-            "_maxabs",
-            F.array_max(
-                F.transform(
-                    F.col(vec_col), lambda x: F.abs(x.cast("double"))
-                )
-            ),
+        .selectExpr("*", "monotonically_increasing_id() AS _rid")
+        .selectExpr(
+            "*",
+            f"array_max(transform(`{vec_col}`,"
+            " x -> abs(CAST(x AS double)))) AS _maxabs",
         )
-        .select(
-            F.col(id_col),
+        .selectExpr(
+            f"`{id_col}`",
             "_rid",
             "_maxabs",
-            F.posexplode(vec_col).alias("_pos", "_vf"),
+            f"posexplode(`{vec_col}`) AS (_pos, _vf)",
         )
-        .withColumn("_v", F.col("_vf").cast("double"))
+        .selectExpr("*", "CAST(_vf AS double) AS _v")
     )
-    code = F.when(F.col("_maxabs") == 0.0, F.lit(0)).otherwise(
-        F.floor(F.col("_v") * 127.0 / F.col("_maxabs") + 0.5)
-    ).cast("long")
+    code = (
+        "CAST(CASE WHEN _maxabs = 0.0D THEN 0"
+        " ELSE floor(_v * 127.0D / _maxabs + 0.5D) END AS bigint)"
+    )
     return (
-        ex.withColumn("_code", code)
+        ex.selectExpr("*", f"{code} AS _code")
         .groupBy("_rid", id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_dims"),
-            F.sum("_code").alias("code_sum"),
-            F.min("_code").alias("code_min"),
-            F.max("_code").alias("code_max"),
-            F.floor(F.max("_maxabs") / 127.0 * 1e6).alias("scale_micros"),
+            F.expr("count(1) AS n_dims"),
+            F.expr("sum(_code) AS code_sum"),
+            F.expr("min(_code) AS code_min"),
+            F.expr("max(_code) AS code_max"),
+            F.expr(
+                "floor(max(_maxabs) / 127.0D * 1000000.0D) AS scale_micros"
+            ),
         )
         .drop("_rid")
     )

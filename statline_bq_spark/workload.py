@@ -3084,14 +3084,16 @@ def q_script_stats(spark: SparkSession, sf: str) -> DataFrame:
     from statline_bq_spark.functions import text as text_fns
 
     d = read_table(spark, sf, "documents")
-    return d.select(
+    # SQL-text form (round 12): identical trees, one round trip per column
+    cnt = text_fns.script_char_count_sql
+    return d.selectExpr(
         "doc_id",
-        F.length("text").alias("n_chars_text"),
-        text_fns.script_char_count("text", "latin").alias("latin_chars"),
-        text_fns.script_char_count("text", "cyrillic").alias("cyrillic_chars"),
-        text_fns.script_char_count("text", "cjk").alias("cjk_chars"),
-        text_fns.script_char_count("text", "digit").alias("digit_chars"),
-        text_fns.dominant_script("text").alias("dominant_script"),
+        "length(text) AS n_chars_text",
+        f"{cnt('text', 'latin')} AS latin_chars",
+        f"{cnt('text', 'cyrillic')} AS cyrillic_chars",
+        f"{cnt('text', 'cjk')} AS cjk_chars",
+        f"{cnt('text', 'digit')} AS digit_chars",
+        f"{text_fns.dominant_script_sql('text')} AS dominant_script",
     )
 
 
@@ -3203,16 +3205,18 @@ GROUP BY coalesce(md5(text), '_null:' || CAST(doc_id AS VARCHAR))
 
 
 def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from statline_bq_spark.functions.text import safe_size_sql, tokens_sql
+
     d = read_table(spark, sf, "documents")
-    n_tokens = token_count("text").cast("bigint")
-    n_chars_ns = F.length(F.regexp_replace("text", "\\s", "")).cast("bigint")
-    return d.select(
+    # SQL-text form (round 12): identical trees, one round trip per column
+    n_tokens = f"CAST({safe_size_sql(tokens_sql('text'))} AS bigint)"
+    n_chars_ns = "CAST(length(regexp_replace(text, '\\\\s', '')) AS bigint)"
+    return d.selectExpr(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        n_chars_ns.alias("n_chars_nospace"),
-        F.round(
-            n_chars_ns.cast("double") / n_tokens.cast("double"), 4
-        ).alias("avg_token_len"),
+        f"{n_tokens} AS n_tokens",
+        f"{n_chars_ns} AS n_chars_nospace",
+        f"round(CAST({n_chars_ns} AS double) / CAST({n_tokens} AS double),"
+        " 4) AS avg_token_len",
     )
 
 
@@ -3227,12 +3231,20 @@ FROM documents
 
 
 def q_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    from statline_bq_spark.functions.text import (
+        quality_score_sql,
+        safe_size_sql,
+        stopword_ratio_sql,
+        tokens_sql,
+    )
+
     d = read_table(spark, sf, "documents")
-    return d.select(
+    # SQL-text form (round 12): identical trees, one round trip per column
+    return d.selectExpr(
         "doc_id",
-        token_count("text").cast("bigint").alias("n_tokens"),
-        F.round(stopword_ratio("text"), 4).alias("stop_ratio"),
-        F.round(quality_score("text"), 4).alias("score"),
+        f"CAST({safe_size_sql(tokens_sql('text'))} AS bigint) AS n_tokens",
+        f"round({stopword_ratio_sql('text')}, 4) AS stop_ratio",
+        f"round({quality_score_sql('text')}, 4) AS score",
     )
 
 
@@ -6080,17 +6092,22 @@ def q_training_data_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     ids are needed, key the dedup on xxhash64(text) instead and shuffle
     8-byte keys (see ``operators/dedup.exact_dedup``).
     """
+    from statline_bq_spark.functions.text import (
+        safe_size_sql,
+        stopword_ratio_sql,
+        tokens_sql,
+    )
+
     d = read_table(spark, sf, "documents")
-    feat = d.select(
+    # SQL-text form (round 12): identical trees, one round trip per column
+    feat = d.selectExpr(
         "doc_id",
         "lang",
         "text",
-        token_count("text").cast("bigint").alias("n_tokens"),
-        stopword_ratio("text").alias("stop_ratio"),
+        f"CAST({safe_size_sql(tokens_sql('text'))} AS bigint) AS n_tokens",
+        f"{stopword_ratio_sql('text')} AS stop_ratio",
     )
-    kept = feat.filter(
-        F.col("n_tokens").between(20, 80) & (F.col("stop_ratio") < 0.2)
-    )
+    kept = feat.filter("(n_tokens BETWEEN 20 AND 80) AND stop_ratio < 0.2D")
     # exact dedup: canonical doc = smallest doc_id per distinct text
     ded = kept.groupBy("text").agg(
         F.min("doc_id").alias("doc_id"),
