@@ -255,26 +255,25 @@ def chunk_words(
     if not 0 <= overlap < width:
         raise ValueError("need 0 <= overlap < width")
     step = width - overlap
-    words = tokens(text_col)
-    base = df.filter(F.col(text_col).isNotNull()).select(
-        *carry_cols, words.alias("__words"), F.size(words).alias("__n")
+    # (SQL-text construction, round 12 driver-floor batching: identical
+    # sequence/posexplode/slice trees, one py4j round trip per projection)
+    toks = tokens_sql(f"`{text_col}`")
+    carry = [f"`{c}`" for c in carry_cols]
+    base = df.filter(f"`{text_col}` IS NOT NULL").selectExpr(
+        *carry, f"{toks} AS __words", f"size({toks}) AS __n"
     )
-    starts = F.sequence(
-        F.lit(0),
-        F.greatest(F.col("__n") - overlap, F.lit(1)) - 1,
-        F.lit(step),
+    starts = (
+        f"sequence(0, greatest(__n - {int(overlap)}, 1) - 1, {int(step)})"
     )
-    exploded = base.select(
-        *carry_cols, "__words", "__n", F.posexplode(starts).alias("chunk_idx", "__s")
+    exploded = base.selectExpr(
+        *carry, "__words", "__n", f"posexplode({starts}) AS (chunk_idx, __s)"
     )
-    chunk_len = F.least(F.col("__s") + width, F.col("__n")) - F.col("__s")
-    return exploded.select(
-        *carry_cols,
-        F.col("chunk_idx").cast("int").alias("chunk_idx"),
-        F.array_join(F.slice(F.col("__words"), F.col("__s") + 1, chunk_len), " ").alias(
-            "chunk"
-        ),
-        chunk_len.cast("int").alias("n_tokens"),
+    chunk_len = f"least(__s + {int(width)}, __n) - __s"
+    return exploded.selectExpr(
+        *carry,
+        "CAST(chunk_idx AS int) AS chunk_idx",
+        f"array_join(slice(__words, __s + 1, {chunk_len}), ' ') AS chunk",
+        f"CAST({chunk_len} AS int) AS n_tokens",
     )
 
 

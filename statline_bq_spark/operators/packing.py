@@ -58,29 +58,31 @@ def _block_prefix_offsets(
     ``prefix + within - weight`` arithmetic goes NULL and poisons every
     derived position for that row.
     """
-    w0 = F.coalesce(F.col(weight_col), F.lit(0))
-    blk = (F.col(order_key) / F.lit(block_size)).cast("bigint").alias("_pk_blk")
-    df = df.withColumn("_pk_blk", blk)
-    # (2) within-block running sum — bounded partitions, parallel.
-    w_in = (
-        Window.partitionBy(stream_key, "_pk_blk")
-        .orderBy(order_key)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # (SQL-text construction, round 12 driver-floor batching: identical
+    # window specs, coalesce/cast trees and null-safe join, one py4j
+    # round trip per expression)
+    w0 = f"coalesce(`{weight_col}`, 0)"
+    df = df.selectExpr(
+        "*", f"CAST(`{order_key}` / {int(block_size)} AS bigint) AS _pk_blk"
     )
-    df = df.withColumn("_pk_within", F.sum(w0).over(w_in))
+    # (2) within-block running sum — bounded partitions, parallel.
+    df = df.selectExpr(
+        "*",
+        f"sum({w0}) OVER (PARTITION BY `{stream_key}`, _pk_blk"
+        f" ORDER BY `{order_key}`"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _pk_within",
+    )
     # (3) block totals (#blocks rows) → exclusive running sum over blocks.
     totals = df.groupBy(stream_key, "_pk_blk").agg(
-        F.sum(w0).alias("_pk_tot")
+        F.expr(f"sum({w0}) AS _pk_tot")
     )
-    w_blk = (
-        Window.partitionBy(stream_key)
-        .orderBy("_pk_blk")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prefix = totals.select(
-        stream_key,
+    prefix = totals.selectExpr(
+        f"`{stream_key}`",
         "_pk_blk",
-        F.coalesce(F.sum("_pk_tot").over(w_blk), F.lit(0)).alias("_pk_prefix"),
+        f"coalesce(sum(_pk_tot) OVER (PARTITION BY `{stream_key}`"
+        " ORDER BY _pk_blk"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        " AS _pk_prefix",
     )
     # null-safe on the stream key: a NULL stream is a stream like any other
     # (the windows above already treat it as one partition); a plain
@@ -92,13 +94,9 @@ def _block_prefix_offsets(
         F.broadcast(prefix),
         F.col(stream_key).eqNullSafe(F.col("_pk_sk"))
         & (F.col("_pk_blk") == F.col("_pk_pblk")),
-    ).withColumn(
-        out_col,
-        (
-            F.col("_pk_prefix")
-            + F.col("_pk_within")
-            - F.coalesce(F.col(weight_col), F.lit(0))
-        ).cast("bigint"),
+    ).selectExpr(
+        "*",
+        f"CAST(_pk_prefix + _pk_within - {w0} AS bigint) AS `{out_col}`",
     )
     return out.drop("_pk_blk", "_pk_pblk", "_pk_within", "_pk_prefix", "_pk_sk")
 
@@ -143,15 +141,17 @@ def pack_sequences(
         block_size=block_size,
         out_col=offset_alias,
     )
-    start = F.col(offset_alias)
-    end_incl = start + F.greatest(F.col(token_col), F.lit(1)) - 1
-    return out.withColumn(
-        seq_alias, F.floor(start / capacity).cast("bigint")
-    ).withColumn(
-        spans_alias,
-        (F.floor(end_incl / capacity) - F.floor(start / capacity) + 1).cast(
-            "bigint"
-        ),
+    start = f"`{offset_alias}`"
+    end_incl = f"{start} + greatest(`{token_col}`, 1) - 1"
+    return out.selectExpr(
+        "*",
+        f"CAST(floor({start} / {int(capacity)}) AS bigint)"
+        f" AS `{seq_alias}`",
+    ).selectExpr(
+        "*",
+        f"CAST(floor(({end_incl}) / {int(capacity)})"
+        f" - floor({start} / {int(capacity)}) + 1 AS bigint)"
+        f" AS `{spans_alias}`",
     )
 
 

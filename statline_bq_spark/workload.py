@@ -3890,26 +3890,27 @@ def q_price_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     def disc(col: str, picks: list[tuple[float, str]]) -> DataFrame:
         # ONE sorted window pass per order column; every requested quantile
         # comes out of it via conditional aggregation
-        w = Window.partitionBy("l_returnflag").orderBy(
-            col, "l_orderkey", "l_linenumber"
+        # (SQL-text construction, round 12: identical window specs and
+        # CASE/ceil/cast trees, one py4j round trip per expression)
+        over = (
+            f"OVER (PARTITION BY l_returnflag ORDER BY {col},"
+            " l_orderkey, l_linenumber)"
         )
-        n = F.count(F.lit(1)).over(Window.partitionBy("l_returnflag"))
         # a NULL/NaN measure is not a rankable observation — unfiltered,
         # the engines rank the NULL on opposite ends and shift every pick
-        ranked = li.filter(_nan_null(col).isNotNull()).select(
+        ranked = li.filter(_nan_null(col).isNotNull()).selectExpr(
             "l_returnflag",
-            F.col(col).alias("_v"),
-            F.row_number().over(w).alias("_rn"),
-            n.alias("_n"),
+            f"{col} AS _v",
+            f"row_number() {over} AS _rn",
+            "count(1) OVER (PARTITION BY l_returnflag) AS _n",
         )
         return ranked.groupBy("l_returnflag").agg(
             *[
-                F.max(
-                    F.when(
-                        F.col("_rn") == F.ceil(F.col("_n") * p).cast("int"),
-                        F.col("_v"),
-                    )
-                ).alias(alias)
+                F.expr(
+                    "max(CASE WHEN _rn ="
+                    f" CAST(ceil(_n * {float(p)!r}D) AS int)"
+                    f" THEN _v END) AS {alias}"
+                )
                 for p, alias in picks
             ]
         )
@@ -5367,14 +5368,17 @@ def q_packed_sequences(spark: SparkSession, sf: str) -> DataFrame:
     # then swap engine-arbitrarily (caught by the round-7 dirty sweep
     # after a new row perturbed the tie luck). Duplicate ids contribute
     # their summed tokens at one stream position; unique ids unchanged.
+    from statline_bq_spark.functions.text import safe_size_sql, tokens_sql
+
     toks = (
-        d.select(
+        d.selectExpr(
             "lang",
             "doc_id",
-            token_count("text").cast("bigint").alias("n_tokens"),
+            f"CAST({safe_size_sql(tokens_sql('text'))} AS bigint)"
+            " AS n_tokens",
         )
         .groupBy("lang", "doc_id")
-        .agg(F.sum("n_tokens").alias("n_tokens"))
+        .agg(F.expr("sum(n_tokens) AS n_tokens"))
     )
     out = packing.pack_sequences(
         toks, "lang", "doc_id", "n_tokens", capacity=2048, block_size=32
@@ -7281,49 +7285,56 @@ def q_busy_interval_stats(spark: SparkSession, sf: str) -> DataFrame:
     The busy/threshold comparison is exact-integer (2·n·n_hours >
     3·n_events) so no float tie can flip membership cross-engine.
     """
-    e = read_table(spark, sf, "events").withColumn(
-        "_es", F.unix_timestamp("ts")
+    # (SQL-text construction, round 12: identical trees, one py4j round
+    # trip per expression)
+    e = read_table(spark, sf, "events").selectExpr(
+        "*", "unix_timestamp(ts) AS _es"
     )
-    hourly = e.groupBy(F.floor(F.col("_es") / 3600).alias("hb")).agg(
-        F.count(F.lit(1)).alias("n")
+    hourly = e.groupBy(F.expr("floor(_es / 3600) AS hb")).agg(
+        F.expr("count(1) AS n")
     )
-    tot = hourly.agg(
-        F.count(F.lit(1)).alias("nh"), F.sum("n").alias("ne")
-    )
+    tot = hourly.agg(F.expr("count(1) AS nh"), F.expr("sum(n) AS ne"))
     busy = (
         hourly.join(F.broadcast(tot))
-        .filter(2 * F.col("n") * F.col("nh") > 3 * F.col("ne"))
+        .filter("2 * n * nh > 3 * ne")
         .select("hb")
     )
     # islands: the busy-hour set is bounded (≤ hours in the data window),
     # so the unpartitioned ordering window is a deliberate single-task step
     # over a tiny aggregate side, not a fact-table sort.
-    wlag = Window.orderBy("hb")
-    wrun = wlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     iv = (
-        busy.withColumn(
-            "brk",
-            F.when(F.col("hb") - F.lag("hb").over(wlag) > 1, 1).otherwise(0),
+        busy.selectExpr(
+            "hb",
+            "CASE WHEN hb - lag(hb) OVER (ORDER BY hb) > 1"
+            " THEN 1 ELSE 0 END AS brk",
         )
-        .withColumn("iid", F.sum("brk").over(wrun))
+        .selectExpr(
+            "hb",
+            "sum(brk) OVER (ORDER BY hb"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid",
+        )
         .groupBy("iid")
         .agg(
-            (F.min("hb") * 3600).alias("lo"),
-            ((F.max("hb") + 1) * 3600).alias("hi"),
+            F.expr("min(hb) * 3600 AS lo"),
+            F.expr("(max(hb) + 1) * 3600 AS hi"),
         )
         .drop("iid")
     )
     joined = interval_join(e, iv, "_es", "lo", "hi", bucket_width=3600)
-    return joined.groupBy("lo", "hi").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.countDistinct("user_id").alias("n_users"),
-        F.round(F.sum("value"), 2).alias("total_value"),
-    ).select(
-        F.from_unixtime("lo").alias("interval_start"),
-        F.from_unixtime("hi").alias("interval_end"),
-        "n_events",
-        "n_users",
-        "total_value",
+    return (
+        joined.groupBy("lo", "hi")
+        .agg(
+            F.expr("count(1) AS n_events"),
+            F.expr("count(DISTINCT user_id) AS n_users"),
+            F.expr("round(sum(value), 2) AS total_value"),
+        )
+        .selectExpr(
+            "from_unixtime(lo) AS interval_start",
+            "from_unixtime(hi) AS interval_end",
+            "n_events",
+            "n_users",
+            "total_value",
+        )
     )
 
 
