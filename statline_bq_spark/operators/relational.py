@@ -163,36 +163,39 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     tie = 0 if not strict else 2
-    l_tag = left.select(
-        *[F.col(c) for c in left.columns],
-        F.lit(1).alias("_side"),
-        F.col(left_ts).alias("_ts"),
+    # (SQL-text construction, round 12 driver-floor batching: identical
+    # trees — bare int literals match F.lit(int), DESC is NULLS LAST like
+    # Column.desc(), last(x, true) is F.last(ignorenulls=True), CASE
+    # matches when-without-otherwise.)
+    l_tag = left.selectExpr(
+        *[f"`{c}`" for c in left.columns],
+        "1 AS _side",
+        f"`{left_ts}` AS _ts",
     )
-    r_tag = right.select(
-        *on,
-        *[F.col(c) for c in right_values],
-        F.lit(tie).alias("_side"),
-        F.col(right_ts).alias("_ts"),
+    r_tag = right.selectExpr(
+        *[f"`{c}`" for c in on],
+        *[f"`{c}`" for c in right_values],
+        f"{tie} AS _side",
+        f"`{right_ts}` AS _ts",
     )
     merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
-    ts_order = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(ts_order, F.col("_side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ts_order = "_ts" if direction == "backward" else "_ts DESC"
+    over = (
+        f"OVER (PARTITION BY {', '.join(f'`{k}`' for k in on)}"
+        f" ORDER BY {ts_order}, _side"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
     carry_cols = list(right_values)
     if tolerance is not None:
         carry_cols.append("_rts")
-        merged = merged.withColumn(
-            "_rts", F.when(F.col("_side") != 1, F.col("_ts"))
+        merged = merged.selectExpr(
+            "*", "CASE WHEN _side != 1 THEN _ts END AS _rts"
         )
-    carried = merged.select(
-        *[c for c in merged.columns if c not in carry_cols],
+    carried = merged.selectExpr(
+        *[f"`{c}`" for c in merged.columns if c not in carry_cols],
         *[
-            F.last(
-                F.when(F.col("_side") != 1, F.col(v)), ignorenulls=True
-            ).over(w).alias(v)
+            f"last(CASE WHEN _side != 1 THEN `{v}` END, true)"
+            f" {over} AS `{v}`"
             for v in carry_cols
         ],
     )
